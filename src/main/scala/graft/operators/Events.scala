@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** C-block batch equivalents of the stream pipelines (the reference's
+  * `stream` NineClusterType, api/v1alpha1/ninecluster_types.go:41) plus
+  * the skew-safe aggregation pattern. The same windowing expressions
+  * are reused verbatim by graft.streaming.EventPipeline on a
+  * readStream source — Structured Streaming executes the identical
+  * logical plan incrementally with watermarks.
+  */
+object Events {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q_events_tumbling",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("cnt"), col("sum_val"))
+        .orderBy("wstart", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS wstart, event_type,
+             |count(*) AS cnt, round(sum(value),2) AS sum_val
+             |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)),
+
+    Q("q_events_sliding",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+        .select(col("window.start").as("wstart"), col("cnt"), col("sum_val"))
+        .orderBy("wstart"),
+      Some("""WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0, value FROM events),
+             |w AS (SELECT b0 AS wstart, value FROM b
+             |      UNION ALL SELECT b0 - INTERVAL '30 minutes', value FROM b)
+             |SELECT wstart, count(*) AS cnt, round(sum(value),2) AS sum_val
+             |FROM w GROUP BY 1 ORDER BY wstart""".stripMargin)),
+
+    // Session windows (30-minute inactivity gap) via Spark's native
+    // session_window; oracle reproduces the islands with a
+    // lag/cumulative-flag construction.
+    Q("q_events_session",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_val"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_val"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH x AS (SELECT user_id, ts, value,
+             |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+             |       THEN 1 ELSE 0 END AS new_s FROM events),
+             |y AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             |round(sum(value),2) AS sum_val
+             |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+    // Per-event session index assignment (gaps-and-islands as a
+    // window computation — one shuffle on user_id, no state blowup).
+    Q("q_sessionize_custom",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts")
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("new_s",
+            when(lag("ts", 1).over(byUser).isNull ||
+              col("ts").cast("double") - lag("ts", 1).over(byUser).cast("double") >= 1800.0, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum("new_s").over(cum))
+          .select("event_id", "user_id", "sid")
+          .orderBy("event_id")
+      },
+      Some("""WITH x AS (SELECT event_id, user_id, ts,
+             |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+             |       THEN 1 ELSE 0 END AS new_s FROM events)
+             |SELECT event_id, user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |FROM x ORDER BY event_id""".stripMargin)),
+
+    // Salted two-phase aggregation: partial agg on (key, salt) spreads
+    // a hot key over 16 reducers, then the tiny per-key combine. Same
+    // result as a plain groupBy; at 100 TB the salt bounds any single
+    // reducer's input.
+    Q("q_skew_agg",
+      (s, d) => t(s, d, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(count(lit(1)).as("c"), sum("value").as("sv"))
+        .groupBy("user_id")
+        .agg(sum("c").as("cnt"), round(sum("sv"), 2).as("sum_val"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS cnt, round(sum(value),2) AS sum_val
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+  )
+}

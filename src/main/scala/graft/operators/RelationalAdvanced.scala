@@ -1,0 +1,380 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** A-block part 2: windows, multi-dim grouping, pivot, subqueries,
+  * expression surface, flagship TPC-H shapes. Window partitions are
+  * keyed on low-cardinality columns here; at 100 TB the same plans
+  * hold because each window partition is independent (one shuffle on
+  * the partition key, then per-partition sort — no global sort).
+  */
+object RelationalAdvanced {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Daily revenue rollup reused by the running/lag window queries. */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(round(sum("l_extendedprice"), 2).as("rev"))
+
+  private val dailySql =
+    "SELECT CAST(l_shipdate AS DATE) AS day, round(sum(l_extendedprice),2) AS rev FROM lineitem GROUP BY 1"
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").where(col("o_totalprice") > 450000)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"))
+          .orderBy("o_orderpriority", "rnk", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             |dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS drnk
+             |FROM orders WHERE o_totalprice > 450000
+             |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin)),
+
+    Q("q_window_running",
+      (s, d) => {
+        val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+        daily(s, d)
+          .select(col("day"), col("rev"),
+            round(sum("rev").over(w), 2).as("cum_rev"),
+            round(avg("rev").over(w7), 2).as("ma7"))
+          .orderBy("day")
+      },
+      Some(s"""WITH daily AS ($dailySql)
+              |SELECT day, rev,
+              |round(sum(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_rev,
+              |round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),2) AS ma7
+              |FROM daily ORDER BY day""".stripMargin)),
+
+    Q("q_window_lag",
+      (s, d) => {
+        val w = Window.orderBy("day")
+        daily(s, d)
+          .select(col("day"), col("rev"),
+            round(col("rev") - lag("rev", 1).over(w), 2).as("delta"),
+            round(lead("rev", 1).over(w) - col("rev"), 2).as("next_delta"))
+          .orderBy("day")
+      },
+      Some(s"""WITH daily AS ($dailySql)
+              |SELECT day, rev,
+              |round(rev - lag(rev, 1) OVER (ORDER BY day),2) AS delta,
+              |round(lead(rev, 1) OVER (ORDER BY day) - rev,2) AS next_delta
+              |FROM daily ORDER BY day""".stripMargin)),
+
+    Q("q_window_topk_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= 3)
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT * FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    Q("q_rollup",
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .rollup(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(grouping(col("c_mktsegment")).as("gs"), grouping(col("o_orderstatus")).as("go"),
+          count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+        .select(
+          when(col("gs") === 1, "ALL").otherwise(col("c_mktsegment")).as("seg"),
+          when(col("go") === 1, "ALL").otherwise(col("o_orderstatus")).as("status"),
+          col("cnt"), col("rev"))
+        .orderBy("seg", "status"),
+      Some("""SELECT CASE WHEN grouping(c_mktsegment)=1 THEN 'ALL' ELSE c_mktsegment END AS seg,
+             |CASE WHEN grouping(o_orderstatus)=1 THEN 'ALL' ELSE o_orderstatus END AS status,
+             |count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY ROLLUP (c_mktsegment, o_orderstatus) ORDER BY seg, status""".stripMargin)),
+
+    Q("q_cube",
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(grouping(col("c_mktsegment")).as("gs"), grouping(col("o_orderstatus")).as("go"),
+          count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+        .select(
+          when(col("gs") === 1, "ALL").otherwise(col("c_mktsegment")).as("seg"),
+          when(col("go") === 1, "ALL").otherwise(col("o_orderstatus")).as("status"),
+          col("cnt"), col("rev"))
+        .orderBy("seg", "status"),
+      Some("""SELECT CASE WHEN grouping(c_mktsegment)=1 THEN 'ALL' ELSE c_mktsegment END AS seg,
+             |CASE WHEN grouping(o_orderstatus)=1 THEN 'ALL' ELSE o_orderstatus END AS status,
+             |count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY CUBE (c_mktsegment, o_orderstatus) ORDER BY seg, status""".stripMargin)),
+
+    Q("q_grouping_sets",
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment"), col("o_orderstatus")), Seq(col("c_mktsegment")), Seq.empty),
+          col("c_mktsegment"), col("o_orderstatus"))
+        .agg(grouping(col("c_mktsegment")).as("gs"), grouping(col("o_orderstatus")).as("go"),
+          count(lit(1)).as("cnt"))
+        .select(
+          when(col("gs") === 1, "ALL").otherwise(col("c_mktsegment")).as("seg"),
+          when(col("go") === 1, "ALL").otherwise(col("o_orderstatus")).as("status"),
+          col("cnt"))
+        .orderBy("seg", "status"),
+      Some("""SELECT CASE WHEN grouping(c_mktsegment)=1 THEN 'ALL' ELSE c_mktsegment END AS seg,
+             |CASE WHEN grouping(o_orderstatus)=1 THEN 'ALL' ELSE o_orderstatus END AS status,
+             |count(*) AS cnt
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), ())
+             |ORDER BY seg, status""".stripMargin)),
+
+    Q("q_pivot",
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(round(sum("o_totalprice"), 2))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |round(sum(CASE WHEN c_mktsegment='AUTOMOBILE' THEN o_totalprice END),2) AS "AUTOMOBILE",
+             |round(sum(CASE WHEN c_mktsegment='BUILDING' THEN o_totalprice END),2) AS "BUILDING",
+             |round(sum(CASE WHEN c_mktsegment='FURNITURE' THEN o_totalprice END),2) AS "FURNITURE",
+             |round(sum(CASE WHEN c_mktsegment='HOUSEHOLD' THEN o_totalprice END),2) AS "HOUSEHOLD",
+             |round(sum(CASE WHEN c_mktsegment='MACHINERY' THEN o_totalprice END),2) AS "MACHINERY"
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Scalar subquery: declared as a broadcast cross join of a 1-row
+    // aggregate — no driver-side collect, works at any scale.
+    Q("q_subquery_scalar",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+        val thr = ord.agg(avg("o_totalprice").as("thr"))
+        ord.crossJoin(broadcast(thr))
+          .where(col("o_totalprice") > col("thr"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+             |FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("q_subquery_in",
+      (s, d) => {
+        val asiaNations = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")
+        t(s, d, "customer")
+          .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("bal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal),2) AS bal
+             |FROM customer WHERE c_nationkey IN
+             |(SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+             | WHERE r_name = 'ASIA')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    Q("q_subquery_exists",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c WHERE EXISTS
+             |(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_cte",
+      (s, d) => {
+        val hv = t(s, d, "orders").groupBy("o_custkey")
+          .agg(sum("o_totalprice").as("s"))
+        hv.where(col("s") > 1000000)
+          .agg(lit("cnt_big").as("metric"), count(lit(1)).cast("double").as("v"))
+          .union(hv.agg(lit("avg_spend").as("metric"), round(avg("s"), 2).as("v")))
+          .orderBy("metric")
+      },
+      Some("""WITH hv AS (SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY 1)
+             |SELECT * FROM (
+             |SELECT 'cnt_big' AS metric, CAST(count(*) AS DOUBLE) AS v FROM hv WHERE s > 1000000
+             |UNION ALL SELECT 'avg_spend', round(avg(s),2) FROM hv) ORDER BY metric""".stripMargin)),
+
+    Q("q_having",
+      (s, d) => t(s, d, "part").groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 80)
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand
+             |HAVING count(*) >= 80 ORDER BY p_brand""".stripMargin)),
+
+    Q("q_case_expr",
+      (s, d) => t(s, d, "orders")
+        .select(when(col("o_totalprice") < 100000, "low")
+          .when(col("o_totalprice") < 300000, "mid")
+          .otherwise("high").as("band"), col("o_totalprice"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("band"),
+      Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+             |WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS band,
+             |count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+             |FROM orders GROUP BY 1 ORDER BY band""".stripMargin)),
+
+    Q("q_expr_string",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("ub"),
+        lower(col("p_type")).as("lt"),
+        substring(col("p_name"), 1, 8).as("pfx"),
+        length(col("p_name")).cast("long").as("len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("bt"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("rep"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("w1"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_brand) AS ub, lower(p_type) AS lt,
+             |substr(p_name, 1, 8) AS pfx, length(p_name) AS len,
+             |concat(p_brand, ':', p_type) AS bt,
+             |replace(p_name, ' ', '_') AS rep,
+             |regexp_extract(p_name, '^(\w+)', 1) AS w1
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("q_expr_date",
+      (s, d) => t(s, d, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mstart"))
+        .agg(count(lit(1)).as("cnt"),
+          datediff(max(col("o_orderdate")), min(col("o_orderdate"))).cast("long").as("span_days"))
+        .orderBy("yr", "mo"),
+      Some("""SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             |CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+             |count(*) AS cnt,
+             |date_diff('day', min(o_orderdate), max(o_orderdate)) AS span_days
+             |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo""".stripMargin)),
+
+    Q("q_expr_math",
+      (s, d) => t(s, d, "lineitem").where(col("l_linenumber") === 1).select(
+        col("l_orderkey"),
+        round(abs(col("l_extendedprice") - 1000), 2).as("a"),
+        ceil(col("l_quantity")).as("c"),
+        floor(col("l_quantity")).as("f"),
+        round(sqrt(col("l_extendedprice")), 4).as("sq"),
+        round(log(col("l_extendedprice")), 6).as("lg"),
+        round(pow(col("l_discount") + 1, 2), 6).as("pw"),
+        (col("l_orderkey") % 7).as("md"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, round(abs(l_extendedprice - 1000),2) AS a,
+             |CAST(ceil(l_quantity) AS BIGINT) AS c, CAST(floor(l_quantity) AS BIGINT) AS f,
+             |round(sqrt(l_extendedprice),4) AS sq, round(ln(l_extendedprice),6) AS lg,
+             |round(pow(l_discount + 1, 2),6) AS pw, l_orderkey % 7 AS md
+             |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin)),
+
+    Q("q_expr_null",
+      (s, d) => t(s, d, "lineitem").where(col("l_linenumber") === 1).select(
+        col("l_orderkey"),
+        round(coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)), 2).as("disc_n"),
+        col("l_discount") <=> lit(0.05)).toDF("l_orderkey", "disc_n", "eq5")
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |round(coalesce(nullif(l_discount, 0.0), -1.0),2) AS disc_n,
+             |l_discount IS NOT DISTINCT FROM 0.05 AS eq5
+             |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin)),
+
+    Q("q_expr_cast",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        floor(col("o_totalprice")).as("ip"),
+        col("o_orderkey").cast("string").as("ks"),
+        col("o_orderdate").cast("date").as("od"),
+        col("o_orderkey").cast("string").cast("long").as("rt"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS ip,
+             |CAST(o_orderkey AS VARCHAR) AS ks, CAST(o_orderdate AS DATE) AS od,
+             |CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS rt
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // TPC-H Q3 shape (no o_shippriority in the synthetic schema; we
+    // carry o_orderpriority instead).
+    Q("q_tpch_q3",
+      (s, d) => t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders").where(col("o_orderdate") < "1998-01-01"),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").where(col("l_shipdate") > "1998-01-01"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(RelationalCore.money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |round(sum(l_extendedprice*(1-l_discount)) + 0.000001,2) AS revenue
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |AND l_orderkey = o_orderkey
+             |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item report.
+    Q("q_tpch_q10",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders")
+          .where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01"),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").where(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(RelationalCore.money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          round(max("c_acctbal"), 2).as("acctbal"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name, n_name,
+             |round(sum(l_extendedprice*(1-l_discount)) + 0.000001,2) AS revenue,
+             |round(max(c_acctbal),2) AS acctbal
+             |FROM customer, orders, lineitem, nation
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+             |AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // `quantile_cont`, both linear interpolation).
+    Q("q_quantile",
+      (s, d) => t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5),2) AS p50,
+             |round(quantile_cont(o_totalprice, 0.95),2) AS p95
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Spark side parses real JSON; the oracle matches it with a
+    // regexp over the same single-key payloads.
+    Q("q_json_extract",
+      (s, d) => t(s, d, "events").where(col("event_type") === "purchase")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+             |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+  )
+}

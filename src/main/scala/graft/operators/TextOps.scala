@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** D-block text analysis for LLM training-data pipelines. Everything
+  * here is built from codegen'd built-in functions (split/transform/
+  * filter/aggregate higher-order functions) — no Scala UDFs in the
+  * per-row path — so whole-stage codegen covers the hot loop and the
+  * operators scale linearly with input bytes.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+
+  /** Per-language marker-token profiles for the heuristic language
+    * identifier. Tiny dim table, broadcast everywhere.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "fast", "slow", "big", "small"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "zai4"))
+
+  val qs: Seq[Q] = Seq(
+
+    // Exact dedup, keep-first: group on a 64-bit content hash so only
+    // 8-byte keys shuffle, never the document text. (At 100 TB the
+    // shuffle is ~16 bytes/doc; a text-keyed window would shuffle the
+    // full corpus.)
+    Q("q_dedup_exact",
+      (s, d) => t(s, d, "documents")
+        .groupBy(xxhash64(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_text_tokens",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+             |len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS re_tokens,
+             |length(text) AS chars FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: type-token ratio, stopword ratio, mean word
+    // length, blended score. Pure column expressions over the token
+    // array.
+    Q("q_text_quality",
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        val wc = size(ws).cast("double")
+        val ttr = size(array_distinct(ws)).cast("double") / wc
+        val stopRatio = size(filter(ws, w => w.isin(stopwords: _*))).cast("double") / wc
+        val avgWlen = (length(col("text")).cast("double") - (wc - 1)) / wc
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(ws).cast("long").as("wc"),
+          round(ttr, 4).as("ttr"),
+          round(stopRatio, 4).as("stop_ratio"),
+          round(avgWlen, 4).as("avg_wlen"),
+          round(ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+            least(avgWlen / 10.0, lit(1.0)) * 0.2, 4).as("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH x AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+             |y AS (SELECT doc_id,
+             |  len(ws) AS wc,
+             |  len(list_distinct(ws))::DOUBLE / len(ws) AS ttr,
+             |  len(list_filter(ws, w -> w IN ('the','a','and','of','to')))::DOUBLE / len(ws) AS stop_ratio,
+             |  (length(text)::DOUBLE - (len(ws) - 1)) / len(ws) AS avg_wlen
+             |FROM x)
+             |SELECT doc_id, wc, round(ttr,4) AS ttr, round(stop_ratio,4) AS stop_ratio,
+             |round(avg_wlen,4) AS avg_wlen,
+             |round(ttr*0.5 + (1.0-stop_ratio)*0.3 + least(avg_wlen/10.0, 1.0)*0.2,4) AS score
+             |FROM y ORDER BY doc_id""".stripMargin)),
+
+    // Shingle (3-gram) document-frequency counts — the candidate
+    // vocabulary step of shingle-based dedup. Shuffle carries only
+    // (shingle, count) pairs after map-side partial agg.
+    Q("q_text_shingles",
+      (s, d) => t(s, d, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+          .as("shingle"))
+        .distinct()
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") >= 5)
+        .orderBy(desc("df"), col("shingle"))
+        .limit(100),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |          WHERE len(string_split(text, ' ')) >= 3),
+             |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+             |       FROM w, UNNEST(range(1, len(ws)-1)) AS t(i))
+             |SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+             |HAVING count(*) >= 5 ORDER BY df DESC, shingle LIMIT 100""".stripMargin)),
+
+    // Heuristic n-gram/marker-token language ID: explode tokens, join
+    // the broadcast profile table, argmax hits per (doc, lang).
+    Q("q_text_langid",
+      (s, d) => {
+        import s.implicits._
+        val profiles = langProfiles
+          .flatMap { case (l, words) => words.map(w => (l, w)) }
+          .toDF("cand_lang", "marker")
+        val hits = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .join(broadcast(profiles), col("w") === col("marker"))
+          .groupBy("doc_id", "cand_lang")
+          .agg(count(lit(1)).as("hits"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("hits"), col("cand_lang"))
+        val pred = hits.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("doc_id"), col("cand_lang").as("pred_lang"))
+        t(s, d, "documents").select("doc_id", "lang")
+          .join(pred, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"),
+            col("lang"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // Rabin-Karp rolling-hash fingerprint: polynomial hash of each
+    // 4-token window, doc fingerprint = xxhash of the 8 smallest
+    // window hashes (winnowing-style sketch, order-invariant).
+    Q("q_text_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("grams", when(size(col("ws")) >= 4, expr(
+          "transform(sequence(0, size(ws)-4), i -> xxhash64(ws[i], ws[i+1], ws[i+2], ws[i+3]))"))
+          .otherwise(array(xxhash64(col("text")))))
+        .select(col("doc_id"),
+          xxhash64(concat_ws(",", transform(slice(array_sort(col("grams")), 1, 8), _.cast("string"))))
+            .as("fingerprint"),
+          size(col("grams")).cast("long").as("n_grams"))
+        .orderBy("doc_id"),
+      None),
+  )
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.Glue
+import graft.plans.{CosineSimilarity, MinHashSignature, SimHash64}
+
+/** Column-API wrappers for graft's native expressions plus
+  * HOF-composed reference implementations (used by specs to
+  * cross-check the codegen paths).
+  */
+object Vectors {
+
+  /** Native codegen cosine similarity over array<float> columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    Glue.column(CosineSimilarity(Glue.expression(a), Glue.expression(b)))
+
+  /** HOF reference implementation of cosine (double accumulation in
+    * index order, same math as the native expression).
+    */
+  def cosineSimHof(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (sqrt(na) * sqrt(nb)))
+  }
+
+  def minhash(hashes: Column, numHashes: Int): Column =
+    Glue.column(MinHashSignature(Glue.expression(hashes), numHashes))
+
+  def simhash(hashes: Column): Column =
+    Glue.column(SimHash64(Glue.expression(hashes)))
+
+  /** Random-hyperplane sketch: `bits`-bit sign pattern of the vector
+    * against `numTables` deterministic hyperplanes each — returns an
+    * array of `numTables` integer bucket keys. Hyperplanes are seeded
+    * constants so sketches agree across executors and runs.
+    */
+  def hyperplaneSketches(vec: Column, numTables: Int, bits: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(42L)
+    val tables = Seq.tabulate(numTables) { _ =>
+      Seq.tabulate(bits) { _ => Array.fill(dim)(rnd.nextGaussian()) }
+    }
+    array(tables.map { planes =>
+      planes.zipWithIndex.map { case (plane, bi) =>
+        val planeCol = array(plane.map(lit(_)): _*)
+        val dot = aggregate(zip_with(vec, planeCol, (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << bi)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Vectors
+
+/** D-block dedup for LLM training-data pipelines.
+  *
+  * Scale contract (the part that matters at 100 TB): document TEXT is
+  * hashed in place at the scan and never shuffled — only fixed-width
+  * keys move. MinHash shuffles (doc_id, 4×8B band keys, 16×8B
+  * signature); SimHash shuffles (doc_id, 4×2B bands, 8B hash). The
+  * candidate self-join is per-(band,key) bucket, so its cost tracks
+  * the number of true near-dup collisions, not |corpus|².
+  */
+object DedupOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Distinct 3-gram word-shingle hashes of a text column — one
+    * codegen pass: split once, hash each shingle from the token array
+    * without materializing shingle strings.
+    */
+  def shingleHashes(text: Column): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(0), size(ws) - 3),
+        i => xxhash64(element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
+      .otherwise(array(xxhash64(text)))
+  }
+
+  /** doc_id + 16-long MinHash signature per doc (native expression). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .select(col("doc_id"), Vectors.minhash(col("sh"), 16).as("sig"))
+
+  /** LSH candidate pairs: 4 bands × 4 rows; docs agreeing on any band
+    * become a candidate pair (da < db), carrying both signatures.
+    */
+  def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashSignatures(s, d)
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)), b => xxhash64(
+          element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
+          element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4)))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+    val a = bands.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey")).where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // D02: MinHash + LSH banding; est_jaccard = matching signature
+    // fraction. Threshold 0.5 keeps the scramble-generated near-dups.
+    Q("q_dedup_minhash",
+      (s, d) => minhashCandidates(s, d)
+        .withColumn("est_jaccard", round(
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v) / 16.0, 4))
+        .where(col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // D03: 64-bit SimHash over the token bag, 4×16-bit band LSH,
+    // hamming-verified. Threshold ≤3: on this corpus true scramble
+    // near-dups land at hamming 0–3 and random-pair noise starts at 4
+    // (measured bimodal split at sf0.01).
+    Q("q_dedup_simhash",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            Vectors.simhash(transform(split(col("text"), " "), w => xxhash64(w))).as("sh"))
+        val bands = docs.select(col("doc_id"), col("sh"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            b => call_function("shiftright", col("sh"), lit(16) * b).bitwiseAND(lit(0xFFFFL)))))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+        val a = bands.select(col("band"), col("bval"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = bands.select(col("band"), col("bval"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b, Seq("band", "bval")).where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // D04: exact n-gram Jaccard verification of the MinHash LSH
+    // candidates — the verify step of the standard two-phase pipeline.
+    Q("q_dedup_ngram",
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+        val cand = minhashCandidates(s, d).select("doc_a", "doc_b")
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .withColumn("jaccard", round(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))), 4))
+          .where(col("jaccard") >= 0.8)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // D05: embedding-cosine near-dup. The synthetic embeddings have no
+    // natural near-dups (max pairwise cosine ≈ 0.51), so the query
+    // plants perturbed copies (vec_id+100000, ×(1+1e-3) elementwise
+    // noise) and must re-find them: hyperplane-LSH bucketing (4 tables
+    // × 16-bit sketches) proposes candidates, exact cosine ≥ 0.95
+    // confirms. Only (vec_id, 4×8B keys) shuffle; vectors join once
+    // per surviving candidate pair.
+    Q("q_dedup_embedding",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val planted = e.where(col("vec_id") < 20)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => (x.cast("double") * (lit(1.0) + pmod(i, lit(7)) * 0.001)).cast("float"))
+              .as("embedding"))
+        val corpus = e.select("vec_id", "embedding").union(planted)
+        val sk = corpus.withColumn("sk",
+          Vectors.hyperplaneSketches(col("embedding"), numTables = 4, bits = 16, dim = 64))
+          .select(col("vec_id"), col("embedding"), posexplode(col("sk")))
+          .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "key"))
+        val a = sk.select(col("tbl"), col("key"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+        val bb = sk.select(col("tbl"), col("key"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+        a.join(bb, Seq("tbl", "key")).where(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b", "emb_a", "emb_b").distinct()
+          .withColumn("cos", round(Vectors.cosineSim(col("emb_a"), col("emb_b")), 4))
+          .where(col("cos") >= 0.95)
+          .select("vec_a", "vec_b", "cos")
+          .orderBy("vec_a", "vec_b")
+      },
+      None),
+  )
+}

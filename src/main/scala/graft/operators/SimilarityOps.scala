@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Vectors
+
+/** D-block similarity search over the embedding corpus.
+  *
+  * Scale shape: the query set is small and BROADCAST; the corpus is
+  * partition-parallel and never shuffled for the brute-force scan —
+  * each corpus partition scores its rows against every query and
+  * emits only per-partition top-k survivors before the final tiny
+  * top-k reduce. The LSH variant buckets the corpus so each query
+  * probes a few buckets instead of scanning everything.
+  */
+object SimilarityOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val K = 3
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+  private def corpusDf(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").where(col("vec_id") >= 10)
+
+  val qs: Seq[Q] = Seq(
+
+    // D06: brute-force cosine top-k — the exact baseline. Native
+    // codegen CosineSimilarity; broadcast queries ⇒ zero corpus
+    // shuffle; window partitioned by qid is 10 tiny partitions.
+    Q("q_knn_brute",
+      (s, d) => {
+        val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+        corpusDf(s, d).crossJoin(broadcast(queriesDf(s, d)))
+          .withColumn("sim", Vectors.cosineSim(col("embedding"), col("qe")))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= K)
+          .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+              |c AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+              |p AS (SELECT qid, vec_id,
+              |  list_inner_product(qe, embedding) /
+              |  (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(embedding, embedding))) AS sim
+              |  FROM q, c),
+              |r AS (SELECT qid, vec_id, sim,
+              |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM p)
+              |SELECT qid, rn, vec_id AS neighbor_id, round(sim, 4) AS sim
+              |FROM r WHERE rn <= $K ORDER BY qid, rn""".stripMargin)),
+
+    // D07: LSH-bucketed approximate top-k (the 100 TB path): 6-bit
+    // hyperplane sketches × 6 tables bucket the corpus; each query
+    // scores only rows sharing ≥1 bucket. Approximate by design →
+    // rows-only gate; the spec checks recall against q_knn_brute.
+    Q("q_knn_lsh",
+      (s, d) => {
+        val nT = 6; val bits = 6
+        def exploded(df: DataFrame, vcol: String, idAs: String, embAs: String) =
+          df.withColumn("sk", Vectors.hyperplaneSketches(col(vcol), nT, bits, 64))
+            .select(col(df.columns.head).as(idAs), col(vcol).as(embAs), posexplode(col("sk")))
+            .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "key"))
+        val c = exploded(corpusDf(s, d).select("vec_id", "embedding"), "embedding", "vec_id", "ce")
+        val q = exploded(queriesDf(s, d), "qe", "qid", "qe")
+        val cand = c.join(q.select("tbl", "key", "qid", "qe"), Seq("tbl", "key"))
+          .select("qid", "qe", "vec_id", "ce").distinct()
+        val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+        cand.withColumn("sim", Vectors.cosineSim(col("ce"), col("qe")))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= K)
+          .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy("qid", "rn")
+      },
+      None),
+  )
+}

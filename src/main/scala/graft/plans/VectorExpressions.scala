@@ -1,0 +1,217 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native codegen expressions for the vector / hashing hot paths
+  * (SURVEY.md E03/E04). Each stays inside whole-stage codegen — a
+  * single fused loop per row instead of the N passes a
+  * higher-order-function composition would make, and no Scala-UDF
+  * ser/de boundary.
+  */
+
+/** Cosine similarity of two float vectors, accumulated in double.
+  * Returns 0.0 when either norm is zero. Used by q_knn_* and
+  * q_dedup_embedding — at 100 TB this is the innermost loop of every
+  * ANN probe, so it must be one codegen'd pass over both arrays.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  double $yi = (double) $y.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object MinHashConstants {
+  /** Deterministic odd multipliers / offsets for the hash-permutation
+    * family h_p(x) = a_p*x + b_p (mod 2^64, via JVM long wraparound).
+    * Fixed seed so signatures are stable across runs and executors.
+    */
+  def perms(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(0x9E3779B97F4A7C15L)
+    val a = Array.fill(numHashes)(rnd.nextLong() | 1L)
+    val b = Array.fill(numHashes)(rnd.nextLong())
+    (a, b)
+  }
+}
+
+/** MinHash signature over a set of element hashes: for each of
+  * `numHashes` permutations, the minimum of a_p*h + b_p over the
+  * input array. One pass over the input per row (perm loop inner) vs
+  * `numHashes` array traversals for the transform/array_min HOF
+  * equivalent. Null elements are skipped; empty/all-null input yields
+  * a signature of Long.MaxValue.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  private lazy val (permA, permB) = MinHashConstants.perms(numHashes)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash expects array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var p = 0
+        while (p < numHashes) {
+          val v = permA(p) * h + permB(p)
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("permA", permA, "long[]")
+    val bRef = ctx.addReferenceObj("permB", permB, "long[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |int $n = $in.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$in.isNullAt($i)) {
+         |    long $h = $in.getLong($i);
+         |    for (int $p = 0; $p < $numHashes; $p++) {
+         |      long $v = $aRef[$p] * $h + $bRef[$p];
+         |      if ($v < $sig[$p]) $sig[$p] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash of a bag of element hashes: per bit position, count
+  * +1/-1 votes across elements; the result bit is 1 iff the vote sum
+  * is positive. Token multiplicity is intentionally kept (a bag, not
+  * a set) so repeated tokens weigh more, matching classic SimHash.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash expects array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |int $n = $in.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$in.isNullAt($i)) {
+         |    long $h = $in.getLong($i);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) if ($votes[$b] > 0) $out |= (1L << $b);
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.sources.{LakeCatalog, LakeTable}
+
+/** B-block: the lakehouse table layer exercised end-to-end. Each query
+  * WRITES through LakeTable into a scratch dir and reads back, so the
+  * correctness gate covers the round trip (write path + commit log +
+  * snapshot resolution + read path), not just a transformation.
+  */
+object Lakehouse {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Scratch root for lake writes (driver contract: stay inside the
+    * repo; target/ is build scratch).
+    */
+  def scratch: String = sys.env.getOrElse("GRAFT_LAKE_DIR", "/root/repo/target/lake")
+
+  val qs: Seq[Q] = Seq(
+
+    // B01: Hive-partitioned write + partition-pruned read-back. The
+    // filter on the partition column prunes at planning time — the
+    // scan touches only the 1-URGENT directory (spec asserts the
+    // PartitionFilters entry).
+    Q("q_write_partitioned",
+      (s, d) => {
+        val lake = s"$scratch/orders_part"
+        LakeTable.create(s, lake,
+          t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+          partitionBy = Seq("o_orderpriority"))
+        LakeTable.read(s, lake)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+      },
+      Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+             |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
+
+    // B02: small-file compaction — 64-file group bin-packed to 4,
+    // same data (the gate proves it), new snapshot, old one retained.
+    Q("q_compaction",
+      (s, d) => {
+        val lake = s"$scratch/lineitem_compact"
+        LakeTable.create(s, lake,
+          t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+            .repartition(64))
+        LakeTable.compact(s, lake, 4)
+        LakeTable.read(s, lake)
+          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"),
+            round(sum("l_extendedprice"), 2).as("price"))
+      },
+      Some("""SELECT count(*) AS cnt, round(sum(l_quantity),2) AS qty,
+             |round(sum(l_extendedprice),2) AS price FROM lineitem""".stripMargin)),
+
+    // B03: MERGE INTO (copy-on-write upsert): every 7th customer gets
+    // +1000 balance (update), every 11th is cloned to a new key
+    // (insert); read-back aggregates must match the SQL-spelled merge.
+    Q("q_merge_upsert",
+      (s, d) => {
+        val lake = s"$scratch/customer_merge"
+        val base = t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+        LakeTable.create(s, lake, base)
+        val updates = base.where(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        val inserts = base.where(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000)
+        LakeTable.merge(s, lake, updates.union(inserts), "c_custkey")
+        LakeTable.read(s, lake)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("bal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH src AS (
+             |  SELECT c_custkey, c_nationkey, c_acctbal + 1000 AS c_acctbal
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_nationkey, c_acctbal
+             |  FROM customer WHERE c_custkey % 11 = 0),
+             |merged AS (
+             |  SELECT * FROM src
+             |  UNION ALL
+             |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+             |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src))
+             |SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal),2) AS bal
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B04: time travel — v0 holds pre-1997 orders, v1 merges in the
+    // rest; reading version 0 must still see only the old snapshot.
+    Q("q_time_travel",
+      (s, d) => {
+        val lake = s"$scratch/orders_tt"
+        val ord = t(s, d, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+        LakeTable.create(s, lake, ord.where(col("o_orderdate") < "1997-01-01"))
+        LakeTable.merge(s, lake, ord.where(col("o_orderdate") >= "1997-01-01"), "o_orderkey")
+        LakeTable.read(s, lake, version = Some(0L))
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+      },
+      Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev FROM orders
+             |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)),
+
+    // B05: bucketed tables — both sides bucketed 8 ways on the join
+    // key, so the sort-merge join needs NO shuffle (spec asserts no
+    // Exchange). At 100 TB this is the pre-partitioned fact-fact join.
+    Q("q_bucketed_join",
+      (s, d) => {
+        val dir = s"$scratch/bucketed"
+        s.sql("DROP TABLE IF EXISTS g_orders_buck")
+        s.sql("DROP TABLE IF EXISTS g_lineitem_buck")
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$dir/orders").saveAsTable("g_orders_buck")
+        t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$dir/lineitem").saveAsTable("g_lineitem_buck")
+        s.table("g_lineitem_buck").hint("merge")
+          .join(s.table("g_orders_buck").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity),2) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B06: schema evolution — v1 file group adds a `lang` column; the
+    // merged-schema read nulls it for v0 rows.
+    Q("q_schema_evolution",
+      (s, d) => {
+        val lake = s"$scratch/docs_evo"
+        val docs = t(s, d, "documents")
+        LakeTable.create(s, lake,
+          docs.where(col("doc_id") % 2 === 0).select("doc_id", "n_chars"))
+        LakeTable.append(s, lake,
+          docs.where(col("doc_id") % 2 === 1).select("doc_id", "n_chars", "lang"))
+        LakeTable.read(s, lake)
+          .groupBy(coalesce(col("lang"), lit("legacy")).as("lang"))
+          .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1)
+             |SELECT coalesce(lang, 'legacy') AS lang, count(*) AS cnt, sum(n_chars) AS chars
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B07: catalog — create two tables (one bumped to v1), list them.
+    Q("q_catalog",
+      (s, d) => {
+        val root = s"$scratch/catalog_demo"
+        val cat = new LakeCatalog(s, root)
+        cat.createTable("dim_region", t(s, d, "region"))
+        cat.createTable("dim_nation", t(s, d, "nation"))
+        LakeTable.append(s, s"$root/dim_nation", t(s, d, "nation"))
+        cat.listTables().orderBy("table_name")
+      },
+      None),
+  )
+}

@@ -1,0 +1,202 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+
+/** Minimal lakehouse table format: versioned snapshots of parquet
+  * file-groups with a JSON commit log — the capability slice the
+  * reference platform gets from Hive Metastore + object storage
+  * (reference: internal/controller/metastore.go manages the catalog,
+  * minio.go the storage; tables live under DataHouseDir,
+  * api/v1alpha1/ninecluster_types.go:29).
+  *
+  * Layout:
+  * {{{
+  *   <path>/_graft_log/v00000.json   // {"version":0,"action":"create","dirs":["d0"]}
+  *   <path>/d0/part-*.parquet        // file group written by commit 0
+  *   <path>/d1/...                   // appended by commit 1
+  * }}}
+  *
+  * A version's snapshot is the union of its listed file-group dirs.
+  * Append adds a dir; MERGE and compaction are copy-on-write (write a
+  * new consolidated group, commit references only it — old groups stay
+  * for time travel). The commit point is an atomic rename of the log
+  * JSON; on an object store this maps to a conditional PUT. Readers
+  * resolve the latest committed version and never see partial writes
+  * (snapshot isolation).
+  *
+  * Scale notes: metadata is O(commits), data files never move on
+  * append; merge shuffles once on the key; compaction is the standard
+  * bin-pack rewrite targeting ~128 MB files.
+  */
+object LakeTable {
+
+  final case class Commit(version: Long, action: String, dirs: Seq[String])
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(path: String) = new Path(path, "_graft_log")
+
+  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    val ld = logDir(path)
+    val fs = fsOf(spark, ld)
+    if (!fs.exists(ld)) None
+    else {
+      val vs = fs.listStatus(ld).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  private def commitFile(path: String, v: Long) = new Path(logDir(path), f"v$v%05d.json")
+
+  def readCommit(spark: SparkSession, path: String, version: Long): Commit = {
+    val p = commitFile(path, version)
+    val fs = fsOf(spark, p)
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val ver = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+    val action = """"action"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body).get.group(1)
+    val dirs = """"dirs"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body).get.group(1)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    Commit(ver, action, dirs)
+  }
+
+  private def writeCommit(spark: SparkSession, path: String, c: Commit): Unit = {
+    val target = commitFile(path, c.version)
+    val tmp = new Path(logDir(path), s".tmp-v${c.version}.json")
+    val fs = fsOf(spark, target)
+    fs.mkdirs(logDir(path))
+    val json = s"""{"version":${c.version},"action":"${c.action}",""" +
+      s""""dirs":[${c.dirs.map(d => "\"" + d + "\"").mkString(",")}]}"""
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"commit v${c.version} lost the race for $target")
+  }
+
+  private def writeGroup(spark: SparkSession, path: String, v: Long, df: DataFrame,
+      partitionBy: Seq[String]): String = {
+    val dir = s"d$v"
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(new Path(path, dir).toString)
+    dir
+  }
+
+  /** Create (or replace) the table as version 0. */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Long = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) fs.delete(p, true)
+    val dir = writeGroup(spark, path, 0L, df, partitionBy)
+    writeCommit(spark, path, Commit(0L, "create", Seq(dir)))
+    0L
+  }
+
+  /** Append a new file group; existing groups are untouched. */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Long = {
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val c = readCommit(spark, path, prev)
+    val v = prev + 1
+    val dir = writeGroup(spark, path, v, df, partitionBy)
+    writeCommit(spark, path, Commit(v, "append", c.dirs :+ dir))
+    v
+  }
+
+  /** Snapshot read; `version` selects an older snapshot (time travel).
+    * mergeSchema tolerates per-group schema evolution (add-column).
+    */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val c = readCommit(spark, path, v)
+    val dirs = c.dirs.map(d => new Path(path, d).toString)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** MERGE INTO (copy-on-write upsert): rows of `source` replace
+    * target rows with the same `key`; unmatched source rows insert.
+    * One shuffle on the key (the anti join); the rewrite is a new
+    * consolidated file group.
+    */
+  def merge(spark: SparkSession, path: String, source: DataFrame, key: String): Long = {
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val target = read(spark, path, Some(prev))
+    val kept = target.join(source.select(key), Seq(key), "left_anti")
+    val merged = kept.unionByName(source, allowMissingColumns = true)
+    val v = prev + 1
+    val dir = writeGroup(spark, path, v, merged, Nil)
+    writeCommit(spark, path, Commit(v, "merge", Seq(dir)))
+    v
+  }
+
+  /** Bin-pack small files into `numFiles` outputs (same data, new
+    * version). At scale, numFiles = ceil(bytes / 128 MB).
+    */
+  def compact(spark: SparkSession, path: String, numFiles: Int): Long = {
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val v = prev + 1
+    val dir = writeGroup(spark, path, v, read(spark, path, Some(prev)).coalesce(numFiles), Nil)
+    writeCommit(spark, path, Commit(v, "compact", Seq(dir)))
+    v
+  }
+
+  /** Data files of a snapshot (for compaction/catalog introspection). */
+  def dataFiles(spark: SparkSession, path: String, version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, path)).get
+    readCommit(spark, path, v).dirs.flatMap { d =>
+      val p = new Path(path, d)
+      val fs = fsOf(spark, p)
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+      }
+      buf
+    }
+  }
+}
+
+/** Directory-of-LakeTables catalog: named tables, versions, schemas —
+  * the create/list/describe surface of a metastore.
+  */
+final class LakeCatalog(spark: SparkSession, root: String) {
+
+  private def tablePath(name: String) = new Path(root, name).toString
+
+  def createTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Long =
+    LakeTable.create(spark, tablePath(name), df, partitionBy)
+
+  def table(name: String, version: Option[Long] = None): DataFrame =
+    LakeTable.read(spark, tablePath(name), version)
+
+  def tableNames: Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+      .filter(n => LakeTable.currentVersion(spark, tablePath(n)).isDefined).sorted
+  }
+
+  /** One row per table: name, current version, file count, columns. */
+  def listTables(): DataFrame = {
+    import spark.implicits._
+    tableNames.map { n =>
+      val v = LakeTable.currentVersion(spark, tablePath(n)).get
+      val files = LakeTable.dataFiles(spark, tablePath(n)).size.toLong
+      val cols = table(n).schema.fieldNames.mkString(",")
+      (n, v, files, cols)
+    }.toDF("table_name", "version", "n_files", "columns")
+  }
+}

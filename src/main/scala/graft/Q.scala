@@ -23,7 +23,8 @@ object Registry {
       operators.SimilarityOps.qs ++
       operators.CustomJoins.qs ++
       operators.Lakehouse.qs ++
-      operators.Multimodal.qs
+      operators.Multimodal.qs ++
+      streaming.EventPipeline.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.{LongType, StructType}
+import graft.Q
+
+/** C-block stream processing (the reference's `stream` NineClusterType,
+  * api/v1alpha1/ninecluster_types.go:41-42) on Structured Streaming.
+  *
+  * Each registry entry runs a REAL streaming query — file-source
+  * readStream over the events table, Trigger.AvailableNow, memory sink
+  * — to completion and returns the sink table, so the driver's oracle
+  * gate checks genuine incremental execution against batch SQL. The
+  * same graphs run unbounded in production with watermarks bounding
+  * state; sinks/sources swap for Kafka/Delta without touching the
+  * transform.
+  */
+object EventPipeline {
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserAgg(user_id: Long, cnt: Long, sum_val: Double)
+
+  /** Streaming view of the events table. File stream sources need an
+    * explicit schema; events.ts is parquet TIMESTAMP(NANOS), read as
+    * long (SPARK-40819) and rescaled, mirroring graft.Tables.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // File stream sources monitor a DIRECTORY; the test table is a
+    // single file, so stage it into an ingest dir (the landing-dir
+    // shape a production file stream watches anyway).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val ingest = new org.apache.hadoop.fs.Path(
+      s"${graft.operators.Lakehouse.scratch}/stream_ingest/events")
+    val fs = ingest.getFileSystem(conf)
+    if (fs.exists(ingest)) fs.delete(ingest, true)
+    fs.mkdirs(ingest)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new org.apache.hadoop.fs.Path(ingest, "events.parquet"), false, conf)
+    val raw: StructType = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(raw).parquet(ingest.toString)
+      .withColumn("ts",
+        if (raw("ts").dataType == LongType) expr("timestamp_micros(ts div 1000)") else col("ts"))
+  }
+
+  /** Run `streamed` to completion into a memory sink, return the sink
+    * table. AvailableNow processes every pending file then stops —
+    * the bounded-input harness for an unbounded pipeline.
+    */
+  private def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** C04: tumbling-window aggregation. Complete mode so the bounded
+    * harness emits every window; unbounded deployments switch to
+    * append + the same watermark to bound state and finalize windows.
+    */
+  def tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+    runToMemory(spark, agg, "graft_stream_tumbling", OutputMode.Complete())
+      .select(col("window.start").as("wstart"), col("event_type"), col("cnt"), col("sum_val"))
+      .orderBy("wstart", "event_type")
+  }
+
+  /** C05: streaming dedup — first occurrence of each (user, type) key
+    * passes; keys-only projection before dropDuplicates keeps state at
+    * key-width (watermark would bound it in unbounded runs).
+    */
+  def dedup(spark: SparkSession, dir: String): DataFrame = {
+    val dd = eventsStream(spark, dir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(spark, dd, "graft_stream_dedup", OutputMode.Append())
+      .orderBy("user_id", "event_type")
+  }
+
+  /** C06: custom per-user state via flatMapGroupsWithState — running
+    * (count, sum) per user, emitted on every update; the final emission
+    * per user equals the batch aggregate.
+    */
+  def userState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = eventsStream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserAgg]) => {
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          val next = evs.foldLeft(prev)((acc, e) => UserAgg(uid, acc.cnt + 1, acc.sum_val + e.value))
+          state.update(next)
+          Iterator.single(next)
+        })
+    val sink = runToMemory(spark, updates.toDF(), "graft_stream_state", OutputMode.Update())
+    // Multiple micro-batches emit one update each; the final state per
+    // user is the row with the highest running count.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("cnt"))
+    sink.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("cnt"), round(col("sum_val"), 2).as("sum_val"))
+      .orderBy("user_id")
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("stream_tumbling", (s, d) => tumbling(s, d),
+      Some("""SELECT date_trunc('hour', ts) AS wstart, event_type,
+             |count(*) AS cnt, round(sum(value),2) AS sum_val
+             |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)),
+
+    Q("stream_dedup", (s, d) => dedup(s, d),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    Q("stream_state", (s, d) => userState(s, d),
+      Some("""SELECT user_id, count(*) AS cnt, round(sum(value),2) AS sum_val
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+  )
+}

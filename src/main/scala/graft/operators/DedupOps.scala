@@ -68,15 +68,19 @@ object DedupOps {
         .orderBy("doc_a", "doc_b"),
       None),
 
-    // D03: 64-bit SimHash over the token bag, 4×16-bit band LSH,
-    // hamming-verified. Threshold ≤3: on this corpus true scramble
-    // near-dups land at hamming 0–3 and random-pair noise starts at 4
-    // (measured bimodal split at sf0.01).
+    // D03: 64-bit SimHash over the 2-gram bag (unigram bags collide
+    // for same-vocab corpora — any two docs drawn from a small
+    // vocabulary share token frequencies; bigrams keep order
+    // sensitivity), 4×16-bit band LSH, hamming-verified ≤3 (measured
+    // bimodal split: true near-dups 0–3, noise from ~25 up).
     Q("q_dedup_simhash",
       (s, d) => {
         val docs = t(s, d, "documents")
+          .withColumn("ws", split(col("text"), " "))
           .select(col("doc_id"),
-            Vectors.simhash(transform(split(col("text"), " "), w => xxhash64(w))).as("sh"))
+            Vectors.simhash(when(size(col("ws")) >= 2,
+              expr("transform(sequence(0, size(ws)-2), i -> xxhash64(ws[i], ws[i+1]))"))
+              .otherwise(array(xxhash64(col("text"))))).as("sh"))
         val bands = docs.select(col("doc_id"), col("sh"),
           posexplode(transform(sequence(lit(0), lit(3)),
             b => call_function("shiftright", col("sh"), lit(16) * b).bitwiseAND(lit(0xFFFFL)))))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** D-block dedup / ANN operators against ground truth computed
+  * independently (brute-force exact measures on the small SF).
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  import SharedSpark.{sf, spark}
+
+  /** Exact shingle-Jaccard for every doc pair (quadratic — spec-only). */
+  private lazy val truePairs: Map[(Long, Long), Double] = {
+    val sh = Tables(spark, sf, "documents")
+      .select(col("doc_id"), operators.DedupOps.shingleHashes(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("db"), col("sh").as("sb"))
+    a.crossJoin(b).where(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("j"))
+      .where(col("j") > 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
+  test("corpus has planted near-dups (sanity)") {
+    assert(truePairs.count(_._2 >= 0.9) >= 1, s"found ${truePairs.size} pairs > 0.2")
+  }
+
+  test("minhash LSH finds every true near-dup pair (recall at j>=0.9)") {
+    val found = Registry.byName("q_dedup_minhash").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val must = truePairs.filter(_._2 >= 0.9).keySet
+    assert(must.subsetOf(found), s"missed ${must -- found}")
+    // precision: everything surfaced is at least moderately similar
+    found.foreach { p => assert(truePairs.getOrElse(p, 0.0) >= 0.3, s"false positive $p") }
+  }
+
+  test("ngram verification equals exact Jaccard thresholding") {
+    val got = Registry.byName("q_dedup_ngram").run(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = truePairs.filter(_._2 >= 0.8)
+    assert(got.keySet == exact.keySet, s"got=${got.keySet} exact=${exact.keySet}")
+    got.foreach { case (p, j) => assert(math.abs(j - exact(p)) < 1e-3) }
+  }
+
+  test("simhash pairs are all true near-dups") {
+    val found = Registry.byName("q_dedup_simhash").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    found.foreach { p =>
+      assert(truePairs.getOrElse(p, 0.0) >= 0.5, s"simhash false positive $p") }
+  }
+
+  test("embedding LSH recovers all 20 planted near-dup pairs") {
+    val rows = Registry.byName("q_dedup_embedding").run(spark, sf).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 20L).map(i => (i, i + 100000L)).toSet, pairs)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.99))
+  }
+
+  test("knn brute returns k descending-similarity neighbors per query") {
+    val rows = Registry.byName("q_knn_brute").run(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 3))
+    byQ.values.foreach { g =>
+      val sims = g.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.sameElements(sims.sorted.reverse), sims.toSeq)
+    }
+  }
+
+  test("knn LSH neighbors never beat the brute-force best (exactness bound)") {
+    val brute = Registry.byName("q_knn_brute").run(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, g) => q -> g.map(_.getDouble(3)).max }
+    val lsh = Registry.byName("q_knn_lsh").run(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      assert(r.getDouble(3) <= brute(r.getLong(0)) + 1e-9,
+        s"LSH sim above exact max for query ${r.getLong(0)}")
+    }
+  }
+}

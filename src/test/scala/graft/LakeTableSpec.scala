@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{LakeCatalog, LakeTable}
+
+class LakeTableSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val root = s"${operators.Lakehouse.scratch}/spec_laketable"
+
+  test("create/read round trip") {
+    val p = s"$root/t1"
+    LakeTable.create(spark, p, spark.range(100).toDF("id"))
+    assert(LakeTable.read(spark, p).count() == 100)
+    assert(LakeTable.currentVersion(spark, p).contains(0L))
+  }
+
+  test("append adds a file group and bumps the version") {
+    val p = s"$root/t2"
+    LakeTable.create(spark, p, spark.range(10).toDF("id"))
+    LakeTable.append(spark, p, spark.range(10, 25).toDF("id"))
+    assert(LakeTable.currentVersion(spark, p).contains(1L))
+    assert(LakeTable.read(spark, p).count() == 25)
+    assert(LakeTable.read(spark, p, Some(0L)).count() == 10) // old snapshot intact
+  }
+
+  test("merge upserts matched keys and inserts new ones") {
+    val p = s"$root/t3"
+    LakeTable.create(spark, p, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    LakeTable.merge(spark, p, Seq((2L, "B"), (9L, "Z")).toDF("k", "v"), "k")
+    val got = LakeTable.read(spark, p).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "Z"))
+    // pre-merge snapshot unchanged
+    assert(LakeTable.read(spark, p, Some(0L)).as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("compaction shrinks file count, keeps data identical") {
+    val p = s"$root/t4"
+    LakeTable.create(spark, p, spark.range(1000).toDF("id").repartition(32))
+    val before = LakeTable.dataFiles(spark, p).size
+    LakeTable.compact(spark, p, 2)
+    val after = LakeTable.dataFiles(spark, p).size
+    assert(before >= 30 && after <= 2, s"$before -> $after")
+    assert(LakeTable.read(spark, p).agg(sum("id")).head().getLong(0) == 499500L)
+  }
+
+  test("schema evolution: merged read nulls the missing column") {
+    val p = s"$root/t5"
+    LakeTable.create(spark, p, Seq((1L, 10L)).toDF("id", "x"))
+    LakeTable.append(spark, p, Seq((2L, 20L, "new")).toDF("id", "x", "tag"))
+    val df = LakeTable.read(spark, p)
+    assert(df.columns.toSet == Set("id", "x", "tag"))
+    assert(df.where(col("tag").isNull).count() == 1)
+  }
+
+  test("catalog lists tables with versions and file counts") {
+    val croot = s"$root/cat"
+    val cat = new LakeCatalog(spark, croot)
+    cat.createTable("alpha", spark.range(5).toDF("id"))
+    cat.createTable("beta", spark.range(5).toDF("id"))
+    LakeTable.append(spark, s"$croot/beta", spark.range(5).toDF("id"))
+    val rows = cat.listTables().orderBy("table_name").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("alpha", "beta"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    assert(cat.table("beta").count() == 10)
+  }
+
+  test("partitioned create prunes on read") {
+    val p = s"$root/t6"
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "part")
+    LakeTable.create(spark, p, df, partitionBy = Seq("part"))
+    val read = LakeTable.read(spark, p).where(col("part") === "x")
+    assert(read.count() == 2)
+    assert(read.queryExecution.executedPlan.toString.contains("PartitionFilters:"))
+  }
+}

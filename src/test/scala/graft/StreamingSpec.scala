@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventPipeline
+import graft.streaming.EventPipeline.{Ev, UserAgg}
+
+/** Incremental semantics that the bounded AvailableNow registry runs
+  * can't show: watermark-driven window finalization and cross-batch
+  * state evolution, driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SharedSpark.{sf, spark}
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("watermark finalizes tumbling windows only once it passes") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName("wm_spec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(30), 1, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_spec").count() == 0) // window still open
+      ms.addData(Ev(3, ts(200), 1, "a", 1.0)) // watermark jumps past hour 0
+      q.processAllAvailable()
+      val rows = spark.table("wm_spec").collect()
+      assert(rows.length == 1 && rows(0).getLong(1) == 2, rows.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits each key once across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName("dd_spec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 1, "a", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, ts(2), 1, "a", 1.0), Ev(4, ts(3), 2, "b", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("dd_spec").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b")))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val updates = ms.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserAgg]) => {
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          val next = evs.foldLeft(prev)((a, e) => UserAgg(uid, a.cnt + 1, a.sum_val + e.value))
+          state.update(next)
+          Iterator.single(next)
+        })
+    val q = updates.toDF().writeStream.format("memory").queryName("st_spec")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(Ev(1, ts(0), 7, "a", 2.0), Ev(2, ts(1), 7, "a", 3.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, ts(2), 7, "a", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("st_spec").where(col("user_id") === 7).collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((2L, 5.0), (3L, 10.0)), rows) // batch1 then batch2 cumulative
+    } finally q.stop()
+  }
+
+  test("registry streaming queries match their batch equivalents") {
+    val streamRes = EventPipeline.tumbling(spark, sf).collect()
+    val batchRes = Registry.byName("q_events_tumbling").run(spark, sf)
+      .select(col("wstart"), col("event_type"), col("cnt"), col("sum_val")).collect()
+    assert(streamRes.map(_.toString).sorted.toSeq == batchRes.map(_.toString).sorted.toSeq)
+  }
+}

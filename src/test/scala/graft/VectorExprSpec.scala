@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Vectors
+import graft.plans.MinHashConstants
+
+/** Native codegen expressions (E03/E04) against independent reference
+  * implementations.
+  */
+class VectorExprSpec extends AnyFunSuite {
+  import SharedSpark.{sf, spark}
+
+  private lazy val emb = Tables(spark, sf, "embeddings").limit(50).cache()
+
+  test("CosineSimilarity matches the HOF reference within 1e-12") {
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("embedding").as("b")).limit(5))
+    val diff = pairs.select(
+      abs(Vectors.cosineSim(col("a"), col("b")) - Vectors.cosineSimHof(col("a"), col("b"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff < 1e-12, s"max diff $diff")
+  }
+
+  test("CosineSimilarity: self-similarity 1, zero vector 0") {
+    val one = emb.select(Vectors.cosineSim(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(math.abs(one.getDouble(0) - 1.0) < 1e-12 && math.abs(one.getDouble(1) - 1.0) < 1e-12)
+    val z = emb.select(Vectors.cosineSim(col("embedding"),
+      array_repeat(lit(0.0f), 64)).as("c")).agg(max("c")).head().getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("MinHashSignature matches a Scala reference on real shingle hashes") {
+    val rows = Tables(spark, sf, "documents")
+      .select(col("doc_id"), operators.DedupOps.shingleHashes(col("text")).as("sh"),
+        Vectors.minhash(operators.DedupOps.shingleHashes(col("text")), 16).as("sig"))
+      .limit(20).collect()
+    val (a, b) = MinHashConstants.perms(16)
+    rows.foreach { r =>
+      val sh = r.getSeq[Long](1)
+      val sig = r.getSeq[Long](2)
+      val expected = Array.tabulate(16) { p =>
+        if (sh.isEmpty) Long.MaxValue else sh.map(h => a(p) * h + b(p)).min
+      }
+      assert(sig == expected.toSeq, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("SimHash64 matches a Scala reference on token hashes") {
+    val rows = Tables(spark, sf, "documents")
+      .select(transform(split(col("text"), " "), w => xxhash64(w)).as("th"),
+        Vectors.simhash(transform(split(col("text"), " "), w => xxhash64(w))).as("sh"))
+      .limit(20).collect()
+    rows.foreach { r =>
+      val th = r.getSeq[Long](0)
+      val votes = new Array[Int](64)
+      th.foreach { h => (0 until 64).foreach { b =>
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1 } }
+      val expected = (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+      assert(r.getLong(1) == expected)
+    }
+  }
+
+  test("near-identical token bags give near-identical simhash") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e f g h i j", "b a c d e f g h i j"),
+      ("a b c d e f g h i j", "z y x w v u t s r q")).toDF("t1", "t2")
+    val hams = df.select(bit_count(
+      Vectors.simhash(transform(split(col("t1"), " "), w => xxhash64(w))).bitwiseXOR(
+        Vectors.simhash(transform(split(col("t2"), " "), w => xxhash64(w))))).as("h"))
+      .collect().map(_.getInt(0))
+    assert(hams(0) == 0)   // same bag, different order
+    assert(hams(1) > 10)   // disjoint bags
+  }
+}

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftglue.Glue
-import graft.plans.{CosineSimilarity, MinHashSignature, SimHash64}
+import graft.plans.{CosineSimilarity, HyperplaneSketch, MinHashSignature, SimHash64}
 
 /** Column-API wrappers for graft's native expressions plus
   * HOF-composed reference implementations (used by specs to
@@ -34,21 +34,9 @@ object Vectors {
 
   /** Random-hyperplane sketch: `bits`-bit sign pattern of the vector
     * against `numTables` deterministic hyperplanes each — returns an
-    * array of `numTables` integer bucket keys. Hyperplanes are seeded
+    * array of `numTables` bucket keys. Native fused expression; seeded
     * constants so sketches agree across executors and runs.
     */
-  def hyperplaneSketches(vec: Column, numTables: Int, bits: Int, dim: Int): Column = {
-    val rnd = new scala.util.Random(42L)
-    val tables = Seq.tabulate(numTables) { _ =>
-      Seq.tabulate(bits) { _ => Array.fill(dim)(rnd.nextGaussian()) }
-    }
-    array(tables.map { planes =>
-      planes.zipWithIndex.map { case (plane, bi) =>
-        val planeCol = array(plane.map(lit(_)): _*)
-        val dot = aggregate(zip_with(vec, planeCol, (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot >= 0, lit(1L << bi)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
-  }
+  def hyperplaneSketches(vec: Column, numTables: Int, bits: Int, dim: Int): Column =
+    Glue.column(HyperplaneSketch(Glue.expression(vec), numTables, bits, dim))
 }

@@ -9,43 +9,52 @@ import graft.functions.Vectors
   *
   * Scale contract (the part that matters at 100 TB): document TEXT is
   * hashed in place at the scan and never shuffled — only fixed-width
-  * keys move. MinHash shuffles (doc_id, 4×8B band keys, 16×8B
-  * signature); SimHash shuffles (doc_id, 4×2B bands, 8B hash). The
+  * keys move. MinHash shuffles (doc_id, 8B band key, 16×8B
+  * signature); SimHash shuffles (doc_id, 2B band, 8B hash). The
   * candidate self-join is per-(band,key) bucket, so its cost tracks
   * the number of true near-dup collisions, not |corpus|².
+  *
+  * Plan-shape rules learned from profiling (sf0.1 measurements):
+  * token arrays are materialized at a projection boundary and lambdas
+  * reference the ATTRIBUTE (otherwise `split` re-executes per lambda
+  * element), and band keys are computed per exploded row with a
+  * single hash call (a `posexplode(transform(...))` generator shape
+  * measured 20× slower than explode-then-hash).
   */
 object DedupOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  /** Distinct 3-gram word-shingle hashes of a text column — one
-    * codegen pass: split once, hash each shingle from the token array
-    * without materializing shingle strings.
+  /** documents with the token array materialized once. */
+  def tokenized(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+
+  /** Distinct 3-gram word-shingle hashes from a MATERIALIZED token
+    * array column (must be an attribute, not an expression — the
+    * lambda references it three times per shingle).
     */
-  def shingleHashes(text: Column): Column = {
-    val ws = split(text, " ")
+  def shingleHashes(ws: Column): Column =
     when(size(ws) >= 3,
       array_distinct(transform(sequence(lit(0), size(ws) - 3),
         i => xxhash64(element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
-      .otherwise(array(xxhash64(text)))
-  }
+      .otherwise(array(xxhash64(concat_ws(" ", ws))))
 
   /** doc_id + 16-long MinHash signature per doc (native expression). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-      .select(col("doc_id"), Vectors.minhash(col("sh"), 16).as("sig"))
+    tokenized(s, d)
+      .select(col("doc_id"), Vectors.minhash(shingleHashes(col("ws")), 16).as("sig"))
 
   /** LSH candidate pairs: 4 bands × 4 rows; docs agreeing on any band
     * become a candidate pair (da < db), carrying both signatures.
     */
   def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     val bands = minhashSignatures(s, d)
-      .select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(3)), b => xxhash64(
-          element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
-          element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4)))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+        xxhash64(col("band"),
+          element_at(col("sig"), col("band") * 4 + 1), element_at(col("sig"), col("band") * 4 + 2),
+          element_at(col("sig"), col("band") * 4 + 3), element_at(col("sig"), col("band") * 4 + 4))
+          .as("bkey"))
     val a = bands.select(col("band"), col("bkey"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bands.select(col("band"), col("bkey"),
@@ -75,16 +84,20 @@ object DedupOps {
     // bimodal split: true near-dups 0–3, noise from ~25 up).
     Q("q_dedup_simhash",
       (s, d) => {
-        val docs = t(s, d, "documents")
-          .withColumn("ws", split(col("text"), " "))
+        // coalesce makes `sh` non-nullable: otherwise the join below
+        // infers isnotnull(bval), and constraint pushdown inlines the
+        // WHOLE simhash tree (split re-expanded inside the lambda)
+        // into a pre-projection Filter — measured 6× slowdown.
+        val docs = tokenized(s, d)
           .select(col("doc_id"),
-            Vectors.simhash(when(size(col("ws")) >= 2,
+            coalesce(Vectors.simhash(when(size(col("ws")) >= 2,
               expr("transform(sequence(0, size(ws)-2), i -> xxhash64(ws[i], ws[i+1]))"))
-              .otherwise(array(xxhash64(col("text"))))).as("sh"))
-        val bands = docs.select(col("doc_id"), col("sh"),
-          posexplode(transform(sequence(lit(0), lit(3)),
-            b => call_function("shiftright", col("sh"), lit(16) * b).bitwiseAND(lit(0xFFFFL)))))
-          .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+              .otherwise(array(xxhash64(concat_ws(" ", col("ws")))))), lit(0L)).as("sh"))
+        val bands = docs
+          .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("bval",
+            call_function("shiftright", col("sh"), lit(16) * col("band"))
+              .bitwiseAND(lit(0xFFFFL)))
         val a = bands.select(col("band"), col("bval"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val b = bands.select(col("band"), col("bval"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         a.join(b, Seq("band", "bval")).where(col("doc_a") < col("doc_b"))
@@ -100,8 +113,7 @@ object DedupOps {
     // candidates — the verify step of the standard two-phase pipeline.
     Q("q_dedup_ngram",
       (s, d) => {
-        val sh = t(s, d, "documents")
-          .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+        val sh = tokenized(s, d).select(col("doc_id"), shingleHashes(col("ws")).as("sh"))
         val cand = minhashCandidates(s, d).select("doc_a", "doc_b")
         cand
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -119,9 +131,9 @@ object DedupOps {
     // natural near-dups (max pairwise cosine ≈ 0.51), so the query
     // plants perturbed copies (vec_id+100000, ×(1+1e-3) elementwise
     // noise) and must re-find them: hyperplane-LSH bucketing (4 tables
-    // × 16-bit sketches) proposes candidates, exact cosine ≥ 0.95
-    // confirms. Only (vec_id, 4×8B keys) shuffle; vectors join once
-    // per surviving candidate pair.
+    // × 16-bit sketches, one fused native pass) proposes candidates,
+    // exact cosine ≥ 0.95 confirms. Only (vec_id, 4×8B keys) shuffle;
+    // vectors join once per surviving candidate pair.
     Q("q_dedup_embedding",
       (s, d) => {
         val e = t(s, d, "embeddings")
@@ -131,10 +143,13 @@ object DedupOps {
               (x, i) => (x.cast("double") * (lit(1.0) + pmod(i, lit(7)) * 0.001)).cast("float"))
               .as("embedding"))
         val corpus = e.select("vec_id", "embedding").union(planted)
-        val sk = corpus.withColumn("sk",
-          Vectors.hyperplaneSketches(col("embedding"), numTables = 4, bits = 16, dim = 64))
-          .select(col("vec_id"), col("embedding"), posexplode(col("sk")))
-          .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "key"))
+        val sk = corpus
+          .select(col("vec_id"), col("embedding"),
+            Vectors.hyperplaneSketches(col("embedding"), numTables = 4, bits = 16, dim = 64).as("sk"))
+          .select(col("vec_id"), col("embedding"), col("sk"),
+            explode(sequence(lit(0), lit(3))).as("tbl"))
+          .withColumn("key", coalesce(element_at(col("sk"), col("tbl") + 1), lit(0L)))
+          .drop("sk")
         val a = sk.select(col("tbl"), col("key"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
         val bb = sk.select(col("tbl"), col("key"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
         a.join(bb, Seq("tbl", "key")).where(col("vec_a") < col("vec_b"))

@@ -58,19 +58,23 @@ object TextOps {
     // array.
     Q("q_text_quality",
       (s, d) => {
-        val ws = split(col("text"), " ")
+        // Materialize the token array once (attribute reference) —
+        // inlining `split` here would re-tokenize per derived column.
+        val ws = col("ws")
         val wc = size(ws).cast("double")
         val ttr = size(array_distinct(ws)).cast("double") / wc
         val stopRatio = size(filter(ws, w => w.isin(stopwords: _*))).cast("double") / wc
         val avgWlen = (length(col("text")).cast("double") - (wc - 1)) / wc
-        t(s, d, "documents").select(
-          col("doc_id"),
-          size(ws).cast("long").as("wc"),
-          round(ttr, 4).as("ttr"),
-          round(stopRatio, 4).as("stop_ratio"),
-          round(avgWlen, 4).as("avg_wlen"),
-          round(ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
-            least(avgWlen / 10.0, lit(1.0)) * 0.2, 4).as("score"))
+        t(s, d, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(ws).cast("long").as("wc"),
+            round(ttr, 4).as("ttr"),
+            round(stopRatio, 4).as("stop_ratio"),
+            round(avgWlen, 4).as("avg_wlen"),
+            round(ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+              least(avgWlen / 10.0, lit(1.0)) * 0.2, 4).as("score"))
           .orderBy("doc_id")
       },
       Some("""WITH x AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
@@ -86,8 +90,9 @@ object TextOps {
              |FROM y ORDER BY doc_id""".stripMargin)),
 
     // Shingle (3-gram) document-frequency counts — the candidate
-    // vocabulary step of shingle-based dedup. Shuffle carries only
-    // (shingle, count) pairs after map-side partial agg.
+    // vocabulary step of shingle-based dedup. Single shuffle:
+    // count_distinct(doc_id) partial-aggregates map-side instead of a
+    // distinct-then-count double shuffle.
     Q("q_text_shingles",
       (s, d) => t(s, d, "documents")
         .withColumn("ws", split(col("text"), " "))
@@ -95,9 +100,8 @@ object TextOps {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
           .as("shingle"))
-        .distinct()
         .groupBy("shingle")
-        .agg(count(lit(1)).as("df"))
+        .agg(countDistinct(col("doc_id")).as("df"))
         .where(col("df") >= 5)
         .orderBy(desc("df"), col("shingle"))
         .limit(100),

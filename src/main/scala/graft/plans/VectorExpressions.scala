@@ -152,6 +152,79 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Random-hyperplane LSH sketch: for each of `numTables` tables,
+  * a `bits`-bit sign pattern of the input float vector against
+  * seeded-deterministic Gaussian hyperplanes, packed into a long.
+  * One fused pass (numTables × bits dot products) per row; the plane
+  * matrix is a broadcast-free reference constant, identical on every
+  * executor because the seed is fixed.
+  */
+case class HyperplaneSketch(child: Expression, numTables: Int, bits: Int, dim: Int)
+    extends UnaryExpression {
+
+  /** planes(t*bits + b) ⋅ vec decides bit b of table t's key. */
+  private lazy val planes: Array[Double] = {
+    val rnd = new scala.util.Random(42L)
+    Array.fill(numTables * bits * dim)(rnd.nextGaussian())
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_sketch expects array<float>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val keys = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val off = (t * bits + b) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += planes(off + i) * v.getFloat(i); i += 1 }
+        if (dot >= 0) key |= (1L << b)
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val keys = ctx.freshName("keys")
+      val t = ctx.freshName("t"); val b = ctx.freshName("b"); val i = ctx.freshName("i")
+      val key = ctx.freshName("key"); val dot = ctx.freshName("dot")
+      val off = ctx.freshName("off"); val n = ctx.freshName("n")
+      s"""
+         |long[] $keys = new long[$numTables];
+         |int $n = Math.min($dim, $in.numElements());
+         |for (int $t = 0; $t < $numTables; $t++) {
+         |  long $key = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    int $off = ($t * $bits + $b) * $dim;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) $dot += $pRef[$off + $i] * $in.getFloat($i);
+         |    if ($dot >= 0) $key |= (1L << $b);
+         |  }
+         |  $keys[$t] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash of a bag of element hashes: per bit position, count
   * +1/-1 votes across elements; the result bit is 1 iff the vote sum
   * is positive. Token multiplicity is intentionally kept (a bag, not

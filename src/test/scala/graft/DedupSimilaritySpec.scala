@@ -11,8 +11,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   /** Exact shingle-Jaccard for every doc pair (quadratic — spec-only). */
   private lazy val truePairs: Map[(Long, Long), Double] = {
-    val sh = Tables(spark, sf, "documents")
-      .select(col("doc_id"), operators.DedupOps.shingleHashes(col("text")).as("sh"))
+    val sh = operators.DedupOps.tokenized(spark, sf)
+      .select(col("doc_id"), operators.DedupOps.shingleHashes(col("ws")).as("sh"))
     val a = sh.select(col("doc_id").as("da"), col("sh").as("sa"))
     val b = sh.select(col("doc_id").as("db"), col("sh").as("sb"))
     a.crossJoin(b).where(col("da") < col("db"))

@@ -32,9 +32,9 @@ class VectorExprSpec extends AnyFunSuite {
   }
 
   test("MinHashSignature matches a Scala reference on real shingle hashes") {
-    val rows = Tables(spark, sf, "documents")
-      .select(col("doc_id"), operators.DedupOps.shingleHashes(col("text")).as("sh"),
-        Vectors.minhash(operators.DedupOps.shingleHashes(col("text")), 16).as("sig"))
+    val rows = operators.DedupOps.tokenized(spark, sf)
+      .select(col("doc_id"), operators.DedupOps.shingleHashes(col("ws")).as("sh"),
+        Vectors.minhash(operators.DedupOps.shingleHashes(col("ws")), 16).as("sig"))
       .limit(20).collect()
     val (a, b) = MinHashConstants.perms(16)
     rows.foreach { r =>

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Tuned SparkSession factory — the engine's entry point. Mirrors the
+  * role of the reference's Kyuubi engine config (reference:
+  * internal/controller/kyuubi.go builds spark-defaults for the SQL
+  * gateway): AQE with partition coalescing and skew-join handling on,
+  * shuffle partitions sized for the deployment (32 locally; on a real
+  * cluster set ~2-3× total cores), UTC session time.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def create(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val s = builder(master, shufflePartitions).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The SQL-gateway surface (what a Kyuubi user has): register every
+    * lakehouse table of `dir` as a temp view, then run arbitrary
+    * Spark SQL against them.
+    */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    Tables.names.foreach { n =>
+      try Tables(spark, dir, n).createOrReplaceTempView(n)
+      catch { case _: Throwable => () } // table absent in this dir
+    }
+    spark.sql(query)
+  }
+}

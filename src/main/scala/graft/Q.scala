@@ -24,6 +24,7 @@ object Registry {
       operators.CustomJoins.qs ++
       operators.Lakehouse.qs ++
       operators.Multimodal.qs ++
+      operators.Extras.qs ++
       streaming.EventPipeline.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Q, Tables}
+
+/** Coverage beyond SURVEY §2's original table: the raw SQL gateway
+  * surface (Kyuubi capability — text SQL in, DataFrame out), ORC as a
+  * second columnar format (the reference metastore serves ORC Hive
+  * tables), distribution window functions, lateral explode, and
+  * sketch-based quantiles.
+  */
+object Extras {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val qs: Seq[Q] = Seq(
+
+    // A45: the SQL-gateway path end-to-end — text SQL with joins,
+    // aggregation, HAVING, ORDER BY through spark.sql over registered
+    // views. The oracle is the same statement modulo dialect.
+    Q("q_sql_interface",
+      (s, d) => GraftSession.sql(s, d,
+        """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name HAVING count(*) > 10
+          |ORDER BY bal DESC, n_name""".stripMargin),
+      Some("""SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name HAVING count(*) > 10
+             |ORDER BY bal DESC, n_name""".stripMargin)),
+
+    // B08: ORC round trip — write the supplier dim as ORC, read it
+    // back, aggregate. Exercises the second columnar format's full
+    // write + scan path (predicate pushdown works for ORC too).
+    Q("q_orc_roundtrip",
+      (s, d) => {
+        val dir = s"${Lakehouse.scratch}/supplier_orc"
+        t(s, d, "supplier").write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .where(col("s_acctbal") > 0)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("cnt"), round(sum("s_acctbal"), 2).as("bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS cnt, round(sum(s_acctbal),2) AS bal
+             |FROM supplier WHERE s_acctbal > 0
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // A46: distribution window functions — ntile, percent_rank,
+    // cume_dist over order value per priority.
+    Q("q_window_dist",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").where(col("o_totalprice") > 400000)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            // +1e-9 nudge: percent_rank = k/(n-1) lands exactly on
+            // .xxxxxx5 boundaries where Spark (half-up) and DuckDB
+            // (half-even) disagree; the shared nudge decides it.
+            round(percent_rank().over(w) + lit(1e-9), 6).as("pr"),
+            round(cume_dist().over(w) + lit(1e-9), 6).as("cd"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |ntile(4) OVER w AS quartile,
+             |round(percent_rank() OVER w + 0.000000001, 6) AS pr,
+             |round(cume_dist() OVER w + 0.000000001, 6) AS cd
+             |FROM orders WHERE o_totalprice > 400000
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // A47: first/last value frames — first and last ship date per
+    // returnflag group carried onto each row, aggregated back down.
+    Q("q_window_firstlast",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag").orderBy("l_shipdate")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            first("l_shipdate").over(w).cast("date").as("first_ship"),
+            last("l_shipdate").over(w).cast("date").as("last_ship"))
+          .distinct()
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(min(l_shipdate) AS DATE) AS first_ship,
+             |CAST(max(l_shipdate) AS DATE) AS last_ship
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // A48: lateral explode — one row per token with its position,
+    // counted back per position bucket.
+    Q("q_explode_tokens",
+      (s, d) => t(s, d, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(col("ws")))
+        .where(col("pos") < 5)
+        .groupBy("pos")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("col")).as("vocab"))
+        .orderBy("pos"),
+      Some("""WITH x AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |  generate_subscripts(string_split(text, ' '), 1) - 1 AS pos FROM documents)
+             |SELECT pos, count(*) AS cnt, count(DISTINCT tok) AS vocab
+             |FROM x WHERE pos < 5 GROUP BY pos ORDER BY pos""".stripMargin)),
+
+    // E08: sketch quantiles (KLL/GK-style percentile_approx) — the
+    // 100 TB path where exact percentile's full sort is infeasible.
+    // Estimates are engine-specific → rows-only; the spec bounds the
+    // error against the exact quantile.
+    Q("q_approx_quantile",
+      (s, d) => t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile_approx(o_totalprice, 0.5, 1000)"), 2).as("p50_approx"),
+          round(expr("percentile_approx(o_totalprice, 0.95, 1000)"), 2).as("p95_approx"))
+        .orderBy("o_orderpriority"),
+      None),
+  )
+}

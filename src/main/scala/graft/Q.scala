@@ -25,6 +25,7 @@ object Registry {
       operators.Lakehouse.qs ++
       operators.Multimodal.qs ++
       operators.Extras.qs ++
+      operators.SqlSurface.qs ++
       streaming.EventPipeline.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

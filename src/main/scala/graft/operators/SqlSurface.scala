@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Q, Tables}
+import graft.sources.LakeTable
+
+/** DDL/DML SQL surface, additional file formats, typed JSON, ALL set
+  * ops, and the Doris-style materialized-rollup serving pattern
+  * (reference: doris.go deploys the OLAP engine whose core trick is
+  * pre-aggregated rollups answering coarse queries).
+  */
+object SqlSurface {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val qs: Seq[Q] = Seq(
+
+    // A49: DDL + DML through text SQL — CREATE TABLE ... USING parquet
+    // at an external location, two INSERT INTO ... SELECTs, query back.
+    Q("q_sql_ddl",
+      (s, d) => {
+        val loc = s"${Lakehouse.scratch}/ddl_demo"
+        val fs = new org.apache.hadoop.fs.Path(loc)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+        s.sql("DROP TABLE IF EXISTS g_ddl_demo")
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(s"CREATE TABLE g_ddl_demo (k BIGINT, price DOUBLE) USING parquet LOCATION '$loc'")
+        s.sql("INSERT INTO g_ddl_demo SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 0")
+        s.sql("INSERT INTO g_ddl_demo SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 1")
+        s.sql("SELECT count(*) AS cnt, round(sum(price), 2) AS rev FROM g_ddl_demo")
+      },
+      Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+             |FROM orders WHERE o_orderkey % 10 IN (0, 1)""".stripMargin)),
+
+    // B09: CSV round trip (header + explicit schema on read).
+    Q("q_csv_roundtrip",
+      (s, d) => {
+        val dir = s"${Lakehouse.scratch}/customer_csv"
+        t(s, d, "customer").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        s.read.option("header", "true")
+          .schema("c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, c_acctbal DOUBLE")
+          .csv(dir)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("bal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal),2) AS bal
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B10: JSON-lines round trip.
+    Q("q_jsonl_roundtrip",
+      (s, d) => {
+        val dir = s"${Lakehouse.scratch}/part_jsonl"
+        t(s, d, "part").select("p_partkey", "p_brand", "p_size", "p_retailprice")
+          .write.mode("overwrite").json(dir)
+        s.read.schema("p_partkey BIGINT, p_brand STRING, p_size BIGINT, p_retailprice DOUBLE")
+          .json(dir)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("cnt"), round(avg("p_retailprice"), 2).as("avg_price"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS cnt, round(avg(p_retailprice),2) AS avg_price
+             |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A50: schema-typed JSON parsing (from_json struct extraction, vs
+    // A44's path-based get_json_object).
+    Q("q_json_typed",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), lit("k BIGINT")).as("p"))
+        .select(col("event_id"), col("p.k").as("k"))
+        .where(col("k") > 50)
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+             |FROM events WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 50
+             |ORDER BY event_id""".stripMargin)),
+
+    // A51/A52: multiset set ops (keep duplicates).
+    Q("q_intersect_all",
+      (s, d) => t(s, d, "orders").select(col("o_custkey").as("k"))
+        .intersectAll(t(s, d, "lineitem").select(col("l_suppkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("cnt")).orderBy("k"),
+      Some("""SELECT k, count(*) AS cnt FROM (
+             |SELECT o_custkey AS k FROM orders INTERSECT ALL
+             |SELECT l_suppkey FROM lineitem) GROUP BY k ORDER BY k""".stripMargin)),
+
+    Q("q_except_all",
+      (s, d) => t(s, d, "orders").select(col("o_custkey").as("k"))
+        .exceptAll(t(s, d, "customer").select(col("c_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("cnt")).orderBy("k").limit(100),
+      Some("""SELECT k, count(*) AS cnt FROM (
+             |SELECT o_custkey AS k FROM orders EXCEPT ALL
+             |SELECT c_custkey FROM customer) GROUP BY k ORDER BY k LIMIT 100""".stripMargin)),
+
+    // B11: materialized rollup serving (the Doris capability): a
+    // pre-aggregated LakeTable answers the coarse query; correctness
+    // gate proves MV-served == base-computed.
+    Q("q_mv_rollup",
+      (s, d) => {
+        val mv = s"${Lakehouse.scratch}/mv_seg_status"
+        val base = t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment", "o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("rev"))
+        LakeTable.create(s, mv, base)
+        // Serve the coarser rollup FROM the MV (no fact scan).
+        LakeTable.read(s, mv)
+          .groupBy("c_mktsegment")
+          .agg(sum("cnt").as("cnt"), round(sum("rev"), 2).as("rev"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

@@ -112,6 +112,44 @@ object EventPipeline {
       .orderBy("user_id")
   }
 
+  /** C07: streaming upsert — each micro-batch reduces to its latest
+    * value per user (max_by on event time) and MERGEs into a
+    * LakeTable; the table converges to "current value per user"
+    * regardless of batch boundaries. This is the stream→lakehouse
+    * sink pattern (foreachBatch + COW merge).
+    */
+  def upsertToLake(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${graft.operators.Lakehouse.scratch}/stream_upsert"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(lake), true)
+    val q = eventsStream(spark, dir)
+      .select("user_id", "ts", "value")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch.groupBy("user_id")
+          .agg(max_by(struct(col("ts"), col("value")), col("ts")).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
+        if (graft.sources.LakeTable.currentVersion(spark, lake).isEmpty)
+          graft.sources.LakeTable.create(spark, lake, latest)
+        else {
+          // cross-batch upsert: keep the later of stored vs incoming
+          val stored = graft.sources.LakeTable.read(spark, lake)
+          val winner = stored.unionByName(latest)
+            .groupBy("user_id")
+            .agg(max_by(struct(col("ts"), col("value")), col("ts")).as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
+          graft.sources.LakeTable.merge(spark, lake, winner, "user_id")
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sources.LakeTable.read(spark, lake)
+      .select(col("user_id"), col("value"))
+      .orderBy("user_id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("stream_tumbling", (s, d) => tumbling(s, d),
       Some("""SELECT date_trunc('hour', ts) AS wstart, event_type,
@@ -124,6 +162,10 @@ object EventPipeline {
 
     Q("stream_state", (s, d) => userState(s, d),
       Some("""SELECT user_id, count(*) AS cnt, round(sum(value),2) AS sum_val
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("stream_upsert", (s, d) => upsertToLake(s, d),
+      Some("""SELECT user_id, arg_max(value, ts) AS value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }

@@ -65,6 +65,29 @@ object DedupOps {
 
   val qs: Seq[Q] = Seq(
 
+    // D14: the composed production pipeline — exact dedup (content
+    // hash, keep smallest id), then MinHash-LSH near-dedup with the
+    // greedy keep-lowest-id rule (drop doc_b of every verified pair),
+    // then corpus stats. What actually runs in front of LLM training.
+    Q("q_dedup_pipeline",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val exactSurvivors = docs
+          .groupBy(xxhash64(col("text")).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val nearDupLosers = minhashCandidates(s, d)
+          .withColumn("est", aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v) / 16.0)
+          .where(col("est") >= 0.5)
+          .select(col("doc_b").as("doc_id")).distinct()
+        exactSurvivors
+          .join(nearDupLosers, Seq("doc_id"), "left_anti")
+          .join(docs, Seq("doc_id"))
+          .agg(count(lit(1)).as("survivors"), sum("n_chars").as("total_chars"))
+      },
+      None),
+
     // D02: MinHash + LSH banding; est_jaccard = matching signature
     // fraction. Threshold 0.5 keeps the scramble-generated near-dups.
     Q("q_dedup_minhash",

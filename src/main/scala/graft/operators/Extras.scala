@@ -103,6 +103,35 @@ object Extras {
              |SELECT pos, count(*) AS cnt, count(DISTINCT tok) AS vocab
              |FROM x WHERE pos < 5 GROUP BY pos ORDER BY pos""".stripMargin)),
 
+    // A53: FILTER-clause conditional aggregation.
+    Q("q_agg_filter",
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("cnt"),
+          count(when(col("l_quantity") > 25, 1)).as("cnt_bulk"),
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("rev_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+             |count(*) FILTER (l_quantity > 25) AS cnt_bulk,
+             |round(sum(l_extendedprice) FILTER (l_discount > 0.05), 2) AS rev_disc
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A54: array surface — sort, slice, contains, join over token
+    // arrays.
+    Q("q_array_ops",
+      (s, d) => t(s, d, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"),
+          array_join(slice(array_sort(array_distinct(col("ws"))), 1, 3), ",").as("top3"),
+          array_contains(col("ws"), "spark").as("has_spark"),
+          size(col("ws")).cast("long").as("n"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |array_to_string(list_sort(list_distinct(string_split(text,' ')))[1:3], ',') AS top3,
+             |list_contains(string_split(text,' '), 'spark') AS has_spark,
+             |len(string_split(text,' ')) AS n
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // E08: sketch quantiles (KLL/GK-style percentile_approx) — the
     // 100 TB path where exact percentile's full sort is infeasible.
     // Estimates are engine-specific → rows-only; the spec bounds the

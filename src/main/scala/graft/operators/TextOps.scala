@@ -137,6 +137,32 @@ object TextOps {
       },
       None),
 
+    // D15: the pre-training corpus filter chain — length bounds,
+    // quality-score threshold, stopword-bearing docs only. Entirely
+    // SQL-expressible, so it gates through the oracle.
+    Q("q_corpus_filter",
+      (s, d) => {
+        val ws = col("ws")
+        val wc = size(ws).cast("double")
+        val ttr = size(array_distinct(ws)).cast("double") / wc
+        val stopRatio = size(filter(ws, w => w.isin(stopwords: _*))).cast("double") / wc
+        t(s, d, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("score", ttr * 0.5 + (lit(1.0) - stopRatio) * 0.5)
+          .where(col("n_chars").between(50, 5000) && col("score") > 0.6 && stopRatio > 0)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept"), sum("n_chars").as("chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH x AS (SELECT lang, n_chars, string_split(text, ' ') AS ws FROM documents),
+             |y AS (SELECT lang, n_chars,
+             |  len(list_distinct(ws))::DOUBLE / len(ws) AS ttr,
+             |  len(list_filter(ws, w -> w IN ('the','a','and','of','to')))::DOUBLE / len(ws) AS sr
+             |  FROM x)
+             |SELECT lang, count(*) AS kept, sum(n_chars) AS chars FROM y
+             |WHERE n_chars BETWEEN 50 AND 5000 AND (ttr*0.5 + (1.0-sr)*0.5) > 0.6 AND sr > 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Rabin-Karp rolling-hash fingerprint: polynomial hash of each
     // 4-token window, doc fingerprint = xxhash of the 8 smallest
     // window hashes (winnowing-style sketch, order-invariant).

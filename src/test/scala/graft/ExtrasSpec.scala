@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.LakeTable
+import graft.streaming.EventPipeline.Ev
+
+class ExtrasSpec extends AnyFunSuite {
+  import SharedSpark.{sf, spark}
+  import spark.implicits._
+
+  test("approx quantile stays within 5% of the exact percentile") {
+    val approx = Registry.byName("q_approx_quantile").run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Registry.byName("q_quantile").run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p95)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 < 0.05, s"$k p50")
+      assert(math.abs(approx(k)._2 - p95) / p95 < 0.05, s"$k p95")
+    }
+  }
+
+  test("dedup pipeline removes exact and near dups, keeps the rest") {
+    val row = Registry.byName("q_dedup_pipeline").run(spark, sf).head()
+    val total = Tables(spark, sf, "documents").count()
+    val survivors = row.getLong(0)
+    assert(survivors > 0 && survivors < total, s"$survivors of $total")
+  }
+
+  test("streaming upsert merges across micro-batches (later ts wins)") {
+    val lake = s"${operators.Lakehouse.scratch}/spec_stream_upsert"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(lake), true)
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().select("user_id", "ts", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val latest = batch.groupBy("user_id")
+          .agg(max_by(struct(col("ts"), col("value")), col("ts")).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
+        if (LakeTable.currentVersion(spark, lake).isEmpty)
+          LakeTable.create(spark, lake, latest)
+        else {
+          val winner = LakeTable.read(spark, lake).unionByName(latest)
+            .groupBy("user_id")
+            .agg(max_by(struct(col("ts"), col("value")), col("ts")).as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
+          LakeTable.merge(spark, lake, winner, "user_id")
+        }
+        ()
+      }.outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(Ev(1, ts(0), 1, "a", 10.0), Ev(2, ts(1), 2, "a", 20.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, ts(5), 1, "a", 99.0), Ev(4, ts(0), 2, "a", 0.5)) // user2 update is OLDER
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = LakeTable.read(spark, lake).select("user_id", "value")
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 99.0, 2L -> 20.0), got) // later ts wins, older loses
+  }
+
+  test("materialized rollup serves without scanning the fact table") {
+    val df = Registry.byName("q_mv_rollup").run(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("orders.parquet"), "MV query must not rescan the fact table")
+  }
+}

@@ -26,6 +26,7 @@ object Registry {
       operators.Multimodal.qs ++
       operators.Extras.qs ++
       operators.SqlSurface.qs ++
+      operators.Clustering.qs ++
       streaming.EventPipeline.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors => MlVectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Vectors
+
+/** IVF-style ANN (coarse k-means quantizer + cell probing) and
+  * connected-components clustering of near-dup pairs — the two
+  * remaining pieces of a production-scale similarity stack.
+  */
+object Clustering {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** D16: IVF ANN. Train a k-cell coarse quantizer (seeded KMeans on
+    * the corpus), assign corpus vectors to cells, then answer each
+    * query by scanning only its `nprobe` nearest cells. At 100 TB the
+    * quantizer trains on a sample, the assignment is one map pass,
+    * and each query touches nprobe/k of the corpus.
+    */
+  def knnIvf(s: SparkSession, d: String, k: Int = 16, nprobe: Int = 4, topK: Int = 3): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val toMl = udf((a: Seq[Float]) => MlVectors.dense(a.map(_.toDouble).toArray))
+    val corpus = emb.where(col("vec_id") >= 10)
+      .withColumn("features", toMl(col("embedding")))
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(corpus)
+    val centroids: Array[(Int, Array[Float])] = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+
+    // Corpus → cell assignment (one pass, shuffle-free map).
+    val assigned = model.transform(corpus)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    // Each query probes its nprobe nearest centroids.
+    val centDf = centroids.toSeq.toDF("cell", "centroid")
+    val probeW = Window.partitionBy("qid").orderBy(desc("csim"), col("cell"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .withColumn("csim", Vectors.cosineSim(col("qe"), col("centroid")))
+      .withColumn("prn", row_number().over(probeW))
+      .where(col("prn") <= nprobe)
+      .select("qid", "qe", "cell")
+
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", Vectors.cosineSim(col("embedding"), col("qe")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  /** D17: connected components over MinHash near-dup pairs by
+    * iterative min-label propagation: every doc adopts the smallest
+    * doc_id reachable over candidate edges; iterate until fixpoint.
+    * Candidate-pair graphs are tiny relative to the corpus (edges ≈
+    * true dups), so the loop is a few small shuffles regardless of
+    * corpus size — the standard transitive-closure step real dedup
+    * pipelines run between LSH and the keep-rule.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges0 = DedupOps.minhashCandidates(s, d).select("doc_a", "doc_b")
+    // Symmetric edge list including self-loops so isolated members keep labels.
+    val edges = edges0
+      .union(edges0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 10) {
+      // Each node adopts min(own label, neighbors' labels).
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "doc_b"), "doc_b")
+        .groupBy(col("doc_a").as("id"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.groupBy("label")
+      .agg(count(lit(1)).cast("long").as("cluster_size"),
+        sort_array(collect_list("id")).as("members"))
+      .where(col("cluster_size") >= 2)
+      .select(col("label").as("cluster_rep"), col("cluster_size"),
+        concat_ws(",", transform(col("members"), _.cast("string"))).as("members"))
+      .orderBy("cluster_rep")
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q_knn_ivf", (s, d) => knnIvf(s, d), None),
+    Q("q_dedup_clusters", (s, d) => dedupClusters(s, d), None),
+  )
+}

@@ -87,7 +87,7 @@ object RelationalAdvanced {
 
     Q("q_rollup",
       (s, d) => t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .rollup(col("c_mktsegment"), col("o_orderstatus"))
         .agg(grouping(col("c_mktsegment")).as("gs"), grouping(col("o_orderstatus")).as("go"),
           count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
@@ -104,7 +104,7 @@ object RelationalAdvanced {
 
     Q("q_cube",
       (s, d) => t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .cube(col("c_mktsegment"), col("o_orderstatus"))
         .agg(grouping(col("c_mktsegment")).as("gs"), grouping(col("o_orderstatus")).as("go"),
           count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
@@ -121,7 +121,7 @@ object RelationalAdvanced {
 
     Q("q_grouping_sets",
       (s, d) => t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupingSets(
           Seq(Seq(col("c_mktsegment"), col("o_orderstatus")), Seq(col("c_mktsegment")), Seq.empty),
           col("c_mktsegment"), col("o_orderstatus"))
@@ -141,7 +141,7 @@ object RelationalAdvanced {
 
     Q("q_pivot",
       (s, d) => t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderstatus")
         .pivot("c_mktsegment",
           Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))

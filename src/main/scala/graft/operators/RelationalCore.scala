@@ -9,9 +9,12 @@ import graft.{Q, Tables}
   * runs (reference: internal/controller/kyuubi.go deploys the SQL
   * gateway; this library IS the engine those queries run on).
   *
-  * Scale notes: every dim join below broadcasts (region/nation/
-  * customer/supplier/part are tiny relative to facts at any SF);
-  * fact-fact joins shuffle once on the join key; all aggregates are
+  * Scale notes: fixed-cardinality dims (region: 5 rows, nation: 25)
+  * carry explicit broadcast() hints — safe at any SF. SF-scaled dims
+  * (customer/supplier/part) deliberately carry NO hint: the
+  * size-based planner broadcasts them while they fit and AQE decides
+  * at runtime otherwise; a hard hint would OOM a 100 TB run.
+  * Fact-fact joins shuffle once on the join key; all aggregates are
   * algebraic (map-side partial agg for free).
   */
 object RelationalCore {
@@ -197,9 +200,9 @@ object RelationalCore {
         val li = t(s, d, "lineitem"); val sup = t(s, d, "supplier")
         val nat = t(s, d, "nation"); val reg = t(s, d, "region")
         ord.where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .join(li, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey") &&

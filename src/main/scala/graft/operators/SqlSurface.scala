@@ -102,7 +102,7 @@ object SqlSurface {
       (s, d) => {
         val mv = s"${Lakehouse.scratch}/mv_seg_status"
         val base = t(s, d, "orders")
-          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment", "o_orderstatus")
           .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("rev"))
         LakeTable.create(s, mv, base)

@@ -68,6 +68,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recalls most of the brute-force top-k") {
+    val brute = Registry.byName("q_knn_brute").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Registry.byName("q_knn_ivf").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall") // nprobe=4 of k=16 cells
+  }
+
+  test("dedup clusters contain every verified near-dup pair") {
+    val pairs = Registry.byName("q_dedup_minhash").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Registry.byName("q_dedup_clusters").run(spark, sf).collect()
+      .map(_.getString(2).split(",").map(_.toLong).toSet)
+    pairs.foreach { case (a, b) =>
+      assert(clusters.exists(c => c(a) && c(b)), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("knn LSH neighbors never beat the brute-force best (exactness bound)") {
     val brute = Registry.byName("q_knn_brute").run(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (q, g) => q -> g.map(_.getDouble(3)).max }

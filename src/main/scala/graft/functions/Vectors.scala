@@ -39,4 +39,19 @@ object Vectors {
     */
   def hyperplaneSketches(vec: Column, numTables: Int, bits: Int, dim: Int): Column =
     Glue.column(HyperplaneSketch(Glue.expression(vec), numTables, bits, dim))
+
+  /** Expose the native expressions to TEXT SQL (`cosine_sim(a,b)`,
+    * `minhash_sig(hashes, k)`, `simhash64(hashes)`) — the SQL-gateway
+    * user gets the same fused codegen paths as the Column API.
+    */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Glue.registerFunction(spark, "cosine_sim",
+      args => CosineSimilarity(args(0), args(1)))
+    Glue.registerFunction(spark, "minhash_sig", args =>
+      MinHashSignature(args(0), args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => other.eval().asInstanceOf[Int]
+      }))
+    Glue.registerFunction(spark, "simhash64", args => SimHash64(args(0)))
+  }
 }

@@ -132,6 +132,40 @@ object Extras {
              |len(string_split(text,' ')) AS n
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // E10: typed custom Aggregator (UDAF surface) — Welford one-pass
+    // variance, merge-stable under Spark's partial aggregation; gated
+    // against the built-in var_samp oracle.
+    Q("q_udaf_welford",
+      (s, d) => {
+        val varUdaf = udaf(graft.functions.Aggregators.VarWelford)
+        t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(round(varUdaf(col("l_quantity")), 4).as("var_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(var_samp(l_quantity),4) AS var_qty
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // E11: graft's native expressions callable from TEXT SQL — the
+    // SQL-gateway user runs the same fused codegen cosine as the
+    // Column API. Oracle recomputes via DuckDB list functions.
+    Q("q_sql_native_fn",
+      (s, d) => {
+        graft.functions.Vectors.registerSqlFunctions(s)
+        GraftSession.sql(s, d,
+          """SELECT a.vec_id AS va, b.vec_id AS vb,
+            |round(cosine_sim(a.embedding, b.embedding), 4) AS cos
+            |FROM embeddings a JOIN embeddings b
+            |ON a.vec_id < 5 AND b.vec_id BETWEEN 5 AND 9
+            |ORDER BY va, vb""".stripMargin)
+      },
+      Some("""SELECT a.vec_id AS va, b.vec_id AS vb,
+             |round(list_inner_product(a.embedding, b.embedding) /
+             |  (sqrt(list_inner_product(a.embedding, a.embedding)) *
+             |   sqrt(list_inner_product(b.embedding, b.embedding))), 4) AS cos
+             |FROM embeddings a JOIN embeddings b
+             |ON a.vec_id < 5 AND b.vec_id BETWEEN 5 AND 9
+             |ORDER BY va, vb""".stripMargin)),
+
     // E08: sketch quantiles (KLL/GK-style percentile_approx) — the
     // 100 TB path where exact percentile's full sort is infeasible.
     // Estimates are engine-specific → rows-only; the spec bounds the

@@ -150,6 +150,32 @@ object EventPipeline {
       .orderBy("user_id")
   }
 
+  /** C08: stream-stream inner join — purchases joined to the same
+    * user's clicks within the preceding hour. Both sides are
+    * watermarked so the join state is bounded: Spark retains only
+    * rows inside the watermark+range window. The time-range predicate
+    * is what makes this a true streaming join (state eviction), not a
+    * static lookup.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_val"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    runToMemory(spark, joined, "graft_stream_join", OutputMode.Append())
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("stream_tumbling", (s, d) => tumbling(s, d),
       Some("""SELECT date_trunc('hour', ts) AS wstart, event_type,
@@ -167,5 +193,12 @@ object EventPipeline {
     Q("stream_upsert", (s, d) => upsertToLake(s, d),
       Some("""SELECT user_id, arg_max(value, ts) AS value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("stream_join", (s, d) => streamStreamJoin(s, d),
+      Some("""SELECT p.user_id, count(*) AS n_pairs, count(DISTINCT p.event_id) AS n_purchases
+             |FROM events p JOIN events c
+             |ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
+             |AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Glue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a builder under `name` in the session's function
+    * registry so TEXT SQL can call graft's native expressions.
+    * Idempotent (createOrReplace).
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

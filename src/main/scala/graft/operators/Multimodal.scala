@@ -53,7 +53,54 @@ object Multimodal {
       .toDF()
   }
 
+  /** D18: binary → fixed-width feature vector (the decode+embed step
+    * of a multimodal ingest): 16-bin byte histogram, L1-normalized —
+    * stands in for a real image/audio embedding while exercising the
+    * same schema (array<float>), batching, and downstream use
+    * (feature vectors feed the D05-07 ANN operators directly).
+    */
+  private def featurize(batch: Seq[MediaRow]): Seq[(Long, String, Array[Float])] =
+    batch.map { m =>
+      val hist = new Array[Float](16)
+      m.blob.foreach(b => hist((b & 0xFF) >> 4) += 1f)
+      val n = math.max(1f, m.blob.length.toFloat)
+      (m.doc_id, m.media_type, hist.map(_ / n))
+    }
+
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.grouped(BatchSize).flatMap(featurize))
+      .toDF("doc_id", "media_type", "features")
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q_multimodal_features",
+      (s, d) => {
+        val media = Tables(s, d, "documents").select(
+          col("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+          encode(col("text"), "UTF-8").as("blob"))
+        // Per-type centroid distance: how far each doc's feature
+        // vector sits from its media type's mean (driver-free, one
+        // shuffle on the tiny type key via a broadcast-back join).
+        val feats = extractFeatures(media)
+        val centroids = feats
+          .groupBy("media_type")
+          .agg(array((0 until 16).map(i =>
+            avg(element_at(col("features"), i + 1))): _*).as("centroid"))
+        feats.join(broadcast(centroids), "media_type")
+          .select(col("doc_id"), col("media_type"),
+            round(sqrt(aggregate(
+              zip_with(col("features"), col("centroid"),
+                (f, c) => (f.cast("double") - c) * (f.cast("double") - c)),
+              lit(0.0), (acc, v) => acc + v)), 6).as("dist"))
+          .orderBy("doc_id")
+      },
+      None),
+
     Q("q_multimodal_meta",
       (s, d) => {
         // Synthesize the media table from documents (UTF-8 payload as

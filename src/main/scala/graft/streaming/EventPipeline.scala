@@ -48,12 +48,27 @@ object EventPipeline {
         if (raw("ts").dataType == LongType) expr("timestamp_micros(ts div 1000)") else col("ts"))
   }
 
+  /** Stateful streaming operators pay per-state-store-instance
+    * overhead (a store per shuffle partition per stateful operator —
+    * a stream-stream join keeps four). Size state partitions to the
+    * stream's volume instead of inheriting the batch shuffle setting
+    * (measured 3× on stream_join locally); checkpoints here are fresh
+    * per run, so the partition count may differ from batch safely.
+    */
+  private def withStreamPartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    val target = sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "8")
+    spark.conf.set(key, math.min(old.toInt, target.toInt).toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Run `streamed` to completion into a memory sink, return the sink
     * table. AvailableNow processes every pending file then stops —
     * the bounded-input harness for an unbounded pipeline.
     */
   private def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode): DataFrame = withStreamPartitions(spark) {
     val q = streamed.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -123,6 +138,7 @@ object EventPipeline {
     val fs = new org.apache.hadoop.fs.Path(lake)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(lake), true)
+    withStreamPartitions(spark) {
     val q = eventsStream(spark, dir)
       .select("user_id", "ts", "value")
       .writeStream
@@ -145,6 +161,7 @@ object EventPipeline {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     graft.sources.LakeTable.read(spark, lake)
       .select(col("user_id"), col("value"))
       .orderBy("user_id")

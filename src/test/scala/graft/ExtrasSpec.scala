@@ -66,6 +66,18 @@ class ExtrasSpec extends AnyFunSuite {
     assert(got == Map(1L -> 99.0, 2L -> 20.0), got) // later ts wins, older loses
   }
 
+  test("GraftExtensions exposes native functions to SQL at session build") {
+    import spark.implicits._
+    // SharedSpark builds through GraftSession → extensions applied; no
+    // imperative registerSqlFunctions call has run in this JVM.
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    val sh = spark.sql("SELECT simhash64(array(CAST(7 AS BIGINT))) AS s").head().getLong(0)
+    assert(sh == 7L) // single element: simhash = its own bits
+  }
+
   test("materialized rollup serves without scanning the fact table") {
     val df = Registry.byName("q_mv_rollup").run(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -7,11 +7,7 @@ import org.apache.spark.sql.SparkSession
   */
 object SharedSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val s = GraftSession.builder("local[4]", 8)
       .appName("graft-tests")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

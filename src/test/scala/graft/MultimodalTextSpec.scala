@@ -26,6 +26,16 @@ class MultimodalTextSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("multimodal features: L1-normalized 16-bin histograms, deterministic distances") {
+    val rows = Registry.byName("q_multimodal_features").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0) // centroid distance bounded
+    }
+    val again = Registry.byName("q_multimodal_features").run(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("langid emits a prediction from the profile set for every doc") {
     val rows = Registry.byName("q_text_langid").run(spark, sf).collect()
     val langs = operators.TextOps.langProfiles.map(_._1).toSet + "unknown"

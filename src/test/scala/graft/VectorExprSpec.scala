@@ -63,6 +63,51 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("HyperplaneSketch matches the seeded reference math") {
+    val nT = 3; val bits = 8; val dim = 64
+    val rows = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Vectors.hyperplaneSketches(col("embedding"), nT, bits, dim).as("sk"))
+      .limit(20).collect()
+    // Reference: same generation order as HyperplaneSketch.planes.
+    val rnd = new scala.util.Random(42L)
+    val planes = Array.fill(nT * bits * dim)(rnd.nextGaussian())
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val sk = r.getSeq[Long](2)
+      val expected = Seq.tabulate(nT) { t =>
+        (0 until bits).foldLeft(0L) { (key, b) =>
+          val off = (t * bits + b) * dim
+          val dot = (0 until math.min(dim, v.length)).map(i => planes(off + i) * v(i)).sum
+          if (dot >= 0) key | (1L << b) else key
+        }
+      }
+      assert(sk == expected, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("native expressions survive CODEGEN_ONLY mode (no silent fallback)") {
+    val key = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val n = Tables(spark, sf, "embeddings")
+        .select(
+          Vectors.cosineSim(col("embedding"), col("embedding")).as("c"),
+          Vectors.hyperplaneSketches(col("embedding"), 2, 4, 64).as("sk"))
+        .where(col("c") > 0.5).count()
+      assert(n > 0)
+      val m = operators.DedupOps.tokenized(spark, sf)
+        .select(
+          Vectors.minhash(operators.DedupOps.shingleHashes(col("ws")), 16).as("sig"),
+          Vectors.simhash(transform(col("ws"), w => xxhash64(w))).as("sh"))
+        .count()
+      assert(m > 0)
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("near-identical token bags give near-identical simhash") {
     import spark.implicits._
     val df = Seq(

@@ -149,6 +149,23 @@ object Lakehouse {
              |SELECT coalesce(lang, 'legacy') AS lang, count(*) AS cnt, sum(n_chars) AS chars
              |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B12: the registered data source — write via
+    // .format("graft").save, read back via .format("graft").load with
+    // a filter (pushed through the relation into the parquet scan).
+    Q("q_lake_format",
+      (s, d) => {
+        val lake = s"$scratch/orders_fmt"
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.format("graft").mode("overwrite").save(lake)
+        s.read.format("graft").load(lake)
+          .where(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+             |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+             |GROUP BY 1""".stripMargin)),
+
     // B07: catalog — create two tables (one bumped to v1), list them.
     Q("q_catalog",
       (s, d) => {

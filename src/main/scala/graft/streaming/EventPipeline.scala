@@ -211,6 +211,27 @@ object EventPipeline {
       Some("""SELECT user_id, arg_max(value, ts) AS value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("stream_session", (s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_val"))
+      runToMemory(s, agg, "graft_stream_session", OutputMode.Complete())
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_val"))
+        .orderBy("user_id", "session_start")
+    },
+      // Same islands construction as the batch q_events_session oracle.
+      Some("""WITH x AS (SELECT user_id, ts, value,
+             |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+             |       THEN 1 ELSE 0 END AS new_s FROM events),
+             |y AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             |round(sum(value),2) AS sum_val
+             |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
     Q("stream_join", (s, d) => streamStreamJoin(s, d),
       Some("""SELECT p.user_id, count(*) AS n_pairs, count(DISTINCT p.event_id) AS n_purchases
              |FROM events p JOIN events c

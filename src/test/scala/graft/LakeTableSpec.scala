@@ -68,6 +68,20 @@ class LakeTableSpec extends AnyFunSuite {
     assert(cat.table("beta").count() == 10)
   }
 
+  test("graft format: save modes and version option (time travel)") {
+    val p = s"$root/fmt"
+    spark.range(10).toDF("id").write.format("graft").mode("overwrite").save(p)
+    spark.range(10, 30).toDF("id").write.format("graft").mode("append").save(p)
+    assert(spark.read.format("graft").load(p).count() == 30)
+    assert(spark.read.format("graft").option("version", "0").load(p).count() == 10)
+    assert(spark.read.format("graft").load(p)
+      .where(col("id") >= 25).count() == 5) // filter through the relation
+    intercept[IllegalStateException] {
+      spark.range(1).toDF("id").write.format("graft")
+        .mode("errorifexists").save(p)
+    }
+  }
+
   test("partitioned create prunes on read") {
     val p = s"$root/t6"
     val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "part")

@@ -70,11 +70,13 @@ object TextOps {
           .select(
             col("doc_id"),
             size(ws).cast("long").as("wc"),
-            round(ttr, 4).as("ttr"),
-            round(stopRatio, 4).as("stop_ratio"),
-            round(avgWlen, 4).as("avg_wlen"),
+            // +1e-9: ratios are exact rationals that land on .xxxx5
+            // where Spark (half-up) and DuckDB (half-even) disagree.
+            round(ttr + lit(1e-9), 4).as("ttr"),
+            round(stopRatio + lit(1e-9), 4).as("stop_ratio"),
+            round(avgWlen + lit(1e-9), 4).as("avg_wlen"),
             round(ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
-              least(avgWlen / 10.0, lit(1.0)) * 0.2, 4).as("score"))
+              least(avgWlen / 10.0, lit(1.0)) * 0.2 + lit(1e-9), 4).as("score"))
           .orderBy("doc_id")
       },
       Some("""WITH x AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
@@ -84,9 +86,10 @@ object TextOps {
              |  len(list_filter(ws, w -> w IN ('the','a','and','of','to')))::DOUBLE / len(ws) AS stop_ratio,
              |  (length(text)::DOUBLE - (len(ws) - 1)) / len(ws) AS avg_wlen
              |FROM x)
-             |SELECT doc_id, wc, round(ttr,4) AS ttr, round(stop_ratio,4) AS stop_ratio,
-             |round(avg_wlen,4) AS avg_wlen,
-             |round(ttr*0.5 + (1.0-stop_ratio)*0.3 + least(avg_wlen/10.0, 1.0)*0.2,4) AS score
+             |SELECT doc_id, wc, round(ttr + 0.000000001,4) AS ttr,
+             |round(stop_ratio + 0.000000001,4) AS stop_ratio,
+             |round(avg_wlen + 0.000000001,4) AS avg_wlen,
+             |round(ttr*0.5 + (1.0-stop_ratio)*0.3 + least(avg_wlen/10.0, 1.0)*0.2 + 0.000000001,4) AS score
              |FROM y ORDER BY doc_id""".stripMargin)),
 
     // Shingle (3-gram) document-frequency counts — the candidate

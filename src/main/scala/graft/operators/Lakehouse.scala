@@ -166,6 +166,47 @@ object Lakehouse {
              |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
              |GROUP BY 1""".stripMargin)),
 
+    // B13: Z-order clustering — rewrite lineitem clustered on
+    // (l_orderkey, l_partkey); a two-column range predicate then
+    // touches a fraction of the files (spec asserts the skip), and
+    // results stay exact (this oracle).
+    Q("q_zorder",
+      (s, d) => {
+        val lake = s"$scratch/lineitem_zorder"
+        LakeTable.create(s, lake,
+          t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+            .repartition(16))
+        LakeTable.clusterBy(s, lake, Seq("l_orderkey", "l_partkey"), 16)
+        LakeTable.read(s, lake)
+          .where(col("l_orderkey") < 1000 && col("l_partkey") < 500)
+          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+      },
+      Some("""SELECT count(*) AS cnt, round(sum(l_quantity),2) AS qty FROM lineitem
+             |WHERE l_orderkey < 1000 AND l_partkey < 500""".stripMargin)),
+
+    // B14: incremental MV refresh — the algebraic (sum/count) rollup
+    // absorbs a delta WITHOUT rescanning old facts: combine stored
+    // partials with the delta's partials and merge by key.
+    Q("q_mv_incremental",
+      (s, d) => {
+        val lake = s"$scratch/mv_incr"
+        val ord = t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+        def agg(df: DataFrame) = df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("rev"))
+        LakeTable.create(s, lake, agg(ord.where(col("o_orderdate") < "1997-01-01")))
+        // Delta arrives: aggregate ONLY the delta, combine partials.
+        val delta = agg(ord.where(col("o_orderdate") >= "1997-01-01"))
+        val combined = LakeTable.read(s, lake).unionByName(delta)
+          .groupBy("o_orderpriority")
+          .agg(sum("cnt").as("cnt"), sum("rev").as("rev"))
+        LakeTable.merge(s, lake, combined, "o_orderpriority")
+        LakeTable.read(s, lake)
+          .select(col("o_orderpriority"), col("cnt"), round(col("rev"), 2).as("rev"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B07: catalog — create two tables (one bumped to v1), list them.
     Q("q_catalog",
       (s, d) => {

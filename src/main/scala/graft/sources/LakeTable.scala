@@ -151,6 +151,48 @@ object LakeTable {
     v
   }
 
+  /** Z-order clustering rewrite: interleave the bits of the rank of
+    * each clustering column (rank ≈ value's quantile bucket, so mixed
+    * types and skews flatten out), range-partition by the Z-value and
+    * sort within partitions, then commit as a new file group. Each
+    * output file then covers a small hyper-rectangle of the clustered
+    * columns, so parquet min/max file skipping prunes multi-column
+    * range predicates — the Iceberg/Doris data-layout optimization.
+    */
+  def clusterBy(spark: SparkSession, path: String, cols: Seq[String], numFiles: Int): Long = {
+    import org.apache.spark.sql.functions._
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val df = read(spark, path, Some(prev))
+    val bits = 8
+    // Distributed rank proxy: 2^bits approx-quantile boundaries per
+    // column (one tiny aggregate, broadcast back); bucket = #
+    // boundaries ≤ value. No global sort, no single-partition window.
+    val nb = (1 << bits) - 1
+    val qs = array((1 to nb).map(i => lit(i.toDouble / (nb + 1))): _*)
+    val bounds = df.select(cols.zipWithIndex.map { case (c, i) =>
+      percentile_approx(col(c).cast("double"), qs, lit(10000)).as(s"__b$i")
+    }: _*)
+    val ranked = cols.indices.foldLeft(df.crossJoin(broadcast(bounds))) { (acc, i) =>
+      acc.withColumn(s"__r$i",
+        size(filter(col(s"__b$i"), b => b <= col(cols(i)).cast("double"))).cast("long"))
+    }.drop(cols.indices.map(i => s"__b$i"): _*)
+    val interleaved = (0 until bits).flatMap { b =>
+      cols.indices.map { i =>
+        shiftleft(shiftright(col(s"__r$i"), b).bitwiseAND(lit(1L)),
+          b * cols.length + i)
+      }
+    }.reduce[org.apache.spark.sql.Column](_ + _)
+    val zed = ranked.withColumn("__z", interleaved)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop((cols.indices.map(i => s"__r$i") :+ "__z"): _*)
+    val v = prev + 1
+    val dir = writeGroup(spark, path, v, zed, Nil)
+    writeCommit(spark, path, Commit(v, "cluster", Seq(dir)))
+    v
+  }
+
   /** Data files of a snapshot (for compaction/catalog introspection). */
   def dataFiles(spark: SparkSession, path: String, version: Option[Long] = None): Seq[String] = {
     val v = version.orElse(currentVersion(spark, path)).get

@@ -82,6 +82,23 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order clustering enables multi-column file skipping") {
+    import SharedSpark.sf
+    val p = s"$root/zorder"
+    LakeTable.create(spark,
+      p, Tables(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity").repartition(8))
+    LakeTable.clusterBy(spark, p, Seq("l_orderkey", "l_partkey"), 8)
+    val total = LakeTable.dataFiles(spark, p).size
+    val touched = LakeTable.read(spark, p)
+      .where(col("l_orderkey") < 500 && col("l_partkey") < 200)
+      .select(input_file_name()).distinct().count()
+    assert(touched < total, s"touched $touched of $total files")
+    // identical data after rewrite
+    assert(LakeTable.read(spark, p).agg(sum("l_quantity")).head().getDouble(0) ==
+      LakeTable.read(spark, p, Some(0L)).agg(sum("l_quantity")).head().getDouble(0))
+  }
+
   test("partitioned create prunes on read") {
     val p = s"$root/t6"
     val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "part")

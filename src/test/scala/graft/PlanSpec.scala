@@ -58,6 +58,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
   }
 
+  test("runtime bloom filter injects on selective fact-fact joins at scan sizes that warrant it") {
+    // Thresholds emulate the 100 TB condition locally (application
+    // side normally requires a 10 GB scan); the assertion is that the
+    // optimizer CAN inject row-level pruning into our join shapes.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables(spark, sf, "lineitem")
+      val ord = Tables(spark, sf, "orders").where(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity"))
+      assert(j.queryExecution.optimizedPlan.toString.toLowerCase.contains("bloom"))
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted skew agg produces two-phase aggregation without a hot single key") {
     val p = planOf("q_skew_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final × two phases

@@ -79,6 +79,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming state runs on the RocksDB provider (production backend)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = EventPipeline.dedup(spark, sf).count()
+      val want = Tables(spark, sf, "events")
+        .select("user_id", "event_type").distinct().count()
+      assert(got == want)
+    } finally spark.conf.unset(key)
+  }
+
   test("registry streaming queries match their batch equivalents") {
     val streamRes = EventPipeline.tumbling(spark, sf).collect()
     val batchRes = Registry.byName("q_events_tumbling").run(spark, sf)

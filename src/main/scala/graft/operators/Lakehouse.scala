@@ -175,8 +175,8 @@ object Lakehouse {
         val lake = s"$scratch/lineitem_zorder"
         LakeTable.create(s, lake,
           t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
-            .repartition(16))
-        LakeTable.clusterBy(s, lake, Seq("l_orderkey", "l_partkey"), 16)
+            .repartition(8))
+        LakeTable.clusterBy(s, lake, Seq("l_orderkey", "l_partkey"), 8)
         LakeTable.read(s, lake)
           .where(col("l_orderkey") < 1000 && col("l_partkey") < 500)
           .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))

@@ -13,6 +13,10 @@ import graft.{GraftSession, Q, Tables}
   */
 object Extras {
 
+  /** Typed row for the Dataset-API surface (A55). */
+  final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+      o_orderstatus: String, o_totalprice: Double)
+
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
   val qs: Seq[Q] = Seq(
@@ -131,6 +135,32 @@ object Extras {
              |list_contains(string_split(text,' '), 'spark') AS has_spark,
              |len(string_split(text,' ')) AS n
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // A55: typed Dataset surface — case-class Encoders, compile-time
+    // field access, typed filter/groupByKey/agg; the type-safe API a
+    // Scala engineering team actually writes against.
+    Q("q_typed_dataset",
+      (s, d) => {
+        import s.implicits._
+        val orders = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .as[Extras.OrderRow]
+        orders
+          .filter(o => o.o_totalprice > 200000 && o.o_orderstatus != "P")
+          .groupByKey(_.o_orderstatus)
+          .mapGroups { (k, it) =>
+            val prices = it.map(_.o_totalprice).toSeq
+            val rev = BigDecimal(prices.sum + 1e-6)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (k, prices.size.toLong, rev)
+          }
+          .toDF("o_orderstatus", "cnt", "rev")
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+             |round(sum(o_totalprice) + 0.000001, 2) AS rev
+             |FROM orders WHERE o_totalprice > 200000 AND o_orderstatus <> 'P'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // E10: typed custom Aggregator (UDAF surface) — Welford one-pass
     // variance, merge-stable under Spark's partial aggregation; gated

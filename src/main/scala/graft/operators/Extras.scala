@@ -136,6 +136,71 @@ object Extras {
              |len(string_split(text,' ')) AS n
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // A56: ordered string aggregation (listagg / string_agg).
+    Q("q_string_agg",
+      (s, d) => t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list("n_name"))).as("nations"))
+        .orderBy("n_regionkey"),
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A57: unpivot (wide → long).
+    Q("q_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_discount"), 2).as("disc"),
+          round(sum("l_tax"), 2).as("tax"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("disc"), col("tax")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure"),
+      Some("""WITH w AS (SELECT l_returnflag, round(sum(l_quantity),2) AS qty,
+             |  round(sum(l_discount),2) AS disc, round(sum(l_tax),2) AS tax
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, measure, value FROM (
+             |  SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+             |  UNION ALL SELECT l_returnflag, 'disc', disc FROM w
+             |  UNION ALL SELECT l_returnflag, 'tax', tax FROM w)
+             |ORDER BY l_returnflag, measure""".stripMargin)),
+
+    // A58: width_bucket histogram.
+    Q("q_histogram",
+      (s, d) => t(s, d, "orders")
+        .select(width_bucket(col("o_totalprice"), lit(0), lit(600000), lit(12)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket"),
+      // DuckDB 1.0 has no width_bucket — spelled arithmetically.
+      Some("""SELECT CASE WHEN o_totalprice < 0 THEN 0
+             |WHEN o_totalprice >= 600000 THEN 13
+             |ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END AS bucket,
+             |count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A59: regexp_extract_all → per-doc numeric-token counts.
+    Q("q_regexp_all",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          size(regexp_extract_all(col("props"), lit("\\d+"), lit(0))).cast("long").as("n_nums"),
+          regexp_extract_all(col("props"), lit("\\d+"), lit(0))(0).cast("long").as("first_num"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, len(regexp_extract_all(props, '\d+')) AS n_nums,
+             |CAST(regexp_extract_all(props, '\d+')[1] AS BIGINT) AS first_num
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // A60: map construction + lookup (oracle spells the lookup as CASE).
+    Q("q_map_ops",
+      (s, d) => {
+        val statusNames = map(
+          lit("F"), lit("finished"), lit("O"), lit("open"), lit("P"), lit("pending"))
+        t(s, d, "orders")
+          .select(element_at(statusNames, col("o_orderstatus")).as("status_name"))
+          .groupBy("status_name").agg(count(lit(1)).as("cnt"))
+          .orderBy("status_name")
+      },
+      Some("""SELECT CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+             |WHEN 'P' THEN 'pending' END AS status_name, count(*) AS cnt
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // A55: typed Dataset surface — case-class Encoders, compile-time
     // field access, typed filter/groupByKey/agg; the type-safe API a
     // Scala engineering team actually writes against.

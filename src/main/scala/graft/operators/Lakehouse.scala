@@ -207,6 +207,27 @@ object Lakehouse {
       Some("""SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice),2) AS rev
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B15: row-level DML — DELETE WHERE then UPDATE ... SET on a
+    // LakeTable, read back; the oracle spells the same mutations.
+    Q("q_lake_dml",
+      (s, d) => {
+        val lake = s"$scratch/customer_dml"
+        LakeTable.create(s, lake,
+          t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal"))
+        LakeTable.delete(s, lake, col("c_acctbal") < 0)
+        LakeTable.update(s, lake, col("c_nationkey") < 5,
+          Map("c_acctbal" -> (col("c_acctbal") * 1.1)))
+        LakeTable.read(s, lake)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal") + 1e-6, 2).as("bal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH kept AS (SELECT c_custkey, c_nationkey,
+             |  CASE WHEN c_nationkey < 5 THEN c_acctbal * 1.1 ELSE c_acctbal END AS c_acctbal
+             |  FROM customer WHERE NOT (c_acctbal < 0))
+             |SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal) + 0.000001, 2) AS bal
+             |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B07: catalog — create two tables (one bumped to v1), list them.
     Q("q_catalog",
       (s, d) => {

@@ -139,6 +139,58 @@ object LakeTable {
     v
   }
 
+  /** DELETE WHERE — copy-on-write rewrite keeping rows that do NOT
+    * match `predicate`.
+    */
+  def delete(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val v = prev + 1
+    val dir = writeGroup(spark, path, v,
+      read(spark, path, Some(prev)).where(!predicate), Nil)
+    writeCommit(spark, path, Commit(v, "delete", Seq(dir)))
+    v
+  }
+
+  /** UPDATE ... SET col = expr WHERE predicate — copy-on-write
+    * rewrite applying `assignments` to matching rows.
+    */
+  def update(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, when}
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val df = read(spark, path, Some(prev))
+    val updated = assignments.foldLeft(df) { case (acc, (c, e)) =>
+      acc.withColumn(c, when(predicate, e).otherwise(col(c)))
+    }
+    val v = prev + 1
+    val dir = writeGroup(spark, path, v, updated, Nil)
+    writeCommit(spark, path, Commit(v, "update", Seq(dir)))
+    v
+  }
+
+  /** VACUUM: physically remove data dirs not referenced by any commit
+    * ≥ `retainFrom` and drop the older commit entries — bounds
+    * storage; time travel before the horizon is forfeited.
+    */
+  def vacuum(spark: SparkSession, path: String, retainFrom: Long): Long = {
+    val cur = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val keepVersions = (retainFrom to cur)
+    val keepDirs = keepVersions.flatMap(v => readCommit(spark, path, v).dirs).toSet
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("d") && !keepDirs.contains(n))
+        fs.delete(st.getPath, true)
+    }
+    (0L until retainFrom).foreach(v => fs.delete(commitFile(path, v), false))
+    keepDirs.size.toLong
+  }
+
   /** Bin-pack small files into `numFiles` outputs (same data, new
     * version). At scale, numFiles = ceil(bytes / 128 MB).
     */

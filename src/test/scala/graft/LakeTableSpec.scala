@@ -68,6 +68,19 @@ class LakeTableSpec extends AnyFunSuite {
     assert(cat.table("beta").count() == 10)
   }
 
+  test("delete/update DML and vacuum retention") {
+    val p = s"$root/dml"
+    LakeTable.create(spark, p, Seq((1L, 10.0), (2L, -5.0), (3L, 7.0)).toDF("k", "v"))
+    LakeTable.delete(spark, p, col("v") < 0)                      // v1
+    LakeTable.update(spark, p, col("k") === 1L, Map("v" -> lit(99.0))) // v2
+    val got = LakeTable.read(spark, p).as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 99.0, 3L -> 7.0))
+    assert(LakeTable.read(spark, p, Some(0L)).count() == 3) // time travel intact
+    LakeTable.vacuum(spark, p, retainFrom = 2L)
+    assert(LakeTable.read(spark, p).as[(Long, Double)].collect().toMap == got)
+    intercept[Exception] { LakeTable.read(spark, p, Some(0L)).collect() } // horizon dropped
+  }
+
   test("concurrent commits to the same version: exactly one wins") {
     val p = s"$root/race"
     LakeTable.create(spark, p, spark.range(5).toDF("id"))

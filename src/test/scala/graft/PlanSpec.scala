@@ -80,6 +80,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle budgets: key operators stay within their exchange counts") {
+    // Each entry: query -> max allowed "Exchange" occurrences in the
+    // physical plan (a regression here means a new unplanned shuffle —
+    // the thing that silently kills a 100 TB run).
+    val budgets = Map(
+      "q_agg_groupby" -> 2,      // partial->final agg + sort
+      "q_asof_join" -> 3,        // union shuffle on uid + window sort + output sort
+      "q_join_multi" -> 3,       // fact join + agg + sort (dims broadcast)
+      "q_dedup_exact" -> 2,      // hash agg + sort
+      "q_skew_agg" -> 3,         // salt-phase shuffle + per-key combine + sort
+      "q_knn_brute" -> 2)        // window on qid + sort (queries broadcast)
+    budgets.foreach { case (name, budget) =>
+      val p = Registry.byName(name).run(spark, sf).queryExecution.executedPlan.toString
+      val n = "Exchange".r.findAllIn(p).size -
+        "BroadcastExchange".r.findAllIn(p).size // broadcasts are fine
+      assert(n <= budget, s"$name shuffles $n > budget $budget:\n${p.take(2000)}")
+    }
+  }
+
   test("salted skew agg produces two-phase aggregation without a hot single key") {
     val p = planOf("q_skew_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final × two phases

@@ -81,7 +81,10 @@ object LakeTable {
 
   private def writeGroup(spark: SparkSession, path: String, v: Long, df: DataFrame,
       partitionBy: Seq[String]): String = {
-    val dir = s"d$v"
+    // Unique suffix: concurrent writers racing for the same version
+    // must stage DISTINCT dirs — only the commit rename decides the
+    // winner; the loser's dir is orphaned (vacuum reclaims it).
+    val dir = s"d$v-${java.util.UUID.randomUUID.toString.take(8)}"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(path, dir).toString)

@@ -78,6 +78,25 @@ class ExtrasSpec extends AnyFunSuite {
     assert(sh == 7L) // single element: simhash = its own bits
   }
 
+  test("approx-quantile rewrite fires only under the opt-in flag") {
+    def plan() = Registry.byName("q_quantile").run(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan().contains("percentile(") && !plan().contains("approx"))
+    spark.conf.set("spark.graft.approxQuantiles", "true")
+    try {
+      val p = plan()
+      assert(p.contains("percentile_approx") || p.contains("approx_percentile"), p.take(800))
+      // and results stay within sketch tolerance of exact
+      val approx = Registry.byName("q_quantile").run(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      spark.conf.unset("spark.graft.approxQuantiles")
+      val exact = Registry.byName("q_quantile").run(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exact.foreach { case (k, v) =>
+        assert(math.abs(approx(k) - v) / v < 0.02, s"$k: ${approx(k)} vs $v") }
+    } finally spark.conf.unset("spark.graft.approxQuantiles")
+  }
+
   test("materialized rollup serves without scanning the fact table") {
     val df = Registry.byName("q_mv_rollup").run(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -227,6 +227,23 @@ object Extras {
              |FROM orders WHERE o_totalprice > 200000 AND o_orderstatus <> 'P'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // E12: custom whole-operator Catalyst extension — LogicalPlan +
+    // planner Strategy + two-phase SparkPlan. Bounded per-group heaps
+    // replace the window-sort: shuffle carries ≤ k rows per (group,
+    // partition) instead of every row. Same result as row_number —
+    // the oracle proves it.
+    Q("q_topk_custom",
+      (s, d) => graft.plans.TopK.perGroup(
+        t(s, d, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        groupCols = Seq("o_orderpriority"), orderCol = "o_totalprice",
+        tieCol = "o_orderkey", k = 3)
+        .orderBy(col("o_orderpriority"), desc("o_totalprice"), col("o_orderkey")),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+             |WHERE rn <= 3 ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)),
+
     // E10: typed custom Aggregator (UDAF surface) — Welford one-pass
     // variance, merge-stable under Spark's partial aggregation; gated
     // against the built-in var_samp oracle.

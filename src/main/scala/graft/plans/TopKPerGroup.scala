@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Custom whole-operator Catalyst extension (SURVEY §2 E-block,
+  * extension path (c)): top-k rows per group by a numeric column.
+  *
+  * Why not `row_number().over(partitionBy(g).orderBy(o))`: the window
+  * sorts EVERY group's full row set (shuffle of all rows + per-group
+  * sort) and only then discards all but k. This operator keeps a
+  * bounded k-heap per group in each input partition (LocalTopKExec —
+  * map-side, no sort), shuffles at most k rows per (group, partition),
+  * and merges heaps after the exchange (FinalTopKExec). At 100 TB the
+  * shuffle shrinks from |rows| to ≤ k·groups·partitions.
+  *
+  * Ordering: value DESC, tie-break id ASC — fully deterministic so the
+  * result is oracle-checkable.
+  */
+final case class TopKPerGroup(k: Int, groupCols: Seq[Attribute],
+    orderCol: Expression, tieCol: Expression, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
+/** Shared bounded-heap pass used by both phases. */
+private[plans] object TopKHeap {
+  def topK(iter: Iterator[InternalRow], k: Int, groupCols: Seq[Expression],
+      orderCol: Expression, tieCol: Expression, inputAttrs: Seq[Attribute]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(groupCols, inputAttrs)
+    val orderBound = BindReferences.bindReference(orderCol, inputAttrs)
+    val tieBound = BindReferences.bindReference(tieCol, inputAttrs)
+    // min-heap: worst element on top — "worse" = lower value, or equal
+    // value with larger tie id.
+    val ord = Ordering.by[(Double, Long, InternalRow), (Double, Long)] {
+      case (v, t, _) => (v, -t)
+    }
+    val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Double, Long, InternalRow)]]()
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = scala.collection.mutable.PriorityQueue.empty(ord.reverse) // min on top
+        heaps.put(key.copy(), heap)
+      }
+      val v = orderBound.eval(row).asInstanceOf[Number].doubleValue()
+      val t = tieBound.eval(row).asInstanceOf[Number].longValue()
+      if (heap.size < k) heap.enqueue((v, t, row.copy()))
+      else {
+        val worst = heap.head
+        if (v > worst._1 || (v == worst._1 && t < worst._2)) {
+          heap.dequeue(); heap.enqueue((v, t, row.copy()))
+        }
+      }
+    }
+    scala.jdk.CollectionConverters.IteratorHasAsScala(heaps.values().iterator()).asScala
+      .flatMap(_.iterator.map(_._3))
+  }
+}
+
+/** Map-side phase: bounded heaps per input partition, no distribution
+  * requirement, no sort.
+  */
+final case class LocalTopKExec(k: Int, groupCols: Seq[Attribute],
+    orderCol: Expression, tieCol: Expression, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions(
+      TopKHeap.topK(_, k, groupCols, orderCol, tieCol, child.output))
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+/** Reduce-side phase: requires co-located groups (EnsureRequirements
+  * inserts the hash exchange), merges the per-partition heaps.
+  */
+final case class FinalTopKExec(k: Int, groupCols: Seq[Attribute],
+    orderCol: Expression, tieCol: Expression, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (groupCols.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupCols) :: Nil
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions(
+      TopKHeap.topK(_, k, groupCols, orderCol, tieCol, child.output))
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+/** Plans the logical node as Final(Local(child)). */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(k, g, o, t, child) =>
+      FinalTopKExec(k, g, o, t, LocalTopKExec(k, g, o, t, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Column-API entry: top `k` rows per `groupCols` by `orderCol`
+    * (numeric, DESC), ties broken by `tieCol` ASC (must be unique for
+    * deterministic output).
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    // Belt and braces: GraftExtensions injects the strategy at session
+    // build, but sessions graft didn't build (a host's own session)
+    // get it via the public experimental hook.
+    val session = df.sparkSession
+    if (!session.experimental.extraStrategies.contains(TopKStrategy))
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ TopKStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output
+      .find(_.name == n).getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val plan = TopKPerGroup(k, groupCols.map(attr),
+      attr(orderCol), attr(tieCol), analyzed)
+    classicDataset(df.sparkSession, plan)
+  }
+
+  private def classicDataset(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.graftglue.Glue.ofRows(spark, plan)
+}

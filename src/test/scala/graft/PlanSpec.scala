@@ -80,6 +80,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("custom TopKPerGroup plans as two-phase heaps with one shuffle, no sort before it") {
+    val df = graft.plans.TopK.perGroup(
+      Tables(spark, sf, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTopK") && p.contains("FinalTopK"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("Sort "), s"bounded heaps must not sort:\n${p.take(1500)}")
+    assert(df.count() == 15) // 5 priorities × 3
+  }
+
   test("shuffle budgets: key operators stay within their exchange counts") {
     // Each entry: query -> max allowed "Exchange" occurrences in the
     // physical plan (a regression here means a new unplanned shuffle —

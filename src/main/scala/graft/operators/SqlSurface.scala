@@ -78,6 +78,25 @@ object SqlSurface {
              |FROM events WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 50
              |ORDER BY event_id""".stripMargin)),
 
+    // A61: correlated LATERAL subquery — per-customer best order via
+    // a dependent join (decorrelated by Catalyst into a ranked join).
+    Q("q_lateral",
+      (s, d) => GraftSession.sql(s, d,
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+          |WHERE c.c_custkey <= 200
+          |ORDER BY c.c_custkey""".stripMargin),
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+             |WHERE c.c_custkey <= 200
+             |ORDER BY c.c_custkey""".stripMargin)),
+
     // A51/A52: multiset set ops (keep duplicates).
     Q("q_intersect_all",
       (s, d) => t(s, d, "orders").select(col("o_custkey").as("k"))

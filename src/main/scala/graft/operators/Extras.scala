@@ -136,6 +136,33 @@ object Extras {
              |len(string_split(text,' ')) AS n
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // A62: explicit null ordering (NULLS FIRST/LAST on both ends).
+    Q("q_null_ordering",
+      (s, d) => t(s, d, "orders").where(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("st"))
+        .orderBy(col("st").desc_nulls_first, col("o_orderkey").asc),
+      Some("""SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+             |FROM orders WHERE o_orderkey <= 200
+             |ORDER BY st DESC NULLS FIRST, o_orderkey""".stripMargin)),
+
+    // A63: date/interval arithmetic — add days/months, truncate, diff.
+    Q("q_interval_arith",
+      (s, d) => t(s, d, "orders").where(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30d"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_99"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30d,
+             |CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+             |last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99
+             |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
+
     // A56: ordered string aggregation (listagg / string_agg).
     Q("q_string_agg",
       (s, d) => t(s, d, "nation")

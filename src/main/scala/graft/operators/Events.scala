@@ -62,9 +62,11 @@ object Events {
 
     // Per-event session index assignment (gaps-and-islands as a
     // window computation — one shuffle on user_id, no state blowup).
+    // event_id tiebreaks equal timestamps so lag/cumsum assignment is
+    // deterministic across engines.
     Q("q_sessionize_custom",
       (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ts")
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
         val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d, "events")
           .withColumn("new_s",
@@ -76,11 +78,11 @@ object Events {
           .orderBy("event_id")
       },
       Some("""WITH x AS (SELECT event_id, user_id, ts,
-             |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-             |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+             |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
              |       THEN 1 ELSE 0 END AS new_s FROM events)
-             |SELECT event_id, user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |SELECT event_id, user_id, (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sid
              |FROM x ORDER BY event_id""".stripMargin)),
 
     // Salted two-phase aggregation: partial agg on (key, salt) spreads

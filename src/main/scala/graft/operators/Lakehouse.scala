@@ -146,7 +146,7 @@ object Lakehouse {
              |  SELECT doc_id, n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
              |  UNION ALL
              |  SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1)
-             |SELECT coalesce(lang, 'legacy') AS lang, count(*) AS cnt, sum(n_chars) AS chars
+             |SELECT coalesce(lang, 'legacy') AS lang, count(*) AS cnt, sum(n_chars)::BIGINT AS chars
              |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // B12: the registered data source — write via

@@ -151,8 +151,11 @@ object TextOps {
         val stopRatio = size(filter(ws, w => w.isin(stopwords: _*))).cast("double") / wc
         t(s, d, "documents")
           .withColumn("ws", split(col("text"), " "))
+          // +1e-9 before the threshold compare: docs whose score is the
+          // exact rational 0.6 otherwise flip between engines on sub-ulp
+          // evaluation-order differences (same pattern as q_text_quality).
           .withColumn("score", ttr * 0.5 + (lit(1.0) - stopRatio) * 0.5)
-          .where(col("n_chars").between(50, 5000) && col("score") > 0.6 && stopRatio > 0)
+          .where(col("n_chars").between(50, 5000) && col("score") + lit(1e-9) > 0.6 && stopRatio > 0)
           .groupBy("lang")
           .agg(count(lit(1)).as("kept"), sum("n_chars").as("chars"))
           .orderBy("lang")
@@ -162,8 +165,8 @@ object TextOps {
              |  len(list_distinct(ws))::DOUBLE / len(ws) AS ttr,
              |  len(list_filter(ws, w -> w IN ('the','a','and','of','to')))::DOUBLE / len(ws) AS sr
              |  FROM x)
-             |SELECT lang, count(*) AS kept, sum(n_chars) AS chars FROM y
-             |WHERE n_chars BETWEEN 50 AND 5000 AND (ttr*0.5 + (1.0-sr)*0.5) > 0.6 AND sr > 0
+             |SELECT lang, count(*) AS kept, sum(n_chars)::BIGINT AS chars FROM y
+             |WHERE n_chars BETWEEN 50 AND 5000 AND (ttr*0.5 + (1.0-sr)*0.5 + 0.000000001) > 0.6 AND sr > 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Rabin-Karp rolling-hash fingerprint: polynomial hash of each

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Custom whole-operator Catalyst extension (SURVEY §2 E-block,
@@ -49,8 +49,14 @@ private[plans] object TopKHeap {
         heap = scala.collection.mutable.PriorityQueue.empty(ord.reverse) // min on top
         heaps.put(key.copy(), heap)
       }
-      val v = orderBound.eval(row).asInstanceOf[Number].doubleValue()
-      val t = tieBound.eval(row).asInstanceOf[Number].longValue()
+      // NULL order sorts worst (-inf = NULLS LAST under DESC), NULL tie
+      // last among equals — matches row_number semantics, no NPE.
+      val vRaw = orderBound.eval(row)
+      val tRaw = tieBound.eval(row)
+      val v = if (vRaw == null) Double.NegativeInfinity
+        else vRaw.asInstanceOf[Number].doubleValue()
+      val t = if (tRaw == null) Long.MaxValue
+        else tRaw.asInstanceOf[Number].longValue()
       if (heap.size < k) heap.enqueue((v, t, row.copy()))
       else {
         val worst = heap.head
@@ -82,8 +88,10 @@ final case class LocalTopKExec(k: Int, groupCols: Seq[Attribute],
 final case class FinalTopKExec(k: Int, groupCols: Seq[Attribute],
     orderCol: Expression, tieCol: Expression, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+  // Empty groupCols = GLOBAL top-k: every partition's local winners
+  // must meet in one partition or each would emit its own k rows.
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupCols.isEmpty) UnspecifiedDistribution :: Nil
+    if (groupCols.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupCols) :: Nil
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(

@@ -66,17 +66,33 @@ object LakeTable {
     Commit(ver, action, dirs)
   }
 
-  private def writeCommit(spark: SparkSession, path: String, c: Commit): Unit = {
+  private[graft] def writeCommit(spark: SparkSession, path: String, c: Commit): Unit = {
     val target = commitFile(path, c.version)
-    val tmp = new Path(logDir(path), s".tmp-v${c.version}.json")
+    val tmp = new Path(logDir(path), s".tmp-v${c.version}-${java.util.UUID.randomUUID.toString.take(8)}.json")
     val fs = fsOf(spark, target)
     fs.mkdirs(logDir(path))
     val json = s"""{"version":${c.version},"action":"${c.action}",""" +
       s""""dirs":[${c.dirs.map(d => "\"" + d + "\"").mkString(",")}]}"""
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!fs.rename(tmp, target))
+    // Local-FS (and POSIX) rename silently REPLACES an existing target,
+    // so rename alone is not exclusive: two racers at the same version
+    // would both "succeed" and one commit would vanish. Claim the
+    // version first with an exclusive create of a lock marker
+    // (create(overwrite=false) throws if it exists) — on an object
+    // store this maps to a conditional PUT (If-None-Match) of the
+    // commit object itself. Content atomicity still comes from the
+    // tmp→target rename; the "." prefix keeps markers out of the
+    // version listing.
+    val lock = new Path(logDir(path), f".claim-v${c.version}%05d")
+    val claimed = try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed) {
+      fs.delete(tmp, false)
       throw new IllegalStateException(s"commit v${c.version} lost the race for $target")
+    }
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"commit v${c.version} rename failed for $target")
   }
 
   private def writeGroup(spark: SparkSession, path: String, v: Long, df: DataFrame,
@@ -143,7 +159,9 @@ object LakeTable {
   }
 
   /** DELETE WHERE — copy-on-write rewrite keeping rows that do NOT
-    * match `predicate`.
+    * match `predicate`. SQL DELETE semantics: a NULL predicate keeps
+    * the row (`!null = null` would silently delete it), hence the
+    * coalesce-to-false before negating.
     */
   def delete(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): Long = {
@@ -151,7 +169,7 @@ object LakeTable {
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val v = prev + 1
     val dir = writeGroup(spark, path, v,
-      read(spark, path, Some(prev)).where(!predicate), Nil)
+      read(spark, path, Some(prev)).where(!coalesce(predicate, lit(false))), Nil)
     writeCommit(spark, path, Commit(v, "delete", Seq(dir)))
     v
   }
@@ -190,7 +208,10 @@ object LakeTable {
       if (st.isDirectory && n.startsWith("d") && !keepDirs.contains(n))
         fs.delete(st.getPath, true)
     }
-    (0L until retainFrom).foreach(v => fs.delete(commitFile(path, v), false))
+    (0L until retainFrom).foreach { v =>
+      fs.delete(commitFile(path, v), false)
+      fs.delete(new Path(logDir(path), f".claim-v$v%05d"), false)
+    }
     keepDirs.size.toLong
   }
 

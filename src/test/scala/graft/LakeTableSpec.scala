@@ -93,10 +93,50 @@ class LakeTableSpec extends AnyFunSuite {
     }
     threads.foreach(_.start()); threads.foreach(_.join())
     // At least one commit lands; if both observed v0 concurrently, the
-    // rename race rejects the loser rather than corrupting the log.
+    // claim race rejects the loser rather than corrupting the log.
     assert(results.size == 2 && results.contains(true))
     assert(LakeTable.currentVersion(spark, p).exists(_ >= 1L))
     assert(LakeTable.read(spark, p).count() >= 15) // a consistent snapshot
+    // Deterministic exactly-one-winner: a second commit of an ALREADY
+    // committed version must be rejected (local-FS rename would have
+    // silently replaced it — the exclusive claim is what rejects it).
+    val cur = LakeTable.currentVersion(spark, p).get
+    val before = LakeTable.read(spark, p).count()
+    intercept[IllegalStateException] {
+      LakeTable.writeCommit(spark, p, LakeTable.Commit(cur, "append", Seq("bogus")))
+    }
+    assert(LakeTable.read(spark, p).count() == before) // commit intact
+  }
+
+  test("DELETE keeps rows whose predicate evaluates to NULL") {
+    val p = s"$root/delnull"
+    LakeTable.create(spark, p,
+      Seq((1L, Option(5.0)), (2L, Option.empty[Double]), (3L, Option(-1.0))).toDF("k", "v"))
+    LakeTable.delete(spark, p, col("v") < 0) // NULL predicate row must survive
+    val kept = LakeTable.read(spark, p).select("k").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("global (ungrouped) top-k returns exactly k rows") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("v", (col("id") * 37 % 101).cast("double"))
+      .repartition(8)
+    val got = graft.plans.TopK.perGroup(df, Nil, "v", "id", 5).collect()
+    assert(got.length == 5)
+    // matches the window-equivalent answer
+    val exp = df.orderBy(desc("v"), col("id")).limit(5)
+      .select("id").as[Long].collect().toSet
+    assert(got.map(_.getLong(0)).toSet == exp)
+  }
+
+  test("top-k skips NULL order values until needed (NULLS LAST)") {
+    val df = Seq((1L, Some(3.0), "g"), (2L, None, "g"), (3L, Some(9.0), "g"))
+      .toDF("id", "v", "g")
+    val top2 = graft.plans.TopK.perGroup(df, Seq("g"), "v", "id", 2)
+      .select("id").as[Long].collect().toSet
+    assert(top2 == Set(1L, 3L)) // non-null values beat the NULL row
+    val top3 = graft.plans.TopK.perGroup(df, Seq("g"), "v", "id", 3).count()
+    assert(top3 == 3) // NULL row still fills when k exceeds non-nulls
   }
 
   test("graft format: save modes and version option (time travel)") {

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftglue.Glue
-import graft.plans.{CosineSimilarity, HyperplaneSketch, MinHashSignature, SimHash64}
+import graft.plans.{CosineSimilarity, HyperplaneSketch, MinHashSignature, NearestCentroid, SimHash64}
 
 /** Column-API wrappers for graft's native expressions plus
   * HOF-composed reference implementations (used by specs to
@@ -31,6 +31,13 @@ object Vectors {
 
   def simhash(hashes: Column): Column =
     Glue.column(SimHash64(Glue.expression(hashes)))
+
+  /** Index of the nearest centroid (squared euclidean, first-min tie
+    * rule — MLlib KMeans assignment semantics) as a native fused
+    * expression; the centroid matrix is a codegen reference constant.
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
+    Glue.column(NearestCentroid(Glue.expression(vec), centroids))
 
   /** Random-hyperplane sketch: `bits`-bit sign pattern of the vector
     * against `numTables` deterministic hyperplanes each — returns an

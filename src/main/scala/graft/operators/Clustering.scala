@@ -25,19 +25,35 @@ object Clustering {
   def knnIvf(s: SparkSession, d: String, k: Int = 16, nprobe: Int = 4, topK: Int = 3): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings")
-    val toMl = udf((a: Seq[Float]) => MlVectors.dense(a.map(_.toDouble).toArray))
-    val corpus = emb.where(col("vec_id") >= 10)
-      .withColumn("features", toMl(col("embedding")))
+    val corpus = emb.where(col("vec_id") >= 10).select("vec_id", "embedding")
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
 
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(corpus)
-    val centroids: Array[(Int, Array[Float])] = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+    // The coarse quantizer only needs O(1000·k) points to converge —
+    // train on a bounded sample, never the full corpus (at 100 TB a
+    // full-corpus fit would be a quantizer trained with 10^9× more
+    // data than it can use). Deterministic seed keeps it reproducible;
+    // below the cap the sample is the whole corpus, unchanged results.
+    // The ml.Vector conversion UDF only ever touches this bounded
+    // sample — the corpus-wide paths below are all native codegen.
+    val trainCap = 100000L
+    val n = corpus.count()
+    val sampled = if (n <= trainCap) corpus
+      else corpus.sample(withReplacement = false, trainCap.toDouble / n, 42L)
+    val toMl = udf((a: Seq[Float]) => MlVectors.dense(a.map(_.toDouble).toArray))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .fit(sampled.withColumn("features", toMl(col("embedding"))))
+    val centroidRows: Array[Array[Float]] =
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val centroids: Array[(Int, Array[Float])] =
+      centroidRows.zipWithIndex.map { case (c, i) => (i, c) }
 
-    // Corpus → cell assignment (one pass, shuffle-free map).
-    val assigned = model.transform(corpus)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    // Corpus → cell assignment: one shuffle-free map pass through the
+    // native NearestCentroid expression (same squared-euclidean
+    // first-min rule as model.transform, minus its row-by-row
+    // Vector-conversion UDF boundary).
+    val assigned = corpus
+      .withColumn("cell", Vectors.nearestCentroid(col("embedding"), centroidRows))
 
     // Each query probes its nprobe nearest centroids.
     val centDf = centroids.toSeq.toDF("cell", "centroid")

@@ -134,10 +134,19 @@ object DedupOps {
 
     // D04: exact n-gram Jaccard verification of the MinHash LSH
     // candidates — the verify step of the standard two-phase pipeline.
+    // The shingle table is SEMI-JOINED to the candidate doc_ids before
+    // any array is attached: shingle arrays are ~text-sized, and
+    // candidates are a tiny fraction of the corpus, so this keeps the
+    // "only hashes and candidates shuffle" contract — without it the
+    // verify step would shuffle every doc's full shingle array.
     Q("q_dedup_ngram",
       (s, d) => {
-        val sh = tokenized(s, d).select(col("doc_id"), shingleHashes(col("ws")).as("sh"))
         val cand = minhashCandidates(s, d).select("doc_a", "doc_b")
+        val candIds = cand
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+        val sh = tokenized(s, d)
+          .join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), shingleHashes(col("ws")).as("sh"))
         cand
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -75,19 +75,19 @@ object Extras {
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
              |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
 
-    // A47: first/last value frames — first and last ship date per
-    // returnflag group carried onto each row, aggregated back down.
+    // A47: first/last value per group. A window (`first/last over
+    // partitionBy(l_returnflag)`) would sort ALL of lineitem in 3
+    // reducer partitions and then discard everything but 3 rows — a
+    // single-reducer-per-flag scale-killer. first_value ordered by
+    // shipdate IS min(shipdate), so the right plan is the map-side
+    // partial aggregate (measured 1.8 s window vs 0.1 s agg at sf0.1;
+    // PlanSpec pins HashAggregate-no-Window).
     Q("q_window_firstlast",
-      (s, d) => {
-        val w = Window.partitionBy("l_returnflag").orderBy("l_shipdate")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        t(s, d, "lineitem")
-          .select(col("l_returnflag"),
-            first("l_shipdate").over(w).cast("date").as("first_ship"),
-            last("l_shipdate").over(w).cast("date").as("last_ship"))
-          .distinct()
-          .orderBy("l_returnflag")
-      },
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(min("l_shipdate").cast("date").as("first_ship"),
+          max("l_shipdate").cast("date").as("last_ship"))
+        .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, CAST(min(l_shipdate) AS DATE) AS first_ship,
              |CAST(max(l_shipdate) AS DATE) AS last_ship
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),

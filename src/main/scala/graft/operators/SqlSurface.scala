@@ -80,19 +80,24 @@ object SqlSurface {
 
     // A61: correlated LATERAL subquery — per-customer best order via
     // a dependent join (decorrelated by Catalyst into a ranked join).
+    // The outer `c_custkey <= 200` is mirrored onto the correlated
+    // side (`o_custkey <= 200`): Catalyst does not push the outer
+    // filter below the decorrelated WindowGroupLimit, so without it
+    // the orders side computes top-1 for EVERY customer and then
+    // discards all but 200 — a full-fact window at scale.
     Q("q_lateral",
       (s, d) => GraftSession.sql(s, d,
         """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
           |FROM customer c, LATERAL (
           |  SELECT o_orderkey, o_totalprice FROM orders
-          |  WHERE o_custkey = c.c_custkey
+          |  WHERE o_custkey = c.c_custkey AND o_custkey <= 200
           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
           |WHERE c.c_custkey <= 200
           |ORDER BY c.c_custkey""".stripMargin),
       Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
              |FROM customer c, LATERAL (
              |  SELECT o_orderkey, o_totalprice FROM orders
-             |  WHERE o_custkey = c.c_custkey
+             |  WHERE o_custkey = c.c_custkey AND o_custkey <= 200
              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
              |WHERE c.c_custkey <= 200
              |ORDER BY c.c_custkey""".stripMargin)),

@@ -225,6 +225,69 @@ case class HyperplaneSketch(child: Expression, numTables: Int, bits: Int, dim: I
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Nearest-centroid assignment for IVF-style ANN: index (0-based) of
+  * the centroid with the smallest squared euclidean distance to the
+  * input float vector; first-min wins on ties (MLlib KMeans
+  * semantics). The centroid matrix rides along as a codegen reference
+  * constant — at 100 TB the corpus→cell assignment is one fused
+  * codegen'd map pass, with no ml.Vector conversion UDF and no
+  * literal-array plan bloat.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+
+  private lazy val dim = if (centroids.isEmpty) 0 else centroids(0).length
+  /** Flattened row-major copy for the codegen path. */
+  private lazy val flat: Array[Double] = centroids.flatMap(_.map(_.toDouble))
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if centroids.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure("no centroids")
+    case t => TypeCheckResult.TypeCheckFailure(s"nearest_centroid expects array<float>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      val row = centroids(c)
+      var d = 0.0; var i = 0
+      while (i < n) { val diff = row(i) - v.getFloat(i); d += diff * diff; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", flat, "double[]")
+    val k = centroids.length
+    nullSafeCodeGen(ctx, ev, in => {
+      val n = ctx.freshName("n"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = Math.min($dim, $in.numElements());
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = $cRef[$c * $dim + $i] - (double) $in.getFloat($i);
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash of a bag of element hashes: per bit position, count
   * +1/-1 votes across elements; the result bit is 1 iff the vote sum
   * is positive. Token multiplicity is intentionally kept (a bag, not

@@ -114,4 +114,37 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q_skew_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final × two phases
   }
+
+  test("q_window_firstlast is a partial aggregate, not a 3-partition window") {
+    val p = planOf("q_window_firstlast")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), s"first/last per group must not plan a window:\n$p")
+  }
+
+  test("q_dedup_ngram semi-joins candidates before attaching shingle arrays") {
+    val p = Registry.byName("q_dedup_ngram").run(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // The semi-join that restricts the (array-carrying) shingle side to
+    // candidate ids must survive optimization — without it every doc's
+    // full shingle array shuffles into the verify join.
+    assert(p.contains("LeftSemi"), s"expected a LeftSemi join before the array join:\n${p.take(3000)}")
+  }
+
+  test("q_lateral pushes the customer-range filter into the orders window") {
+    val p = Registry.byName("q_lateral").run(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // The correlated-side o_custkey <= 200 must sit BELOW the window
+    // group-limit (on the orders scan), not only on the customer side.
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx >= 0, p.take(2000))
+    assert(p.substring(windowIdx).contains("<= 200"),
+      s"orders-side filter not below the window:\n${p.take(3000)}")
+  }
+
+  test("q_knn_ivf cell assignment contains no Scala UDF") {
+    val p = graft.operators.Clustering.knnIvf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("batchevalpython"), p.take(2000))
+    assert(!p.contains("UDF("), s"vector conversion must use array_to_vector, not a UDF:\n${p.take(3000)}")
+  }
 }

@@ -86,15 +86,30 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("NearestCentroid matches a Scala argmin reference and first-min tie rule") {
+    import spark.implicits._
+    val cents = Array(Array(0f, 0f), Array(3f, 4f), Array(0f, 0f)) // dup centroid: tie
+    val df = Seq(
+      (1L, Seq(0.1f, 0.1f)),   // nearest 0 (tie with 2 -> first wins)
+      (2L, Seq(3.1f, 3.9f)),   // nearest 1
+      (3L, Seq(0f, 0f))).toDF("id", "v")
+    val got = df.select(col("id"),
+      Vectors.nearestCentroid(col("v"), cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
   test("native expressions survive CODEGEN_ONLY mode (no silent fallback)") {
     val key = "spark.sql.codegen.factoryMode"
     val old = spark.conf.getOption(key)
     spark.conf.set(key, "CODEGEN_ONLY")
     try {
+      val cents = Array(Array.fill(64)(0.1f), Array.tabulate(64)(i => i / 64f))
       val n = Tables(spark, sf, "embeddings")
         .select(
           Vectors.cosineSim(col("embedding"), col("embedding")).as("c"),
-          Vectors.hyperplaneSketches(col("embedding"), 2, 4, 64).as("sk"))
+          Vectors.hyperplaneSketches(col("embedding"), 2, 4, 64).as("sk"),
+          Vectors.nearestCentroid(col("embedding"), cents).as("nc"))
         .where(col("c") > 0.5).count()
       assert(n > 0)
       val m = operators.DedupOps.tokenized(spark, sf)

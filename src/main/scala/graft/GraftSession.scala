@@ -11,10 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSession {
 
+  /** Warehouse root served by the `graft_cat` catalog plugin. */
+  def catalogRoot: String =
+    sys.env.getOrElse("GRAFT_LAKE_DIR", "/root/repo/target/lake") + "/graft_cat"
+
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(master)
+      .config("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft_cat.root", catalogRoot)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

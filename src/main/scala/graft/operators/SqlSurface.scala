@@ -119,6 +119,29 @@ object SqlSurface {
              |SELECT o_custkey AS k FROM orders EXCEPT ALL
              |SELECT c_custkey FROM customer) GROUP BY k ORDER BY k LIMIT 100""".stripMargin)),
 
+    // B16: the named-table catalog surface (metastore capability,
+    // reference internal/controller/metastore.go): CTAS into the
+    // graft_cat catalog plugin, then pure text SQL against the
+    // catalog-qualified name — resolution, V2 parquet scan with
+    // pushdown, and the LakeTable commit protocol all through
+    // `graft_cat.db.t`, no temp views.
+    Q("q_catalog_sql",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        s.sql("DROP TABLE IF EXISTS graft_cat.db.orders_cat")
+        s.sql("""CREATE TABLE graft_cat.db.orders_cat AS
+                |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""".stripMargin)
+        s.sql("""SELECT o_orderstatus, count(*) AS cnt,
+                |round(sum(o_totalprice), 2) AS rev
+                |FROM graft_cat.db.orders_cat
+                |WHERE o_totalprice > 150000
+                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+             |FROM orders WHERE o_totalprice > 150000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B11: materialized rollup serving (the Doris capability): a
     // pre-aggregated LakeTable answers the coarse query; correctness
     // gate proves MV-served == base-computed.

@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin exposing a directory of LakeTables to text SQL —
+  * the metastore capability of the reference platform
+  * (internal/controller/metastore.go:38-44 manages the Hive Metastore
+  * that Kyuubi sessions resolve names through): register with
+  *
+  * {{{
+  *   spark.sql.catalog.graft_cat      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft_cat.root = /path/to/warehouse
+  * }}}
+  *
+  * and `SELECT * FROM graft_cat.db.t`, `CREATE TABLE graft_cat.db.t
+  * AS SELECT ...`, `DROP TABLE ...` work against LakeTable snapshots
+  * with the V2 parquet scan/commit paths of GraftTable. Namespaces
+  * are single-level directories under the root; table metadata IS the
+  * LakeTable commit log, so the catalog is stateless and any number
+  * of sessions (tenants) can share it concurrently — the commit
+  * claim in LakeTable arbitrates writers.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((root +: namespace).mkString("/"))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path((root +: ident.namespace() :+ ident.name()).mkString("/"))
+
+  private def isLakeTable(p: Path): Boolean =
+    LakeTable.currentVersion(spark, p.toString).isDefined
+
+  // ---- namespaces -------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = new Path(root)
+    val f = fs(r)
+    if (!f.exists(r)) Array.empty
+    else f.listStatus(r).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && fs(nsPath(namespace)).exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace))
+      Map("location" -> nsPath(namespace).toString).asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespace.length != 1)
+      throw new IllegalArgumentException("graft catalog namespaces are single-level")
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    fs(nsPath(namespace)).mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val p = nsPath(namespace)
+    if (!cascade && fs(p).listStatus(p).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    fs(p).delete(p, true)
+  }
+
+  // ---- tables -----------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val p = nsPath(namespace)
+    fs(p).listStatus(p).filter(_.isDirectory)
+      .filter(s => isLakeTable(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isLakeTable(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
+    new GraftTable(p.toString, None, None)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name != "identity")
+        throw new UnsupportedOperationException(s"unsupported partition transform $t")
+      t.references().head.fieldNames().mkString(".")
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    LakeTable.create(spark, tablePath(ident).toString, empty, partCols)
+    new GraftTable(tablePath(ident).toString, None, Option(schema))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema evolves through writes (mergeSchema), not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isLakeTable(p)) false else fs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs(tablePath(oldIdent)).rename(tablePath(oldIdent), tablePath(newIdent)))
+      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+  }
+}

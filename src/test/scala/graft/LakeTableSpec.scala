@@ -147,10 +147,42 @@ class LakeTableSpec extends AnyFunSuite {
     assert(spark.read.format("graft").option("version", "0").load(p).count() == 10)
     assert(spark.read.format("graft").load(p)
       .where(col("id") >= 25).count() == 5) // filter through the relation
-    intercept[IllegalStateException] {
+    // V2 contract: path-based writes accept only append/overwrite —
+    // Spark rejects errorifexists before reaching the source.
+    intercept[org.apache.spark.sql.AnalysisException] {
       spark.range(1).toDF("id").write.format("graft")
         .mode("errorifexists").save(p)
     }
+  }
+
+  test("graft format scans through the V2 parquet path with pushdown") {
+    val p = s"$root/fmt_v2"
+    spark.range(100).toDF("id").withColumn("x", col("id") * 2)
+      .write.format("graft").mode("overwrite").save(p)
+    val df = spark.read.format("graft").load(p).where(col("id") > 90).select("x")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"expected a V2 BatchScan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)"), plan)
+    assert(!plan.contains("ExistingRDD"), s"V1 Row-RDD boundary resurfaced:\n$plan")
+    assert(df.count() == 9)
+  }
+
+  test("catalog plugin: SQL DDL/CTAS/SELECT/DROP against graft_cat") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.specdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.specdb.t1")
+    spark.range(50).toDF("id").createOrReplaceTempView("cat_src")
+    spark.sql("CREATE TABLE graft_cat.specdb.t1 AS SELECT id, id % 5 AS g FROM cat_src")
+    assert(spark.sql("SELECT count(*) AS c FROM graft_cat.specdb.t1").head().getLong(0) == 50)
+    // INSERT INTO appends a new LakeTable version through the catalog.
+    spark.sql("INSERT INTO graft_cat.specdb.t1 SELECT id + 100, id % 5 FROM cat_src")
+    assert(spark.sql("SELECT count(*) AS c FROM graft_cat.specdb.t1").head().getLong(0) == 100)
+    assert(spark.sql("SHOW TABLES IN graft_cat.specdb").collect()
+      .map(_.getString(1)).contains("t1"))
+    // the catalog is just the LakeTable directory — visible to the API too
+    assert(LakeTable.currentVersion(spark,
+      s"${GraftSession.catalogRoot}/specdb/t1").exists(_ >= 1L))
+    spark.sql("DROP TABLE graft_cat.specdb.t1")
+    assert(spark.sql("SHOW TABLES IN graft_cat.specdb").isEmpty)
   }
 
   test("z-order clustering enables multi-column file skipping") {

@@ -73,16 +73,16 @@ object Clustering {
       .orderBy("qid", "rn")
   }
 
-  /** D17: connected components over MinHash near-dup pairs by
-    * iterative min-label propagation: every doc adopts the smallest
-    * doc_id reachable over candidate edges; iterate until fixpoint.
-    * Candidate-pair graphs are tiny relative to the corpus (edges ≈
-    * true dups), so the loop is a few small shuffles regardless of
-    * corpus size — the standard transitive-closure step real dedup
-    * pipelines run between LSH and the keep-rule.
+  /** D17: connected components over VERIFIED near-dup pairs (exact
+    * shingle-Jaccard ≥ 0.8) by iterative min-label propagation: every
+    * doc adopts the smallest doc_id reachable over edges; iterate
+    * until fixpoint. Verified-pair graphs are tiny relative to the
+    * corpus (edges = true dups), so the loop is a few small shuffles
+    * regardless of corpus size — the standard transitive-closure step
+    * real dedup pipelines run between verification and the keep-rule.
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val edges0 = DedupOps.minhashCandidates(s, d).select("doc_a", "doc_b")
+    val edges0 = DedupOps.ngramPairs(s, d, 0.8).select("doc_a", "doc_b")
     // Symmetric edge list including self-loops so isolated members keep labels.
     // localCheckpoint: materialize the (tiny) edge/label sets and cut
     // lineage — otherwise each iteration's plan nests the previous
@@ -95,7 +95,10 @@ object Clustering {
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 10) {
+    // Convergence needs graph-diameter iterations; near-dup clusters
+    // are shallow, 20 is headroom so the fixpoint (== the oracle's
+    // transitive closure) is always reached on sane inputs.
+    while (changed > 0 && iter < 20) {
       // Each node adopts min(own label, neighbors' labels).
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "doc_b"), "doc_b")
@@ -120,6 +123,19 @@ object Clustering {
 
   val qs: Seq[Q] = Seq(
     Q("q_knn_ivf", (s, d) => knnIvf(s, d), None),
-    Q("q_dedup_clusters", (s, d) => dedupClusters(s, d), None),
+    // Oracle: same verified-pair edges in SQL, transitive closure via
+    // a recursive CTE, min reachable id = the propagated label.
+    Q("q_dedup_clusters", (s, d) => dedupClusters(s, d),
+      Some(DedupOps.ngramPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          |       UNION SELECT doc_b, doc_a FROM pairs),
+          |reach(a, b) AS (
+          |  SELECT a, a FROM e
+          |  UNION
+          |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+          |lab AS (SELECT a AS id, min(b) AS label FROM reach GROUP BY 1)
+          |SELECT label AS cluster_rep, count(*)::BIGINT AS cluster_size,
+          |  array_to_string(list_sort(list(id)), ',') AS members
+          |FROM lab GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin)),
   )
 }

@@ -39,6 +39,61 @@ object DedupOps {
         i => xxhash64(element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
       .otherwise(array(xxhash64(concat_ws(" ", ws))))
 
+  /** Exploded (doc_id, shingle-hash) inverted index — distinct 3-gram
+    * hashes per doc, one row each. Only 16 bytes/row ever shuffles.
+    */
+  def shingleTable(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d).select(col("doc_id"), explode(shingleHashes(col("ws"))).as("h"))
+
+  /** EXACT shingle-Jaccard near-dup pairs at `threshold`, via the
+    * inverted-index self-join: |A∩B| = count of shared shingle hashes
+    * (blocking is exact — any pair with jaccard > 0 shares a hash),
+    * |A∪B| = |A|+|B|-|A∩B| from per-doc counts. Shuffles carry ONLY
+    * (doc_id, 8B hash) rows and (pair, count) partials — no shingle
+    * arrays, no text. Hot shingles (high doc-frequency) are the skew
+    * risk at 100 TB; AQE skew-join splits them, and a df-cap prefilter
+    * is the standard extension when a corpus has stop-shingles.
+    */
+  def ngramPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val sh = shingleTable(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      // +1e-9 inside round: exact rationals on the .xxxx5 boundary
+      // round differently between engines (same pattern as elsewhere).
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")) + lit(1e-9), 4))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Shared DuckDB CTE prefix mirroring shingleTable/ngramPairs on
+    * string shingles (hash-free; collisionless xxhash64 ⇒ identical
+    * set arithmetic).
+    */
+  private[operators] val ngramPairsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM w, UNNEST(range(1, len(ws)-1)) t(i) WHERE len(ws) >= 3
+      |  UNION
+      |  SELECT doc_id, array_to_string(ws, ' ') FROM w WHERE len(ws) < 3),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    round(inter::DOUBLE / (sza.sz + szb.sz - inter) + 0.000000001, 4) AS jaccard
+      |  FROM it JOIN sz sza ON it.doc_a = sza.doc_id
+      |          JOIN sz szb ON it.doc_b = szb.doc_id
+      |  WHERE round(inter::DOUBLE / (sza.sz + szb.sz - inter) + 0.000000001, 4) >= 0.8)
+      |""".stripMargin
+
   /** doc_id + 16-long MinHash signature per doc (native expression). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     tokenized(s, d)
@@ -132,32 +187,14 @@ object DedupOps {
       },
       None),
 
-    // D04: exact n-gram Jaccard verification of the MinHash LSH
-    // candidates — the verify step of the standard two-phase pipeline.
-    // The shingle table is SEMI-JOINED to the candidate doc_ids before
-    // any array is attached: shingle arrays are ~text-sized, and
-    // candidates are a tiny fraction of the corpus, so this keeps the
-    // "only hashes and candidates shuffle" contract — without it the
-    // verify step would shuffle every doc's full shingle array.
+    // D04: EXACT n-gram Jaccard dedup — the verify-quality answer the
+    // two-phase (LSH → verify) pipeline approximates, computed with
+    // exact inverted-index blocking (see ngramPairs). Oracle-gated:
+    // DuckDB reproduces the same set arithmetic on string shingles.
     Q("q_dedup_ngram",
-      (s, d) => {
-        val cand = minhashCandidates(s, d).select("doc_a", "doc_b")
-        val candIds = cand
-          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-        val sh = tokenized(s, d)
-          .join(candIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), shingleHashes(col("ws")).as("sh"))
-        cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .withColumn("jaccard", round(
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))), 4))
-          .where(col("jaccard") >= 0.8)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
-      None),
+      (s, d) => ngramPairs(s, d, 0.8).orderBy("doc_a", "doc_b"),
+      Some(ngramPairsSql +
+        "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b")),
 
     // D05: embedding-cosine near-dup. The synthetic embeddings have no
     // natural near-dups (max pairwise cosine ≈ 0.51), so the query

@@ -138,7 +138,20 @@ object TextOps {
             col("lang"))
           .orderBy("doc_id")
       },
-      None),
+      // Oracle: the same broadcast-profile argmax in SQL; the VALUES
+      // list is generated from langProfiles so they cannot drift.
+      Some(s"""WITH prof(cand_lang, marker) AS (VALUES ${
+               langProfiles.flatMap { case (l, ws) =>
+                 ws.map(w => s"('$l','$w')") }.mkString(", ")}),
+              |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              |hits AS (SELECT doc_id, cand_lang, count(*) AS hits
+              |         FROM tok JOIN prof ON w = marker GROUP BY 1, 2),
+              |pred AS (SELECT doc_id, cand_lang AS pred_lang,
+              |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+              |         FROM hits)
+              |SELECT d.doc_id, coalesce(p.pred_lang, 'unknown') AS pred_lang, d.lang
+              |FROM documents d LEFT JOIN (SELECT doc_id, pred_lang FROM pred WHERE rn = 1) p
+              |USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // D15: the pre-training corpus filter chain — length bounds,
     // quality-score threshold, stopword-bearing docs only. Entirely

@@ -121,13 +121,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"first/last per group must not plan a window:\n$p")
   }
 
-  test("q_dedup_ngram semi-joins candidates before attaching shingle arrays") {
+  test("q_dedup_ngram shuffles only scalar hash rows, never shingle arrays") {
     val p = Registry.byName("q_dedup_ngram").run(spark, sf)
       .queryExecution.optimizedPlan.toString
-    // The semi-join that restricts the (array-carrying) shingle side to
-    // candidate ids must survive optimization — without it every doc's
-    // full shingle array shuffles into the verify join.
-    assert(p.contains("LeftSemi"), s"expected a LeftSemi join before the array join:\n${p.take(3000)}")
+    // The inverted-index formulation computes |A∩B| as a count over the
+    // exploded (doc_id, hash) table — the shingle ARRAY must be fully
+    // consumed by the generator below any exchange; array set-ops on
+    // carried arrays would mean text-sized rows in the shuffle again.
+    assert(p.contains("Generate explode"), p.take(3000))
+    assert(!p.contains("array_intersect") && !p.contains("array_union"),
+      s"shingle arrays resurfaced in the join:\n${p.take(3000)}")
   }
 
   test("q_lateral pushes the customer-range filter into the orders window") {

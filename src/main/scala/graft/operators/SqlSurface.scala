@@ -142,6 +142,34 @@ object SqlSurface {
              |FROM orders WHERE o_totalprice > 150000
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B17: JDBC source federation (the platform's PostgreSQL leg,
+    // reference internal/controller/postgresql.go) against embedded
+    // Derby — the only RDBMS in the sandbox. Stage a dimension slice
+    // into the database over JDBC, read it back through spark.read.jdbc
+    // (predicate pushdown into the remote SQL), join it to the parquet
+    // fact table. At scale the JDBC side is the small federated dim —
+    // broadcast — and `partitionColumn/numPartitions` shards bigger
+    // pulls; the fact never leaves the lake.
+    Q("q_jdbc_federation",
+      (s, d) => {
+        val url = s"jdbc:derby:${Lakehouse.scratch}/derby_fed;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").jdbc(url, "NATION_DIM", props)
+        val dim = s.read.jdbc(url, "NATION_DIM", props)
+          .where(col("n_regionkey") <= 2)
+        t(s, d, "customer")
+          .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("bal"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS cnt, round(sum(c_acctbal),2) AS bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE n_regionkey <= 2
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B11: materialized rollup serving (the Doris capability): a
     // pre-aggregated LakeTable answers the coarse query; correctness
     // gate proves MV-served == base-computed.

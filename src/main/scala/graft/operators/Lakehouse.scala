@@ -228,6 +228,24 @@ object Lakehouse {
              |SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal) + 0.000001, 2) AS bal
              |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B18: stats-based point/range lookup — the Doris-style serving
+    // path. The table is range-laid-out on the key at write time, so
+    // each file covers a narrow key interval; readRange consults the
+    // per-file min/max harvested from parquet footers at commit time
+    // and opens only the files whose interval intersects the probe
+    // (spec asserts the skip; this oracle proves exactness).
+    Q("q_point_lookup",
+      (s, d) => {
+        val lake = s"$scratch/orders_point"
+        LakeTable.create(s, lake,
+          t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+            .repartitionByRange(16, col("o_orderkey")))
+        LakeTable.readRange(s, lake, "o_orderkey", 1000L, 1999L)
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+      },
+      Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+             |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999""".stripMargin)),
+
     // B07: catalog — create two tables (one bumped to v1), list them.
     Q("q_catalog",
       (s, d) => {

@@ -104,7 +104,145 @@ object LakeTable {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(path, dir).toString)
+    writeStats(spark, path, dir)
     dir
+  }
+
+  // ---- per-file column statistics (Doris/Delta-style file skipping) --
+
+  /** Sidecar name inside each file-group dir; the underscore keeps it
+    * invisible to parquet directory scans.
+    */
+  private val StatsFile = "_stats.tsv"
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** Harvest per-file per-column min/max from the parquet FOOTERS of a
+    * just-written group (metadata-only — no data re-read, so the cost
+    * at 100 TB is one footer RPC per file) into `<dir>/_stats.tsv`
+    * lines `file \t column \t kind \t min \t max` (kind n=numeric,
+    * s=string). Commit-log-level stats are what serve point lookups
+    * without opening files — the OLAP-engine trick the reference gets
+    * from Doris (doris.go).
+    */
+  private def writeStats(spark: SparkSession, path: String, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dirPath = new Path(path, dir)
+    val fs = fsOf(spark, dirPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sb = new StringBuilder
+    val it = fs.listFiles(dirPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = f.getPath.toString.stripPrefix(dirPath.toString + "/")
+        val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, f.getPath,
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        val mins = scala.collection.mutable.Map.empty[String, (Char, String)]
+        val maxs = scala.collection.mutable.Map.empty[String, (Char, String)]
+        meta.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val colName = c.getPath.toDotString
+              (st.genericGetMin, st.genericGetMax) match {
+                case (mn: Number, mx: Number) =>
+                  val (lo, hi) = (mn.doubleValue(), mx.doubleValue())
+                  mins.updateWith(colName) {
+                    case Some((k, v)) if k == 'n' && v.toDouble <= lo => Some((k, v))
+                    case _ => Some(('n', lo.toString)) }
+                  maxs.updateWith(colName) {
+                    case Some((k, v)) if k == 'n' && v.toDouble >= hi => Some((k, v))
+                    case _ => Some(('n', hi.toString)) }
+                case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+                  val (lo, hi) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                  mins.updateWith(colName) {
+                    case Some((k, v)) if k == 's' && v <= lo => Some((k, v))
+                    case _ => Some(('s', lo)) }
+                  maxs.updateWith(colName) {
+                    case Some((k, v)) if k == 's' && v >= hi => Some((k, v))
+                    case _ => Some(('s', hi)) }
+                case _ => () // booleans etc. — not useful for skipping
+              }
+            }
+          }
+        }
+        mins.keySet.intersect(maxs.keySet).foreach { colName =>
+          val (k, lo) = mins(colName); val (_, hi) = maxs(colName)
+          sb.append(s"${enc(rel)}\t${enc(colName)}\t$k\t${enc(lo)}\t${enc(hi)}\n")
+        }
+      }
+    }
+    val out = fs.create(new Path(dirPath, StatsFile), true)
+    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** File-skipping range read: keep only the files of the snapshot
+    * whose `[min,max]` for `column` intersects `[lo, hi]` (both
+    * inclusive; pass lo==hi for a point lookup). Files or groups
+    * without harvested stats are kept — skipping is an optimization,
+    * never a filter — and the residual predicate is applied, so the
+    * result is exactly `read(...).where(column between lo and hi)` at
+    * a fraction of the files opened.
+    */
+  def readRange(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = version.orElse(currentVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val c = readCommit(spark, path, v)
+    val keep = Seq.newBuilder[String]
+    c.dirs.foreach { d =>
+      val dirPath = new Path(path, d)
+      val fs = fsOf(spark, dirPath)
+      val statsPath = new Path(dirPath, StatsFile)
+      val stats: Map[String, (Char, String, String)] =
+        if (!fs.exists(statsPath)) Map.empty
+        else {
+          val in = fs.open(statsPath)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          body.split("\n").filter(_.nonEmpty).map(_.split("\t"))
+            .filter(a => a.length == 5 && dec(a(1)) == column)
+            .map(a => dec(a(0)) -> (a(2).head, dec(a(3)), dec(a(4)))).toMap
+        }
+      val it = fs.listFiles(dirPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val rel = f.getPath.toString.stripPrefix(dirPath.toString + "/")
+          val overlaps = stats.get(rel) match {
+            case Some(('n', mn, mx)) => (lo, hi) match {
+              case (l: Number, h: Number) =>
+                mx.toDouble >= l.doubleValue() && mn.toDouble <= h.doubleValue()
+              case _ => true
+            }
+            case Some(('s', mn, mx)) => (lo, hi) match {
+              case (l: String, h: String) => mx >= l && mn <= h
+              case _ => true
+            }
+            case _ => true // no stats for this file/column: must read it
+          }
+          if (overlaps) keep += f.getPath.toString
+        }
+      }
+    }
+    val files = keep.result()
+    val full = read(spark, path, Some(v))
+    val base =
+      if (files.isEmpty) full.limit(0)
+      else {
+        val pruned = spark.read.option("mergeSchema", "true").parquet(files: _*)
+        // Hive-partitioned groups encode partition columns in dir
+        // names, which a bare file-list read loses — fall back to the
+        // full read there rather than silently dropping columns.
+        if (pruned.schema.fieldNames.toSet == full.schema.fieldNames.toSet) pruned else full
+      }
+    base.where(col(column) >= org.apache.spark.sql.functions.lit(lo) &&
+      col(column) <= org.apache.spark.sql.functions.lit(hi))
   }
 
   /** Create (or replace) the table as version 0. */

@@ -202,6 +202,32 @@ class LakeTableSpec extends AnyFunSuite {
       LakeTable.read(spark, p, Some(0L)).agg(sum("l_quantity")).head().getDouble(0))
   }
 
+  test("readRange skips files by footer stats and stays exact") {
+    import SharedSpark.sf
+    val p = s"$root/stats_skip"
+    LakeTable.create(spark, p,
+      Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey")))
+    val total = LakeTable.dataFiles(spark, p).size
+    val ranged = LakeTable.readRange(spark, p, "o_orderkey", 100L, 299L)
+    val touched = ranged.select(input_file_name()).distinct().count()
+    assert(touched < total, s"touched $touched of $total files")
+    // exactness: pruned read == full read + filter
+    val exact = LakeTable.read(spark, p)
+      .where(col("o_orderkey").between(100, 299))
+      .agg(count(lit(1)), sum("o_totalprice")).head()
+    assert(ranged.agg(count(lit(1)), sum("o_totalprice")).head() == exact)
+    // string-column stats also skip
+    val p2 = s"$root/stats_str"
+    LakeTable.create(spark, p2,
+      Tables(spark, sf, "orders").select("o_orderpriority", "o_totalprice")
+        .repartitionByRange(8, col("o_orderpriority")))
+    val t2 = LakeTable.dataFiles(spark, p2).size
+    val touched2 = LakeTable.readRange(spark, p2, "o_orderpriority", "1-URGENT", "1-URGENT")
+      .select(input_file_name()).distinct().count()
+    assert(touched2 < t2, s"touched $touched2 of $t2 files")
+  }
+
   test("partitioned create prunes on read") {
     val p = s"$root/t6"
     val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "part")

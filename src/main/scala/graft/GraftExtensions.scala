@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => graft.plans.ApproxQuantileRewrite(session))
+    ext.injectOptimizerRule(session => graft.plans.MaterializedViewRewrite(session))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(array<float>, array<float>) - cosine similarity"),

@@ -246,6 +246,27 @@ object Lakehouse {
       Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
              |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999""".stripMargin)),
 
+    // B19: transparent MV routing (the Doris rollup-serving trick): a
+    // registered sum/min/max/cnt partials table answers a plain
+    // aggregate over the BASE fact — the query below groups coarser
+    // than the MV dims and never scans orders (PlanSpec proves the
+    // scan is the MV path). The oracle computes the same answer from
+    // the base, so the gate proves routed == direct.
+    Q("q_mv_autoroute",
+      (s, d) => {
+        val base = s"$d/orders.parquet"
+        graft.sources.Rollup.createAndRegister(s, base, s"$scratch/mv_orders_auto",
+          dims = Seq("o_orderpriority", "o_orderstatus"), measures = Seq("o_totalprice"))
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"),
+            round(max("o_totalprice"), 2).as("top"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice),2) AS rev,
+             |round(max(o_totalprice),2) AS top
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B07: catalog — create two tables (one bumped to v1), list them.
     Q("q_catalog",
       (s, d) => {

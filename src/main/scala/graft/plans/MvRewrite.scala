@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Transparent materialized-view routing — the OLAP-serving trick the
+  * reference platform gets from Doris (doris.go): a registered rollup
+  * answers aggregate queries over the BASE fact without scanning it.
+  *
+  * A rollup MV stores, per dimension tuple, the algebraic partials
+  * `sum_<m>` / `min_<m>` / `max_<m>` / `cnt`. Any aggregate over the
+  * base whose grouping is a SUBSET of the MV dimensions and whose
+  * aggregates are sum/min/max over registered measures (or count(*))
+  * can be answered by re-aggregating those partials: sum→sum(sum_m),
+  * min→min(min_m), max→max(max_m), count(*)→sum(cnt). The rewrite
+  * fires only for bases explicitly registered in [[MvRegistry]]
+  * (registration is the opt-in) and preserves the original output
+  * attribute ids, so it is invisible to the rest of the plan.
+  *
+  * Freshness contract: the registrant must refresh or deregister the
+  * MV when the base changes (the incremental-refresh path is
+  * q_mv_incremental); this rule does no staleness detection — the
+  * same contract a Doris rollup has.
+  *
+  * At 100 TB this turns a full-fact scan+shuffle into a scan of a
+  * few-thousand-row table: the difference between a reporting query
+  * and a cluster job.
+  */
+final case class MvDef(
+    basePath: String,
+    mvPath: String,
+    dims: Seq[String],
+    measures: Set[String],     // base measure columns with sum_/min_/max_ partials
+    cntCol: String = "cnt")
+
+object MvRegistry {
+  private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  /** Scheme-insensitive: `file:/x/y` and `/x/y` name the same base. */
+  private def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+  def register(d: MvDef): Unit = defs.put(norm(d.basePath), d)
+  def deregister(basePath: String): Unit = defs.remove(norm(basePath))
+  def find(paths: Seq[String]): Option[MvDef] =
+    paths.flatMap(p => Option(defs.get(norm(p)))).headOption
+  def clear(): Unit = defs.clear()
+}
+
+case class MaterializedViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg: Aggregate =>
+      baseScanPaths(agg.child).flatMap { paths =>
+        MvRegistry.find(paths).flatMap(mv => tryRewrite(agg, mv))
+      }.getOrElse(agg)
+  }
+
+  /** The child must be the bare base scan (optionally under an
+    * attribute-only Project) — any Filter/Join in between and the MV
+    * partials no longer answer the query.
+    */
+  private def baseScanPaths(plan: LogicalPlan): Option[Seq[String]] = plan match {
+    case Project(projectList, child) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      baseScanPaths(child)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+    val mvPlan = graft.sources.LakeTable.read(SparkSession.active, mv.mvPath)
+      .queryExecution.analyzed
+    def mvAttr(n: String): Option[AttributeReference] =
+      mvPlan.output.collectFirst { case a: AttributeReference if a.name == n => a }
+
+    // grouping must be plain attributes within the MV dimensions
+    val groupOk = agg.groupingExpressions.forall {
+      case a: AttributeReference => mv.dims.contains(a.name)
+      case _ => false
+    }
+    if (!groupOk) return None
+
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case Sum(a: AttributeReference, _) if mv.measures.contains(a.name) =>
+          mvAttr(s"sum_${a.name}").map(m => AggregateExpression(Sum(m), Complete, isDistinct = false))
+        case Min(a: AttributeReference) if mv.measures.contains(a.name) =>
+          mvAttr(s"min_${a.name}").map(m => AggregateExpression(Min(m), Complete, isDistinct = false))
+        case Max(a: AttributeReference) if mv.measures.contains(a.name) =>
+          mvAttr(s"max_${a.name}").map(m => AggregateExpression(Max(m), Complete, isDistinct = false))
+        case Count(Seq(Literal(_, _))) =>
+          mvAttr(mv.cntCol).map(m => AggregateExpression(Sum(m), Complete, isDistinct = false))
+        case _ => None
+      }
+    }
+
+    // Every result expression is rewritten in place: embedded
+    // AggregateExpressions map to partial re-aggregation, remaining
+    // base attributes (necessarily group dims) map to their MV
+    // columns, and scalar wrappers (round, arithmetic, …) stay as-is.
+    // Output names AND exprIds are preserved so the parent plan is
+    // untouched. Any unrewritable piece vetoes the whole rewrite.
+    val mvIds = mvPlan.outputSet
+    def rewriteResult(e: Expression): Option[Expression] = {
+      var ok = true
+      val aggsDone = e.transformDown {
+        case ae: AggregateExpression => rewriteAgg(ae).getOrElse { ok = false; ae }
+      }
+      val attrsDone = aggsDone.transformDown {
+        case a: AttributeReference if !mvIds.contains(a) =>
+          if (mv.dims.contains(a.name)) mvAttr(a.name).getOrElse { ok = false; a }
+          else { ok = false; a }
+      }
+      if (ok) Some(attrsDone) else None
+    }
+    val newResults: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        rewriteResult(a).map(m => Alias(m, a.name)(exprId = a.exprId))
+      case al: Alias =>
+        rewriteResult(al.child).map(e => Alias(e, al.name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (newResults.exists(_.isEmpty)) return None
+
+    val newGroup = agg.groupingExpressions.map {
+      case a: AttributeReference => mvAttr(a.name).get
+    }
+    logInfo(s"routing aggregate over ${mv.basePath} to MV ${mv.mvPath}")
+    Some(Aggregate(newGroup, newResults.map(_.get), mvPlan))
+  }
+}

@@ -426,6 +426,32 @@ object LakeTable {
   }
 }
 
+/** Rollup materialized views over a parquet base, wired into the
+  * [[graft.plans.MaterializedViewRewrite]] optimizer rule: create the
+  * partials table once, register it, and plain DataFrame/SQL
+  * aggregates over the base are served from it transparently.
+  */
+object Rollup {
+  import org.apache.spark.sql.functions._
+  import graft.plans.{MvDef, MvRegistry}
+
+  /** Build (or replace) the sum/min/max/cnt partials LakeTable for
+    * `basePath` grouped by `dims`, and register it for auto-routing.
+    */
+  def createAndRegister(spark: SparkSession, basePath: String, mvPath: String,
+      dims: Seq[String], measures: Seq[String]): MvDef = {
+    val base = spark.read.parquet(basePath)
+    val aggs = measures.flatMap(m => Seq(
+      sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m"))) :+
+      count(lit(1)).as("cnt")
+    LakeTable.create(spark, mvPath,
+      base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*))
+    val d = MvDef(basePath, mvPath, dims, measures.toSet)
+    MvRegistry.register(d)
+    d
+  }
+}
+
 /** Directory-of-LakeTables catalog: named tables, versions, schemas —
   * the create/list/describe surface of a metastore.
   */

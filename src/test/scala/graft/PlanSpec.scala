@@ -144,6 +144,42 @@ class PlanSpec extends AnyFunSuite {
       s"orders-side filter not below the window:\n${p.take(3000)}")
   }
 
+  test("registered rollup MV transparently serves base aggregates (and only matching ones)") {
+    val base = s"$sf/orders.parquet"
+    val mvPath = s"${operators.Lakehouse.scratch}/spec_mv_auto"
+    try {
+      graft.sources.Rollup.createAndRegister(spark, base, mvPath,
+        dims = Seq("o_orderpriority", "o_orderstatus"), measures = Seq("o_totalprice"))
+      val routed = Tables(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+      val plan = routed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("sum_o_totalprice"), s"aggregate not routed to the MV:\n$plan")
+      val files = routed.queryExecution.executedPlan.toString
+      assert(files.contains("spec_mv_auto") && !files.contains("orders.parquet"),
+        s"scan is not the MV:\n${files.take(2000)}")
+      // routed answer == direct answer
+      val direct = Tables(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("o_orderpriority")
+      graft.plans.MvRegistry.deregister(base)
+      assert(routed.orderBy("o_orderpriority").collect().toSeq ==
+        direct.collect().toSeq)
+      // non-matching shapes must NOT route: avg is not a stored partial,
+      // and a filtered base invalidates the partials
+      graft.sources.Rollup.createAndRegister(spark, base, mvPath,
+        Seq("o_orderpriority", "o_orderstatus"), Seq("o_totalprice"))
+      val avgPlan = Tables(spark, sf, "orders").groupBy("o_orderpriority")
+        .agg(avg("o_totalprice")).queryExecution.optimizedPlan.toString
+      assert(!avgPlan.contains("spec_mv_auto"), avgPlan)
+      val filteredPlan = Tables(spark, sf, "orders")
+        .where(col("o_orderkey") > 100).groupBy("o_orderpriority")
+        .agg(sum("o_totalprice")).queryExecution.optimizedPlan.toString
+      assert(!filteredPlan.contains("spec_mv_auto"), filteredPlan)
+    } finally graft.plans.MvRegistry.deregister(base)
+  }
+
   test("q_knn_ivf cell assignment contains no Scala UDF") {
     val p = graft.operators.Clustering.knnIvf(spark, sf)
       .queryExecution.executedPlan.toString

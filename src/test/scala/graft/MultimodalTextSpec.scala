@@ -26,6 +26,38 @@ class MultimodalTextSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("PPM decoder inverts the generator: exact header dims and pixel plane") {
+    import operators.Multimodal
+    val blob = Multimodal.makePpm(seed = 1007L)
+    val (w, h, rgb) = Multimodal.parsePpm(blob)
+    assert(w == 8 + (1007 % 25) && h == 8 + ((1007L >>> 8) % 17).toInt)
+    assert(rgb.length == w * h * 3)
+    // hand-crafted 2x1 image: white and black pixel -> known resize
+    val tiny = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 0, 0, 0)
+    val (tw, th, trgb) = Multimodal.parsePpm(tiny)
+    assert((tw, th) == (2, 1))
+    val luma = Multimodal.resizeLuma(tw, th, trgb, 2, 1)
+    assert(math.abs(luma(0) - 1f) < 1e-3 && luma(1) == 0f)
+  }
+
+  test("WAV decoder recovers sample rate and exact duration from chunks") {
+    import operators.Multimodal
+    val blob = Multimodal.makeWav(seed = 31L)
+    val (rate, channels, bits, data) = Multimodal.parseWav(blob)
+    assert(rate == 8000 && channels == 1 && bits == 8)
+    assert(data.length == 1600 + (31 % 6400)) // samples embedded by the generator
+  }
+
+  test("Y4M decoder recovers geometry, fps and the frame count") {
+    import operators.Multimodal
+    val blob = Multimodal.makeY4m(seed = 12L)
+    val (w, h, fps, frames) = Multimodal.parseY4m(blob)
+    assert((w, h) == (16, 12) && fps == 25.0)
+    assert(frames.size == 2 + (12 % 6))
+    assert(frames.forall(_.length == 16 * 12))
+  }
+
   test("multimodal features: L1-normalized 16-bin histograms, deterministic distances") {
     val rows = Registry.byName("q_multimodal_features").run(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -59,12 +59,10 @@ final class GraftTable(path: String, version: Option[Long],
       .orElse(LakeTable.currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val commit = LakeTable.readCommit(spark, path, v)
-    val dirs = commit.dirs.map(d => new Path(path, d).toString)
     val scanOpts = new CaseInsensitiveStringMap(
       (options.asCaseSensitiveMap().asScala.toMap ++ Map("mergeSchema" -> "true")).asJava)
-    ParquetTable(name(), spark, scanOpts, dirs,
-      Some(LakeTable.read(spark, path, Some(v)).schema), classOf[ParquetFileFormat])
-      .newScanBuilder(scanOpts)
+    new GraftScanBuilder(spark, path, commit.dirs,
+      LakeTable.read(spark, path, Some(v)).schema, scanOpts)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -83,4 +81,94 @@ final class GraftTable(path: String, version: Option[Long],
           }
       }
     }
+}
+
+/** V2 scan builder that adds LakeTable FILE SKIPPING in front of the
+  * parquet scan: conjunctive pushed filters are mined for per-column
+  * bounds, intersected with the per-file min/max sidecars (B18), and
+  * the inner parquet scan is rebuilt over only the surviving files —
+  * so a catalog SQL point query (`WHERE key = 42`) opens a handful of
+  * files with no API beyond plain SQL. Everything else (residual
+  * filters, column pruning, vectorized read) delegates to Spark's own
+  * ParquetScanBuilder, which still sees and applies every filter —
+  * skipping only removes files whose stats PROVE no row can match.
+  */
+final class GraftScanBuilder(spark: SparkSession, path: String, dirs: Seq[String],
+    schema: StructType, options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def mkInner(paths: Seq[String]) =
+    ParquetTable(s"graft.`$path`", spark, options, paths, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+
+  // The probe builder answers the pushdown negotiation (which filters
+  // are fully handled); build() replays the calls on a pruned inner.
+  private val probe = mkInner(dirs.map(d => new Path(path, d).toString))
+  private var pushed: Seq[Expression] = Nil
+  private var prunedSchema: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushed = filters
+    probe.pushFilters(filters)
+  }
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    probe.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    prunedSchema = Some(requiredSchema)
+    probe.pruneColumns(requiredSchema)
+  }
+
+  /** Mine inclusive per-column bounds from conjunctive comparisons;
+    * anything unrecognized simply contributes no bound (sound).
+    */
+  private def boundsOf(filters: Seq[Expression]): Map[String, LakeTable.ColumnBounds] = {
+    def valueOf(l: Literal): Option[Any] = l.value match {
+      case s: UTF8String => Some(s.toString)
+      case n: Number => Some(n)
+      case _ => None
+    }
+    val bounds = scala.collection.mutable.Map.empty[String, LakeTable.ColumnBounds]
+    def tightenLo(c: String, v: Any): Unit = bounds.updateWith(c) {
+      case Some(b) if b.lo.isEmpty => Some(b.copy(lo = Some(v)))
+      case other => other.orElse(Some(LakeTable.ColumnBounds(Some(v), None)))
+    }
+    def tightenHi(c: String, v: Any): Unit = bounds.updateWith(c) {
+      case Some(b) if b.hi.isEmpty => Some(b.copy(hi = Some(v)))
+      case other => other.orElse(Some(LakeTable.ColumnBounds(None, Some(v))))
+    }
+    def walk(e: Expression): Unit = e match {
+      case CAnd(l, r) => walk(l); walk(r)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        valueOf(l).foreach { v => tightenLo(a.name, v); tightenHi(a.name, v) }
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        valueOf(l).foreach { v => tightenLo(a.name, v); tightenHi(a.name, v) }
+      case GreaterThan(a: AttributeReference, l: Literal) => valueOf(l).foreach(tightenLo(a.name, _))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => valueOf(l).foreach(tightenLo(a.name, _))
+      case LessThan(a: AttributeReference, l: Literal) => valueOf(l).foreach(tightenHi(a.name, _))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => valueOf(l).foreach(tightenHi(a.name, _))
+      case LessThan(l: Literal, a: AttributeReference) => valueOf(l).foreach(tightenLo(a.name, _))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => valueOf(l).foreach(tightenLo(a.name, _))
+      case GreaterThan(l: Literal, a: AttributeReference) => valueOf(l).foreach(tightenHi(a.name, _))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => valueOf(l).foreach(tightenHi(a.name, _))
+      case _ => ()
+    }
+    filters.foreach(walk)
+    bounds.toMap
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val bounds = boundsOf(pushed)
+    val paths =
+      if (bounds.isEmpty) dirs.map(d => new Path(path, d).toString)
+      else LakeTable.pruneFiles(spark, path, dirs, bounds)
+        .getOrElse(dirs.map(d => new Path(path, d).toString))
+    val inner = mkInner(paths)
+    if (pushed.nonEmpty) inner.pushFilters(pushed)
+    prunedSchema.foreach(inner.pruneColumns)
+    inner.build()
+  }
 }

@@ -134,11 +134,12 @@ object LakeTable {
     val fs = fsOf(spark, dirPath)
     val conf = spark.sparkContext.hadoopConfiguration
     val sb = new StringBuilder
+    val base = fs.makeQualified(dirPath).toString
     val it = fs.listFiles(dirPath, true)
     while (it.hasNext) {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) {
-        val rel = f.getPath.toString.stripPrefix(dirPath.toString + "/")
+        val rel = fs.makeQualified(f.getPath).toString.stripPrefix(base + "/")
         val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
           conf, f.getPath,
           org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
@@ -181,68 +182,79 @@ object LakeTable {
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** File-skipping range read: keep only the files of the snapshot
-    * whose `[min,max]` for `column` intersects `[lo, hi]` (both
-    * inclusive; pass lo==hi for a point lookup). Files or groups
-    * without harvested stats are kept — skipping is an optimization,
-    * never a filter — and the residual predicate is applied, so the
-    * result is exactly `read(...).where(column between lo and hi)` at
-    * a fraction of the files opened.
+  /** Inclusive conjunctive bounds on one column; None = unbounded. */
+  final case class ColumnBounds(lo: Option[Any], hi: Option[Any])
+
+  /** Prune a snapshot's file list with the sidecar stats: keep files
+    * whose [min,max] intersects every bound. Returns None when
+    * file-level pruning is unsafe — a Hive-partitioned layout (nested
+    * dirs would lose their partition columns in a bare file-list
+    * read). Files or columns without stats are always kept: skipping
+    * is an optimization, never a filter.
     */
-  def readRange(spark: SparkSession, path: String, column: String,
-      lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val v = version.orElse(currentVersion(spark, path))
-      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
-    val c = readCommit(spark, path, v)
+  private[graft] def pruneFiles(spark: SparkSession, path: String, dirs: Seq[String],
+      bounds: Map[String, ColumnBounds]): Option[Seq[String]] = {
     val keep = Seq.newBuilder[String]
-    c.dirs.foreach { d =>
+    var flat = true
+    dirs.foreach { d =>
       val dirPath = new Path(path, d)
       val fs = fsOf(spark, dirPath)
       val statsPath = new Path(dirPath, StatsFile)
-      val stats: Map[String, (Char, String, String)] =
+      // (file, column) -> (kind, min, max)
+      val stats: Map[(String, String), (Char, String, String)] =
         if (!fs.exists(statsPath)) Map.empty
         else {
           val in = fs.open(statsPath)
           val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
           body.split("\n").filter(_.nonEmpty).map(_.split("\t"))
-            .filter(a => a.length == 5 && dec(a(1)) == column)
-            .map(a => dec(a(0)) -> (a(2).head, dec(a(3)), dec(a(4)))).toMap
+            .filter(_.length == 5)
+            .map(a => (dec(a(0)), dec(a(1))) -> (a(2).head, dec(a(3)), dec(a(4)))).toMap
         }
+      val base = fs.makeQualified(dirPath).toString
       val it = fs.listFiles(dirPath, true)
       while (it.hasNext) {
         val f = it.next()
         if (f.getPath.getName.endsWith(".parquet")) {
-          val rel = f.getPath.toString.stripPrefix(dirPath.toString + "/")
-          val overlaps = stats.get(rel) match {
-            case Some(('n', mn, mx)) => (lo, hi) match {
-              case (l: Number, h: Number) =>
-                mx.toDouble >= l.doubleValue() && mn.toDouble <= h.doubleValue()
-              case _ => true
+          val rel = fs.makeQualified(f.getPath).toString.stripPrefix(base + "/")
+          if (rel.contains("/")) flat = false // partition-encoded layout
+          val overlaps = bounds.forall { case (column, b) =>
+            stats.get((rel, column)) match {
+              case Some(('n', mn, mx)) =>
+                b.lo.forall { case l: Number => mx.toDouble >= l.doubleValue(); case _ => true } &&
+                b.hi.forall { case h: Number => mn.toDouble <= h.doubleValue(); case _ => true }
+              case Some(('s', mn, mx)) =>
+                b.lo.forall { case l: String => mx >= l; case _ => true } &&
+                b.hi.forall { case h: String => mn <= h; case _ => true }
+              case _ => true // no stats: must read it
             }
-            case Some(('s', mn, mx)) => (lo, hi) match {
-              case (l: String, h: String) => mx >= l && mn <= h
-              case _ => true
-            }
-            case _ => true // no stats for this file/column: must read it
           }
           if (overlaps) keep += f.getPath.toString
         }
       }
     }
-    val files = keep.result()
-    val full = read(spark, path, Some(v))
-    val base =
-      if (files.isEmpty) full.limit(0)
-      else {
-        val pruned = spark.read.option("mergeSchema", "true").parquet(files: _*)
-        // Hive-partitioned groups encode partition columns in dir
-        // names, which a bare file-list read loses — fall back to the
-        // full read there rather than silently dropping columns.
-        if (pruned.schema.fieldNames.toSet == full.schema.fieldNames.toSet) pruned else full
-      }
-    base.where(col(column) >= org.apache.spark.sql.functions.lit(lo) &&
-      col(column) <= org.apache.spark.sql.functions.lit(hi))
+    if (flat) Some(keep.result()) else None
+  }
+
+  /** File-skipping range read: keep only the files of the snapshot
+    * whose `[min,max]` for `column` intersects `[lo, hi]` (both
+    * inclusive; pass lo==hi for a point lookup); the residual
+    * predicate is applied on top, so the result is exactly
+    * `read(...).where(column between lo and hi)` at a fraction of the
+    * files opened.
+    */
+  def readRange(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.orElse(currentVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val c = readCommit(spark, path, v)
+    val base = pruneFiles(spark, path, c.dirs,
+        Map(column -> ColumnBounds(Some(lo), Some(hi)))) match {
+      case Some(files) if files.isEmpty => read(spark, path, Some(v)).limit(0)
+      case Some(files) => spark.read.option("mergeSchema", "true").parquet(files: _*)
+      case None => read(spark, path, Some(v)) // partitioned layout: no file pruning
+    }
+    base.where(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** Create (or replace) the table as version 0. */

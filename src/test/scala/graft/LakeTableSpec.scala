@@ -228,6 +228,39 @@ class LakeTableSpec extends AnyFunSuite {
     assert(touched2 < t2, s"touched $touched2 of $t2 files")
   }
 
+  test("V2 scan prunes files from pushed SQL filters via sidecar stats") {
+    import SharedSpark.sf
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    val p = s"$root/v2_skip"
+    Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.format("graft").mode("overwrite").save(p)
+    val all = LakeTable.dataFiles(spark, p).size
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .collect { case f: FileScan => f.fileIndex.inputFiles.length }.sum
+    // point query: only the file whose [min,max] covers the key is planned
+    val point = spark.read.format("graft").load(p).where(col("o_orderkey") === 500L)
+    assert(plannedFiles(point) < all, s"planned ${plannedFiles(point)} of $all")
+    // range query through pure SQL against the catalog
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.skipdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.skipdb.ordr")
+    Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey")).createOrReplaceTempView("ordr_src")
+    spark.sql("CREATE TABLE graft_cat.skipdb.ordr AS SELECT * FROM ordr_src")
+    val sqlQ = spark.sql(
+      "SELECT sum(o_totalprice) AS s FROM graft_cat.skipdb.ordr WHERE o_orderkey BETWEEN 10 AND 99")
+    val allCat = LakeTable.dataFiles(spark,
+      s"${GraftSession.catalogRoot}/skipdb/ordr").size
+    assert(plannedFiles(sqlQ) < allCat, s"planned ${plannedFiles(sqlQ)} of $allCat")
+    // exactness against the unpruned read
+    val exact = LakeTable.read(spark, p).where(col("o_orderkey") === 500L).count()
+    assert(point.count() == exact)
+    // an unbounded query still plans every file
+    val open = spark.read.format("graft").load(p)
+    assert(plannedFiles(open) == all)
+  }
+
   test("partitioned create prunes on read") {
     val p = s"$root/t6"
     val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "part")

@@ -77,6 +77,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall") // nprobe=4 of k=16 cells
   }
 
+  test("PQ ANN with exact re-rank recalls most of the brute-force top-k") {
+    val brute = Registry.byName("q_knn_brute").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Registry.byName("q_knn_pq").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall $recall") // 8x16 codebooks, shortlist 16
+    // re-ranked sims are exact, so they can never beat the brute best
+    val bruteBest = Registry.byName("q_knn_brute").run(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, g) => q -> g.map(_.getDouble(3)).max }
+    Registry.byName("q_knn_pq").run(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(3) <= bruteBest(r.getLong(0)) + 1e-9)
+    }
+  }
+
   test("dedup clusters contain every verified near-dup pair") {
     val pairs = Registry.byName("q_dedup_minhash").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

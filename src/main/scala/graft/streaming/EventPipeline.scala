@@ -127,6 +127,66 @@ object EventPipeline {
       .orderBy("user_id")
   }
 
+  final case class UserTypes(user_id: Long, cnt: Long, sum_val: Double, n_types: Long)
+
+  /** C12: per-user stats on the transformWithState API (Spark 4's
+    * arbitrary-state successor to flatMapGroupsWithState): a
+    * ValueState carries the running (cnt, sum) and a MapState the
+    * per-event-type tallies — the composite state shapes (map/list
+    * alongside value, per key, individually evictable with TTL) that
+    * the old single-blob GroupState could not express. Requires the
+    * RocksDB state store provider.
+    */
+  private class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserTypes] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var agg: ValueState[UserAgg] = _
+    @transient private var types: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState("agg", E.product[UserAgg], TTLConfig.NONE)
+      types = getHandle.getMapState("types", E.STRING, E.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[UserTypes] = {
+      var cur = if (agg.exists()) agg.get() else UserAgg(key, 0L, 0.0)
+      rows.foreach { e =>
+        cur = UserAgg(key, cur.cnt + 1, cur.sum_val + e.value)
+        val c = if (types.containsKey(e.event_type)) types.getValue(e.event_type) else 0L
+        types.updateValue(e.event_type, c + 1)
+      }
+      agg.update(cur)
+      Iterator.single(UserTypes(key, cur.cnt, cur.sum_val, types.keys().size.toLong))
+    }
+  }
+
+  def userStateTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = eventsStream(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new UserStatsProcessor,
+          TimeMode.None(), OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[UserTypes]])
+      val sink = runToMemory(spark, updates.toDF(), "graft_stream_tws", OutputMode.Update())
+      // one update per user per micro-batch: the final state has max cnt
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("cnt"))
+      sink.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("cnt"), round(col("sum_val"), 2).as("sum_val"),
+          col("n_types"))
+        .orderBy("user_id")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** C07: streaming upsert — each micro-batch reduces to its latest
     * value per user (max_by on event time) and MERGEs into a
     * LakeTable; the table converges to "current value per user"
@@ -205,6 +265,11 @@ object EventPipeline {
 
     Q("stream_state", (s, d) => userState(s, d),
       Some("""SELECT user_id, count(*) AS cnt, round(sum(value),2) AS sum_val
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("stream_tws", (s, d) => userStateTws(s, d),
+      Some("""SELECT user_id, count(*) AS cnt, round(sum(value),2) AS sum_val,
+             |count(DISTINCT event_type)::BIGINT AS n_types
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     Q("stream_upsert", (s, d) => upsertToLake(s, d),

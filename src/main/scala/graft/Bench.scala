@@ -13,14 +13,17 @@ object Bench {
     // elide top-level sorts/projections — and take the median of
     // `runs` executions so a machine-load spike on one run doesn't
     // become the reported number.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.toString.take(500)}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val ts = (1 to runs).map(_ => once(fn)).sorted
+      val ts = (1 to runs).map(_ => once(name, fn)).sorted
       name -> ts(ts.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -71,18 +71,31 @@ case class MaterializedViewRewrite(spark: SparkSession) extends Rule[LogicalPlan
     case _ => None
   }
 
-  private def tryRewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
-    val mvPlan = graft.sources.LakeTable.read(SparkSession.active, mv.mvPath)
-      .queryExecution.analyzed
-    def mvAttr(n: String): Option[AttributeReference] =
-      mvPlan.output.collectFirst { case a: AttributeReference if a.name == n => a }
-
-    // grouping must be plain attributes within the MV dimensions
+  private def tryRewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = try {
+    // Cheap structural checks BEFORE any metadata I/O: grouping must be
+    // plain attributes within the MV dimensions, and at least one
+    // aggregate must reference a registered measure or count — global
+    // aggregates over unrelated measures (vacuously dim-compatible)
+    // bail here without ever touching the MV.
     val groupOk = agg.groupingExpressions.forall {
       case a: AttributeReference => mv.dims.contains(a.name)
       case _ => false
     }
     if (!groupOk) return None
+    val touchesMeasures = agg.aggregateExpressions.exists(_.exists {
+      case ae: AggregateExpression => ae.aggregateFunction.children.forall {
+        case a: AttributeReference => mv.measures.contains(a.name)
+        case _: Literal => true
+        case _ => false
+      }
+      case _ => false
+    })
+    if (!touchesMeasures) return None
+
+    val mvPlan = graft.sources.LakeTable.read(SparkSession.active, mv.mvPath)
+      .queryExecution.analyzed
+    def mvAttr(n: String): Option[AttributeReference] =
+      mvPlan.output.collectFirst { case a: AttributeReference if a.name == n => a }
 
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
@@ -132,5 +145,10 @@ case class MaterializedViewRewrite(spark: SparkSession) extends Rule[LogicalPlan
     }
     logInfo(s"routing aggregate over ${mv.basePath} to MV ${mv.mvPath}")
     Some(Aggregate(newGroup, newResults.map(_.get), mvPlan))
+  } catch {
+    // An acceleration rule must never be able to fail a query: any
+    // problem (MV concurrently replaced, unreadable snapshot, odd
+    // expression shape) falls back to the base-scan plan.
+    case scala.util.control.NonFatal(_) => None
   }
 }

@@ -163,6 +163,45 @@ object Extras {
              |date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99
              |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // A64: RANGE-frame window over event time — trailing 7-day revenue
+    // per ship day. The window input is the per-day pre-aggregate
+    // (bounded by calendar days, NOT by SF), so the single-partition
+    // ordered frame is over a few thousand rows at any corpus size —
+    // the fact table itself never enters a global window.
+    Q("q_window_range",
+      (s, d) => {
+        val daily = t(s, d, "lineitem")
+          .groupBy(col("l_shipdate").cast("date").as("day"))
+          .agg(sum("l_extendedprice").as("rev"))
+        val w = Window.orderBy(datediff(col("day"), lit("1990-01-01").cast("date")))
+          .rangeBetween(-6, 0)
+        daily.select(col("day"),
+          round(sum("rev").over(w) + lit(1e-6), 2).as("rev7"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+             |  sum(l_extendedprice) AS rev FROM lineitem GROUP BY 1)
+             |SELECT day, round(sum(rev) OVER (ORDER BY day
+             |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) + 0.000001, 2) AS rev7
+             |FROM daily ORDER BY day""".stripMargin)),
+
+    // A65: collation-aware grouping (Spark 4 COLLATE): mixed-case keys
+    // group case-insensitively under UTF8_LCASE; the oracle emulates
+    // with lower() (groups and counts must coincide exactly).
+    Q("q_collation",
+      (s, d) => t(s, d, "customer")
+        .select(when(col("c_custkey") % 2 === 0, initcap(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("seg"), col("c_acctbal"))
+        .groupBy(expr("seg COLLATE UTF8_LCASE").as("seg_ci"))
+        .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("bal"))
+        .select(lower(col("seg_ci")).as("seg"), col("cnt"), col("bal"))
+        .orderBy("seg"),
+      Some("""WITH x AS (SELECT CASE WHEN c_custkey % 2 = 0
+             |  THEN upper(c_mktsegment[1]) || lower(c_mktsegment[2:]) ELSE c_mktsegment END AS seg,
+             |  c_acctbal FROM customer)
+             |SELECT lower(seg) AS seg, count(*) AS cnt, round(sum(c_acctbal),2) AS bal
+             |FROM x GROUP BY lower(seg) ORDER BY seg""".stripMargin)),
+
     // A56: ordered string aggregation (listagg / string_agg).
     Q("q_string_agg",
       (s, d) => t(s, d, "nation")

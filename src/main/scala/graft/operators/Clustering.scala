@@ -224,17 +224,19 @@ object Clustering {
     // are shallow, 20 is headroom so the fixpoint (== the oracle's
     // transitive closure) is always reached on sane inputs.
     while (changed > 0 && iter < 20) {
-      // Each node adopts min(own label, neighbors' labels).
+      // Each node adopts min(own label, neighbors' labels). The old
+      // label rides along so convergence detection is one aggregate
+      // over the checkpointed result, not another join.
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "doc_b"), "doc_b")
         .groupBy(col("doc_a").as("id"))
         .agg(min("label").as("nlabel"))
       val next = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
       iter += 1
     }
     labels.groupBy("label")

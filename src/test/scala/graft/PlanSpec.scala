@@ -101,7 +101,11 @@ class PlanSpec extends AnyFunSuite {
       "q_join_multi" -> 3,       // fact join + agg + sort (dims broadcast)
       "q_dedup_exact" -> 2,      // hash agg + sort
       "q_skew_agg" -> 3,         // salt-phase shuffle + per-key combine + sort
-      "q_knn_brute" -> 2)        // window on qid + sort (queries broadcast)
+      "q_knn_brute" -> 2,        // window on qid + sort (queries broadcast)
+      "q_dedup_ngram" -> 5,      // inverted-index join + pair agg + 2 size joins + sort
+      "q_window_range" -> 3,     // day agg + ordered frame + sort
+      "q_collation" -> 3,        // collated agg + sort
+      "q_jdbc_federation" -> 3)  // agg + sort (dim broadcast from JDBC)
     budgets.foreach { case (name, budget) =>
       val p = Registry.byName(name).run(spark, sf).queryExecution.executedPlan.toString
       val n = "Exchange".r.findAllIn(p).size -

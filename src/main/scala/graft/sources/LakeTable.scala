@@ -120,66 +120,88 @@ object LakeTable {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
+  /** Footer → sidecar lines for ONE file (runs on executors). */
+  private def statsLinesOf(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, rel: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, file,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val mins = scala.collection.mutable.Map.empty[String, (Char, String)]
+    val maxs = scala.collection.mutable.Map.empty[String, (Char, String)]
+    meta.getBlocks.asScala.foreach { b =>
+      b.getColumns.asScala.foreach { c =>
+        val st = c.getStatistics
+        if (st != null && st.hasNonNullValue) {
+          val colName = c.getPath.toDotString
+          (st.genericGetMin, st.genericGetMax) match {
+            case (mn: Number, mx: Number) =>
+              val (lo, hi) = (mn.doubleValue(), mx.doubleValue())
+              mins.updateWith(colName) {
+                case Some((k, v)) if k == 'n' && v.toDouble <= lo => Some((k, v))
+                case _ => Some(('n', lo.toString)) }
+              maxs.updateWith(colName) {
+                case Some((k, v)) if k == 'n' && v.toDouble >= hi => Some((k, v))
+                case _ => Some(('n', hi.toString)) }
+            case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+              val (lo, hi) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+              mins.updateWith(colName) {
+                case Some((k, v)) if k == 's' && v <= lo => Some((k, v))
+                case _ => Some(('s', lo)) }
+              maxs.updateWith(colName) {
+                case Some((k, v)) if k == 's' && v >= hi => Some((k, v))
+                case _ => Some(('s', hi)) }
+            case _ => () // booleans etc. — not useful for skipping
+          }
+        }
+      }
+    }
+    mins.keySet.intersect(maxs.keySet).toSeq.sorted.map { colName =>
+      val (k, lo) = mins(colName); val (_, hi) = maxs(colName)
+      s"${enc(rel)}\t${enc(colName)}\t$k\t${enc(lo)}\t${enc(hi)}"
+    }
+  }
+
   /** Harvest per-file per-column min/max from the parquet FOOTERS of a
-    * just-written group (metadata-only — no data re-read, so the cost
-    * at 100 TB is one footer RPC per file) into `<dir>/_stats.tsv`
-    * lines `file \t column \t kind \t min \t max` (kind n=numeric,
-    * s=string). Commit-log-level stats are what serve point lookups
-    * without opening files — the OLAP-engine trick the reference gets
-    * from Doris (doris.go).
+    * just-written group (metadata-only — no data re-read) into
+    * `<dir>/_stats.tsv` lines `file \t column \t kind \t min \t max`
+    * (kind n=numeric, s=string). The footer reads are DISTRIBUTED
+    * (one tiny task per batch of files): at 100 TB a commit can add
+    * thousands of files, and a serial driver loop over footer RPCs
+    * would become the commit bottleneck. Commit-log-level stats are
+    * what serve point lookups without opening files — the OLAP-engine
+    * trick the reference gets from Doris (doris.go).
     */
   private def writeStats(spark: SparkSession, path: String, dir: String): Unit = {
-    import scala.jdk.CollectionConverters._
     val dirPath = new Path(path, dir)
     val fs = fsOf(spark, dirPath)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val sb = new StringBuilder
     val base = fs.makeQualified(dirPath).toString
+    val files = Seq.newBuilder[(String, String)] // (full, rel)
     val it = fs.listFiles(dirPath, true)
     while (it.hasNext) {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) {
-        val rel = fs.makeQualified(f.getPath).toString.stripPrefix(base + "/")
-        val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-          conf, f.getPath,
-          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-        val mins = scala.collection.mutable.Map.empty[String, (Char, String)]
-        val maxs = scala.collection.mutable.Map.empty[String, (Char, String)]
-        meta.getBlocks.asScala.foreach { b =>
-          b.getColumns.asScala.foreach { c =>
-            val st = c.getStatistics
-            if (st != null && st.hasNonNullValue) {
-              val colName = c.getPath.toDotString
-              (st.genericGetMin, st.genericGetMax) match {
-                case (mn: Number, mx: Number) =>
-                  val (lo, hi) = (mn.doubleValue(), mx.doubleValue())
-                  mins.updateWith(colName) {
-                    case Some((k, v)) if k == 'n' && v.toDouble <= lo => Some((k, v))
-                    case _ => Some(('n', lo.toString)) }
-                  maxs.updateWith(colName) {
-                    case Some((k, v)) if k == 'n' && v.toDouble >= hi => Some((k, v))
-                    case _ => Some(('n', hi.toString)) }
-                case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
-                  val (lo, hi) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
-                  mins.updateWith(colName) {
-                    case Some((k, v)) if k == 's' && v <= lo => Some((k, v))
-                    case _ => Some(('s', lo)) }
-                  maxs.updateWith(colName) {
-                    case Some((k, v)) if k == 's' && v >= hi => Some((k, v))
-                    case _ => Some(('s', hi)) }
-                case _ => () // booleans etc. — not useful for skipping
-              }
-            }
-          }
-        }
-        mins.keySet.intersect(maxs.keySet).foreach { colName =>
-          val (k, lo) = mins(colName); val (_, hi) = maxs(colName)
-          sb.append(s"${enc(rel)}\t${enc(colName)}\t$k\t${enc(lo)}\t${enc(hi)}\n")
-        }
+        val full = fs.makeQualified(f.getPath).toString
+        files += ((full, full.stripPrefix(base + "/")))
       }
     }
+    val fileList = files.result()
+    val lines: Seq[String] =
+      if (fileList.isEmpty) Seq.empty
+      else {
+        val confB = org.apache.spark.sql.graftglue.Glue
+          .broadcastHadoopConf(spark.sparkContext)
+        spark.sparkContext
+          .parallelize(fileList, math.max(1, math.min(fileList.size, 64)))
+          .flatMap { case (full, rel) =>
+            statsLinesOf(org.apache.spark.sql.graftglue.Glue.confOf(confB),
+              new Path(full), rel)
+          }
+          .collect().toSeq.sorted
+      }
     val out = fs.create(new Path(dirPath, StatsFile), true)
-    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Inclusive conjunctive bounds on one column; None = unbounded. */

@@ -21,6 +21,17 @@ object Glue {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Broadcast the driver's Hadoop configuration for executor-side
+    * filesystem/footer access (SerializableConfiguration is
+    * private[spark]).
+    */
+  def broadcastHadoopConf(sc: org.apache.spark.SparkContext)
+      : org.apache.spark.broadcast.Broadcast[_ <: java.io.Serializable] =
+    org.apache.spark.util.SerializableConfiguration.broadcast(sc)
+
+  def confOf(b: org.apache.spark.broadcast.Broadcast[_]): org.apache.hadoop.conf.Configuration =
+    b.value.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
+
   /** Register a builder under `name` in the session's function
     * registry so TEXT SQL can call graft's native expressions.
     * Idempotent (createOrReplace).

@@ -116,6 +116,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(p.toString, None, None)
   }
 
+  /** SQL time travel: `SELECT ... FROM graft_cat.db.t VERSION AS OF n`
+    * resolves a pinned LakeTable snapshot.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
+    new GraftTable(p.toString, Some(version.toLong), None)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)

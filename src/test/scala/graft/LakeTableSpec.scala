@@ -185,6 +185,18 @@ class LakeTableSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft_cat.specdb").isEmpty)
   }
 
+  test("catalog SQL time travel: VERSION AS OF pins a snapshot") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ttdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ttdb.t")
+    spark.range(10).toDF("id").createOrReplaceTempView("tt_src")
+    spark.sql("CREATE TABLE graft_cat.ttdb.t AS SELECT id FROM tt_src")
+    spark.sql("INSERT INTO graft_cat.ttdb.t SELECT id + 100 FROM tt_src")
+    assert(spark.sql("SELECT count(*) AS c FROM graft_cat.ttdb.t").head().getLong(0) == 20)
+    // v1 = the CTAS write (v0 is the empty create)
+    assert(spark.sql("SELECT count(*) AS c FROM graft_cat.ttdb.t VERSION AS OF 1")
+      .head().getLong(0) == 10)
+  }
+
   test("z-order clustering enables multi-column file skipping") {
     import SharedSpark.sf
     val p = s"$root/zorder"

@@ -50,6 +50,36 @@ object SqlSurface {
       Some("""SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal),2) AS bal
              |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B20: malformed-record tolerance on ingest — a corrupt file lands
+    // in the same directory as clean CSV; DROPMALFORMED parses past it
+    // and the aggregate equals the clean source exactly (the oracle
+    // proves no clean row was lost and no corrupt row leaked in).
+    // PERMISSIVE + columnNameOfCorruptRecord is the triage variant.
+    Q("q_csv_malformed",
+      (s, d) => {
+        val dir = s"${Lakehouse.scratch}/customer_csv_bad"
+        t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bad = fs.create(new org.apache.hadoop.fs.Path(dir, "part-corrupt.csv"), true)
+        try bad.write(
+          // Type garbage is what the univocity parser reliably rejects;
+          // short rows are null-padded and extra columns truncated, so
+          // they would NOT count as malformed.
+          ("c_custkey,c_name,c_acctbal\n" +      // header (skipped per file)
+            "not_a_number,Broken Row,xx\n" +     // unparseable bigint+double
+            "12.5,Bad Key,abc\n")                // fractional key, bad double
+            .getBytes("UTF-8"))
+        finally bad.close()
+        s.read.option("header", "true").option("mode", "DROPMALFORMED")
+          .schema("c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE")
+          .csv(dir)
+          .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("bal"))
+      },
+      Some("""SELECT count(*) AS cnt, round(sum(c_acctbal),2) AS bal
+             |FROM customer""".stripMargin)),
+
     // B10: JSON-lines round trip.
     Q("q_jsonl_roundtrip",
       (s, d) => {

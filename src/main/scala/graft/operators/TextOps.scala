@@ -182,6 +182,31 @@ object TextOps {
              |WHERE n_chars BETWEEN 50 AND 5000 AND (ttr*0.5 + (1.0-sr)*0.5 + 0.000000001) > 0.6 AND sr > 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // D20: PII scrub — the redaction pass every training corpus runs
+    // before the tokenizer: email-shaped and long-digit-run spans are
+    // replaced with sentinel tokens, and the query reports per-doc
+    // redaction counts plus the scrubbed length. Conservative regexes
+    // kept to the POSIX-compatible subset both engines parse
+    // identically (no lookarounds, no shorthand classes).
+    Q("q_text_pii",
+      (s, d) => {
+        val email = "[a-z0-9._-]+@[a-z0-9.-]+"
+        val digits = "[0-9][0-9][0-9][0-9][0-9]+"
+        t(s, d, "documents").select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+          regexp_count(col("text"), lit(digits)).cast("long").as("n_digit_runs"),
+          length(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            digits, "<NUM>")).cast("long").as("scrubbed_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |len(regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+')) AS n_email,
+             |len(regexp_extract_all(text, '[0-9][0-9][0-9][0-9][0-9]+')) AS n_digit_runs,
+             |length(regexp_replace(regexp_replace(text, '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             |  '[0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g')) AS scrubbed_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Rabin-Karp rolling-hash fingerprint: polynomial hash of each
     // 4-token window, doc fingerprint = xxhash of the 8 smallest
     // window hashes (winnowing-style sketch, order-invariant).

@@ -207,6 +207,39 @@ object TextOps {
              |  '[0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g')) AS scrubbed_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // D21: sequence chunking — split each document's token stream into
+    // fixed-size windows (64 tokens) with 8-token overlap, the step
+    // that turns a corpus into training sequences. explode(sequence)
+    // emits one row per chunk START (cheap generator — plan rule §6.5.3),
+    // and the chunk text is sliced from the materialized token array;
+    // stride rows scale with tokens/stride, never quadratic.
+    Q("q_text_chunks",
+      (s, d) => {
+        val cs = 64; val overlap = 8; val stride = cs - overlap
+        val nTok = size(col("ws"))
+        val nChunks = greatest(
+          ceil((nTok - lit(overlap)) / lit(stride.toDouble)).cast("int"), lit(1))
+        val nIn = least(nTok - col("start") * stride, lit(cs))
+        t(s, d, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("start", explode(sequence(lit(0), nChunks - 1, lit(1))))
+          .select(col("doc_id"), col("start").cast("long").as("chunk_idx"),
+            (col("start") * stride).cast("long").as("tok_start"),
+            nIn.cast("long").as("n_tokens"),
+            element_at(col("ws"), col("start") * stride + 1).as("first_tok"),
+            element_at(col("ws"), col("start") * stride + nIn).as("last_tok"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |c AS (SELECT doc_id, ws,
+             |  unnest(range(0, greatest(CAST(ceil((len(ws) - 8) / 56.0) AS BIGINT), 1))) AS i
+             |  FROM w)
+             |SELECT doc_id, i AS chunk_idx, i * 56 AS tok_start,
+             |  least(len(ws) - i * 56, 64) AS n_tokens,
+             |  ws[i * 56 + 1] AS first_tok,
+             |  ws[i * 56 + least(len(ws) - i * 56, 64)] AS last_tok
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Rabin-Karp rolling-hash fingerprint: polynomial hash of each
     // 4-token window, doc fingerprint = xxhash of the 8 smallest
     // window hashes (winnowing-style sketch, order-invariant).

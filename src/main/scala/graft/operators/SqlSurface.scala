@@ -132,6 +132,27 @@ object SqlSurface {
              |WHERE c.c_custkey <= 200
              |ORDER BY c.c_custkey""".stripMargin)),
 
+    // A66: VARIANT semi-structured type (new in Spark 4): parse_json
+    // into the binary variant encoding, typed path extraction with
+    // variant_get — the open-schema alternative to from_json when the
+    // shape isn't known up front. Oracle extracts the same path
+    // textually.
+    Q("q_variant",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"),
+          variant_get(parse_json(col("props")), "$.k", "string").as("kstr"),
+          to_json(parse_json(col("props"))).as("canon"))
+        .where(col("k").between(10, 60))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+             |regexp_extract(props, '"k": (\d+)', 1) AS kstr,
+             |replace(props, ': ', ':') AS canon
+             |FROM events
+             |WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) BETWEEN 10 AND 60
+             |ORDER BY event_id""".stripMargin)),
+
     // A51/A52: multiset set ops (keep duplicates).
     Q("q_intersect_all",
       (s, d) => t(s, d, "orders").select(col("o_custkey").as("k"))

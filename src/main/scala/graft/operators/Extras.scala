@@ -202,6 +202,27 @@ object Extras {
              |SELECT lower(seg) AS seg, count(*) AS cnt, round(sum(c_acctbal),2) AS bal
              |FROM x GROUP BY lower(seg) ORDER BY seg""".stripMargin)),
 
+    // A67: linear-regression aggregates (regr_slope/intercept/r2/count)
+    // — price-vs-quantity fit per return flag. Algebraic single-pass
+    // aggregates (co-moment merge), so they partial-aggregate map-side
+    // like any sum; rounded with the shared nudge since the co-moment
+    // accumulation order differs across engines in the last bits.
+    Q("q_regr_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 4).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |round(regr_slope(l_extendedprice, l_quantity) + 0.000000001, 4) AS slope,
+             |round(regr_intercept(l_extendedprice, l_quantity) + 0.000000001, 4) AS icept,
+             |round(regr_r2(l_extendedprice, l_quantity) + 0.000000001, 6) AS r2,
+             |regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // A56: ordered string aggregation (listagg / string_agg).
     Q("q_string_agg",
       (s, d) => t(s, d, "nation")

@@ -254,10 +254,18 @@ object Lakehouse {
     // the base, so the gate proves routed == direct.
     Q("q_mv_autoroute",
       (s, d) => {
-        val base = s"$d/orders.parquet"
+        // Register under a scratch COPY of the base, never the shared
+        // corpus path: MvRegistry is process-global, and an entry on
+        // the corpus orders table would silently route every later
+        // matching aggregate in the same session through the MV
+        // (correct but timing-contaminating — ADVICE r2). The copy is
+        // rewritten per call so a stale copy from another SF dir can
+        // never serve.
+        val base = s"$scratch/mv_orders_base"
+        t(s, d, "orders").write.mode("overwrite").parquet(base)
         graft.sources.Rollup.createAndRegister(s, base, s"$scratch/mv_orders_auto",
           dims = Seq("o_orderpriority", "o_orderstatus"), measures = Seq("o_totalprice"))
-        t(s, d, "orders")
+        s.read.parquet(base)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"),
             round(max("o_totalprice"), 2).as("top"))

@@ -97,9 +97,21 @@ case class MaterializedViewRewrite(spark: SparkSession) extends Rule[LogicalPlan
     def mvAttr(n: String): Option[AttributeReference] =
       mvPlan.output.collectFirst { case a: AttributeReference if a.name == n => a }
 
+    // Re-aggregating a partial can change the result type even though
+    // the value is the same: sum over DECIMAL(p,s) is DECIMAL(p+10,s),
+    // so sum(sum_m) over the MV is DECIMAL(p+20,s) while the parent
+    // plan holds an AttributeReference typed DECIMAL(p+10,s). The
+    // replacement is cast back to the original type — value-safe,
+    // because the re-aggregated total IS the base total: if it fits
+    // the base sum's type the cast is lossless, and if it doesn't the
+    // un-rewritten query overflows identically.
+    def retyped(repl: Expression, orig: AggregateExpression): Expression =
+      if (repl.dataType == orig.dataType) repl
+      else org.apache.spark.sql.catalyst.expressions.Cast(repl, orig.dataType)
+
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
-      ae.aggregateFunction match {
+      val raw: Option[Expression] = ae.aggregateFunction match {
         case Sum(a: AttributeReference, _) if mv.measures.contains(a.name) =>
           mvAttr(s"sum_${a.name}").map(m => AggregateExpression(Sum(m), Complete, isDistinct = false))
         case Min(a: AttributeReference) if mv.measures.contains(a.name) =>
@@ -107,9 +119,17 @@ case class MaterializedViewRewrite(spark: SparkSession) extends Rule[LogicalPlan
         case Max(a: AttributeReference) if mv.measures.contains(a.name) =>
           mvAttr(s"max_${a.name}").map(m => AggregateExpression(Max(m), Complete, isDistinct = false))
         case Count(Seq(Literal(_, _))) =>
-          mvAttr(mv.cntCol).map(m => AggregateExpression(Sum(m), Complete, isDistinct = false))
+          // count(*) over an EMPTY base is 0, but sum(cnt) over the
+          // (equally empty) MV is NULL — coalesce restores the
+          // count contract. (sum→sum stays null-correct as-is.)
+          mvAttr(mv.cntCol).map { m =>
+            val s = AggregateExpression(Sum(m), Complete, isDistinct = false)
+            org.apache.spark.sql.catalyst.expressions.Coalesce(
+              Seq(s, Literal(0L, org.apache.spark.sql.types.LongType)))
+          }
         case _ => None
       }
+      raw.map(retyped(_, ae))
     }
 
     // Every result expression is rewritten in place: embedded
@@ -121,7 +141,10 @@ case class MaterializedViewRewrite(spark: SparkSession) extends Rule[LogicalPlan
     val mvIds = mvPlan.outputSet
     def rewriteResult(e: Expression): Option[Expression] = {
       var ok = true
-      val aggsDone = e.transformDown {
+      // transformUp: the replacement subtree (which itself contains an
+      // AggregateExpression over MV partials) must not be re-visited —
+      // transformDown would descend into it and veto.
+      val aggsDone = e.transformUp {
         case ae: AggregateExpression => rewriteAgg(ae).getOrElse { ok = false; ae }
       }
       val attrsDone = aggsDone.transformDown {

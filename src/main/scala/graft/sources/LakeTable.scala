@@ -85,14 +85,32 @@ object LakeTable {
     // tmp→target rename; the "." prefix keeps markers out of the
     // version listing.
     val lock = new Path(logDir(path), f".claim-v${c.version}%05d")
-    val claimed = try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+    // Hadoop's RawLocalFileSystem implements create(overwrite=false)
+    // as a non-atomic exists()-then-create, so on local FS two racers
+    // at the same version could both "claim". java.nio CREATE_NEW is a
+    // single atomic O_EXCL open — use it whenever the path is local;
+    // for a remote store, fs.create(overwrite=false) stands in for the
+    // conditional PUT (If-None-Match) the store would provide.
+    val lockUri = fs.makeQualified(lock).toUri
+    val claimed =
+      if (lockUri.getScheme == "file") {
+        try { java.nio.file.Files.createFile(java.nio.file.Paths.get(lockUri.getPath)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
     if (!claimed) {
       fs.delete(tmp, false)
       throw new IllegalStateException(s"commit v${c.version} lost the race for $target")
     }
-    if (!fs.rename(tmp, target))
+    if (!fs.rename(tmp, target)) {
+      // Release the claim: a failure between claim and publish must
+      // not wedge the version forever — the next committer retries it.
+      fs.delete(lock, false)
+      fs.delete(tmp, false)
       throw new IllegalStateException(s"commit v${c.version} rename failed for $target")
+    }
   }
 
   private def writeGroup(spark: SparkSession, path: String, v: Long, df: DataFrame,

@@ -184,6 +184,43 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.plans.MvRegistry.deregister(base)
   }
 
+  test("MV rewrite: decimal sums keep their type; count(*) over empty base stays 0") {
+    import org.apache.spark.sql.types.DecimalType
+    val scratchDir = operators.Lakehouse.scratch
+    val basePath = s"$scratchDir/spec_mv_dec_base"
+    val mvPath = s"$scratchDir/spec_mv_dec_mv"
+    val df = spark.range(10).select(
+      (col("id") % 2).cast("string").as("g"),
+      col("id").cast(DecimalType(12, 2)).as("price"))
+    df.write.mode("overwrite").parquet(basePath)
+    try {
+      graft.sources.Rollup.createAndRegister(spark, basePath, mvPath, Seq("g"), Seq("price"))
+      val routed = spark.read.parquet(basePath).groupBy("g").agg(sum("price").as("s"))
+      assert(routed.queryExecution.optimizedPlan.toString.contains("sum_price"),
+        s"not routed:\n${routed.queryExecution.optimizedPlan}")
+      // sum over DECIMAL(12,2) is DECIMAL(22,2); re-aggregating the MV
+      // partial natively yields DECIMAL(32,2), so without the cast-back
+      // the executed rows would not match the parent plan's layout.
+      assert(routed.schema("s").dataType == DecimalType(22, 2))
+      val got = routed.orderBy("g").collect().map(r => (r.getString(0), r.getDecimal(1)))
+      graft.plans.MvRegistry.deregister(basePath)
+      val want = spark.read.parquet(basePath).groupBy("g").agg(sum("price").as("s"))
+        .orderBy("g").collect().map(r => (r.getString(0), r.getDecimal(1)))
+      assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
+
+      val emptyBase = s"$scratchDir/spec_mv_empty_base"
+      val emptyMv = s"$scratchDir/spec_mv_empty_mv"
+      df.where(lit(false)).write.mode("overwrite").parquet(emptyBase)
+      graft.sources.Rollup.createAndRegister(spark, emptyBase, emptyMv, Seq("g"), Seq("price"))
+      try {
+        val cnt = spark.read.parquet(emptyBase).agg(count(lit(1)).as("c"))
+        assert(cnt.queryExecution.executedPlan.toString.contains("spec_mv_empty_mv"),
+          s"not routed:\n${cnt.queryExecution.executedPlan.toString.take(2000)}")
+        assert(cnt.collect()(0).getLong(0) == 0L, "count(*) over empty routed base must be 0, not NULL")
+      } finally graft.plans.MvRegistry.deregister(emptyBase)
+    } finally graft.plans.MvRegistry.deregister(basePath)
+  }
+
   test("q_knn_ivf cell assignment contains no Scala UDF") {
     val p = graft.operators.Clustering.knnIvf(spark, sf)
       .queryExecution.executedPlan.toString

@@ -99,5 +99,60 @@ object Events {
         .orderBy("user_id"),
       Some("""SELECT user_id, count(*) AS cnt, round(sum(value),2) AS sum_val
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Ordered-step funnel (view → click → purchase): the staple
+    // behavioral-analytics query an OLAP tier serves. Each stage is a
+    // per-user min(ts) AFTER the previous stage's time — three small
+    // aggregates all partitioned by user_id, so the shuffle
+    // partitioning from stage 1 is reused by the stage-2/3 joins
+    // (one logical exchange, not three), and per-stage state is one
+    // timestamp per user regardless of event volume.
+    Q("q_funnel",
+      (s, d) => {
+        val e = t(s, d, "events").select("user_id", "event_type", "ts")
+        val s1 = e.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = e.where(col("event_type") === "click").join(s1, "user_id")
+          .where(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = e.where(col("event_type") === "purchase").join(s2, "user_id")
+          .where(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        s1.agg(count(lit(1)).as("step_view"))
+          .crossJoin(s2.agg(count(lit(1)).as("step_click")))
+          .crossJoin(s3.agg(count(lit(1)).as("step_purchase")))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |            WHERE event_type='view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING(user_id)
+             |       WHERE event_type='click' AND ts > t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING(user_id)
+             |       WHERE event_type='purchase' AND ts > t2 GROUP BY 1)
+             |SELECT (SELECT count(*) FROM s1) AS step_view,
+             |       (SELECT count(*) FROM s2) AS step_click,
+             |       (SELECT count(*) FROM s3) AS step_purchase""".stripMargin)),
+
+    // Cohort retention: users grouped by first-active day, distinct
+    // actives per day offset — the other canonical OLAP serving shape.
+    // One user_id shuffle builds the cohort map, the events join reuses
+    // it, and the final (cohort, offset) aggregate carries only 8-byte
+    // ids into count_distinct partials.
+    Q("q_retention",
+      (s, d) => {
+        val e = t(s, d, "events").select(col("user_id"), col("ts").cast("date").as("day"))
+        val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+        e.join(first, "user_id")
+          .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+          .where(col("day_offset") <= 7)
+          .groupBy("cohort_day", "day_offset")
+          .agg(count_distinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH f AS (SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY 1)
+             |SELECT cohort_day, date_diff('day', cohort_day, ts::DATE)::BIGINT AS day_offset,
+             |       count(DISTINCT e.user_id) AS active_users
+             |FROM events e JOIN f USING(user_id)
+             |WHERE date_diff('day', cohort_day, ts::DATE) <= 7
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

@@ -246,6 +246,25 @@ object Lakehouse {
       Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
              |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999""".stripMargin)),
 
+    // B21: bloom-sidecar point lookup on an UNCLUSTERED column. The
+    // table is range-laid-out by date, so every file's o_orderkey
+    // [min,max] spans the whole domain and footer stats skip nothing;
+    // the per-file blooms answer "definitely absent" and the lookup
+    // opens ~1 of 16 files (spec-asserted). This is the second
+    // skipping tier a Doris-class serving layer adds over min/max.
+    Q("q_bloom_lookup",
+      (s, d) => {
+        val lake = s"$scratch/orders_bloom"
+        LakeTable.create(s, lake,
+          t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+            .repartitionByRange(16, col("o_orderdate")))
+        LakeTable.buildBlooms(s, lake, Seq("o_orderkey"))
+        LakeTable.readPoint(s, lake, "o_orderkey", 1000L)
+          .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS price
+             |FROM orders WHERE o_orderkey = 1000""".stripMargin)),
+
     // B19: transparent MV routing (the Doris rollup-serving trick): a
     // registered sum/min/max/cnt partials table answers a plain
     // aggregate over the BASE fact — the query below groups coarser

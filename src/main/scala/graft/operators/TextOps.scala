@@ -255,5 +255,40 @@ object TextOps {
           size(col("grams")).cast("long").as("n_grams"))
         .orderBy("doc_id"),
       None),
+
+    // Deterministic stratified sampling — the data-mixing primitive of
+    // a training-data pipeline: per-language keep-rates applied via an
+    // ARITHMETIC hash of the stable doc_id (Knuth multiplicative mod
+    // 2^32), not rand(). Reproducible across runs, engines, partition
+    // layouts, and cluster sizes — resampling at 100 TB yields the
+    // same corpus bit-for-bit, and a re-run after appending documents
+    // keeps every previously-selected doc. Rates arrive as a small
+    // broadcast dimension (the "mixing weights" table); thresholds are
+    // integers so no float boundary can flip between engines.
+    Q("q_corpus_mix",
+      (s, d) => {
+        import s.implicits._
+        val rates = Seq( // lang -> keep numerator out of 2^32
+          ("en", (0.25 * 4294967296.0).toLong),
+          ("de", (0.50 * 4294967296.0).toLong),
+          ("fr", (0.50 * 4294967296.0).toLong),
+          ("es", (0.75 * 4294967296.0).toLong),
+          ("zh", (1.00 * 4294967296.0).toLong)).toDF("lang", "keep_below")
+        t(s, d, "documents")
+          .join(broadcast(rates), Seq("lang"), "left")
+          .where(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) <
+            coalesce(col("keep_below"), lit(0L)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept"), sum("n_chars").as("kept_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH rates(lang, keep_below) AS (VALUES
+             | ('en', CAST(1073741824 AS BIGINT)), ('de', CAST(2147483648 AS BIGINT)),
+             | ('fr', CAST(2147483648 AS BIGINT)), ('es', CAST(3221225472 AS BIGINT)),
+             | ('zh', CAST(4294967296 AS BIGINT)))
+             |SELECT d.lang, count(*) AS kept, sum(n_chars)::BIGINT AS kept_chars
+             |FROM documents d JOIN rates r ON d.lang = r.lang
+             |WHERE (d.doc_id * 2654435761) % 4294967296 < r.keep_below
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -297,6 +297,156 @@ object LakeTable {
     base.where(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
+  // ---- per-file bloom sidecars (point lookups on UNCLUSTERED columns) --
+
+  /** Sidecar name per file-group dir: `rel \t column \t base64(bloom)`. */
+  private val BloomFile = "_blooms.tsv"
+
+  /** Build per-file bloom-filter sidecars for `columns` over the
+    * current snapshot. Min/max skipping (the free footer stats) is
+    * useless for a column the layout is NOT clustered on — every
+    * file's [min,max] spans the domain — but a bloom answers "value
+    * definitely absent from this file" regardless of layout. Opt-in,
+    * because unlike the footer harvest it costs one column-pruned scan
+    * of the group (the same trade Delta/Doris make for bloom indexes).
+    *
+    * The scan is distributed: each task builds partial blooms for the
+    * files in its partition, partials OR-merge per (file, column) —
+    * identical create parameters make them mergeable — and the driver
+    * only streams the final one-bloom-per-file lines to the sidecar
+    * (~`-ln(fpp)/ln(2)^2/8` bytes per row capacity, ≈120 KB per file
+    * at 100k rows / 1% fpp).
+    */
+  def buildBlooms(spark: SparkSession, path: String, columns: Seq[String],
+      expectedRowsPerFile: Long = 100000L, fpp: Double = 0.01): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val v = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val c = readCommit(spark, path, v)
+    c.dirs.foreach { d =>
+      val dirPath = new Path(path, d)
+      val fs = fsOf(spark, dirPath)
+      val base = fs.makeQualified(dirPath).toString
+      val cols = columns
+      val df = spark.read.parquet(dirPath.toString)
+        .select(input_file_name().as("__file") +: cols.map(col): _*)
+      import spark.implicits._
+      val partials = df.mapPartitions { rows =>
+        val acc = scala.collection.mutable.Map.empty[(String, String), BloomFilter]
+        rows.foreach { r =>
+          val file = r.getString(0)
+          var i = 0
+          while (i < cols.length) {
+            if (!r.isNullAt(i + 1)) {
+              val bf = acc.getOrElseUpdate((file, cols(i)),
+                BloomFilter.create(expectedRowsPerFile, fpp))
+              r.get(i + 1) match {
+                case l: java.lang.Long => bf.putLong(l)
+                case n: java.lang.Integer => bf.putLong(n.longValue())
+                case s: String => bf.putString(s)
+                case other => bf.putString(other.toString)
+              }
+            }
+            i += 1
+          }
+        }
+        acc.iterator.map { case ((f, cn), bf) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (f, cn, bos.toByteArray)
+        }
+      }
+      val merged = partials
+        .groupByKey { case (f, cn, _) => (f, cn) }
+        .reduceGroups { (a, b) =>
+          val x = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a._3))
+          x.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b._3)))
+          val bos = new java.io.ByteArrayOutputStream()
+          x.writeTo(bos)
+          (a._1, a._2, bos.toByteArray)
+        }
+        .map(_._2)
+      val out = fs.create(new Path(dirPath, BloomFile), true)
+      try {
+        // toLocalIterator: one final bloom per (file, column) streams
+        // through the driver — never the whole set at once.
+        val it = merged.toLocalIterator()
+        while (it.hasNext) {
+          val (f, cn, bytes) = it.next()
+          val rel = new Path(f).toString match {
+            case full if full.startsWith(base + "/") => full.stripPrefix(base + "/")
+            case full => fs.makeQualified(new Path(full)).toString.stripPrefix(base + "/")
+          }
+          val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+          out.write(s"${enc(rel)}\t${enc(cn)}\t$b64\n".getBytes(StandardCharsets.UTF_8))
+        }
+      } finally out.close()
+    }
+  }
+
+  /** Point lookup using BOTH skipping tiers: footer min/max first,
+    * then bloom "definitely absent" on whatever sidecars exist. Files
+    * without a bloom entry are kept — skipping is an optimization,
+    * never a filter. Returns exactly `read(...).where(column = value)`
+    * opening only the files that might contain the value.
+    */
+  def readPoint(spark: SparkSession, path: String, column: String, value: Any,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val base = pointCandidateFiles(spark, path, column, value, Some(v)) match {
+      case Some(files) if files.isEmpty => read(spark, path, Some(v)).limit(0)
+      case Some(files) => spark.read.option("mergeSchema", "true").parquet(files: _*)
+      case None => read(spark, path, Some(v))
+    }
+    base.where(col(column) === lit(value))
+  }
+
+  /** Files a point lookup must open: footer-stats prune, then bloom
+    * "definitely absent" per surviving file. None = partitioned layout
+    * (file-level pruning unsafe). Also used by specs to assert skipping.
+    */
+  private[graft] def pointCandidateFiles(spark: SparkSession, path: String,
+      column: String, value: Any, version: Option[Long] = None): Option[Seq[String]] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val v = version.orElse(currentVersion(spark, path)).get
+    val c = readCommit(spark, path, v)
+    // cache per-dir sidecar parses: (dir -> (rel, column) -> bloom b64)
+    val sidecars = scala.collection.mutable.Map.empty[String, Map[(String, String), String]]
+    def sidecarOf(dirPath: Path, fs: FileSystem): Map[(String, String), String] =
+      sidecars.getOrElseUpdate(dirPath.toString, {
+        val bloomPath = new Path(dirPath, BloomFile)
+        if (!fs.exists(bloomPath)) Map.empty
+        else {
+          val in = fs.open(bloomPath)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          body.split("\n").filter(_.nonEmpty).map(_.split("\t"))
+            .collect { case Array(r, cn, b64) => (dec(r), dec(cn)) -> b64 }.toMap
+        }
+      })
+    pruneFiles(spark, path, c.dirs, Map(column -> ColumnBounds(Some(value), Some(value))))
+      .map { files =>
+        files.filter { f =>
+          val fp = new Path(f)
+          val fs = fsOf(spark, fp.getParent)
+          val base = fs.makeQualified(fp.getParent).toString
+          val rel = fs.makeQualified(fp).toString.stripPrefix(base + "/")
+          sidecarOf(fp.getParent, fs).get((rel, column)) match {
+            case None => true // no bloom: must read the file
+            case Some(b64) =>
+              val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(b64)))
+              value match {
+                case l: java.lang.Long => bf.mightContainLong(l)
+                case n: java.lang.Integer => bf.mightContainLong(n.longValue())
+                case s: String => bf.mightContainString(s)
+                case other => bf.mightContainString(other.toString)
+              }
+          }
+        }
+      }
+  }
+
   /** Create (or replace) the table as version 0. */
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Long = {

@@ -240,6 +240,32 @@ class LakeTableSpec extends AnyFunSuite {
     assert(touched2 < t2, s"touched $touched2 of $t2 files")
   }
 
+  test("bloom sidecars skip files on an unclustered column where stats cannot") {
+    import SharedSpark.sf
+    val p = s"$root/bloom_skip"
+    // laid out by DATE: every file's o_orderkey [min,max] spans the
+    // domain, so footer stats keep all files for an orderkey point.
+    LakeTable.create(spark, p,
+      Tables(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+        .repartitionByRange(8, col("o_orderdate")))
+    val total = LakeTable.dataFiles(spark, p).size
+    val statsOnly = LakeTable.pointCandidateFiles(spark, p, "o_orderkey", 1000L).get
+    assert(statsOnly.size == total, s"stats should not skip here: ${statsOnly.size} of $total")
+    LakeTable.buildBlooms(spark, p, Seq("o_orderkey"))
+    val withBloom = LakeTable.pointCandidateFiles(spark, p, "o_orderkey", 1000L).get
+    assert(withBloom.size < total, s"bloom skipped nothing: ${withBloom.size} of $total")
+    // exactness: the pruned point read equals full read + filter
+    val got = LakeTable.readPoint(spark, p, "o_orderkey", 1000L)
+      .select("o_orderkey", "o_totalprice").collect().toSeq
+    val want = LakeTable.read(spark, p).where(col("o_orderkey") === 1000L)
+      .select("o_orderkey", "o_totalprice").collect().toSeq
+    assert(got == want && got.nonEmpty, s"$got vs $want")
+    // a value absent from the table prunes every file
+    val absent = LakeTable.pointCandidateFiles(spark, p, "o_orderkey", -5L).get
+    assert(absent.isEmpty, s"absent key kept ${absent.size} files")
+    assert(LakeTable.readPoint(spark, p, "o_orderkey", -5L).count() == 0L)
+  }
+
   test("V2 scan prunes files from pushed SQL filters via sidecar stats") {
     import SharedSpark.sf
     import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}

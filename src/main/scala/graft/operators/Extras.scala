@@ -376,5 +376,25 @@ object Extras {
           round(expr("percentile_approx(o_totalprice, 0.95, 1000)"), 2).as("p95_approx"))
         .orderBy("o_orderpriority"),
       None),
+
+    // Sketch-based heavy hitters (Spark 4 approx_top_k — DataSketches
+    // frequent-items): the single-pass, mergeable way to find hot
+    // tokens/keys at 100 TB, where an exact groupBy over a huge key
+    // domain would shuffle the domain. Here the tracked-item budget
+    // exceeds the vocabulary, so the sketch is EXACT and the oracle
+    // gate can hash-compare against DuckDB's exact top-k; ordering is
+    // re-derived deterministically (count desc, then token) because
+    // the sketch's own tie order is unspecified.
+    Q("q_approx_topk",
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(expr("approx_top_k(tok, 50, 1000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").cast("long").as("cnt"))
+        .orderBy(desc("cnt"), col("token"))
+        .limit(10),
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |SELECT token, count(*)::BIGINT AS cnt FROM toks
+             |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 10""".stripMargin)),
   )
 }

@@ -256,6 +256,41 @@ object TextOps {
         .orderBy("doc_id"),
       None),
 
+    // Corpus-LM quality scoring (the CCNet/RefinedWeb filtering
+    // signal): score each document by the average corpus frequency of
+    // its bigrams — documents whose word sequences are rare in the
+    // corpus (noise, mangled text) score low. Two passes over the
+    // token stream: the bigram-frequency model is a map-side-combined
+    // aggregate whose result is at most vocab² rows (tiny — it
+    // BROADCASTS to the scoring join, so the corpus never shuffles).
+    // Kept integer-exact until one final division so the oracle
+    // hash-matches; the generator emits an index and the bigram is
+    // built from attributes (never explode(transform(...)) — §6.5.3).
+    Q("q_text_lmscore",
+      (s, d) => {
+        val ex = t(s, d, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .where(size(col("ws")) >= 2)
+          .select(col("doc_id"), col("ws"),
+            explode(sequence(lit(0), size(col("ws")) - 2)).as("i"))
+          .select(col("doc_id"),
+            concat(col("ws")(col("i")), lit(" "), col("ws")(col("i") + 1)).as("bg"))
+        val freq = ex.groupBy("bg").agg(count(lit(1)).as("bf"))
+        ex.join(broadcast(freq), "bg")
+          .groupBy("doc_id")
+          .agg(round(sum("bf") / count(lit(1)) + lit(1e-9), 4).as("lm_score"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |ex AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS bg
+             |       FROM w, unnest(range(0, len(ws)-1)) AS t(i) WHERE len(ws) >= 2),
+             |freq AS (SELECT bg, count(*) AS bf FROM ex GROUP BY 1)
+             |SELECT e.doc_id, round(sum(bf)/count(*) + 1e-9, 4) AS lm_score,
+             |       count(*)::BIGINT AS n_bigrams
+             |FROM ex e JOIN freq USING(bg)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic stratified sampling — the data-mixing primitive of
     // a training-data pipeline: per-language keep-rates applied via an
     // ARITHMETIC hash of the stable doc_id (Knuth multiplicative mod

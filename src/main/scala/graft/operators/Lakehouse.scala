@@ -246,6 +246,38 @@ object Lakehouse {
       Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
              |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999""".stripMargin)),
 
+    // B22: change data feed (Delta-CDF/Iceberg-changelog capability):
+    // diff two snapshots into insert/update/delete records for
+    // incremental downstream consumers. v0 = orderkey<1200; a DELETE
+    // (v1) drops keys<100; a MERGE (v2) doubles prices for
+    // 1000..1199 and inserts 1200..1399 — changes(0,2) must emit
+    // exactly those three groups. One keyed shuffle per side, 8-byte
+    // row hashes for change detection.
+    Q("q_lake_cdc",
+      (s, d) => {
+        val lake = s"$scratch/orders_cdc"
+        val base = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        LakeTable.create(s, lake, base.where(col("o_orderkey") < 1200))
+        LakeTable.delete(s, lake, col("o_orderkey") < 100)
+        LakeTable.merge(s, lake,
+          base.where(col("o_orderkey").between(1000, 1399))
+            .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)),
+          "o_orderkey")
+        LakeTable.changes(s, lake, "o_orderkey", 0L, 2L)
+          .select(col("change_type"), col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("price"))
+          .orderBy("change_type", "o_orderkey")
+      },
+      Some("""SELECT 'delete' AS change_type, o_orderkey, o_custkey,
+             |       round(o_totalprice,2) AS price FROM orders WHERE o_orderkey < 100
+             |UNION ALL
+             |SELECT 'insert', o_orderkey, o_custkey, round(o_totalprice*2,2)
+             |FROM orders WHERE o_orderkey BETWEEN 1200 AND 1399
+             |UNION ALL
+             |SELECT 'update', o_orderkey, o_custkey, round(o_totalprice*2,2)
+             |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1199
+             |ORDER BY 1, 2""".stripMargin)),
+
     // B21: bloom-sidecar point lookup on an UNCLUSTERED column. The
     // table is range-laid-out by date, so every file's o_orderkey
     // [min,max] spans the whole domain and footer stats skip nothing;

@@ -240,6 +240,24 @@ class LakeTableSpec extends AnyFunSuite {
     assert(touched2 < t2, s"touched $touched2 of $t2 files")
   }
 
+  test("changes() emits the insert/update/delete diff between snapshots") {
+    import spark.implicits._
+    val p = s"$root/cdc"
+    LakeTable.create(spark, p, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    LakeTable.delete(spark, p, col("k") === 1L)
+    LakeTable.merge(spark, p, Seq((2L, "B"), (4L, "d")).toDF("k", "v"), "k")
+    val ch = LakeTable.changes(spark, p, "k", 0L, 2L).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(ch.toSeq == Seq(("delete", 1L, "a"), ("update", 2L, "B"), ("insert", 4L, "d")), ch.toSeq)
+    // an unchanged snapshot pair diffs to nothing
+    assert(LakeTable.changes(spark, p, "k", 2L, 2L).count() == 0L)
+    // update-to-NULL must surface the NULL, not resurrect the old value
+    LakeTable.update(spark, p, col("k") === 3L, Map("v" -> lit(null).cast("string")))
+    val ch2 = LakeTable.changes(spark, p, "k", 2L, 3L).collect()
+    assert(ch2.length == 1 && ch2(0).getString(0) == "update" &&
+      ch2(0).getLong(1) == 3L && ch2(0).isNullAt(2), ch2.toSeq)
+  }
+
   test("bloom sidecars skip files on an unclustered column where stats cannot") {
     import SharedSpark.sf
     val p = s"$root/bloom_skip"

@@ -248,9 +248,110 @@ object Clustering {
       .orderBy("cluster_rep")
   }
 
+  /** D24: persisted ANN index lifecycle. knnPq rebuilds its index per
+    * query — fine for a demo, fatal at 100 TB where the index build is
+    * a (rare) batch job and queries are the common path. buildPqIndex
+    * persists the two PQ artifacts as LakeTables under `indexPath`:
+    * `codes` (vec_id → m byte-codes, 32× smaller than the vectors) and
+    * `books` (the m×ksub codebook centroids, a few KB). queryPqIndex
+    * answers from the stored index alone — codebooks collected (tiny),
+    * ADC tables broadcast, one codegen pass over codes, exact re-rank
+    * fetching raw vectors by id — no training, no corpus-wide vector
+    * math. Snapshot versioning of the index comes free from LakeTable
+    * (rebuild = new version; readers pin a snapshot).
+    */
+  def buildPqIndex(s: SparkSession, d: String, indexPath: String,
+      m: Int = 16, ksub: Int = 16): Unit = {
+    import s.implicits._
+    val dim = 64; val sub = dim / m
+    val corpus = t(s, d, "embeddings").where(col("vec_id") >= 10)
+      .select("vec_id", "embedding")
+    val trainCap = 2000L
+    val n = corpus.count()
+    val sample = (if (n <= trainCap) corpus
+      else corpus.sample(withReplacement = false, trainCap.toDouble / n, 42L))
+      .select("embedding").as[Seq[Float]].collect().map(v => normalizedArr(v.toArray))
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { mi =>
+      lloyd(sample.map(_.slice(mi * sub, (mi + 1) * sub)), ksub, iters = 10, seed = 42L + mi)
+    }
+    val norm2 = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val codes = corpus
+      .withColumn("nrm", sqrt(norm2))
+      .withColumn("emb_n", transform(col("embedding"),
+        x => when(col("nrm") === 0.0, 0f).otherwise((x.cast("double") / col("nrm")).cast("float"))))
+      .withColumn("codes", array((0 until m).map { mi =>
+        Vectors.nearestCentroid(slice(col("emb_n"), mi * sub + 1, sub), codebooks(mi))
+      }: _*)).select("vec_id", "codes")
+    graft.sources.LakeTable.create(s, s"$indexPath/codes", codes)
+    val books = (for (mi <- 0 until m; ci <- 0 until ksub)
+      yield (mi, ci, codebooks(mi)(ci).toSeq)).toDF("mi", "ci", "centroid")
+    graft.sources.LakeTable.create(s, s"$indexPath/books", books)
+  }
+
+  /** Answer top-k from a PERSISTED PQ index (see [[buildPqIndex]]). */
+  def queryPqIndex(s: SparkSession, d: String, indexPath: String,
+      topK: Int = 3, shortlist: Int = 48): DataFrame = {
+    import s.implicits._
+    val bookRows = graft.sources.LakeTable.read(s, s"$indexPath/books")
+      .select("mi", "ci", "centroid").as[(Int, Int, Seq[Float])].collect()
+    val m = bookRows.map(_._1).max + 1
+    val ksub = bookRows.map(_._2).max + 1
+    val codebooks = Array.ofDim[Array[Float]](m, ksub)
+    bookRows.foreach { case (mi, ci, c) => codebooks(mi)(ci) = c.toArray }
+    val sub = codebooks(0)(0).length
+    val codes = graft.sources.LakeTable.read(s, s"$indexPath/codes")
+    val queries = t(s, d, "embeddings").where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val qTables = queries.as[(Long, Seq[Float])].collect().map { case (qid, qe0) =>
+      val qe = normalizedArr(qe0.toArray)
+      val tab = new Array[Float](m * ksub)
+      for (mi <- 0 until m; c <- 0 until ksub) {
+        var dd = 0.0; var i = 0
+        while (i < sub) {
+          val x = qe(mi * sub + i) - codebooks(mi)(c)(i); dd += x * x; i += 1
+        }
+        tab(mi * ksub + c) = dd.toFloat
+      }
+      (qid, tab.toSeq)
+    }.toSeq.toDF("qid", "dtab")
+    val w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    val short = codes.crossJoin(broadcast(qTables))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, mi) => element_at(col("dtab"), mi * ksub + c + 1).cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("srn", row_number().over(w))
+      .where(col("srn") <= shortlist)
+      .select("qid", "vec_id")
+    val corpus = t(s, d, "embeddings").where(col("vec_id") >= 10)
+      .select("vec_id", "embedding")
+    val rw = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+    short
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "qid")
+      .withColumn("sim", Vectors.cosineSim(col("embedding"), col("qe")))
+      .withColumn("rn", row_number().over(rw).cast("long"))
+      .where(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  private def normalizedArr(a: Array[Float]): Array[Float] = {
+    var nn = 0.0; var i = 0
+    while (i < a.length) { nn += a(i).toDouble * a(i); i += 1 }
+    val inv = if (nn == 0.0) 0f else (1.0 / math.sqrt(nn)).toFloat
+    a.map(_ * inv)
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q_knn_ivf", (s, d) => knnIvf(s, d), None),
     Q("q_knn_pq", (s, d) => knnPq(s, d), None),
+    Q("q_ann_persisted", (s, d) => {
+      val idx = s"${Lakehouse.scratch}/pq_index"
+      buildPqIndex(s, d, idx)
+      queryPqIndex(s, d, idx)
+    }, None),
     // Oracle: same verified-pair edges in SQL, transitive closure via
     // a recursive CTE, min reachable id = the propagated label.
     Q("q_dedup_clusters", (s, d) => dedupClusters(s, d),

@@ -246,6 +246,34 @@ object Lakehouse {
       Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
              |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999""".stripMargin)),
 
+    // B23: distinct-counting MV rollup — the capability a plain
+    // sum/min/max rollup CANNOT serve, because count(distinct) is not
+    // algebraic. HLL sketch partials make it mergeable: the MV stores
+    // one fixed-size sketch per (event_type, day), and ANY coarser
+    // grouping re-aggregates by sketch union without rescanning the
+    // fact — the Doris bitmap/HLL-rollup serving trick. lgK=21 keeps
+    // the sketch in its exact regime for these cardinalities, so the
+    // served estimate hash-matches the oracle's true count(DISTINCT);
+    // at genuinely-huge cardinalities the same plan degrades to ±~1%
+    // instead of degrading to a fact rescan.
+    Q("q_mv_distinct",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("ts").cast("date").as("day"), col("user_id"))
+        val mvPath = s"$scratch/mv_events_hll"
+        LakeTable.create(s, mvPath,
+          ev.groupBy("event_type", "day")
+            .agg(hll_sketch_agg(col("user_id"), lit(21)).as("hll_users"),
+              count(lit(1)).as("cnt")))
+        LakeTable.read(s, mvPath)
+          .groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("hll_users"), lit(true)))
+            .as("approx_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS approx_users
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B22: change data feed (Delta-CDF/Iceberg-changelog capability):
     // diff two snapshots into insert/update/delete records for
     // incremental downstream consumers. v0 = orderkey<1200; a DELETE

@@ -77,6 +77,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall") // nprobe=4 of k=16 cells
   }
 
+  test("persisted PQ index answers without retraining and is stable across queries") {
+    val idx = s"${operators.Lakehouse.scratch}/spec_pq_index"
+    operators.Clustering.buildPqIndex(spark, sf, idx)
+    val r1 = operators.Clustering.queryPqIndex(spark, sf, idx).collect()
+    // a second query against the same snapshot does no training and
+    // must be bit-identical
+    val r2 = operators.Clustering.queryPqIndex(spark, sf, idx).collect()
+    assert(r1.toSeq == r2.toSeq)
+    val brute = Registry.byName("q_knn_brute").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = r1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"persisted-index recall $recall")
+  }
+
   test("PQ ANN with exact re-rank recalls most of the brute-force top-k") {
     val brute = Registry.byName("q_knn_brute").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

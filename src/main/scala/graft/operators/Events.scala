@@ -154,5 +154,41 @@ object Events {
              |FROM events e JOIN f USING(user_id)
              |WHERE date_diff('day', cohort_day, ts::DATE) <= 7
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Time-series resample + forward fill: collapse to one value per
+    // user-day (latest by ts), expand each user's [first, last] day
+    // span to a dense daily grid, and carry the last observation
+    // forward across gaps — the standard regularization step before
+    // any downstream time-series model. The grid generator is linear
+    // in (users × span days); the fill is one window per user ordered
+    // by day, never a self-join. Spans start at each user's first
+    // observation so the filled value is never NULL.
+    Q("q_resample",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("ts").cast("date").as("day"), col("value"), col("ts"))
+        val daily = e.groupBy("user_id", "day")
+          .agg(round(max_by(col("value"), col("ts")), 2).as("v"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
+          .select("user_id", "day", "v_ff")
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (SELECT user_id, ts::DATE AS day,
+             |                      round(arg_max(value, ts), 2) AS v
+             |               FROM events GROUP BY 1, 2),
+             |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+             |         FROM span)
+             |SELECT g.user_id, g.day,
+             |       last_value(v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+             |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+             |ORDER BY 1, 2""".stripMargin)),
   )
 }

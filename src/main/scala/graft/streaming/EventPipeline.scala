@@ -253,7 +253,30 @@ object EventPipeline {
       .orderBy("user_id")
   }
 
+  /** C13: stream-static enrichment join — the dimension-lookup shape
+    * of most production pipelines: the static side (customer) is read
+    * fresh per micro-batch and broadcast, so the stream never shuffles
+    * and state is zero (nothing to watermark — the static side is not
+    * append-only). Inner join drops events with no dimension row, the
+    * same semantics the batch oracle has.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = eventsStream(spark, dir)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+    runToMemory(spark, enriched, "graft_stream_enrich", OutputMode.Complete())
+      .orderBy("c_mktsegment")
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("stream_enrich", (s, d) => streamEnrich(s, d),
+      Some("""SELECT c_mktsegment, count(*) AS cnt, round(sum(value),2) AS sum_val
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("stream_tumbling", (s, d) => tumbling(s, d),
       Some("""SELECT date_trunc('hour', ts) AS wstart, event_type,
              |count(*) AS cnt, round(sum(value),2) AS sum_val

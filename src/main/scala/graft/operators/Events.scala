@@ -100,6 +100,35 @@ object Events {
       Some("""SELECT user_id, count(*) AS cnt, round(sum(value),2) AS sum_val
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // E17: salted REPLICATE join — the skew mitigation for cases
+    // AQE's skew-split cannot handle (a streamed build side, or join
+    // shapes it won't divide). The big side salts each row
+    // DETERMINISTICALLY into one of 8 buckets; the other side
+    // replicates ×8 via a generator, so a hot key's rows land on 8
+    // reducers instead of one. Same result set as the plain join
+    // (the oracle), 8× the small side's shuffle volume as the price —
+    // the standard trade when one key holds 30% of a 100 TB fact.
+    Q("q_skew_join",
+      (s, d) => {
+        val salts = 8
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .withColumn("salt",
+            pmod(xxhash64(col("l_linenumber"), col("l_orderkey")), lit(salts)).cast("int"))
+        val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        li.join(ord,
+            li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum("l_extendedprice") + lit(1e-6), 2).as("rev"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |round(sum(l_extendedprice) + 1e-6, 2) AS rev
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Ordered-step funnel (view → click → purchase): the staple
     // behavioral-analytics query an OLAP tier serves. Each stage is a
     // per-user min(ts) AFTER the previous stage's time — three small

@@ -221,6 +221,43 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.plans.MvRegistry.deregister(basePath)
   }
 
+  test("q_corpus_mix broadcasts the rates dim and keeps the hash filter before any shuffle") {
+    val p = planOf("q_corpus_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the sample filter is arithmetic over scan columns — it must sit
+    // in the scan stage, not after the aggregate exchange
+    val filterIdx = p.indexOf("pmod")
+    val exchIdx = p.indexOf("Exchange hashpartitioning")
+    assert(filterIdx >= 0 && (exchIdx < 0 || filterIdx > exchIdx),
+      s"hash filter not below the shuffle (plan prints bottom-up):\n${p.take(3000)}")
+  }
+
+  test("q_text_lmscore broadcasts the bigram model — the corpus never shuffles for the join") {
+    val p = planOf("q_text_lmscore")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_skew_join replicates the small side and joins on (key, salt)") {
+    val p = planOf("q_skew_join")
+    assert(p.contains("Generate explode"), s"no replication generator:\n${p.take(2000)}")
+    assert(p.contains("salt"), p.take(2000))
+    // the big (lineitem) side must NOT be broadcast
+    assert(!p.contains("BroadcastHashJoin") ||
+      p.indexOf("lineitem") > p.indexOf("SortMergeJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      p.take(2000))
+  }
+
+  test("q_funnel stages aggregate per user with partial aggregation, no cartesian blowup") {
+    val p = planOf("q_funnel")
+    // 3 stage aggregates + 3 one-row count aggregates; the only
+    // cross joins are over single-row relations (the final combine)
+    assert(p.contains("HashAggregate"), p.take(2000))
+    val cartesians = "CartesianProduct".r.findAllIn(p).length +
+      "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(cartesians <= 2, s"unexpected join blowup ($cartesians):\n${p.take(3000)}")
+  }
+
   test("q_knn_ivf cell assignment contains no Scala UDF") {
     val p = graft.operators.Clustering.knnIvf(spark, sf)
       .queryExecution.executedPlan.toString

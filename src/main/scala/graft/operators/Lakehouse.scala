@@ -246,6 +246,52 @@ object Lakehouse {
       Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
              |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999""".stripMargin)),
 
+    // B24: incremental MV refresh FROM THE CHANGE FEED — the reason a
+    // CDC contract exists. The rollup of v0 is materialized once;
+    // after a DELETE and a MERGE mutate the base, the rollup refreshes
+    // by folding the preimage-bearing feed algebraically (+ for
+    // insert/update_postimage, − for delete/update_preimage) — the
+    // base is NEVER rescanned. At 100 TB this is the difference
+    // between an MV refresh proportional to the change set and one
+    // proportional to the table. Oracle recomputes the final state
+    // directly, so the gate proves incremental == direct.
+    Q("q_mv_cdc_refresh",
+      (s, d) => {
+        val lake = s"$scratch/orders_cdc_mv"
+        val mvPath = s"$scratch/orders_cdc_mv_rollup"
+        val base = t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        LakeTable.create(s, lake, base.where(col("o_orderkey") < 1200))
+        LakeTable.create(s, mvPath,
+          LakeTable.read(s, lake).groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("rev")))
+        LakeTable.delete(s, lake, col("o_orderkey") < 100)
+        LakeTable.merge(s, lake,
+          base.where(col("o_orderkey").between(1000, 1399))
+            .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)),
+          "o_orderkey")
+        val sign = when(col("change_type").isin("insert", "update_postimage"), 1)
+          .otherwise(-1)
+        val delta = LakeTable.changes(s, lake, "o_orderkey", 0L, 2L, preimages = true)
+          .groupBy("o_orderpriority")
+          .agg(sum(sign).as("dcnt"), sum(sign * col("o_totalprice")).as("drev"))
+        LakeTable.read(s, mvPath)
+          .join(delta, Seq("o_orderpriority"), "full")
+          .select(col("o_orderpriority"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L))).as("cnt"),
+            round(coalesce(col("rev"), lit(0.0)) + coalesce(col("drev"), lit(0.0))
+              + lit(1e-6), 2).as("rev"))
+          .where(col("cnt") > 0)
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH final AS (
+             |  SELECT o_orderpriority, o_totalprice AS p FROM orders
+             |  WHERE o_orderkey BETWEEN 100 AND 999
+             |  UNION ALL
+             |  SELECT o_orderpriority, round(o_totalprice*2,2) FROM orders
+             |  WHERE o_orderkey BETWEEN 1000 AND 1399)
+             |SELECT o_orderpriority, count(*) AS cnt, round(sum(p)+1e-6,2) AS rev
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B23: distinct-counting MV rollup — the capability a plain
     // sum/min/max rollup CANNOT serve, because count(distinct) is not
     // algebraic. HLL sketch partials make it mergeable: the MV stores

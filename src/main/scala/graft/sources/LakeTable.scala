@@ -492,7 +492,19 @@ object LakeTable {
     * incremental consumer needs.
     */
   def changes(spark: SparkSession, path: String, key: String,
-      fromVersion: Long, toVersion: Long): DataFrame = {
+      fromVersion: Long, toVersion: Long): DataFrame =
+    changes(spark, path, key, fromVersion, toVersion, preimages = false)
+
+  /** As [[changes]]; with `preimages = true` updates emit TWO records
+    * — `update_preimage` (old values) and `update_postimage` (new) —
+    * the Delta-CDF contract that makes the feed ALGEBRAICALLY
+    * consumable: a downstream aggregate refreshes by subtracting
+    * preimage/delete contributions and adding postimage/insert ones,
+    * no base rescan. Single pass: the per-row record set is built as
+    * an array and exploded, so the diff join never re-executes.
+    */
+  def changes(spark: SparkSession, path: String, key: String,
+      fromVersion: Long, toVersion: Long, preimages: Boolean): DataFrame = {
     val oldDf = read(spark, path, Some(fromVersion))
     val newDf = read(spark, path, Some(toVersion))
     // union of both schemas, key first, stable order
@@ -510,15 +522,30 @@ object LakeTable {
     val changeType = when(col("o_k").isNull, "insert")
       .when(col("n_k").isNull, "delete")
       .when(col("n_h") =!= col("o_h"), "update")
-    // Not coalesce(new, old): an update that sets a column to NULL
-    // must surface that NULL, not resurrect the old value.
-    j.withColumn("change_type", changeType)
+    val flagged = j.withColumn("change_type", changeType)
       .where(col("change_type").isNotNull)
-      .select(col("change_type") +:
+    if (!preimages) {
+      // Not coalesce(new, old): an update that sets a column to NULL
+      // must surface that NULL, not resurrect the old value.
+      flagged.select(col("change_type") +:
         coalesce(col("n_k"), col("o_k")).as(key) +:
         dataCols.map(c =>
           when(col("change_type") === "delete", col(s"o_$c"))
             .otherwise(col(s"n_$c")).as(c)): _*)
+    } else {
+      // One record-struct per emitted row, exploded — updates yield
+      // [preimage, postimage] without re-executing the diff join.
+      def rec(tag: String, side: String) = struct(
+        lit(tag).as("change_type") +: dataCols.map(c => col(s"${side}_$c").as(c)): _*)
+      flagged
+        .withColumn("recs",
+          when(col("change_type") === "insert", array(rec("insert", "n")))
+            .when(col("change_type") === "delete", array(rec("delete", "o")))
+            .otherwise(array(rec("update_preimage", "o"), rec("update_postimage", "n"))))
+        .select(coalesce(col("n_k"), col("o_k")).as(key), explode(col("recs")).as("r"))
+        .select(col("r.change_type").as("change_type") +: col(key) +:
+          dataCols.map(c => col(s"r.$c").as(c)): _*)
+    }
   }
 
   /** MERGE INTO (copy-on-write upsert): rows of `source` replace

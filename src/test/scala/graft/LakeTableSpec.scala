@@ -256,6 +256,14 @@ class LakeTableSpec extends AnyFunSuite {
     val ch2 = LakeTable.changes(spark, p, "k", 2L, 3L).collect()
     assert(ch2.length == 1 && ch2(0).getString(0) == "update" &&
       ch2(0).getLong(1) == 3L && ch2(0).isNullAt(2), ch2.toSeq)
+    // preimage mode: updates emit old AND new; others stay single
+    val pre = LakeTable.changes(spark, p, "k", 0L, 2L, preimages = true)
+      .orderBy("k", "change_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(pre.toSeq == Seq(
+      ("delete", 1L, "a"),
+      ("update_postimage", 2L, "B"), ("update_preimage", 2L, "b"),
+      ("insert", 4L, "d")), pre.toSeq)
   }
 
   test("bloom sidecars skip files on an unclustered column where stats cannot") {

@@ -246,6 +246,35 @@ object Lakehouse {
       Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
              |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999""".stripMargin)),
 
+    // B25: zero-copy shallow clone — dev/test sandboxing of a
+    // production table without copying 100 TB: the clone's v0 commit
+    // points at the source's file groups by absolute path, then the
+    // clone takes an append the SOURCE must not see. The gate checks
+    // both sides' aggregates, proving shared-read + independent
+    // evolution.
+    Q("q_lake_clone",
+      (s, d) => {
+        val src = s"$scratch/orders_clone_src"
+        val dst = s"$scratch/orders_clone_dst"
+        val base = t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        LakeTable.create(s, src, base.where(col("o_orderkey") < 1000))
+        LakeTable.shallowClone(s, src, dst)
+        LakeTable.append(s, dst, base.where(col("o_orderkey").between(1000, 1199)))
+        val srcAgg = LakeTable.read(s, src)
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice") + lit(1e-6), 2).as("rev"))
+          .select(lit("source").as("side"), col("cnt"), col("rev"))
+        val dstAgg = LakeTable.read(s, dst)
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice") + lit(1e-6), 2).as("rev"))
+          .select(lit("clone").as("side"), col("cnt"), col("rev"))
+        dstAgg.union(srcAgg).orderBy("side")
+      },
+      Some("""SELECT 'clone' AS side, count(*) AS cnt, round(sum(o_totalprice)+1e-6,2) AS rev
+             |FROM orders WHERE o_orderkey < 1200
+             |UNION ALL
+             |SELECT 'source', count(*), round(sum(o_totalprice)+1e-6,2)
+             |FROM orders WHERE o_orderkey < 1000
+             |ORDER BY 1""".stripMargin)),
+
     // B24: incremental MV refresh FROM THE CHANGE FEED — the reason a
     // CDC contract exists. The rollup of v0 is materialized once;
     // after a DELETE and a MERGE mutate the base, the rollup refreshes

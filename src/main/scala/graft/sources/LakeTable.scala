@@ -447,6 +447,33 @@ object LakeTable {
       }
   }
 
+  /** Zero-copy SHALLOW CLONE (the Delta capability): the clone's v0
+    * commit references the source snapshot's file groups by ABSOLUTE
+    * path — no data moves, clone cost is one commit-log write
+    * regardless of table size. The clone then evolves independently:
+    * its own appends/merges/compactions write under its own root
+    * (`new Path(path, dir)` resolves absolute shared dirs to the
+    * source and relative new dirs to the clone), and its vacuum only
+    * ever deletes `d*` dirs under its OWN root, never shared ones.
+    * Caveat shared with Delta: vacuuming the SOURCE below the cloned
+    * snapshot orphans the clone's shared files — pin source retention
+    * to the clone point.
+    */
+  def shallowClone(spark: SparkSession, sourcePath: String, targetPath: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion(spark, sourcePath))
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $sourcePath"))
+    val c = readCommit(spark, sourcePath, v)
+    val srcFs = fsOf(spark, new Path(sourcePath))
+    val absDirs = c.dirs.map(d =>
+      srcFs.makeQualified(new Path(sourcePath, d)).toUri.getPath)
+    val p = new Path(targetPath)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) fs.delete(p, true)
+    writeCommit(spark, targetPath, Commit(0L, "clone", absDirs))
+    0L
+  }
+
   /** Create (or replace) the table as version 0. */
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Long = {

@@ -266,6 +266,27 @@ class LakeTableSpec extends AnyFunSuite {
       ("insert", 4L, "d")), pre.toSeq)
   }
 
+  test("shallow clone shares file groups zero-copy and evolves independently") {
+    import spark.implicits._
+    val src = s"$root/clone_src"
+    val dst = s"$root/clone_dst"
+    LakeTable.create(spark, src, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    LakeTable.shallowClone(spark, src, dst)
+    // the clone reads the SOURCE's files — nothing copied under dst
+    assert(LakeTable.read(spark, dst).count() == 3L)
+    assert(LakeTable.dataFiles(spark, dst).forall(_.contains("clone_src")))
+    val dstLocal = new java.io.File(dst)
+    assert(dstLocal.listFiles().map(_.getName).toSet == Set("_graft_log"))
+    // clone evolves; source must not see it
+    LakeTable.append(spark, dst, Seq((4L, "d")).toDF("k", "v"))
+    assert(LakeTable.read(spark, dst).count() == 4L)
+    assert(LakeTable.read(spark, src).count() == 3L)
+    // clone vacuum never touches shared dirs under the source root
+    LakeTable.vacuum(spark, dst, retainFrom = 1L)
+    assert(LakeTable.read(spark, src).count() == 3L)
+    assert(LakeTable.read(spark, dst).count() == 4L)
+  }
+
   test("bloom sidecars skip files on an unclustered column where stats cannot") {
     import SharedSpark.sf
     val p = s"$root/bloom_skip"

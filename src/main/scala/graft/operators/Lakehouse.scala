@@ -246,6 +246,33 @@ object Lakehouse {
       Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
              |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999""".stripMargin)),
 
+    // B26: aggregate-key-model ingest (Doris AGGREGATE table model):
+    // two batches of per-priority partials land by COMBINING on the
+    // key (measures sum) — the table stays one row per key with
+    // running totals, and reading it equals aggregating the union of
+    // everything ever ingested (the oracle). The ingest shuffle
+    // carries only pre-aggregated partials, never raw facts.
+    Q("q_lake_aggmerge",
+      (s, d) => {
+        val lake = s"$scratch/metrics_agg"
+        val base = t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        def batch(lo: Long, hi: Long) =
+          base.where(col("o_orderkey").between(lo, hi))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("rev"))
+        LakeTable.create(s, lake, batch(0, 999))
+        LakeTable.mergeAggregate(s, lake, batch(1000, 1499),
+          keys = Seq("o_orderpriority"), sumCols = Seq("cnt", "rev"))
+        LakeTable.read(s, lake)
+          .select(col("o_orderpriority"), col("cnt"),
+            round(col("rev") + lit(1e-6), 2).as("rev"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |round(sum(o_totalprice)+1e-6,2) AS rev
+             |FROM orders WHERE o_orderkey < 1500
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B25: zero-copy shallow clone — dev/test sandboxing of a
     // production table without copying 100 TB: the clone's v0 commit
     // points at the source's file groups by absolute path, then the

@@ -592,6 +592,30 @@ object LakeTable {
     v
   }
 
+  /** AGGREGATE-key-model merge (the Doris AGGREGATE table model):
+    * arriving rows whose key tuple already exists COMBINE with the
+    * stored row — measures sum — instead of replacing it. This is the
+    * natural ingest mode for pre-aggregated metric tables: appends of
+    * per-batch partials keep the table exactly one row per key tuple
+    * with running totals, no read-modify-write per row. One shuffle on
+    * the key tuple (the combining groupBy); copy-on-write commit like
+    * merge.
+    */
+  def mergeAggregate(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], sumCols: Seq[String]): Long = {
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val target = read(spark, path, Some(prev))
+    val combined = target.unionByName(source, allowMissingColumns = true)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(sumCols.head).as(sumCols.head),
+        sumCols.tail.map(c => sum(c).as(c)): _*)
+    val v = prev + 1
+    val dir = writeGroup(spark, path, v, combined, Nil)
+    writeCommit(spark, path, Commit(v, "merge_agg", Seq(dir)))
+    v
+  }
+
   /** DELETE WHERE — copy-on-write rewrite keeping rows that do NOT
     * match `predicate`. SQL DELETE semantics: a NULL predicate keeps
     * the row (`!null = null` would silently delete it), hence the

@@ -266,6 +266,40 @@ class LakeTableSpec extends AnyFunSuite {
       ("insert", 4L, "d")), pre.toSeq)
   }
 
+  test("a CDC follower converges a downstream rollup across repeated base mutations") {
+    import spark.implicits._
+    val p = s"$root/cdc_follow"
+    LakeTable.create(spark, p,
+      Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "x", 30.0)).toDF("k", "g", "m"))
+    // downstream state: g -> (cnt, sum), maintained ONLY from the feed
+    // after the initial load (the version-polling consumer pattern —
+    // the distributed equivalent is q_mv_cdc_refresh)
+    var state = LakeTable.read(spark, p).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("m").as("sm"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    var seen = 0L
+    def follow(): Unit = {
+      val cur = LakeTable.currentVersion(spark, p).get
+      if (cur > seen) {
+        // changes columns: change_type, k, then data cols sorted (g, m)
+        LakeTable.changes(spark, p, "k", seen, cur, preimages = true).collect().foreach { r =>
+          val sgn = if (r.getString(0) == "insert" || r.getString(0) == "update_postimage") 1 else -1
+          val (g, m) = (r.getString(2), r.getDouble(3))
+          val (c0, s0) = state.getOrElse(g, (0L, 0.0))
+          state = state.updated(g, (c0 + sgn, s0 + sgn * m))
+        }
+        seen = cur
+      }
+    }
+    LakeTable.append(spark, p, Seq((4L, "y", 40.0)).toDF("k", "g", "m")); follow()
+    LakeTable.update(spark, p, col("k") === 1L, Map("m" -> lit(15.0))); follow()
+    LakeTable.delete(spark, p, col("k") === 2L); follow()
+    val direct = LakeTable.read(spark, p).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("m").as("sm"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(state.filter(_._2._1 > 0L) == direct, s"$state vs $direct")
+  }
+
   test("shallow clone shares file groups zero-copy and evolves independently") {
     import spark.implicits._
     val src = s"$root/clone_src"

@@ -196,6 +196,50 @@ object DedupOps {
       Some(ngramPairsSql +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b")),
 
+    // D25: eval-set CONTAMINATION detection — the decontamination
+    // check every benchmark-respecting training pipeline runs: find
+    // eval documents whose shingles are largely CONTAINED in some
+    // train document (containment |E∩T|/|E|, not Jaccard — a short
+    // eval doc quoted inside a long train doc must still flag).
+    // Same inverted-index blocking as dedup: only 8-byte shingle
+    // hashes shuffle, candidate pairs share ≥1 shingle, and the
+    // worst offender per eval doc surfaces via one bounded window.
+    Q("q_contamination",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = shingleTable(s, d)
+        val ev = sh.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("eval_id"), col("h"))
+        val tr = sh.where(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("train_id"), col("h"))
+        val evSz = ev.groupBy("eval_id").agg(count(lit(1)).as("esz"))
+        val w = Window.partitionBy("eval_id").orderBy(desc("containment"), col("train_id"))
+        ev.join(tr, "h")
+          .groupBy("eval_id", "train_id").agg(count(lit(1)).as("inter"))
+          .join(evSz, "eval_id")
+          .withColumn("containment",
+            round(col("inter").cast("double") / col("esz") + lit(1e-9), 4))
+          .where(col("containment") >= 0.5)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("eval_id", "train_id", "containment")
+          .orderBy("eval_id")
+      },
+      Some(ngramPairsSql +
+        """, ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 10 = 0),
+          |tr AS (SELECT doc_id AS train_id, g FROM sh WHERE doc_id % 10 <> 0),
+          |esz AS (SELECT eval_id, count(*) AS esz FROM ev GROUP BY 1),
+          |ita AS (SELECT eval_id, train_id, count(*) AS inter
+          |        FROM ev JOIN tr USING(g) GROUP BY 1, 2),
+          |sc AS (SELECT eval_id, train_id,
+          |         round(inter::DOUBLE / esz + 0.000000001, 4) AS containment
+          |       FROM ita JOIN esz USING(eval_id)
+          |       WHERE round(inter::DOUBLE / esz + 0.000000001, 4) >= 0.5),
+          |rr AS (SELECT *, row_number() OVER (PARTITION BY eval_id
+          |         ORDER BY containment DESC, train_id) AS rn FROM sc)
+          |SELECT eval_id, train_id, containment FROM rr WHERE rn = 1 ORDER BY eval_id"""
+          .stripMargin)),
+
     // D05: embedding-cosine near-dup. The synthetic embeddings have no
     // natural near-dups (max pairwise cosine ≈ 0.51), so the query
     // plants perturbed copies (vec_id+100000, ×(1+1e-3) elementwise

@@ -447,6 +447,26 @@ object LakeTable {
       }
   }
 
+  /** Append-driven STREAMING read of the table (the Delta
+    * streaming-source usage): a file stream over the table's
+    * file-group dirs — every appended group's files arrive as a
+    * micro-batch, offsets checkpoint per file, so a restarted stream
+    * resumes exactly after what it has processed (spec-verified).
+    * Contract (same as Delta's source): the table must be
+    * APPEND-ONLY while streamed — a COW rewrite (merge/delete/
+    * compact) writes a consolidated group the glob would replay as
+    * new rows. This is the file-glob approximation of a log-aware
+    * source; a commit-log-driven DSv2 MicroBatchStream (skipping
+    * orphaned racer dirs, erroring on rewrites) is the planned
+    * upgrade.
+    */
+  def streamAppends(spark: SparkSession, path: String): DataFrame = {
+    val schema = read(spark, path).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(new Path(path, "d*").toString)
+  }
+
   /** Zero-copy SHALLOW CLONE (the Delta capability): the clone's v0
     * commit references the source snapshot's file groups by ABSOLUTE
     * path — no data moves, clone cost is one commit-log write

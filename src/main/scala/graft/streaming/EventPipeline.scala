@@ -271,7 +271,36 @@ object EventPipeline {
       .orderBy("c_mktsegment")
   }
 
+  /** C15: streaming FROM the lakehouse table — three committed
+    * file groups of the orders fact arrive through the append-stream
+    * source and aggregate to exactly the batch answer. The
+    * exactly-once-across-restarts property of the source is pinned in
+    * LakeTableSpec (a restarted checkpointed stream processes only
+    * groups appended since).
+    */
+  def lakeStream(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${graft.operators.Lakehouse.scratch}/stream_lake_orders"
+    val base = graft.Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    graft.sources.LakeTable.create(spark, lake,
+      base.where(pmod(col("o_orderkey"), lit(3)) === 0))
+    graft.sources.LakeTable.append(spark, lake,
+      base.where(pmod(col("o_orderkey"), lit(3)) === 1))
+    graft.sources.LakeTable.append(spark, lake,
+      base.where(pmod(col("o_orderkey"), lit(3)) === 2))
+    val agg = graft.sources.LakeTable.streamAppends(spark, lake)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice") + lit(1e-6), 2).as("rev"))
+    runToMemory(spark, agg, "graft_stream_lake", OutputMode.Complete())
+      .orderBy("o_orderpriority")
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("stream_lake", (s, d) => lakeStream(s, d),
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |round(sum(o_totalprice)+1e-6,2) AS rev
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("stream_enrich", (s, d) => streamEnrich(s, d),
       Some("""SELECT c_mktsegment, count(*) AS cnt, round(sum(value),2) AS sum_val
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey

@@ -266,6 +266,30 @@ class LakeTableSpec extends AnyFunSuite {
       ("insert", 4L, "d")), pre.toSeq)
   }
 
+  test("streamAppends resumes exactly-once across restarts: only new groups re-process") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val p = s"$root/stream_appends"
+    val out = s"$root/stream_appends_out"
+    val ckpt = s"$root/stream_appends_ckpt"
+    LakeTable.create(spark, p, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    def runOnce(): Unit = {
+      val q = LakeTable.streamAppends(spark, p).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3L)
+    LakeTable.append(spark, p, Seq((4L, "d"), (5L, "e")).toDF("k", "v"))
+    runOnce()
+    // 5 total, not 8: the restarted stream processed ONLY the appended group
+    assert(spark.read.parquet(out).count() == 5L)
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("a CDC follower converges a downstream rollup across repeated base mutations") {
     import spark.implicits._
     val p = s"$root/cdc_follow"
@@ -298,6 +322,55 @@ class LakeTableSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("cnt"), sum("m").as("sm"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(state.filter(_._2._1 > 0L) == direct, s"$state vs $direct")
+  }
+
+  test("property: CDC fold equals the direct aggregate over random mutation sequences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val p = s"$root/cdc_prop"
+    var nextKey = 21L
+    LakeTable.create(spark, p,
+      (1L to 20L).map(k => (k, s"g${k % 3}", (k * 7 % 50).toDouble)).toDF("k", "g", "m"))
+    def agg(): Map[String, (Long, Double)] =
+      LakeTable.read(spark, p).groupBy("g")
+        .agg(count(lit(1)).as("c"), sum("m").as("s")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    var state = agg()
+    var seen = 0L
+    def follow(): Unit = {
+      val cur = LakeTable.currentVersion(spark, p).get
+      LakeTable.changes(spark, p, "k", seen, cur, preimages = true).collect().foreach { r =>
+        val sgn = if (r.getString(0) == "insert" || r.getString(0) == "update_postimage") 1 else -1
+        val (g, m) = (r.getString(2), r.getDouble(3))
+        val (c0, s0) = state.getOrElse(g, (0L, 0.0))
+        state = state.updated(g, (c0 + sgn, s0 + sgn * m))
+      }
+      seen = cur
+    }
+    for (_ <- 1 to 6) {
+      rnd.nextInt(3) match {
+        case 0 => // append fresh keys
+          val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            val k = nextKey; nextKey += 1
+            (k, s"g${rnd.nextInt(4)}", rnd.nextInt(100).toDouble)
+          }
+          LakeTable.append(spark, p, rows.toDF("k", "g", "m"))
+        case 1 => // update a random key range's measure
+          val lo = 1 + rnd.nextInt(nextKey.toInt)
+          LakeTable.update(spark, p,
+            col("k").between(lo, lo + rnd.nextInt(5)),
+            Map("m" -> (col("m") + lit(rnd.nextInt(10).toDouble))))
+        case 2 => // delete a random sliver
+          val lo = 1 + rnd.nextInt(nextKey.toInt)
+          LakeTable.delete(spark, p, col("k").between(lo, lo + rnd.nextInt(3)))
+      }
+      follow()
+      val direct = agg()
+      val folded = state.filter(_._2._1 > 0L)
+        .map { case (g, (c, s)) => g -> (c, math.round(s * 1e6) / 1e6) }
+      val directR = direct.map { case (g, (c, s)) => g -> (c, math.round(s * 1e6) / 1e6) }
+      assert(folded == directR, s"diverged: $folded vs $directR")
+    }
   }
 
   test("shallow clone shares file groups zero-copy and evolves independently") {

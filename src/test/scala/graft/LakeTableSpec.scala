@@ -272,6 +272,10 @@ class LakeTableSpec extends AnyFunSuite {
     val p = s"$root/stream_appends"
     val out = s"$root/stream_appends_out"
     val ckpt = s"$root/stream_appends_ckpt"
+    // out/ckpt survive across sessions (scratch isn't wiped): a stale
+    // checkpoint would make run 1 resume instead of start
+    Seq(p, out, ckpt).foreach(dir =>
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir)))
     LakeTable.create(spark, p, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
     def runOnce(): Unit = {
       val q = LakeTable.streamAppends(spark, p).writeStream

@@ -377,6 +377,29 @@ object Extras {
         .orderBy("o_orderpriority"),
       None),
 
+    // Lambda higher-order functions over arrays — the expression
+    // family (filter/aggregate/exists/transform) that keeps per-row
+    // collection logic INSIDE codegen instead of exploding rows or
+    // dropping to UDFs. The token array is materialized once at a
+    // projection boundary (§6.5.1) and every lambda references the
+    // attribute. DuckDB mirrors each with its list_* lambdas.
+    Q("q_hof_surface",
+      (s, d) => t(s, d, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(expr("filter(ws, w -> length(w) > 4)")).cast("long").as("n_long"),
+          expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("total_chars"),
+          expr("exists(ws, w -> w = 'join')").as("has_join"),
+          expr("array_max(transform(ws, w -> length(w)))").cast("long").as("max_len"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             |SELECT doc_id,
+             |  len(list_filter(ws, w -> len(w) > 4))::BIGINT AS n_long,
+             |  list_sum(list_transform(ws, w -> len(w)))::BIGINT AS total_chars,
+             |  len(list_filter(ws, w -> w = 'join')) > 0 AS has_join,
+             |  list_max(list_transform(ws, w -> len(w)))::BIGINT AS max_len
+             |FROM w ORDER BY doc_id""".stripMargin)),
+
     // Sketch-based heavy hitters (Spark 4 approx_top_k — DataSketches
     // frequent-items): the single-pass, mergeable way to find hot
     // tokens/keys at 100 TB, where an exact groupBy over a huge key

@@ -241,5 +241,63 @@ object SqlSurface {
       Some("""SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice),2) AS rev
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A72: WITH RECURSIVE through text SQL (Spark 4): multi-level
+    // traversal of the implicit binary tree over customer keys
+    // (children of k are 2k, 2k+1) — ~log2(N) recursion levels, each
+    // one self-join of the frontier against the (pushdown-pruned)
+    // customer scan. Strictly-increasing keys make it provably
+    // acyclic. DuckDB runs the identical statement.
+    Q("q_recursive_cte",
+      (s, d) => {
+        Tables(s, d, "customer").createOrReplaceTempView("customer")
+        // Key cap bounds the recursion to ~12 levels regardless of SF:
+        // each level is one frontier-joined scan, so unbounded depth
+        // would grow the job count (not data volume) with log2(N).
+        s.sql("""WITH RECURSIVE chain(k, depth) AS (
+                |  SELECT CAST(1 AS BIGINT), 1
+                |  UNION ALL
+                |  SELECT c.c_custkey, chain.depth + 1
+                |  FROM customer c JOIN chain
+                |    ON c.c_custkey = 2 * chain.k OR c.c_custkey = 2 * chain.k + 1
+                |  WHERE c.c_custkey < 4096
+                |)
+                |SELECT depth, count(*) AS cnt, min(k) AS min_k, max(k) AS max_k
+                |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE chain(k, depth) AS (
+             |  SELECT CAST(1 AS BIGINT), 1
+             |  UNION ALL
+             |  SELECT c.c_custkey, chain.depth + 1
+             |  FROM customer c JOIN chain
+             |    ON c.c_custkey = 2 * chain.k OR c.c_custkey = 2 * chain.k + 1
+             |  WHERE c.c_custkey < 4096
+             |)
+             |SELECT depth, count(*)::BIGINT AS cnt, min(k) AS min_k, max(k) AS max_k
+             |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // A73: error-safe expression surface (ANSI-adjacent `try_*`):
+    // NULL instead of a runtime error on divide-by-zero, bad casts,
+    // and bigint overflow — the semantics a shared SQL gateway needs
+    // so one malformed row cannot kill a tenant's query. DuckDB
+    // mirrors try_cast natively and the other two by construction.
+    // Bounded to a fixed key range: try_* failure rows cost a caught
+    // per-row exception (TryEval), so a query where MOST rows fail is
+    // a pathology, not a pattern — the row gates the SEMANTICS
+    // (null-on-error for all three families) on an SF-stable subset.
+    Q("q_try_expr",
+      (s, d) => Tables(s, d, "orders")
+        .where(col("o_orderkey") < 1000)
+        .selectExpr(
+          "o_orderkey",
+          "try_divide(o_totalprice, o_custkey % 3) AS safe_div",
+          "try_cast(o_orderpriority AS INT) AS safe_cast",
+          "try_add(9223372036854775807L, o_orderkey) AS safe_add")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  o_totalprice / nullif(o_custkey % 3, 0) AS safe_div,
+             |  try_cast(o_orderpriority AS INT) AS safe_cast,
+             |  CASE WHEN o_orderkey = 0 THEN 9223372036854775807 END AS safe_add
+             |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)),
   )
 }

@@ -355,6 +355,91 @@ object RelationalAdvanced {
              |GROUP BY c_custkey, c_name, n_name
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // TPC-H Q4 shape (order-priority checking): a quarter of orders
+    // semi-joined by EXISTS against late-shipping lines (the corpus
+    // lacks commit/receipt dates; ship > order + 30 days stands in).
+    // The EXISTS becomes one left-semi join on orderkey with the
+    // lateness residual — no lineitem re-aggregation.
+    Q("q_tpch_q4",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .where(col("o_orderdate") >= "1995-07-01" && col("o_orderdate") < "1995-10-01")
+        val l = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(l,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+             |AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+             |AND EXISTS (SELECT 1 FROM lineitem
+             |            WHERE l_orderkey = o_orderkey
+             |            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q18 shape (large-volume customers): HAVING-subquery over
+    // the fact, then a 3-way join and global top-k. The per-order
+    // quantity aggregate is computed ONCE (map-side partial) and
+    // joined back — never a correlated per-row re-scan.
+    Q("q_tpch_q18",
+      (s, d) => {
+        val big = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("total_qty")).where(col("total_qty") > 250)
+        t(s, d, "customer").select("c_custkey", "c_name")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |       sum(l_quantity) AS total_qty
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |              JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1, 2, 3, 4, 5 HAVING sum(l_quantity) > 250
+             |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin)),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // EXISTS + NOT EXISTS double correlation — another supplier was on
+    // the order, and no OTHER supplier shipped late. Through text SQL
+    // so Spark's subquery decorrelation does the planning; lateness is
+    // ship > order + 80 days for this corpus.
+    Q("q_tpch_q21",
+      (s, d) => {
+        t(s, d, "supplier").createOrReplaceTempView("supplier")
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT s_name, count(*) AS numwait
+                |FROM supplier, lineitem l1, orders
+                |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+                |AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAYS
+                |AND EXISTS (SELECT 1 FROM lineitem l2
+                |            WHERE l2.l_orderkey = l1.l_orderkey
+                |            AND l2.l_suppkey <> l1.l_suppkey)
+                |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                |                WHERE l3.l_orderkey = l1.l_orderkey
+                |                AND l3.l_suppkey <> l1.l_suppkey
+                |                AND l3.l_shipdate > o_orderdate + INTERVAL 80 DAYS)
+                |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier, lineitem l1, orders
+             |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+             |AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAY
+             |AND EXISTS (SELECT 1 FROM lineitem l2
+             |            WHERE l2.l_orderkey = l1.l_orderkey
+             |            AND l2.l_suppkey <> l1.l_suppkey)
+             |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                WHERE l3.l_orderkey = l1.l_orderkey
+             |                AND l3.l_suppkey <> l1.l_suppkey
+             |                AND l3.l_shipdate > o_orderdate + INTERVAL 80 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
     // Exact interpolated percentiles (Spark `percentile` == DuckDB
     // `quantile_cont`, both linear interpolation).
     Q("q_quantile",

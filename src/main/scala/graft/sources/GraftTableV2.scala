@@ -49,6 +49,8 @@ final class GraftTable(path: String, version: Option[Long],
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ,
+      // MICRO_BATCH_READ: commit-log streaming source (LakeStream).
+      TableCapability.MICRO_BATCH_READ,
       // BATCH_WRITE routes DataFrameWriter through the V2 plan;
       // V1_BATCH_WRITE tells execution the Write is a V1 fallback.
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
@@ -169,6 +171,9 @@ final class GraftScanBuilder(spark: SparkSession, path: String, dirs: Seq[String
     val inner = mkInner(paths)
     if (pushed.nonEmpty) inner.pushFilters(pushed)
     prunedSchema.foreach(inner.pruneColumns)
-    inner.build()
+    // Wrapped so the same Scan serves readStream: batch behavior is
+    // delegated untouched; toMicroBatchStream resolves to the
+    // commit-log source (LakeStream.scala).
+    new GraftStreamableScan(inner.build(), spark, path, schema, options)
   }
 }

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Commit-log-driven streaming source over a LakeTable — the
+  * log-aware upgrade of [[LakeTable.streamAppends]]: offsets are
+  * TABLE VERSIONS, each micro-batch reads exactly the file groups the
+  * commits in (start, end] added, and a non-append commit (merge /
+  * delete / compact / cluster) FAILS the stream instead of silently
+  * replaying rewritten rows — the Delta streaming-source contract.
+  * Orphaned racer dirs (staged but never committed) are invisible
+  * because batches are planned from the log, never from a glob.
+  *
+  * Reading delegates to Spark's own parquet V2 machinery: each batch
+  * plans `FilePartition`s through a ParquetTable scan over the added
+  * dirs, and the stream's reader factory is parquet's vectorized
+  * factory — no custom row decoding.
+  */
+final case class LakeVersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+final class LakeMicroBatchStream(spark: SparkSession, path: String,
+    schema: StructType, options: CaseInsensitiveStringMap) extends MicroBatchStream {
+
+  private def current: Long = LakeTable.currentVersion(spark, path)
+    .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+
+  private def innerBatch(dirPaths: Seq[String]): Batch =
+    ParquetTable(s"graft.`$path`", spark, options, dirPaths, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
+
+  /** Dirs the commits in (fromExclusive, toInclusive] added, with the
+    * append-only contract enforced per commit.
+    */
+  private def addedDirs(fromExclusive: Long, toInclusive: Long): Seq[String] = {
+    val added = Seq.newBuilder[String]
+    var prev: Set[String] =
+      if (fromExclusive < 0) Set.empty
+      else LakeTable.readCommit(spark, path, fromExclusive).dirs.toSet
+    ((fromExclusive + 1) to toInclusive).foreach { v =>
+      val c = LakeTable.readCommit(spark, path, v)
+      val ok = c.action == "create" || c.action == "append" || c.action == "clone"
+      val removed = prev -- c.dirs.toSet
+      if (!ok || removed.nonEmpty)
+        throw new IllegalStateException(
+          s"streamed LakeTable $path changed non-append at v$v (${c.action}); " +
+            "a rewrite would replay rows — stream from a fresh checkpoint instead")
+      added ++= c.dirs.filterNot(prev)
+      prev = c.dirs.toSet
+    }
+    added.result()
+  }
+
+  override def initialOffset(): Offset = LakeVersionOffset(-1L)
+  override def latestOffset(): Offset = LakeVersionOffset(current)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeVersionOffset].version
+    val e = end.asInstanceOf[LakeVersionOffset].version
+    if (e <= s) return Array.empty
+    val dirs = addedDirs(s, e).map(d => new Path(path, d).toString)
+    if (dirs.isEmpty) Array.empty else innerBatch(dirs).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Parquet's factory is bound to schema/conf, not to a file list —
+    // one factory serves every batch's FilePartitions.
+    val c = LakeTable.readCommit(spark, path, current)
+    innerBatch(c.dirs.map(d => new Path(path, d).toString)).createReaderFactory()
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    LakeVersionOffset(""""version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).get.group(1).toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Scan wrapper: batch behavior delegates untouched to the inner
+  * parquet V2 scan; streaming resolves to the commit-log micro-batch
+  * stream above.
+  */
+final class GraftStreamableScan(val inner: Scan, spark: SparkSession, path: String,
+    schema: StructType, options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = inner.toBatch
+  override def description(): String = inner.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LakeMicroBatchStream(spark, path, schema, options)
+}

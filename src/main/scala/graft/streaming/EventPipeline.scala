@@ -295,8 +295,36 @@ object EventPipeline {
       .orderBy("o_orderpriority")
   }
 
+  /** C16: the same lake-stream aggregate through the COMMIT-LOG
+    * source (`readStream.format("graft")`): offsets are table
+    * versions, batches are exactly the committed file groups — orphan
+    * dirs invisible, rewrites rejected (LakeTableSpec pins both plus
+    * exactly-once restart).
+    */
+  def lakeStreamV2(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${graft.operators.Lakehouse.scratch}/stream_lake_v2_orders"
+    val base = graft.Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    graft.sources.LakeTable.create(spark, lake,
+      base.where(pmod(col("o_orderkey"), lit(3)) === 0))
+    graft.sources.LakeTable.append(spark, lake,
+      base.where(pmod(col("o_orderkey"), lit(3)) === 1))
+    graft.sources.LakeTable.append(spark, lake,
+      base.where(pmod(col("o_orderkey"), lit(3)) === 2))
+    val agg = spark.readStream.format("graft").load(lake)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice") + lit(1e-6), 2).as("rev"))
+    runToMemory(spark, agg, "graft_stream_lake_v2", OutputMode.Complete())
+      .orderBy("o_orderpriority")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("stream_lake", (s, d) => lakeStream(s, d),
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |round(sum(o_totalprice)+1e-6,2) AS rev
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("stream_lake_v2", (s, d) => lakeStreamV2(s, d),
       Some("""SELECT o_orderpriority, count(*) AS cnt,
              |round(sum(o_totalprice)+1e-6,2) AS rev
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),

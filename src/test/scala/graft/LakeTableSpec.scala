@@ -294,6 +294,37 @@ class LakeTableSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("commit-log streaming source: version offsets, exactly-once restart, rewrite rejection") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val p = s"$root/stream_v2"
+    val out = s"$root/stream_v2_out"
+    val ckpt = s"$root/stream_v2_ckpt"
+    Seq(p, out, ckpt).foreach(dir =>
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir)))
+    LakeTable.create(spark, p, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").load(p).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3L)
+    LakeTable.append(spark, p, Seq((4L, "d"), (5L, "e")).toDF("k", "v"))
+    runOnce()
+    // version offsets: the restarted stream planned ONLY v1's added group
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // a COW rewrite must FAIL the stream, never replay rewritten rows
+    LakeTable.merge(spark, p, Seq((2L, "B")).toDF("k", "v"), "k")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runOnce() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("non-append")), msgs(ex).mkString(" | "))
+  }
+
   test("a CDC follower converges a downstream rollup across repeated base mutations") {
     import spark.implicits._
     val p = s"$root/cdc_follow"
@@ -434,6 +465,7 @@ class LakeTableSpec extends AnyFunSuite {
     val all = LakeTable.dataFiles(spark, p).size
     def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .map { case g: graft.sources.GraftStreamableScan => g.inner; case s => s }
         .collect { case f: FileScan => f.fileIndex.inputFiles.length }.sum
     // point query: only the file whose [min,max] covers the key is planned
     val point = spark.read.format("graft").load(p).where(col("o_orderkey") === 500L)

@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.Vectors
+import graft.plans.TopK
 
 /** IVF-style ANN (coarse k-means quantizer + cell probing) and
   * connected-components clustering of near-dup pairs — the two
@@ -55,20 +55,21 @@ object Clustering {
     val assigned = corpus
       .withColumn("cell", Vectors.nearestCentroid(col("embedding"), centroidRows))
 
-    // Each query probes its nprobe nearest centroids.
+    // Each query probes its nprobe nearest centroids. Cell selection
+    // and the final top-k both go through the two-phase bounded-heap
+    // TopK (≤ k local winners shuffled per partition) — no Window node,
+    // no single-reducer-per-query sort anywhere in the plan.
     val centDf = centroids.toSeq.toDF("cell", "centroid")
-    val probeW = Window.partitionBy("qid").orderBy(desc("csim"), col("cell"))
-    val probes = queries.crossJoin(broadcast(centDf))
+    val probeScored = queries.crossJoin(broadcast(centDf))
       .withColumn("csim", Vectors.cosineSim(col("qe"), col("centroid")))
-      .withColumn("prn", row_number().over(probeW))
-      .where(col("prn") <= nprobe)
+      .select("qid", "qe", "cell", "csim")
+    val probes = TopK.perGroup(probeScored, Seq("qid"), "csim", "cell", nprobe)
       .select("qid", "qe", "cell")
 
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .withColumn("sim", Vectors.cosineSim(col("embedding"), col("qe")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= topK)
+      .select("qid", "vec_id", "sim")
+    TopK.perGroupRanked(scored, Seq("qid"), "sim", "vec_id", topK)
       .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"))
       .orderBy("qid", "rn")
   }
@@ -176,24 +177,25 @@ object Clustering {
       (qid, tab.toSeq)
     }.toSeq.toDF("qid", "dtab")
 
-    val w = Window.partitionBy("qid").orderBy("adc", "vec_id")
-    val short = codes.crossJoin(broadcast(qTables))
+    // ADC shortlist via bounded heaps (nadc = -adc so "best" = max):
+    // each partition ships only its `shortlist` best codes per query.
+    val adcScored = codes.crossJoin(broadcast(qTables))
       .withColumn("adc", aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
           (c, mi) => element_at(col("dtab"), mi * ksub + c + 1).cast("double")),
         lit(0.0), (acc, v) => acc + v))
-      .withColumn("srn", row_number().over(w))
-      .where(col("srn") <= shortlist)
+      .withColumn("nadc", negate(col("adc")))
+      .select("qid", "vec_id", "nadc")
+    val short = TopK.perGroup(adcScored, Seq("qid"), "nadc", "vec_id", shortlist)
       .select("qid", "vec_id")
 
     // exact re-rank of the tiny shortlist
-    val rw = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
-    short
+    val rescored = short
       .join(corpus, "vec_id")
       .join(broadcast(queries), "qid")
       .withColumn("sim", Vectors.cosineSim(col("embedding"), col("qe")))
-      .withColumn("rn", row_number().over(rw).cast("long"))
-      .where(col("rn") <= topK)
+      .select("qid", "vec_id", "sim")
+    TopK.perGroupRanked(rescored, Seq("qid"), "sim", "vec_id", topK)
       .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"))
       .orderBy("qid", "rn")
   }
@@ -315,24 +317,25 @@ object Clustering {
       }
       (qid, tab.toSeq)
     }.toSeq.toDF("qid", "dtab")
-    val w = Window.partitionBy("qid").orderBy("adc", "vec_id")
-    val short = codes.crossJoin(broadcast(qTables))
+    // Same bounded-heap shortlist + re-rank shape as [[knnPq]]: no
+    // Window, ≤ shortlist rows shuffled per (query, partition).
+    val adcScored = codes.crossJoin(broadcast(qTables))
       .withColumn("adc", aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
           (c, mi) => element_at(col("dtab"), mi * ksub + c + 1).cast("double")),
         lit(0.0), (acc, v) => acc + v))
-      .withColumn("srn", row_number().over(w))
-      .where(col("srn") <= shortlist)
+      .withColumn("nadc", negate(col("adc")))
+      .select("qid", "vec_id", "nadc")
+    val short = TopK.perGroup(adcScored, Seq("qid"), "nadc", "vec_id", shortlist)
       .select("qid", "vec_id")
     val corpus = t(s, d, "embeddings").where(col("vec_id") >= 10)
       .select("vec_id", "embedding")
-    val rw = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
-    short
+    val rescored = short
       .join(corpus, "vec_id")
       .join(broadcast(queries), "qid")
       .withColumn("sim", Vectors.cosineSim(col("embedding"), col("qe")))
-      .withColumn("rn", row_number().over(rw).cast("long"))
-      .where(col("rn") <= topK)
+      .select("qid", "vec_id", "sim")
+    TopK.perGroupRanked(rescored, Seq("qid"), "sim", "vec_id", topK)
       .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"))
       .orderBy("qid", "rn")
   }

@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.Vectors
+import graft.plans.TopK
 
 /** D-block similarity search over the embedding corpus.
   *
@@ -32,14 +32,16 @@ object SimilarityOps {
 
     // D06: brute-force cosine top-k — the exact baseline. Native
     // codegen CosineSimilarity; broadcast queries ⇒ zero corpus
-    // shuffle; window partitioned by qid is 10 tiny partitions.
+    // shuffle; top-k selection is the two-phase bounded-heap
+    // TopK.perGroupRanked, so each corpus partition emits only its k
+    // local winners per query (≤ k·partitions rows shuffled per query,
+    // never the full scored corpus to one reducer — no Window node).
     Q("q_knn_brute",
       (s, d) => {
-        val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
-        corpusDf(s, d).crossJoin(broadcast(queriesDf(s, d)))
+        val scored = corpusDf(s, d).crossJoin(broadcast(queriesDf(s, d)))
           .withColumn("sim", Vectors.cosineSim(col("embedding"), col("qe")))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .where(col("rn") <= K)
+          .select("qid", "vec_id", "sim")
+        TopK.perGroupRanked(scored, Seq("qid"), "sim", "vec_id", K)
           .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"),
             round(col("sim"), 4).as("sim"))
           .orderBy("qid", "rn")
@@ -82,10 +84,9 @@ object SimilarityOps {
                 call_function("shiftleft", lit(1L), col("flip").cast("int")))))
         val cand = c.join(q.select("tbl", "key", "qid", "qe"), Seq("tbl", "key"))
           .select("qid", "qe", "vec_id", "ce").distinct()
-        val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
-        cand.withColumn("sim", Vectors.cosineSim(col("ce"), col("qe")))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .where(col("rn") <= K)
+        val scored = cand.withColumn("sim", Vectors.cosineSim(col("ce"), col("qe")))
+          .select("qid", "vec_id", "sim")
+        TopK.perGroupRanked(scored, Seq("qid"), "sim", "vec_id", K)
           .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"),
             round(col("sim"), 4).as("sim"))
           .orderBy("qid", "rn")

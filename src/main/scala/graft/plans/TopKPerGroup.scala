@@ -93,6 +93,11 @@ final case class FinalTopKExec(k: Int, groupCols: Seq[Attribute],
   override def requiredChildDistribution: Seq[Distribution] =
     if (groupCols.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupCols) :: Nil
+  // We only drop rows, so the exchange's hash partitioning on the group
+  // columns survives — a downstream groupBy(groupCols) (perGroupRanked)
+  // reuses it instead of inserting a second exchange.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(
       TopKHeap.topK(_, k, groupCols, orderCol, tieCol, child.output))
@@ -128,6 +133,37 @@ object TopK {
     val plan = TopKPerGroup(k, groupCols.map(attr),
       attr(orderCol), attr(tieCol), analyzed)
     classicDataset(df.sparkSession, plan)
+  }
+
+  /** [[perGroup]] plus a 1-based rank column `rnCol` (LongType) under
+    * (orderCol DESC, tieCol ASC) — the scale-safe replacement for
+    * `row_number().over(Window.partitionBy(group).orderBy(...))`.
+    *
+    * The heap phases leave ≤ k rows per group, so ranking is a grouped
+    * sort over k·|groups| rows: `sort_array(collect_list(struct))` +
+    * `posexplode`. No Window node anywhere in the plan, and the
+    * aggregate reuses FinalTopKExec's hash partitioning on the group
+    * columns (outputPartitioning passthrough) — one exchange total of
+    * ≤ k·partitions rows per group, vs. a window shuffling and sorting
+    * EVERY candidate row of a group on one reducer.
+    */
+  def perGroupRanked(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tieCol: String, k: Int, rnCol: String = "rn"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val top = perGroup(df, groupCols, orderCol, tieCol, k)
+    val payload = df.columns.filterNot(groupCols.contains).toSeq
+    // Struct sort order: _o = -order (asc = order desc), then _t = tie
+    // asc; payload rides along. Spark normalizes -0.0 to 0.0 in sorts,
+    // so negation agrees with desc() ordering on doubles.
+    val packed = top.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        negate(col(orderCol)).as("_o") +: col(tieCol).as("_t") +:
+          payload.map(c => col(c).as(c)): _*))).as("_sorted"))
+    packed
+      .select(groupCols.map(col) :+ posexplode(col("_sorted")): _*)
+      .select(groupCols.map(col) ++
+        Seq((col("pos") + 1).cast("long").as(rnCol)) ++
+        payload.map(c => col("col").getField(c).as(c)): _*)
   }
 
   private def classicDataset(spark: SparkSession, plan: LogicalPlan): DataFrame =

@@ -91,6 +91,18 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() == 15) // 5 priorities × 3
   }
 
+  test("ANN top-k plans contain no Window node (bounded heaps, never a per-query reducer)") {
+    // row_number().over(Window.partitionBy(qid)) routes every scored
+    // candidate row of a query to ONE reducer and sorts it — fatal when
+    // the candidate set is the corpus. All five ANN operators must
+    // select through the two-phase TopK heaps instead.
+    for (name <- Seq("q_knn_brute", "q_knn_lsh", "q_knn_ivf", "q_knn_pq", "q_ann_persisted")) {
+      val p = Registry.byName(name).run(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$name plans a Window:\n${p.take(2000)}")
+      assert(p.contains("FinalTopK"), s"$name does not use TopK heaps:\n${p.take(2000)}")
+    }
+  }
+
   test("shuffle budgets: key operators stay within their exchange counts") {
     // Each entry: query -> max allowed "Exchange" occurrences in the
     // physical plan (a regression here means a new unplanned shuffle —

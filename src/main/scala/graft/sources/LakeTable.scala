@@ -20,16 +20,19 @@ import java.nio.charset.StandardCharsets
   * }}}
   *
   * A version's snapshot is the union of its listed file-group dirs.
-  * Append adds a dir; MERGE and compaction are copy-on-write (write a
-  * new consolidated group, commit references only it — old groups stay
-  * for time travel). The commit point is an atomic rename of the log
-  * JSON; on an object store this maps to a conditional PUT. Readers
-  * resolve the latest committed version and never see partial writes
-  * (snapshot isolation).
+  * Append adds a dir; row-level DML (merge/delete/update/agg-merge) is
+  * FILE-GROUP-GRANULAR copy-on-write: stats-sidecar pruning picks the
+  * groups that can contain affected rows, only those are rewritten into
+  * a new group, and untouched dirs ride the commit forward verbatim
+  * (old groups stay for time travel). The commit point is an atomic
+  * rename of the log JSON; on an object store this maps to a
+  * conditional PUT. Readers resolve the latest committed version and
+  * never see partial writes (snapshot isolation).
   *
   * Scale notes: metadata is O(commits), data files never move on
-  * append; merge shuffles once on the key; compaction is the standard
-  * bin-pack rewrite targeting ~128 MB files.
+  * append; merge shuffles once on the key and rewrites only the groups
+  * its key range intersects; compaction is the standard bin-pack
+  * rewrite targeting ~128 MB files.
   */
 object LakeTable {
 
@@ -595,20 +598,166 @@ object LakeTable {
     }
   }
 
+  // ---- file-group-granular row-level DML -----------------------------
+  //
+  // MERGE/DELETE/UPDATE/agg-merge must not rewrite 100 TB to touch 0.1%
+  // of rows. The commit format already supports multi-dir snapshots, so
+  // each mutation (a) derives conjunctive column bounds for the rows it
+  // can affect, (b) splits the snapshot's file groups into touched /
+  // provably-untouched with the per-file stats sidecars, (c) rewrites
+  // ONLY the touched groups into one new group, and (d) carries the
+  // untouched dirs forward verbatim in the commit — the Delta/Iceberg
+  // copy-on-write contract. Pruning is conservative: missing stats, a
+  // partition-encoded layout, or an unextractable predicate mean
+  // "touched"; skipping is an optimization, never a filter.
+
+  /** Split a snapshot's dirs under conjunctive bounds: `untouched` =
+    * every file's [min,max] provably misses the bounds on some column.
+    */
+  private def splitDirs(spark: SparkSession, path: String, dirs: Seq[String],
+      bounds: Map[String, ColumnBounds]): (Seq[String], Seq[String]) = {
+    if (bounds.isEmpty || bounds.values.forall(b => b.lo.isEmpty && b.hi.isEmpty))
+      return (dirs, Nil)
+    val touched = Seq.newBuilder[String]; val untouched = Seq.newBuilder[String]
+    dirs.foreach { d =>
+      pruneFiles(spark, path, Seq(d), bounds) match {
+        case Some(files) if files.isEmpty => untouched += d
+        case _ => touched += d
+      }
+    }
+    (touched.result(), untouched.result())
+  }
+
+  /** min/max of the mutation source's key columns — the bounds a keyed
+    * MERGE can possibly touch. One tiny aggregate over the (small,
+    * relative to the table) source; non-numeric/non-string keys yield
+    * no bound and fall back to full rewrite.
+    */
+  private def keyBounds(source: DataFrame, keys: Seq[String]): Map[String, ColumnBounds] = {
+    val row = source.agg(
+      min(col(keys.head)).as("l0"),
+      (max(col(keys.head)).as("h0") +: keys.drop(1).zipWithIndex.flatMap { case (k, i) =>
+        Seq(min(col(k)).as(s"l${i + 1}"), max(col(k)).as(s"h${i + 1}"))
+      }): _*).head()
+    keys.zipWithIndex.map { case (k, i) =>
+      def side(v: Any): Option[Any] = v match {
+        case null => None
+        case n: Number => Some(n)
+        case s: String => Some(s)
+        case _ => None
+      }
+      k -> ColumnBounds(side(row.get(2 * i)), side(row.get(2 * i + 1)))
+    }.toMap
+  }
+
+  /** Conservative bounds from a DELETE/UPDATE predicate: top-level AND
+    * of {=, <, <=, >, >=, IN, BETWEEN-ish} comparisons between a column
+    * and literals, read from the ANALYZED filter over the snapshot (so
+    * Spark's own resolution and implicit casts are honored). Any
+    * conjunct we cannot read contributes nothing; an OR (or any other
+    * root) yields no bounds → full rewrite. A column reached through a
+    * cast counts only when the cast is a loss-free up-cast (order
+    * preserving — a truncating cast could prune a file that matches).
+    */
+  private def predicateBounds(base: DataFrame,
+      predicate: org.apache.spark.sql.Column): Map[String, ColumnBounds] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.types.StringType
+    val condOpt = base.where(predicate).queryExecution.analyzed.collectFirst {
+      case f: LFilter => f.condition
+    }
+    if (condOpt.isEmpty) return Map.empty
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) => nameOf(c.child)
+      case _ => None
+    }
+    def valueOf(e: Expression): Option[Any] =
+      if (!e.foldable) None
+      else e.eval() match {
+        case null => None
+        case v if e.dataType == StringType => Some(v.toString)
+        case n: Number => Some(n)
+        case _ => None
+      }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val eqB = (n: String, v: Any) => n -> ColumnBounds(Some(v), Some(v))
+    val loB = (n: String, v: Any) => n -> ColumnBounds(Some(v), None)
+    val hiB = (n: String, v: Any) => n -> ColumnBounds(None, Some(v))
+    // Try attr-op-literal, then literal-op-attr with the bound flipped.
+    def cmp(l: Expression, r: Expression,
+        attrLeft: (String, Any) => (String, ColumnBounds),
+        attrRight: (String, Any) => (String, ColumnBounds)): Option[(String, ColumnBounds)] =
+      (for (n <- nameOf(l); v <- valueOf(r)) yield attrLeft(n, v))
+        .orElse(for (n <- nameOf(r); v <- valueOf(l)) yield attrRight(n, v))
+    def boundOf(e: Expression): Option[(String, ColumnBounds)] = e match {
+      case EqualTo(a, b) => cmp(a, b, eqB, eqB)
+      case EqualNullSafe(a, b) => cmp(a, b, eqB, eqB)
+      case GreaterThan(a, b) => cmp(a, b, loB, hiB)
+      case GreaterThanOrEqual(a, b) => cmp(a, b, loB, hiB)
+      case LessThan(a, b) => cmp(a, b, hiB, loB)
+      case LessThanOrEqual(a, b) => cmp(a, b, hiB, loB)
+      case In(a, vs) =>
+        val lits = vs.flatMap(valueOf)
+        if (lits.size != vs.size || lits.isEmpty) None
+        else nameOf(a).map { n =>
+          val nums = lits.collect { case x: Number => x.doubleValue() }
+          if (nums.size == lits.size)
+            n -> ColumnBounds(Some(Double.box(nums.min)), Some(Double.box(nums.max)))
+          else {
+            val ss = lits.map(_.toString)
+            n -> ColumnBounds(Some(ss.min), Some(ss.max))
+          }
+        }
+      case _ => None
+    }
+    // Conjunction: using any one conjunct's bounds is a SUPERSET of the
+    // true matching range — safe; intersecting tightens it.
+    def tighter(a: ColumnBounds, b: ColumnBounds): ColumnBounds = {
+      def pick(x: Option[Any], y: Option[Any], wantMax: Boolean) = (x, y) match {
+        case (Some(p: Number), Some(q: Number)) =>
+          if ((p.doubleValue > q.doubleValue) == wantMax) x else y
+        case (Some(p: String), Some(q: String)) => if ((p > q) == wantMax) x else y
+        case (Some(_), _) => x
+        case (None, o) => o
+      }
+      ColumnBounds(pick(a.lo, b.lo, wantMax = true), pick(a.hi, b.hi, wantMax = false))
+    }
+    conjuncts(condOpt.get)
+      .flatMap(boundOf(_))
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(tighter(_, _))).toMap
+  }
+
+  private def readDirs(spark: SparkSession, path: String, dirs: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => new Path(path, d).toString): _*)
+
   /** MERGE INTO (copy-on-write upsert): rows of `source` replace
     * target rows with the same `key`; unmatched source rows insert.
-    * One shuffle on the key (the anti join); the rewrite is a new
-    * consolidated file group.
+    * One shuffle on the key (the anti join). File-group granular: only
+    * groups whose key stats intersect the source's key range are
+    * rewritten; all other dirs ride the commit forward untouched, so a
+    * MERGE touching 0.1% of a 100 TB table rewrites ~0.1% of it.
     */
   def merge(spark: SparkSession, path: String, source: DataFrame, key: String): Long = {
     val prev = currentVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
-    val target = read(spark, path, Some(prev))
+    val c = readCommit(spark, path, prev)
+    val (touched, untouched) = splitDirs(spark, path, c.dirs, keyBounds(source, Seq(key)))
+    // limit(0) base pins the full table schema even when no group is
+    // touched (pure insert) or the source is missing columns.
+    val target =
+      if (touched.isEmpty) read(spark, path, Some(prev)).limit(0)
+      else readDirs(spark, path, touched)
     val kept = target.join(source.select(key), Seq(key), "left_anti")
     val merged = kept.unionByName(source, allowMissingColumns = true)
     val v = prev + 1
     val dir = writeGroup(spark, path, v, merged, Nil)
-    writeCommit(spark, path, Commit(v, "merge", Seq(dir)))
+    writeCommit(spark, path, Commit(v, "merge", untouched :+ dir))
     v
   }
 
@@ -625,14 +774,23 @@ object LakeTable {
       keys: Seq[String], sumCols: Seq[String]): Long = {
     val prev = currentVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
-    val target = read(spark, path, Some(prev))
+    val c = readCommit(spark, path, prev)
+    // A group is untouched only if its stats prove no source key tuple
+    // can live in it (per-column intersection — conservative for multi
+    // column keys). Untouched groups keep their one-row-per-key
+    // invariant by induction; touched ∪ source re-combines to one row
+    // per key, so the table-wide invariant survives the partial rewrite.
+    val (touched, untouched) = splitDirs(spark, path, c.dirs, keyBounds(source, keys))
+    val target =
+      if (touched.isEmpty) read(spark, path, Some(prev)).limit(0)
+      else readDirs(spark, path, touched)
     val combined = target.unionByName(source, allowMissingColumns = true)
       .groupBy(keys.map(col): _*)
       .agg(sum(sumCols.head).as(sumCols.head),
         sumCols.tail.map(c => sum(c).as(c)): _*)
     val v = prev + 1
     val dir = writeGroup(spark, path, v, combined, Nil)
-    writeCommit(spark, path, Commit(v, "merge_agg", Seq(dir)))
+    writeCommit(spark, path, Commit(v, "merge_agg", untouched :+ dir))
     v
   }
 
@@ -645,10 +803,18 @@ object LakeTable {
       predicate: org.apache.spark.sql.Column): Long = {
     val prev = currentVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val c = readCommit(spark, path, prev)
+    val (touched, untouched) = splitDirs(spark, path, c.dirs,
+      predicateBounds(read(spark, path, Some(prev)), predicate))
     val v = prev + 1
-    val dir = writeGroup(spark, path, v,
-      read(spark, path, Some(prev)).where(!coalesce(predicate, lit(false))), Nil)
-    writeCommit(spark, path, Commit(v, "delete", Seq(dir)))
+    if (touched.isEmpty) {
+      // Nothing can match: the commit is pure metadata, zero data moved.
+      writeCommit(spark, path, Commit(v, "delete", c.dirs))
+    } else {
+      val dir = writeGroup(spark, path, v,
+        readDirs(spark, path, touched).where(!coalesce(predicate, lit(false))), Nil)
+      writeCommit(spark, path, Commit(v, "delete", untouched :+ dir))
+    }
     v
   }
 
@@ -660,13 +826,20 @@ object LakeTable {
     import org.apache.spark.sql.functions.{col, when}
     val prev = currentVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
-    val df = read(spark, path, Some(prev))
-    val updated = assignments.foldLeft(df) { case (acc, (c, e)) =>
-      acc.withColumn(c, when(predicate, e).otherwise(col(c)))
-    }
+    val c = readCommit(spark, path, prev)
+    val (touched, untouched) = splitDirs(spark, path, c.dirs,
+      predicateBounds(read(spark, path, Some(prev)), predicate))
     val v = prev + 1
-    val dir = writeGroup(spark, path, v, updated, Nil)
-    writeCommit(spark, path, Commit(v, "update", Seq(dir)))
+    if (touched.isEmpty) {
+      writeCommit(spark, path, Commit(v, "update", c.dirs))
+    } else {
+      val df = readDirs(spark, path, touched)
+      val updated = assignments.foldLeft(df) { case (acc, (cn, e)) =>
+        acc.withColumn(cn, when(predicate, e).otherwise(col(cn)))
+      }
+      val dir = writeGroup(spark, path, v, updated, Nil)
+      writeCommit(spark, path, Commit(v, "update", untouched :+ dir))
+    }
     v
   }
 

@@ -37,6 +37,44 @@ class LakeTableSpec extends AnyFunSuite {
       Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("DML is file-group granular: untouched groups survive verbatim, pruned no-ops move no data") {
+    val p = s"$root/t_granular"
+    // two disjoint key ranges in two file groups
+    LakeTable.create(spark, p, spark.range(0, 100).toDF("k").withColumn("v", lit("lo")))
+    LakeTable.append(spark, p, spark.range(1000, 1100).toDF("k").withColumn("v", lit("hi")))
+    val dirsBefore = LakeTable.readCommit(spark, p, 1L).dirs
+    assert(dirsBefore.size == 2)
+    val loDir = dirsBefore.head // group with keys 0..99
+
+    // keyed MERGE confined to the hi range: the lo group's dir must
+    // ride the commit forward verbatim — no rewrite of 0..99.
+    LakeTable.merge(spark, p, Seq((1050L, "HI"), (2000L, "NEW")).toDF("k", "v"), "k")
+    val afterMerge = LakeTable.readCommit(spark, p, 2L).dirs
+    assert(afterMerge.contains(loDir), s"lo group rewritten: $afterMerge")
+    assert(!afterMerge.contains(dirsBefore(1)), "hi group should have been rewritten")
+    val got = LakeTable.read(spark, p).as[(Long, String)].collect().toMap
+    assert(got.size == 201 && got(1050L) == "HI" && got(2000L) == "NEW" && got(5L) == "lo")
+
+    // DELETE whose bounds miss every group: pure metadata commit, dirs unchanged.
+    val before = LakeTable.readCommit(spark, p, 3L - 1).dirs
+    LakeTable.delete(spark, p, col("k") >= 50000L)
+    assert(LakeTable.readCommit(spark, p, 3L).dirs == before)
+    assert(LakeTable.read(spark, p).count() == 201)
+
+    // UPDATE confined to the lo range keeps every other group verbatim.
+    LakeTable.update(spark, p, col("k") < 100L, Map("v" -> lit("LO")))
+    val afterUpd = LakeTable.readCommit(spark, p, 4L).dirs
+    assert(before.filter(_ != loDir).forall(afterUpd.contains), s"hi groups rewritten: $afterUpd")
+    assert(!afterUpd.contains(loDir))
+    val m = LakeTable.read(spark, p).as[(Long, String)].collect().toMap
+    assert(m(5L) == "LO" && m(1050L) == "HI" && m(1001L) == "hi")
+
+    // DELETE bounded to one group deletes exactly there.
+    LakeTable.delete(spark, p, col("k") >= 1000L && col("k") < 1010L)
+    assert(LakeTable.read(spark, p).count() == 201 - 10)
+    assert(LakeTable.read(spark, p).where(col("v") === "LO").count() == 100)
+  }
+
   test("compaction shrinks file count, keeps data identical") {
     val p = s"$root/t4"
     LakeTable.create(spark, p, spark.range(1000).toDF("id").repartition(32))

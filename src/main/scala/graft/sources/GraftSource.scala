@@ -33,15 +33,20 @@ class DefaultSource extends TableProvider with DataSourceRegister {
   private def versionOf(options: util.Map[String, String]): Option[Long] =
     Option(options.get("version")).map(_.toLong)
 
+  private def changeFeed(options: util.Map[String, String]): Boolean =
+    "true".equalsIgnoreCase(String.valueOf(options.get("readChangeFeed")))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
     val spark = SparkSession.active
-    if (LakeTable.currentVersion(spark, path).isDefined)
+    if (changeFeed(options)) LakeTable.cdcSchema(spark, path)
+    else if (LakeTable.currentVersion(spark, path).isDefined)
       LakeTable.read(spark, path, versionOf(options)).schema
     else new StructType() // first write targets a fresh path
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftTable(pathOf(properties), versionOf(properties), Option(schema))
+    if (changeFeed(properties)) new GraftCdcTable(pathOf(properties))
+    else new GraftTable(pathOf(properties), versionOf(properties), Option(schema))
 }

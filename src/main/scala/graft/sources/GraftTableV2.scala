@@ -85,6 +85,27 @@ final class GraftTable(path: String, version: Option[Long],
     }
 }
 
+/** DSv2 Table over a LakeTable's persisted change feed
+  * (`option("readChangeFeed","true")` on the graft format): batch read
+  * = the whole feed, streaming read = version-offset micro-batches of
+  * change files (LakeCdcMicroBatchStream). Read-only by design — the
+  * feed is written by the table's own DML commits.
+  */
+final class GraftCdcTable(path: String) extends Table with SupportsRead {
+  private def spark: SparkSession = SparkSession.active
+  override def name(): String = s"graft-cdc.`$path`"
+  override def schema(): StructType = LakeTable.cdcSchema(spark, path)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val s = schema()
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new GraftCdcScan(spark, path, s, options)
+    }
+  }
+}
+
 /** V2 scan builder that adds LakeTable FILE SKIPPING in front of the
   * parquet scan: conjunctive pushed filters are mined for per-column
   * bounds, intersected with the per-file min/max sidecars (B18), and

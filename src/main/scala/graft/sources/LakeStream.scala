@@ -84,6 +84,69 @@ final class LakeMicroBatchStream(spark: SparkSession, path: String,
   override def stop(): Unit = ()
 }
 
+/** Streaming (and batch) read of the PERSISTED change feed
+  * (`LakeTable.enableCdc` + change files under `_cdc/`): offsets are
+  * table versions, each micro-batch is a parquet scan of exactly the
+  * change files the commits in (start, end] published — never a diff
+  * join at read time. Commits without a cdc entry (pre-enablement
+  * history, compaction/clustering rewrites, pruned no-op DML)
+  * contribute no rows, so layout maintenance never disturbs the feed —
+  * unlike the data-dir source above, which must REJECT rewrites.
+  * Replaying a checkpointed range re-reads the same immutable files:
+  * exactly-once across restarts comes from version offsets alone.
+  */
+final class LakeCdcMicroBatchStream(spark: SparkSession, path: String,
+    schema: StructType, options: CaseInsensitiveStringMap) extends MicroBatchStream {
+
+  private def current: Long = LakeTable.currentVersion(spark, path)
+    .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+
+  private def innerBatch(dirPaths: Seq[String]): Batch =
+    ParquetTable(s"graft-cdc.`$path`", spark, options, dirPaths, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
+
+  override def initialOffset(): Offset = LakeVersionOffset(-1L)
+  override def latestOffset(): Offset = LakeVersionOffset(current)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeVersionOffset].version
+    val e = end.asInstanceOf[LakeVersionOffset].version
+    if (e <= s) return Array.empty
+    val dirs = LakeTable.cdcDirsBetween(spark, path, s, e)
+    if (dirs.isEmpty) Array.empty else innerBatch(dirs).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    innerBatch(LakeTable.cdcDirsBetween(spark, path, -1L, current))
+      .createReaderFactory()
+
+  override def deserializeOffset(json: String): Offset =
+    LakeVersionOffset(""""version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).getOrElse(
+      throw new IllegalStateException(
+        s"malformed graft-cdc offset '$json' for $path — " +
+          "delete the checkpoint to restart the feed")).group(1).toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Scan for the change feed: batch = the whole persisted feed,
+  * streaming = [[LakeCdcMicroBatchStream]].
+  */
+final class GraftCdcScan(spark: SparkSession, path: String,
+    schema: StructType, options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = {
+    val cur = LakeTable.currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    ParquetTable(s"graft-cdc.`$path`", spark, options,
+      LakeTable.cdcDirsBetween(spark, path, -1L, cur), Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LakeCdcMicroBatchStream(spark, path, schema, options)
+}
+
 /** Scan wrapper: batch behavior delegates untouched to the inner
   * parquet V2 scan; streaming resolves to the commit-log micro-batch
   * stream above.

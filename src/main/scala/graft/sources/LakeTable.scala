@@ -36,7 +36,12 @@ import java.nio.charset.StandardCharsets
   */
 object LakeTable {
 
-  final case class Commit(version: Long, action: String, dirs: Seq[String])
+  /** `cdcDir`: change-records dir under `_cdc/` published atomically
+    * with the commit (None = commit produced no change records —
+    * pre-enablement history, layout rewrites, pruned no-ops).
+    */
+  final case class Commit(version: Long, action: String, dirs: Seq[String],
+      cdcDir: Option[String] = None)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -66,7 +71,8 @@ object LakeTable {
     val action = """"action"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body).get.group(1)
     val dirs = """"dirs"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body).get.group(1)
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
-    Commit(ver, action, dirs)
+    val cdc = """"cdc"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1))
+    Commit(ver, action, dirs, cdc)
   }
 
   private[graft] def writeCommit(spark: SparkSession, path: String, c: Commit): Unit = {
@@ -75,7 +81,8 @@ object LakeTable {
     val fs = fsOf(spark, target)
     fs.mkdirs(logDir(path))
     val json = s"""{"version":${c.version},"action":"${c.action}",""" +
-      s""""dirs":[${c.dirs.map(d => "\"" + d + "\"").mkString(",")}]}"""
+      s""""dirs":[${c.dirs.map(d => "\"" + d + "\"").mkString(",")}]""" +
+      c.cdcDir.map(d => s""","cdc":"$d"""").getOrElse("") + "}"
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     // Local-FS (and POSIX) rename silently REPLACES an existing target,
@@ -516,7 +523,13 @@ object LakeTable {
     val c = readCommit(spark, path, prev)
     val v = prev + 1
     val dir = writeGroup(spark, path, v, df, partitionBy)
-    writeCommit(spark, path, Commit(v, "append", c.dirs :+ dir))
+    // CDC: an append's change records are the appended rows verbatim —
+    // re-read from the just-written group, no diff join needed.
+    val cdc = cdcKey(spark, path).map { _ =>
+      writeCdc(spark, path, v,
+        readDirs(spark, path, Seq(dir)).withColumn("change_type", lit("insert")))
+    }
+    writeCommit(spark, path, Commit(v, "append", c.dirs :+ dir, cdc))
     v
   }
 
@@ -554,9 +567,17 @@ object LakeTable {
     * an array and exploded, so the diff join never re-executes.
     */
   def changes(spark: SparkSession, path: String, key: String,
-      fromVersion: Long, toVersion: Long, preimages: Boolean): DataFrame = {
-    val oldDf = read(spark, path, Some(fromVersion))
-    val newDf = read(spark, path, Some(toVersion))
+      fromVersion: Long, toVersion: Long, preimages: Boolean): DataFrame =
+    diffFrames(read(spark, path, Some(fromVersion)),
+      read(spark, path, Some(toVersion)), key, preimages)
+
+  /** Keyed diff of two row sets — the core of [[changes]], also used
+    * by CDC-on-write to diff only the touched file groups of a DML
+    * commit (untouched groups are common to both snapshots and cancel
+    * out of the full-outer join by construction).
+    */
+  private def diffFrames(oldDf: DataFrame, newDf: DataFrame, key: String,
+      preimages: Boolean): DataFrame = {
     // union of both schemas, key first, stable order
     val dataCols = (oldDf.columns ++ newDf.columns).distinct.filter(_ != key).sorted
     def hashed(df: DataFrame, tag: String) = {
@@ -596,6 +617,95 @@ object LakeTable {
         .select(col("r.change_type").as("change_type") +: col(key) +:
           dataCols.map(c => col(s"r.$c").as(c)): _*)
     }
+  }
+
+  // ---- change data feed on write (Delta-CDF-style change files) ------
+  //
+  // changes() computes a diff JOIN per read — fine ad hoc, wrong as the
+  // consumption path at scale. With CDC enabled, every mutating commit
+  // MATERIALIZES its change records (insert/delete/update_preimage/
+  // update_postimage + _commit_version) into `_cdc/<dir>`, published
+  // atomically via the commit's "cdc" field. The records are computed
+  // from only the TOUCHED file groups (untouched groups are identical
+  // on both sides of a diff and cancel out), so the write amplification
+  // tracks the mutation size, and reading the feed — batch or streaming
+  // — is a pure parquet scan with version offsets, never a join.
+
+  private def cdcMetaFile(path: String) = new Path(logDir(path), "_cdc.json")
+
+  /** Turn the change feed ON for a single-column row identity `key`
+    * (same contract as [[changes]]). Subsequent append/merge/delete/
+    * update/agg-merge commits write change files; layout rewrites
+    * (compact/cluster) and pruned no-ops correctly publish none.
+    * Consume with [[readChangeFeed]] or
+    * `readStream.format("graft").option("readChangeFeed","true")`.
+    */
+  def enableCdc(spark: SparkSession, path: String, key: String): Unit = {
+    val p = cdcMetaFile(path)
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(s"""{"key":"$key"}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def cdcKey(spark: SparkSession, path: String): Option[String] = {
+    val p = cdcMetaFile(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"key"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1))
+    }
+  }
+
+  /** Feed schema: change_type, key, data columns (sorted), _commit_version. */
+  def cdcSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val key = cdcKey(spark, path).getOrElse(
+      throw new IllegalStateException(s"CDC not enabled on $path (LakeTable.enableCdc)"))
+    val s = read(spark, path).schema
+    val keyField = s.fields.find(_.name == key).getOrElse(
+      throw new IllegalStateException(s"CDC key $key not in table schema of $path"))
+    StructType(
+      StructField("change_type", StringType) +: keyField.copy(nullable = true) +:
+        (s.fields.filter(_.name != key).sortBy(_.name).map(_.copy(nullable = true)).toSeq :+
+          StructField("_commit_version", LongType)))
+  }
+
+  /** Materialize one commit's change records; returns the cdc dir name
+    * (unique suffix — racers stage distinct dirs, the commit decides).
+    */
+  private def writeCdc(spark: SparkSession, path: String, v: Long, records: DataFrame): String = {
+    val dir = s"d$v-${java.util.UUID.randomUUID.toString.take(8)}"
+    records.withColumn("_commit_version", lit(v))
+      .write.mode("overwrite").parquet(new Path(new Path(path, "_cdc"), dir).toString)
+    dir
+  }
+
+  /** Absolute `_cdc` dirs of the commits in (fromExclusive, toInclusive]. */
+  private[graft] def cdcDirsBetween(spark: SparkSession, path: String,
+      fromExclusive: Long, toInclusive: Long): Seq[String] =
+    ((fromExclusive + 1) to toInclusive).flatMap { v =>
+      readCommit(spark, path, v).cdcDir
+        .map(d => new Path(new Path(path, "_cdc"), d).toString)
+    }
+
+  /** Batch read of the persisted change feed for versions in
+    * (fromExclusive, toInclusive] — a parquet scan of the change
+    * files, exactly what the streaming source replays per micro-batch.
+    */
+  def readChangeFeed(spark: SparkSession, path: String,
+      fromExclusive: Long = -1L, toInclusive: Long = Long.MinValue): DataFrame = {
+    val hi = if (toInclusive == Long.MinValue)
+      currentVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"no LakeTable at $path"))
+    else toInclusive
+    val schema = cdcSchema(spark, path)
+    val dirs = cdcDirsBetween(spark, path, fromExclusive, hi)
+    if (dirs.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava, schema)
+    } else spark.read.schema(schema).parquet(dirs: _*)
   }
 
   // ---- file-group-granular row-level DML -----------------------------
@@ -757,7 +867,14 @@ object LakeTable {
     val merged = kept.unionByName(source, allowMissingColumns = true)
     val v = prev + 1
     val dir = writeGroup(spark, path, v, merged, Nil)
-    writeCommit(spark, path, Commit(v, "merge", untouched :+ dir))
+    // CDC: diff only the touched groups against their rewrite —
+    // untouched groups are on both sides of the snapshot diff and
+    // produce no records, so the diff cost tracks the mutation size.
+    val cdc = cdcKey(spark, path).map { k =>
+      writeCdc(spark, path, v,
+        diffFrames(target, readDirs(spark, path, Seq(dir)), k, preimages = true))
+    }
+    writeCommit(spark, path, Commit(v, "merge", untouched :+ dir, cdc))
     v
   }
 
@@ -790,7 +907,11 @@ object LakeTable {
         sumCols.tail.map(c => sum(c).as(c)): _*)
     val v = prev + 1
     val dir = writeGroup(spark, path, v, combined, Nil)
-    writeCommit(spark, path, Commit(v, "merge_agg", untouched :+ dir))
+    val cdc = cdcKey(spark, path).map { k =>
+      writeCdc(spark, path, v,
+        diffFrames(target, readDirs(spark, path, Seq(dir)), k, preimages = true))
+    }
+    writeCommit(spark, path, Commit(v, "merge_agg", untouched :+ dir, cdc))
     v
   }
 
@@ -811,9 +932,14 @@ object LakeTable {
       // Nothing can match: the commit is pure metadata, zero data moved.
       writeCommit(spark, path, Commit(v, "delete", c.dirs))
     } else {
+      val old = readDirs(spark, path, touched)
       val dir = writeGroup(spark, path, v,
-        readDirs(spark, path, touched).where(!coalesce(predicate, lit(false))), Nil)
-      writeCommit(spark, path, Commit(v, "delete", untouched :+ dir))
+        old.where(!coalesce(predicate, lit(false))), Nil)
+      val cdc = cdcKey(spark, path).map { k =>
+        writeCdc(spark, path, v,
+          diffFrames(old, readDirs(spark, path, Seq(dir)), k, preimages = true))
+      }
+      writeCommit(spark, path, Commit(v, "delete", untouched :+ dir, cdc))
     }
     v
   }
@@ -838,7 +964,11 @@ object LakeTable {
         acc.withColumn(cn, when(predicate, e).otherwise(col(cn)))
       }
       val dir = writeGroup(spark, path, v, updated, Nil)
-      writeCommit(spark, path, Commit(v, "update", untouched :+ dir))
+      val cdc = cdcKey(spark, path).map { k =>
+        writeCdc(spark, path, v,
+          diffFrames(df, readDirs(spark, path, Seq(dir)), k, preimages = true))
+      }
+      writeCommit(spark, path, Commit(v, "update", untouched :+ dir, cdc))
     }
     v
   }
@@ -857,6 +987,14 @@ object LakeTable {
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("d") && !keepDirs.contains(n))
+        fs.delete(st.getPath, true)
+    }
+    // Change files follow the same retention: drop cdc dirs no kept
+    // commit references (includes orphaned racer dirs).
+    val keepCdc = keepVersions.flatMap(v => readCommit(spark, path, v).cdcDir).toSet
+    val cdcRoot = new Path(path, "_cdc")
+    if (fs.exists(cdcRoot)) fs.listStatus(cdcRoot).foreach { st =>
+      if (st.isDirectory && !keepCdc.contains(st.getPath.getName))
         fs.delete(st.getPath, true)
     }
     (0L until retainFrom).foreach { v =>

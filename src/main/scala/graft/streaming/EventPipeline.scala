@@ -318,7 +318,52 @@ object EventPipeline {
       .orderBy("o_orderpriority")
   }
 
+  /** C17: streaming the PERSISTED change feed (`LakeTable.enableCdc`
+    * change files): appends, a keyed doubling MERGE and a predicate
+    * DELETE publish change records with their commits; the stream
+    * reads them as version-offset parquet micro-batches (no diff join
+    * at read time) and folds signed contributions —
+    * insert/update_postimage add, delete/update_preimage subtract —
+    * into exactly the direct aggregate of the final table state, which
+    * the DuckDB oracle reconstructs relationally.
+    */
+  def cdcStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val lake = s"${graft.operators.Lakehouse.scratch}/stream_cdc_orders"
+    val base = graft.Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    LakeTable.create(spark, lake, base.limit(0))
+    LakeTable.enableCdc(spark, lake, "o_orderkey")
+    LakeTable.append(spark, lake, base.where(pmod(col("o_orderkey"), lit(3)) === 0))
+    LakeTable.append(spark, lake, base.where(pmod(col("o_orderkey"), lit(3)) === 1))
+    LakeTable.merge(spark, lake,
+      base.where(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), "o_orderkey")
+    LakeTable.delete(spark, lake, col("o_orderpriority") === lit("1-URGENT"))
+    val sign = when(col("change_type").isin("insert", "update_postimage"), 1).otherwise(-1)
+    val agg = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(lake)
+      .groupBy("o_orderpriority")
+      .agg(sum(sign).cast("long").as("cnt"),
+        round(sum(sign * col("o_totalprice")) + lit(1e-6), 2).as("rev"))
+    runToMemory(spark, agg, "graft_stream_cdc", OutputMode.Complete())
+      .where(col("cnt") > 0) // fully-deleted groups net to zero and drop out
+      .orderBy("o_orderpriority")
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("stream_cdc", (s, d) => cdcStream(s, d),
+      Some("""WITH st AS (
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+             |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice * 2 FROM orders
+             |  WHERE o_orderkey % 5 = 0)
+             |SELECT o_orderpriority, count(*) AS cnt,
+             |round(sum(o_totalprice)+1e-6,2) AS rev
+             |FROM st WHERE o_orderpriority <> '1-URGENT'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("stream_lake", (s, d) => lakeStream(s, d),
       Some("""SELECT o_orderpriority, count(*) AS cnt,
              |round(sum(o_totalprice)+1e-6,2) AS rev

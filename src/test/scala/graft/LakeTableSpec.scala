@@ -363,6 +363,43 @@ class LakeTableSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("non-append")), msgs(ex).mkString(" | "))
   }
 
+  test("CDC stream: change files publish with commits, version offsets resume exactly-once, rewrites stay silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val p = s"$root/stream_cdc"
+    val out = s"$root/stream_cdc_out"
+    val ckpt = s"$root/stream_cdc_ckpt"
+    Seq(p, out, ckpt).foreach(dir =>
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir)))
+    LakeTable.create(spark, p, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    LakeTable.enableCdc(spark, p, "k")
+    LakeTable.merge(spark, p, Seq((2L, "B"), (4L, "d")).toDF("k", "v"), "k") // v1
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").option("readChangeFeed", "true").load(p)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    def rows() = spark.read.parquet(out)
+      .select("change_type", "k", "v", "_commit_version")
+      .as[(String, Long, String, Long)].collect().toSet
+    // pre-enablement create (v0) is feed-invisible; unchanged keys emit nothing
+    assert(rows() == Set(("update_preimage", 2L, "b", 1L),
+      ("update_postimage", 2L, "B", 1L), ("insert", 4L, "d", 1L)), rows())
+    // a layout rewrite is CDC-silent; a later delete emits only its own
+    // records; the restarted stream resumes from v1, never replaying it
+    LakeTable.compact(spark, p, 1)              // v2: no change records
+    LakeTable.delete(spark, p, col("k") === 1L) // v3: one delete
+    runOnce()
+    assert(rows() == Set(("update_preimage", 2L, "b", 1L),
+      ("update_postimage", 2L, "B", 1L), ("insert", 4L, "d", 1L),
+      ("delete", 1L, "a", 3L)), rows())
+    // batch read of the feed sees the same four records
+    assert(LakeTable.readChangeFeed(spark, p).count() == 4L)
+  }
+
   test("a CDC follower converges a downstream rollup across repeated base mutations") {
     import spark.implicits._
     val p = s"$root/cdc_follow"

@@ -41,12 +41,24 @@ final class LakeMicroBatchStream(spark: SparkSession, path: String,
     * append-only contract enforced per commit.
     */
   private def addedDirs(fromExclusive: Long, toInclusive: Long): Seq[String] = {
+    // A checkpointed version may have been vacuumed away since the
+    // stream last ran — surface that as actionable state, not a raw
+    // FileNotFoundException from the log read.
+    def commitOf(v: Long): LakeTable.Commit =
+      try LakeTable.readCommit(spark, path, v)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"commit v$v of streamed LakeTable $path no longer exists " +
+              "(vacuumed past the checkpointed offset?) — " +
+              "restart the stream from a fresh checkpoint", e)
+      }
     val added = Seq.newBuilder[String]
     var prev: Set[String] =
       if (fromExclusive < 0) Set.empty
-      else LakeTable.readCommit(spark, path, fromExclusive).dirs.toSet
+      else commitOf(fromExclusive).dirs.toSet
     ((fromExclusive + 1) to toInclusive).foreach { v =>
-      val c = LakeTable.readCommit(spark, path, v)
+      val c = commitOf(v)
       val ok = c.action == "create" || c.action == "append" || c.action == "clone"
       val removed = prev -- c.dirs.toSet
       if (!ok || removed.nonEmpty)
@@ -78,7 +90,10 @@ final class LakeMicroBatchStream(spark: SparkSession, path: String,
   }
 
   override def deserializeOffset(json: String): Offset =
-    LakeVersionOffset(""""version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).get.group(1).toLong)
+    LakeVersionOffset(""""version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).getOrElse(
+      throw new IllegalStateException(
+        s"malformed graft offset '$json' in the checkpoint for $path — " +
+          "restart the stream from a fresh checkpoint")).group(1).toLong)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -151,8 +166,17 @@ final class GraftCdcScan(spark: SparkSession, path: String,
   * parquet V2 scan; streaming resolves to the commit-log micro-batch
   * stream above.
   */
-final class GraftStreamableScan(val inner: Scan, spark: SparkSession, path: String,
+final class GraftStreamableScan(val inner: Scan, spark: SparkSession, val path: String,
     schema: StructType, options: CaseInsensitiveStringMap) extends Scan {
+  // Identity delegates to (inner, path): the wrapped ParquetScan is a
+  // case class that canonicalizes structurally, and reference equality
+  // here would defeat the planner's scan/exchange reuse when one query
+  // scans the same graft table twice.
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftStreamableScan => inner == g.inner && path == g.path
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * inner.hashCode() + path.hashCode
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = inner.toBatch
   override def description(): String = inner.description()

@@ -115,10 +115,18 @@ object LakeTable {
       throw new IllegalStateException(s"commit v${c.version} lost the race for $target")
     }
     if (!fs.rename(tmp, target)) {
-      // Release the claim: a failure between claim and publish must
-      // not wedge the version forever — the next committer retries it.
-      fs.delete(lock, false)
       fs.delete(tmp, false)
+      // Distinguish "rename failed, nothing published" from "target
+      // already exists": releasing the claim in the second case would
+      // let a retrying committer re-claim and silently REPLACE the
+      // published commit (local-FS rename overwrites) — the exact
+      // double-publish the lock prevents. Keep the claim when the
+      // target is live; release it only when the version is truly
+      // unpublished so the next committer can retry.
+      if (fs.exists(target))
+        throw new IllegalStateException(
+          s"commit v${c.version} already published at $target")
+      fs.delete(lock, false)
       throw new IllegalStateException(s"commit v${c.version} rename failed for $target")
     }
   }
@@ -495,8 +503,13 @@ object LakeTable {
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $sourcePath"))
     val c = readCommit(spark, sourcePath, v)
     val srcFs = fsOf(spark, new Path(sourcePath))
+    // Fully-qualified URIs (scheme + authority), not bare paths: a
+    // clone rooted on a DIFFERENT filesystem/bucket must keep reading
+    // the source's dirs — `new Path(parent, child)` resolves a
+    // scheme-bearing child to itself, so qualified refs survive every
+    // reader; a bare /path would silently rebind to the clone's FS.
     val absDirs = c.dirs.map(d =>
-      srcFs.makeQualified(new Path(sourcePath, d)).toUri.getPath)
+      srcFs.makeQualified(new Path(sourcePath, d)).toString)
     val p = new Path(targetPath)
     val fs = fsOf(spark, p)
     if (fs.exists(p)) fs.delete(p, true)
@@ -575,6 +588,15 @@ object LakeTable {
     * by CDC-on-write to diff only the touched file groups of a DML
     * commit (untouched groups are common to both snapshots and cancel
     * out of the full-outer join by construction).
+    *
+    * Row identity contract: `key` must be UNIQUE per side. The join is
+    * null-safe (`<=>`), so a single NULL-keyed row diffs like any
+    * other key value instead of surfacing as a spurious delete+insert
+    * pair; side presence is tracked with explicit marker columns, not
+    * key nullness. Change detection compares one xxhash64 over the
+    * data columns — a 64-bit old/new collision (P ≈ 2⁻⁶⁴ per updated
+    * row) would silently drop that update; widen to two seeded hashes
+    * if feeding a ledger where that is unacceptable.
     */
   private def diffFrames(oldDf: DataFrame, newDf: DataFrame, key: String,
       preimages: Boolean): DataFrame = {
@@ -582,16 +604,16 @@ object LakeTable {
     val dataCols = (oldDf.columns ++ newDf.columns).distinct.filter(_ != key).sorted
     def hashed(df: DataFrame, tag: String) = {
       val have = df.columns.toSet
-      val aligned = df.select(col(key).as(s"${tag}_k") +:
+      val aligned = df.select(col(key).as(s"${tag}_k") +: lit(1).as(s"${tag}_present") +:
         dataCols.map(c => (if (have(c)) col(c) else lit(null)).as(s"${tag}_$c")): _*)
       aligned.withColumn(s"${tag}_h",
         xxhash64(dataCols.map(c => col(s"${tag}_$c")): _*))
     }
     val o = hashed(oldDf, "o")
     val n = hashed(newDf, "n")
-    val j = n.join(o, n("n_k") === o("o_k"), "full")
-    val changeType = when(col("o_k").isNull, "insert")
-      .when(col("n_k").isNull, "delete")
+    val j = n.join(o, n("n_k") <=> o("o_k"), "full")
+    val changeType = when(col("o_present").isNull, "insert")
+      .when(col("n_present").isNull, "delete")
       .when(col("n_h") =!= col("o_h"), "update")
     val flagged = j.withColumn("change_type", changeType)
       .where(col("change_type").isNotNull)

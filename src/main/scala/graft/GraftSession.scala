@@ -17,7 +17,11 @@ object GraftSession {
 
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
-      .withExtensions(new GraftExtensions)
+      // Extensions via conf, not withExtensions: the conf lands in the
+      // SparkConf, so EVERY session on the context — including the
+      // server-side sessions a Spark Connect client spawns — gets the
+      // graft rules/strategies/functions, not just this builder's.
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .master(master)
       .config("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
       .config("spark.sql.catalog.graft_cat.root", catalogRoot)

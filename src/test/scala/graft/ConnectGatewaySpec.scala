@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark Connect gateway — the network SQL endpoint the reference
+  * platform fronts with Kyuubi (internal/controller/kyuubi.go exposes
+  * a Thrift/REST service; charts/nineinfra wires its ports): a gRPC
+  * server over the running engine, REMOTE clients executing text SQL
+  * against the shared `graft_cat` catalog, per-session state isolated.
+  *
+  * The client is the distribution's shaded spark-connect-client-jvm
+  * jar, driven reflectively through a dedicated URLClassLoader: the
+  * client jar bundles its own copy of the sql-api surface, so it is
+  * quarantined from the classic-session classpath (jars/connect-repl)
+  * exactly as in the Spark distribution; shared leaf types (Row) still
+  * resolve parent-first to the test's own classes, so results are
+  * asserted on directly.
+  */
+class ConnectGatewaySpec extends AnyFunSuite {
+  import SharedSpark.spark
+
+  private val port = 15999
+
+  private lazy val clientLoader: ClassLoader = {
+    val jars = new java.io.File("/opt/spark/jars/connect-repl").listFiles()
+      .filter(_.getName.startsWith("spark-connect-client-jvm"))
+      .map(_.toURI.toURL)
+    assert(jars.nonEmpty, "shaded connect client jar missing from the distribution")
+    new java.net.URLClassLoader(jars, getClass.getClassLoader)
+  }
+
+  /** A remote Connect session (one per instance — `create()`, never
+    * `getOrCreate()`, so two Clients are two server-side sessions).
+    */
+  private final class Client {
+    private val module = clientLoader
+      .loadClass("org.apache.spark.sql.connect.SparkSession$")
+      .getField("MODULE$").get(null)
+    private val session = {
+      val b = module.getClass.getMethod("builder").invoke(module)
+      b.getClass.getMethod("remote", classOf[String])
+        .invoke(b, s"sc://localhost:$port")
+      b.getClass.getMethod("create").invoke(b)
+    }
+    def sql(q: String): Seq[org.apache.spark.sql.Row] = {
+      val ds = session.getClass.getMethod("sql", classOf[String]).invoke(session, q)
+      ds.getClass.getMethod("collect").invoke(ds)
+        .asInstanceOf[Array[_]].toSeq.map(_.asInstanceOf[org.apache.spark.sql.Row])
+    }
+    def close(): Unit = session.getClass.getMethod("close").invoke(session)
+  }
+
+  test("remote clients run SQL against graft_cat; sessions are isolated; queries run concurrently") {
+    // Port 15999 is pinned in SharedSpark's static conf (SparkConf is
+    // sealed once the context exists).
+    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+    try {
+      val c1 = new Client
+      val c2 = new Client
+
+      // One client creates a lakehouse table through the catalog over
+      // the wire; the OTHER reads it back — shared catalog, full DDL +
+      // CTAS + query path through the V2 plugin, pure text SQL.
+      c1.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.gw")
+      c1.sql("DROP TABLE IF EXISTS graft_cat.gw.t")
+      c1.sql("CREATE TABLE graft_cat.gw.t AS SELECT id, id % 3 AS g FROM range(30)")
+      val agg = c2.sql(
+        "SELECT g, count(*) AS c, sum(id) AS s FROM graft_cat.gw.t GROUP BY g ORDER BY g")
+      assert(agg.map(r => (r.getLong(0), r.getLong(1))) ==
+        Seq((0L, 10L), (1L, 10L), (2L, 10L)), agg)
+
+      // graft's conf-registered extensions reach the server-side
+      // session: a native SQL function resolves over the wire.
+      val cs = c1.sql("SELECT round(cosine_sim(array(1.0f,0.0f), array(1.0f,0.0f)), 4) AS s")
+      assert(cs.head.getDouble(0) == 1.0, cs)
+
+      // Per-session isolation: c1's temp view is invisible to c2.
+      c1.sql("CREATE OR REPLACE TEMP VIEW gw_mine AS SELECT 42 AS x")
+      assert(c1.sql("SELECT x FROM gw_mine").head.getInt(0) == 42)
+      val denied = intercept[Exception] { c2.sql("SELECT x FROM gw_mine") }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(denied).exists(m =>
+        m.contains("gw_mine") || m.contains("TABLE_OR_VIEW_NOT_FOUND")), chain(denied))
+
+      // Two remote sessions issuing queries AT THE SAME TIME both land.
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val threads = Seq(c1, c2).zipWithIndex.map { case (c, i) =>
+        new Thread(() => {
+          val n = (i + 1) * 1000
+          results.put(i, c.sql(s"SELECT sum(id) AS s FROM range($n)").head.getLong(0))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(results.get(0) == 499500L && results.get(1) == 1999000L, results)
+
+      c1.close(); c2.close()
+    } finally org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
+  }
+}

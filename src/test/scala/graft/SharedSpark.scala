@@ -9,6 +9,8 @@ object SharedSpark {
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]", 8)
       .appName("graft-tests")
+      // static conf read by SparkConnectService.start (ConnectGatewaySpec)
+      .config("spark.connect.grpc.binding.port", "15999")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -48,15 +48,71 @@ object LakeTable {
 
   private def logDir(path: String) = new Path(path, "_graft_log")
 
+  // ---- log checkpointing (the Delta `_last_checkpoint` capability) ---
+  //
+  // Without a checkpoint, resolving the latest version LISTS the whole
+  // log — O(commits) per read, a real metadata bottleneck once a
+  // streaming upsert writer has committed 10⁵-10⁶ times. Every Nth
+  // publish (and every vacuum) refreshes a single `_checkpoint.json`
+  // hint; resolution then reads the hint and probes the ≤ N-commit
+  // tail with existence checks — O(N), independent of table age. The
+  // hint is advisory only: absent, torn, or pointing at a vacuumed
+  // version, resolution falls back to the full listing, and a failed
+  // hint write never fails a commit.
+
+  private[graft] val CheckpointInterval = 10L
+
+  /** Diagnostic/test hook: log-resolution cost in file-level ops — each
+    * open and existence probe counts 1, a directory listing counts one
+    * PER ENTRY (matching what object-store list paging actually costs).
+    */
+  private[graft] val logOps = new java.util.concurrent.atomic.LongAdder
+
+  private def checkpointFile(path: String) = new Path(logDir(path), "_checkpoint.json")
+
+  private def writeCheckpoint(spark: SparkSession, path: String, v: Long): Unit =
+    try {
+      val p = checkpointFile(path)
+      val out = fsOf(spark, p).create(p, true)
+      try out.write(s"""{"version":$v}""".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () } // hint only
+
+  private def checkpointVersion(spark: SparkSession, path: String): Option[Long] =
+    try {
+      val p = checkpointFile(path)
+      val fs = fsOf(spark, p)
+      logOps.increment()
+      if (!fs.exists(p)) None
+      else {
+        logOps.increment()
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+      }
+    } catch { case _: Exception => None } // torn/corrupt hint → listing
+
   def currentVersion(spark: SparkSession, path: String): Option[Long] = {
     val ld = logDir(path)
     val fs = fsOf(spark, ld)
-    if (!fs.exists(ld)) None
-    else {
-      val vs = fs.listStatus(ld).map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-      if (vs.isEmpty) None else Some(vs.max)
+    val fromCheckpoint = checkpointVersion(spark, path).filter { v0 =>
+      logOps.increment()
+      fs.exists(commitFile(path, v0)) // stale-beyond-vacuum hint → listing
+    }.map { v0 =>
+      var v = v0
+      while ({ logOps.increment(); fs.exists(commitFile(path, v + 1)) }) v += 1
+      v
+    }
+    fromCheckpoint.orElse {
+      if (!fs.exists(ld)) None
+      else {
+        val names = fs.listStatus(ld).map(_.getPath.getName)
+        logOps.add(names.length.toLong)
+        val vs = names
+          .filter(n => n.startsWith("v") && n.endsWith(".json"))
+          .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+        if (vs.isEmpty) None else Some(vs.max)
+      }
     }
   }
 
@@ -65,6 +121,7 @@ object LakeTable {
   def readCommit(spark: SparkSession, path: String, version: Long): Commit = {
     val p = commitFile(path, version)
     val fs = fsOf(spark, p)
+    logOps.increment()
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val ver = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
@@ -129,6 +186,10 @@ object LakeTable {
       fs.delete(lock, false)
       throw new IllegalStateException(s"commit v${c.version} rename failed for $target")
     }
+    // Published. Refresh the resolution hint every Nth commit (the
+    // winner does it — losers threw above).
+    if (c.version > 0 && c.version % CheckpointInterval == 0)
+      writeCheckpoint(spark, path, c.version)
   }
 
   private def writeGroup(spark: SparkSession, path: String, v: Long, df: DataFrame,
@@ -1019,6 +1080,10 @@ object LakeTable {
       if (st.isDirectory && !keepCdc.contains(st.getPath.getName))
         fs.delete(st.getPath, true)
     }
+    // Refresh the hint BEFORE dropping old commits: a checkpoint left
+    // pointing at a vacuumed version would force every reader through
+    // the listing fallback until the next Nth commit.
+    writeCheckpoint(spark, path, cur)
     (0L until retainFrom).foreach { v =>
       fs.delete(commitFile(path, v), false)
       fs.delete(new Path(logDir(path), f".claim-v$v%05d"), false)

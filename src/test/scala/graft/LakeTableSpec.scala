@@ -119,6 +119,44 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[Exception] { LakeTable.read(spark, p, Some(0L)).collect() } // horizon dropped
   }
 
+  test("commit-log checkpoint: 200-commit log resolves from hint + bounded tail, not a full listing") {
+    import spark.implicits._
+    val p = s"$root/ckpt200"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))
+    // 200 further commits. Data content is irrelevant to LOG resolution
+    // cost, so the commits reference the v0 group directly instead of
+    // paying 200 parquet writes.
+    val d0 = LakeTable.readCommit(spark, p, 0L).dirs
+    (1L to 200L).foreach(v => LakeTable.writeCommit(spark, p, LakeTable.Commit(v, "append", d0)))
+
+    LakeTable.logOps.reset()
+    assert(LakeTable.currentVersion(spark, p).contains(200L))
+    val resolveOps = LakeTable.logOps.sum()
+    assert(resolveOps <= LakeTable.CheckpointInterval + 4,
+      s"currentVersion cost $resolveOps file ops over a 200-commit log")
+
+    LakeTable.logOps.reset()
+    assert(LakeTable.read(spark, p).count() == 1L) // snapshot read end-to-end
+    val readOps = LakeTable.logOps.sum()
+    assert(readOps <= LakeTable.CheckpointInterval + 6,
+      s"snapshot resolution cost $readOps file ops over a 200-commit log")
+
+    // The hint is advisory: with it gone, resolution falls back to the
+    // full listing and still answers correctly.
+    val ckpt = new org.apache.hadoop.fs.Path(s"$p/_graft_log/_checkpoint.json")
+    ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(ckpt, false)
+    LakeTable.logOps.reset()
+    assert(LakeTable.currentVersion(spark, p).contains(200L))
+    assert(LakeTable.logOps.sum() > 100, "listing fallback should touch the whole log")
+
+    // vacuum refreshes the hint before dropping old commits
+    LakeTable.vacuum(spark, p, retainFrom = 195L)
+    LakeTable.logOps.reset()
+    assert(LakeTable.currentVersion(spark, p).contains(200L))
+    assert(LakeTable.logOps.sum() <= LakeTable.CheckpointInterval + 4)
+  }
+
   test("concurrent commits to the same version: exactly one wins") {
     val p = s"$root/race"
     LakeTable.create(spark, p, spark.range(5).toDF("id"))

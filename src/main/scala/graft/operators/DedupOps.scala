@@ -127,8 +127,11 @@ object DedupOps {
     Q("q_dedup_pipeline",
       (s, d) => {
         val docs = t(s, d, "documents")
+        // 128-bit identity (two seeded xxhash64 halves) — see
+        // q_dedup_exact for the collision math at 10⁹⁺ docs.
         val exactSurvivors = docs
-          .groupBy(xxhash64(col("text")).as("h"))
+          .groupBy(xxhash64(col("text")).as("h1"),
+            xxhash64(lit("graft-h2"), col("text")).as("h2"))
           .agg(min("doc_id").as("doc_id"))
           .select("doc_id")
         val nearDupLosers = minhashCandidates(s, d)

@@ -419,5 +419,62 @@ object Extras {
       Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
              |SELECT token, count(*)::BIGINT AS cnt FROM toks
              |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 10""".stripMargin)),
+
+    // DECIMAL(15,2) money path — real warehouse workloads carry money
+    // as exact decimals, not doubles. The whole chain (cast, subtract,
+    // multiply with Spark's precision/scale promotion, sum, widen)
+    // stays decimal: the results are EXACT — no float ordering
+    // nudge anywhere, the thing the double-based corpus needs 1e-6
+    // for. Compared as scale-preserving strings because the two
+    // engines' clients render decimals differently (DuckDB's pandas
+    // bridge degrades them to float64), not because the values differ.
+    Q("q_agg_groupby_dec",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(15,2)").as("q"),
+          col("l_extendedprice").cast("decimal(15,2)").as("p"),
+          col("l_discount").cast("decimal(15,2)").as("disc"))
+        .groupBy("l_returnflag")
+        .agg(sum("q").cast("decimal(20,2)").cast("string").as("sum_qty"),
+          sum(col("p") * (lit(1).cast("decimal(15,2)") - col("disc")))
+            .cast("decimal(30,4)").cast("string").as("revenue"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(20,2)) AS VARCHAR) AS sum_qty,
+             |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+             |  (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(30,4)) AS VARCHAR) AS revenue
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q3 over the decimal money path: same join/agg shape as
+    // q_tpch_q3, revenue exact end-to-end; top-10 ordered on the
+    // DECIMAL before the render cast, ties broken by key.
+    Q("q_tpch_q3_dec",
+      (s, d) => t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders").where(col("o_orderdate") < "1998-01-01"),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").where(col("l_shipdate") > "1998-01-01"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("l_extendedprice").cast("decimal(15,2)") *
+            (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)")))
+          .cast("decimal(30,4)").as("rev_dec"))
+        .orderBy(desc("rev_dec"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+          col("rev_dec").cast("string").as("revenue")),
+      Some("""WITH top AS (
+             |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+             |    (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(30,4)) AS rev_dec
+             |  FROM customer, orders, lineitem
+             |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |  AND l_orderkey = o_orderkey
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             |  GROUP BY 1, 2, 3
+             |  ORDER BY rev_dec DESC, l_orderkey LIMIT 10)
+             |SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |CAST(rev_dec AS VARCHAR) AS revenue FROM top
+             |ORDER BY rev_dec DESC, l_orderkey""".stripMargin)),
   )
 }

@@ -29,13 +29,17 @@ object TextOps {
 
   val qs: Seq[Q] = Seq(
 
-    // Exact dedup, keep-first: group on a 64-bit content hash so only
-    // 8-byte keys shuffle, never the document text. (At 100 TB the
-    // shuffle is ~16 bytes/doc; a text-keyed window would shuffle the
-    // full corpus.)
+    // Exact dedup, keep-first: group on a 128-BIT content identity —
+    // two independently-seeded xxhash64 halves — so only 16-byte keys
+    // shuffle, never the document text. 64 bits alone hits birthday
+    // collisions (P ≈ n²/2⁶⁵: ~3% at 10⁹ docs, near-certain at 10¹⁰ —
+    // a silent wrongly-dropped document each time); at 128 bits the
+    // same corpus sizes sit below 10⁻¹⁸. The seed column prefix makes
+    // the second half an independent hash function, not a copy.
     Q("q_dedup_exact",
       (s, d) => t(s, d, "documents")
-        .groupBy(xxhash64(col("text")).as("h"))
+        .groupBy(xxhash64(col("text")).as("h1"),
+          xxhash64(lit("graft-h2"), col("text")).as("h2"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
         .orderBy("doc_id"),
@@ -268,6 +272,14 @@ object TextOps {
     // built from attributes (never explode(transform(...)) — §6.5.3).
     Q("q_text_lmscore",
       (s, d) => {
+        // The model is CAPPED to the top-K most frequent bigrams
+        // (deterministic tie-break on the bigram itself): a full
+        // bigram table over an open-vocabulary web corpus is NOT
+        // broadcastable, and the cap — the standard frequency-cutoff
+        // LMs use anyway — bounds the broadcast at K rows regardless
+        // of corpus size. TakeOrdered (sort-free top-K) selects it;
+        // out-of-model bigrams score 0 via the left join's coalesce.
+        val modelK = 5000
         val ex = t(s, d, "documents")
           .withColumn("ws", split(col("text"), " "))
           .where(size(col("ws")) >= 2)
@@ -275,20 +287,23 @@ object TextOps {
             explode(sequence(lit(0), size(col("ws")) - 2)).as("i"))
           .select(col("doc_id"),
             concat(col("ws")(col("i")), lit(" "), col("ws")(col("i") + 1)).as("bg"))
-        val freq = ex.groupBy("bg").agg(count(lit(1)).as("bf"))
-        ex.join(broadcast(freq), "bg")
+        val model = ex.groupBy("bg").agg(count(lit(1)).as("bf"))
+          .orderBy(desc("bf"), col("bg")).limit(modelK)
+        ex.join(broadcast(model), Seq("bg"), "left")
           .groupBy("doc_id")
-          .agg(round(sum("bf") / count(lit(1)) + lit(1e-9), 4).as("lm_score"),
+          .agg(round(sum(coalesce(col("bf"), lit(0L))) / count(lit(1)) + lit(1e-9), 4).as("lm_score"),
             count(lit(1)).as("n_bigrams"))
           .orderBy("doc_id")
       },
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
              |ex AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS bg
              |       FROM w, unnest(range(0, len(ws)-1)) AS t(i) WHERE len(ws) >= 2),
-             |freq AS (SELECT bg, count(*) AS bf FROM ex GROUP BY 1)
-             |SELECT e.doc_id, round(sum(bf)/count(*) + 1e-9, 4) AS lm_score,
+             |model AS (SELECT bg, count(*) AS bf FROM ex GROUP BY 1
+             |          ORDER BY bf DESC, bg LIMIT 5000)
+             |SELECT e.doc_id,
+             |       round(sum(coalesce(bf, 0))/count(*) + 1e-9, 4) AS lm_score,
              |       count(*)::BIGINT AS n_bigrams
-             |FROM ex e JOIN freq USING(bg)
+             |FROM ex e LEFT JOIN model USING(bg)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Deterministic stratified sampling — the data-mixing primitive of

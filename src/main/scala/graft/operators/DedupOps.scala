@@ -205,26 +205,27 @@ object DedupOps {
     // train document (containment |E∩T|/|E|, not Jaccard — a short
     // eval doc quoted inside a long train doc must still flag).
     // Same inverted-index blocking as dedup: only 8-byte shingle
-    // hashes shuffle, candidate pairs share ≥1 shingle, and the
-    // worst offender per eval doc surfaces via one bounded window.
+    // hashes shuffle, candidate pairs share ≥1 shingle, and the worst
+    // offender per eval doc is a bounded-heap top-1 (an eval doc hit
+    // by a hot shingle can have MANY candidate train docs — a
+    // per-eval window would sort them all on one reducer; the heaps
+    // ship one survivor per partition).
     Q("q_contamination",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val sh = shingleTable(s, d)
         val ev = sh.where(col("doc_id") % 10 === 0)
           .select(col("doc_id").as("eval_id"), col("h"))
         val tr = sh.where(col("doc_id") % 10 =!= 0)
           .select(col("doc_id").as("train_id"), col("h"))
         val evSz = ev.groupBy("eval_id").agg(count(lit(1)).as("esz"))
-        val w = Window.partitionBy("eval_id").orderBy(desc("containment"), col("train_id"))
-        ev.join(tr, "h")
+        val scored = ev.join(tr, "h")
           .groupBy("eval_id", "train_id").agg(count(lit(1)).as("inter"))
           .join(evSz, "eval_id")
           .withColumn("containment",
             round(col("inter").cast("double") / col("esz") + lit(1e-9), 4))
           .where(col("containment") >= 0.5)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
+          .select("eval_id", "train_id", "containment")
+        graft.plans.TopK.perGroup(scored, Seq("eval_id"), "containment", "train_id", 1)
           .select("eval_id", "train_id", "containment")
           .orderBy("eval_id")
       },

@@ -193,6 +193,25 @@ class LakeTableSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L))
   }
 
+  test("perGroupRanked equals the row_number window on ties, short groups, and rank order") {
+    import org.apache.spark.sql.expressions.Window
+    // 40 groups of uneven size with many exact order-value ties (v has
+    // only 7 distinct values) — rank must break ties by id exactly as
+    // the window does, and a group smaller than k must emit all rows.
+    val df = spark.range(500).toDF("id")
+      .withColumn("g", col("id") % 40)
+      .withColumn("v", (col("id") * 13 % 7).cast("double"))
+      .where(col("g") =!= 3 || col("id") < 120) // group 3 has 3 rows < k
+      .repartition(8)
+    val got = graft.plans.TopK.perGroupRanked(df, Seq("g"), "v", "id", 5)
+      .select("g", "rn", "id").as[(Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy("g").orderBy(desc("v"), col("id"))
+    val exp = df.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select("g", "rn", "id").as[(Long, Long, Long)].collect().toSet
+    assert(got == exp, s"diff=${(got -- exp) ++ (exp -- got)}")
+  }
+
   test("global (ungrouped) top-k returns exactly k rows") {
     val df = spark.range(1000).toDF("id")
       .withColumn("v", (col("id") * 37 % 101).cast("double"))

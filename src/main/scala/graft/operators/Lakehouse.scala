@@ -228,6 +228,34 @@ object Lakehouse {
              |SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal) + 0.000001, 2) AS bal
              |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B28: predicate-scoped overwrite (Delta replaceWhere / INSERT
+    // OVERWRITE): one atomic commit deletes the low-nation region and
+    // installs its recomputed replacement (balances re-signed) —
+    // never the delete-then-append gap. File-group granular like the
+    // other DML verbs; the oracle spells the same region swap.
+    Q("q_lake_replace",
+      (s, d) => {
+        val lake = s"$scratch/customer_replace"
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+        LakeTable.create(s, lake, cust)
+        val replacement = cust.where(col("c_nationkey") < 5)
+          .withColumn("c_acctbal", abs(col("c_acctbal")))
+        LakeTable.overwriteWhere(s, lake, col("c_nationkey") < 5, replacement)
+        LakeTable.read(s, lake)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal") + 1e-6, 2).as("bal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH st AS (
+             |  SELECT c_custkey, c_nationkey, abs(c_acctbal) AS c_acctbal
+             |  FROM customer WHERE c_nationkey < 5
+             |  UNION ALL
+             |  SELECT c_custkey, c_nationkey, c_acctbal
+             |  FROM customer WHERE NOT (c_nationkey < 5))
+             |SELECT c_nationkey, count(*) AS cnt,
+             |round(sum(c_acctbal) + 0.000001, 2) AS bal
+             |FROM st GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B18: stats-based point/range lookup — the Doris-style serving
     // path. The table is range-laid-out on the key at write time, so
     // each file covers a narrow key interval; readRange consults the

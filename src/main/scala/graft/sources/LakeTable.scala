@@ -41,7 +41,7 @@ object LakeTable {
     * pre-enablement history, layout rewrites, pruned no-ops).
     */
   final case class Commit(version: Long, action: String, dirs: Seq[String],
-      cdcDir: Option[String] = None)
+      cdcDir: Option[String] = None, ts: Long = 0L)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -129,7 +129,9 @@ object LakeTable {
     val dirs = """"dirs"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body).get.group(1)
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
     val cdc = """"cdc"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1))
-    Commit(ver, action, dirs, cdc)
+    val ts = """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong).getOrElse(0L)
+    Commit(ver, action, dirs, cdc, ts)
   }
 
   private[graft] def writeCommit(spark: SparkSession, path: String, c: Commit): Unit = {
@@ -139,7 +141,8 @@ object LakeTable {
     fs.mkdirs(logDir(path))
     val json = s"""{"version":${c.version},"action":"${c.action}",""" +
       s""""dirs":[${c.dirs.map(d => "\"" + d + "\"").mkString(",")}]""" +
-      c.cdcDir.map(d => s""","cdc":"$d"""").getOrElse("") + "}"
+      c.cdcDir.map(d => s""","cdc":"$d"""").getOrElse("") +
+      s""","ts":${if (c.ts > 0) c.ts else System.currentTimeMillis()}}"""
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     // Local-FS (and POSIX) rename silently REPLACES an existing target,
@@ -607,6 +610,25 @@ object LakeTable {
     v
   }
 
+  /** TIMESTAMP AS OF resolution: the newest version whose commit time
+    * is ≤ `tsMillis` (None = the table didn't exist yet). Commits
+    * record wall-clock publish time; the walk is newest-first so the
+    * common "recent timestamp" case reads O(1) commits (an ancient
+    * timestamp walks the retained log — bounded by vacuum retention).
+    */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Option[Long] = {
+    val cur = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    var v = cur
+    while (v >= 0) {
+      val ok = try readCommit(spark, path, v).ts <= tsMillis
+      catch { case _: java.io.FileNotFoundException => return None } // vacuumed past
+      if (ok) return Some(v)
+      v -= 1
+    }
+    None
+  }
+
   /** Snapshot read; `version` selects an older snapshot (time travel).
     * mergeSchema tolerates per-group schema evolution (add-column).
     */
@@ -995,6 +1017,39 @@ object LakeTable {
         diffFrames(target, readDirs(spark, path, Seq(dir)), k, preimages = true))
     }
     writeCommit(spark, path, Commit(v, "merge_agg", untouched :+ dir, cdc))
+    v
+  }
+
+  /** Predicate-scoped overwrite (Delta `replaceWhere` / INSERT
+    * OVERWRITE semantics): atomically delete the rows matching
+    * `predicate` and insert `df`, in ONE commit — a reader sees either
+    * the old region or the new one, never the gap a delete-then-append
+    * pair would expose. File-group granular like the other DML verbs:
+    * only groups whose stats intersect the predicate bounds rewrite
+    * (their non-matching rows are kept), untouched dirs carry forward,
+    * and the replacement rows land in the same new group. The caller
+    * is responsible for `df` actually falling inside the predicate
+    * region (the Delta contract; not validated row-by-row).
+    */
+  def overwriteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column, df: DataFrame): Long = {
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val c = readCommit(spark, path, prev)
+    val (touched, untouched) = splitDirs(spark, path, c.dirs,
+      predicateBounds(read(spark, path, Some(prev)), predicate))
+    val old =
+      if (touched.isEmpty) read(spark, path, Some(prev)).limit(0)
+      else readDirs(spark, path, touched)
+    val replaced = old.where(!coalesce(predicate, lit(false)))
+      .unionByName(df, allowMissingColumns = true)
+    val v = prev + 1
+    val dir = writeGroup(spark, path, v, replaced, Nil)
+    val cdc = cdcKey(spark, path).map { k =>
+      writeCdc(spark, path, v,
+        diffFrames(old, readDirs(spark, path, Seq(dir)), k, preimages = true))
+    }
+    writeCommit(spark, path, Commit(v, "replace", untouched :+ dir, cdc))
     v
   }
 

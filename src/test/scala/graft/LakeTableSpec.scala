@@ -184,6 +184,46 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() == before) // commit intact
   }
 
+  test("overwriteWhere swaps a predicate region in one commit; untouched groups survive; CDC records the swap") {
+    val p = s"$root/replace"
+    LakeTable.create(spark, p, spark.range(0, 50).toDF("k").withColumn("v", lit("lo")))
+    LakeTable.append(spark, p, spark.range(1000, 1050).toDF("k").withColumn("v", lit("hi")))
+    LakeTable.enableCdc(spark, p, "k")
+    val loDir = LakeTable.readCommit(spark, p, 1L).dirs.head
+    // replace the hi region with a shrunken recomputation
+    val repl = spark.range(1000, 1010).toDF("k").withColumn("v", lit("HI2"))
+    val v = LakeTable.overwriteWhere(spark, p, col("k") >= 1000L, repl)
+    assert(v == 2L)
+    val dirs = LakeTable.readCommit(spark, p, 2L).dirs
+    assert(dirs.contains(loDir), s"lo group rewritten: $dirs") // untouched carried
+    val m = LakeTable.read(spark, p).as[(Long, String)].collect().toMap
+    assert(m.size == 60 && m(5L) == "lo" && m(1005L) == "HI2" && !m.contains(1040L))
+    // one commit, and the feed shows deletes for the dropped 40 keys +
+    // updates for the kept 10 — consumable like any other DML
+    val feed = LakeTable.readChangeFeed(spark, p, fromExclusive = 1L)
+    val byType = feed.groupBy("change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("delete" -> 40L,
+      "update_preimage" -> 10L, "update_postimage" -> 10L), byType)
+  }
+
+  test("TIMESTAMP AS OF: versionAt resolves the newest commit at or before the timestamp") {
+    val p = s"$root/tstravel"
+    LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))
+    Thread.sleep(15)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    LakeTable.append(spark, p, Seq((2L, "b")).toDF("k", "v"))
+    assert(LakeTable.versionAt(spark, p, t1).contains(0L))
+    assert(LakeTable.versionAt(spark, p, System.currentTimeMillis()).contains(1L))
+    // before the table existed
+    val c0 = LakeTable.readCommit(spark, p, 0L)
+    assert(LakeTable.versionAt(spark, p, c0.ts - 1).isEmpty)
+    // the resolved snapshot reads the right content
+    val v0 = LakeTable.versionAt(spark, p, t1).get
+    assert(LakeTable.read(spark, p, Some(v0)).count() == 1L)
+  }
+
   test("DELETE keeps rows whose predicate evaluates to NULL") {
     val p = s"$root/delnull"
     LakeTable.create(spark, p,

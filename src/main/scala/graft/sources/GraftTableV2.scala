@@ -97,13 +97,8 @@ final class GraftCdcTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = LakeTable.cdcSchema(spark, path)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val s = schema()
-    new ScanBuilder {
-      override def build(): org.apache.spark.sql.connector.read.Scan =
-        new GraftCdcScan(spark, path, s, options)
-    }
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCdcScanBuilder(spark, path, schema(), options)
 }
 
 /** V2 scan builder that adds LakeTable FILE SKIPPING in front of the

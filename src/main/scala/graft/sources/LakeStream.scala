@@ -111,14 +111,23 @@ final class LakeMicroBatchStream(spark: SparkSession, path: String,
   * exactly-once across restarts comes from version offsets alone.
   */
 final class LakeCdcMicroBatchStream(spark: SparkSession, path: String,
-    schema: StructType, options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    schema: StructType, options: CaseInsensitiveStringMap,
+    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+    prunedSchema: Option[StructType] = None) extends MicroBatchStream {
 
   private def current: Long = LakeTable.currentVersion(spark, path)
     .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
 
-  private def innerBatch(dirPaths: Seq[String]): Batch =
-    ParquetTable(s"graft-cdc.`$path`", spark, options, dirPaths, Some(schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
+  // Replays the query's negotiated pushdown per micro-batch, so a
+  // filtered/projected streaming read of the feed scans change files
+  // with the same parquet-level pruning a batch read gets.
+  private def innerBatch(dirPaths: Seq[String]): Batch = {
+    val b = ParquetTable(s"graft-cdc.`$path`", spark, options, dirPaths, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+    if (pushed.nonEmpty) b.pushFilters(pushed)
+    prunedSchema.foreach(b.pruneColumns)
+    b.build().toBatch
+  }
 
   override def initialOffset(): Offset = LakeVersionOffset(-1L)
   override def latestOffset(): Offset = LakeVersionOffset(current)
@@ -145,21 +154,93 @@ final class LakeCdcMicroBatchStream(spark: SparkSession, path: String,
   override def stop(): Unit = ()
 }
 
-/** Scan for the change feed: batch = the whole persisted feed,
-  * streaming = [[LakeCdcMicroBatchStream]].
+/** Scan for the change feed: batch delegates to the (possibly dir-
+  * pruned, filter-pushed) inner parquet scan; streaming replays the
+  * same pushdown through [[LakeCdcMicroBatchStream]].
   */
-final class GraftCdcScan(spark: SparkSession, path: String,
-    schema: StructType, options: CaseInsensitiveStringMap) extends Scan {
-  override def readSchema(): StructType = schema
-  override def toBatch: Batch = {
-    val cur = LakeTable.currentVersion(spark, path)
-      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
-    ParquetTable(s"graft-cdc.`$path`", spark, options,
-      LakeTable.cdcDirsBetween(spark, path, -1L, cur), Some(schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
-  }
+final class GraftCdcScan(inner: Scan, spark: SparkSession, path: String,
+    schema: StructType, options: CaseInsensitiveStringMap,
+    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    prunedSchema: Option[StructType]) extends Scan {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = inner.toBatch
+  override def description(): String = inner.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LakeCdcMicroBatchStream(spark, path, schema, options)
+    new LakeCdcMicroBatchStream(spark, path, schema, options, pushed, prunedSchema)
+}
+
+/** Scan builder for the change feed: delegates filter pushdown and
+  * column pruning to Spark's parquet builder, and additionally mines
+  * `_commit_version` bounds from the pushed conjuncts to skip WHOLE
+  * change-file dirs (dir ↔ version is known from the log, so a
+  * "changes since v" query never opens older change files at all).
+  */
+final class GraftCdcScanBuilder(spark: SparkSession, path: String,
+    schema: StructType, options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+
+  private val cur = LakeTable.currentVersion(spark, path)
+    .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+
+  private def mkInner(dirs: Seq[String]) =
+    ParquetTable(s"graft-cdc.`$path`", spark, options, dirs, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+
+  private val probe = mkInner(LakeTable.cdcDirsBetween(spark, path, -1L, cur))
+  private var pushed: Seq[Expression] = Nil
+  private var prunedSchema: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushed = filters
+    probe.pushFilters(filters)
+  }
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    probe.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    prunedSchema = Some(requiredSchema)
+    probe.pruneColumns(requiredSchema)
+  }
+
+  /** Inclusive [lo, hi] on `_commit_version` from top-level conjuncts. */
+  private def versionRange(): (Long, Long) = {
+    var lo = 0L; var hi = cur
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(n: Number, _) => Some(n.longValue())
+      case _ => None
+    }
+    def isV(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == "_commit_version"
+      case _ => false
+    }
+    def walk(e: Expression): Unit = e match {
+      case CAnd(l, r) => walk(l); walk(r)
+      case EqualTo(a, l) if isV(a) => lit(l).foreach { v => lo = lo.max(v); hi = hi.min(v) }
+      case EqualTo(l, a) if isV(a) => lit(l).foreach { v => lo = lo.max(v); hi = hi.min(v) }
+      case GreaterThan(a, l) if isV(a) => lit(l).foreach(v => lo = lo.max(v + 1))
+      case GreaterThanOrEqual(a, l) if isV(a) => lit(l).foreach(v => lo = lo.max(v))
+      case LessThan(a, l) if isV(a) => lit(l).foreach(v => hi = hi.min(v - 1))
+      case LessThanOrEqual(a, l) if isV(a) => lit(l).foreach(v => hi = hi.min(v))
+      case GreaterThan(l, a) if isV(a) => lit(l).foreach(v => hi = hi.min(v - 1))
+      case GreaterThanOrEqual(l, a) if isV(a) => lit(l).foreach(v => hi = hi.min(v))
+      case LessThan(l, a) if isV(a) => lit(l).foreach(v => lo = lo.max(v + 1))
+      case LessThanOrEqual(l, a) if isV(a) => lit(l).foreach(v => lo = lo.max(v))
+      case _ => ()
+    }
+    pushed.foreach(walk)
+    (lo, hi)
+  }
+
+  override def build(): Scan = {
+    val (lo, hi) = versionRange()
+    val dirs = LakeTable.cdcDirsBetween(spark, path, lo - 1, hi.min(cur))
+    val inner = mkInner(dirs)
+    if (pushed.nonEmpty) inner.pushFilters(pushed)
+    prunedSchema.foreach(inner.pruneColumns)
+    new GraftCdcScan(inner.build(), spark, path, schema, options, pushed, prunedSchema)
+  }
 }
 
 /** Scan wrapper: batch behavior delegates untouched to the inner

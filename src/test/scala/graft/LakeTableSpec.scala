@@ -497,6 +497,27 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.readChangeFeed(spark, p).count() == 4L)
   }
 
+  test("CDC table scan pushes filters and skips whole change-file dirs by _commit_version") {
+    val p = s"$root/cdc_scan"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))
+    LakeTable.enableCdc(spark, p, "k")
+    (2L to 5L).foreach(i => LakeTable.append(spark, p, Seq((i, s"v$i")).toDF("k", "v")))
+    val feed = spark.read.format("graft").option("readChangeFeed", "true").load(p)
+    assert(feed.count() == 4L) // v1..v4 appends (v0 create pre-enablement)
+    // filter pushdown reaches the parquet scan of the change files
+    val filtered = feed.where(col("change_type") === "insert" && col("k") >= 4L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(k,4)"), plan)
+    assert(filtered.count() == 2L)
+    // a _commit_version range opens ONLY the matching dirs
+    val late = feed.where(col("_commit_version") >= 3L)
+    val files = late.select(input_file_name()).distinct().count()
+    val all = feed.select(input_file_name()).distinct().count()
+    assert(late.count() == 2L)
+    assert(files < all, s"version range should skip change dirs: $files vs $all")
+  }
+
   test("a CDC follower converges a downstream rollup across repeated base mutations") {
     import spark.implicits._
     val p = s"$root/cdc_follow"

@@ -581,6 +581,27 @@ object LakeTable {
     0L
   }
 
+  // Table-level partitioning, recorded at create: every COW rewrite
+  // (merge/delete/update/replace/agg-merge/compact) re-applies it, so
+  // DML never silently degrades a partition-pruned layout into flat
+  // files — the pruning a reader relies on survives mutations.
+  private def tableMetaFile(path: String) = new Path(logDir(path), "_table.json")
+
+  /** Partition columns the table was created with (empty = flat). */
+  def tablePartitioning(spark: SparkSession, path: String): Seq[String] = {
+    val p = tableMetaFile(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"partitionBy"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    }
+  }
+
   /** Create (or replace) the table as version 0. */
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Long = {
@@ -588,6 +609,14 @@ object LakeTable {
     val fs = fsOf(spark, p)
     if (fs.exists(p)) fs.delete(p, true)
     val dir = writeGroup(spark, path, 0L, df, partitionBy)
+    if (partitionBy.nonEmpty) {
+      val meta = tableMetaFile(path)
+      val out = fsOf(spark, meta).create(meta, true)
+      try out.write(
+        s"""{"partitionBy":[${partitionBy.map(c => "\"" + c + "\"").mkString(",")}]}"""
+          .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     writeCommit(spark, path, Commit(0L, "create", Seq(dir)))
     0L
   }
@@ -971,7 +1000,7 @@ object LakeTable {
     val kept = target.join(source.select(key), Seq(key), "left_anti")
     val merged = kept.unionByName(source, allowMissingColumns = true)
     val v = prev + 1
-    val dir = writeGroup(spark, path, v, merged, Nil)
+    val dir = writeGroup(spark, path, v, merged, tablePartitioning(spark, path))
     // CDC: diff only the touched groups against their rewrite —
     // untouched groups are on both sides of the snapshot diff and
     // produce no records, so the diff cost tracks the mutation size.
@@ -1011,7 +1040,7 @@ object LakeTable {
       .agg(sum(sumCols.head).as(sumCols.head),
         sumCols.tail.map(c => sum(c).as(c)): _*)
     val v = prev + 1
-    val dir = writeGroup(spark, path, v, combined, Nil)
+    val dir = writeGroup(spark, path, v, combined, tablePartitioning(spark, path))
     val cdc = cdcKey(spark, path).map { k =>
       writeCdc(spark, path, v,
         diffFrames(target, readDirs(spark, path, Seq(dir)), k, preimages = true))
@@ -1044,7 +1073,7 @@ object LakeTable {
     val replaced = old.where(!coalesce(predicate, lit(false)))
       .unionByName(df, allowMissingColumns = true)
     val v = prev + 1
-    val dir = writeGroup(spark, path, v, replaced, Nil)
+    val dir = writeGroup(spark, path, v, replaced, tablePartitioning(spark, path))
     val cdc = cdcKey(spark, path).map { k =>
       writeCdc(spark, path, v,
         diffFrames(old, readDirs(spark, path, Seq(dir)), k, preimages = true))
@@ -1072,7 +1101,7 @@ object LakeTable {
     } else {
       val old = readDirs(spark, path, touched)
       val dir = writeGroup(spark, path, v,
-        old.where(!coalesce(predicate, lit(false))), Nil)
+        old.where(!coalesce(predicate, lit(false))), tablePartitioning(spark, path))
       val cdc = cdcKey(spark, path).map { k =>
         writeCdc(spark, path, v,
           diffFrames(old, readDirs(spark, path, Seq(dir)), k, preimages = true))
@@ -1101,7 +1130,7 @@ object LakeTable {
       val updated = assignments.foldLeft(df) { case (acc, (cn, e)) =>
         acc.withColumn(cn, when(predicate, e).otherwise(col(cn)))
       }
-      val dir = writeGroup(spark, path, v, updated, Nil)
+      val dir = writeGroup(spark, path, v, updated, tablePartitioning(spark, path))
       val cdc = cdcKey(spark, path).map { k =>
         writeCdc(spark, path, v,
           diffFrames(df, readDirs(spark, path, Seq(dir)), k, preimages = true))
@@ -1153,7 +1182,8 @@ object LakeTable {
     val prev = currentVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val v = prev + 1
-    val dir = writeGroup(spark, path, v, read(spark, path, Some(prev)).coalesce(numFiles), Nil)
+    val dir = writeGroup(spark, path, v,
+      read(spark, path, Some(prev)).coalesce(numFiles), tablePartitioning(spark, path))
     writeCommit(spark, path, Commit(v, "compact", Seq(dir)))
     v
   }

@@ -224,6 +224,23 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p, Some(v0)).count() == 1L)
   }
 
+  test("DML on a partitioned table preserves the partitioned layout (pruning survives rewrites)") {
+    val p = s"$root/part_dml"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    LakeTable.create(spark, p,
+      spark.range(100).toDF("k").withColumn("g", (col("k") % 4).cast("string")),
+      partitionBy = Seq("g"))
+    LakeTable.update(spark, p, col("k") >= 0L, Map("k" -> (col("k") + 1000L)))
+    LakeTable.delete(spark, p, col("k") === 1005L)
+    val df = LakeTable.read(spark, p).where(col("g") === "2")
+    assert(df.count() == 25)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("g"), plan)
+    val pruned = df.select(input_file_name()).distinct().count()
+    val all = LakeTable.read(spark, p).select(input_file_name()).distinct().count()
+    assert(pruned < all, s"partition pruning lost after DML: $pruned vs $all")
+  }
+
   test("DELETE keeps rows whose predicate evaluates to NULL") {
     val p = s"$root/delnull"
     LakeTable.create(spark, p,

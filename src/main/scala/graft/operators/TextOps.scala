@@ -306,6 +306,78 @@ object TextOps {
              |FROM ex e LEFT JOIN model USING(bg)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Intra-document repetition scoring (the Gopher/C4 quality rule
+    // "drop docs that repeat themselves"): duplicate-token and
+    // duplicate-bigram fractions per doc, flagging heavy repeaters.
+    // All array ops on a MATERIALIZED token attribute (§6.5.1 — a
+    // lambda capturing split() re-executes it per element), zero
+    // shuffles before the final tiny sort: the filter is a pure map
+    // over the corpus, exactly what a 100 TB quality pass must be.
+    Q("q_text_repetition",
+      (s, d) => t(s, d, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("bg", transform(sequence(lit(0), size(col("ws")) - 2),
+          i => concat(element_at(col("ws"), i + 1), lit(" "),
+            element_at(col("ws"), i + 2))))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+          size(array_distinct(col("bg"))).cast("long").as("n_distinct_bg"))
+        .withColumn("dup_frac",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens") + lit(1e-9), 4))
+        .withColumn("dup_bg_frac",
+          round(lit(1.0) - col("n_distinct_bg").cast("double") / (col("n_tokens") - 1) + lit(1e-9), 4))
+        .where(col("dup_frac") > 0.7)
+        .select("doc_id", "n_tokens", "n_distinct", "dup_frac", "dup_bg_frac")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |x AS (SELECT doc_id, ws,
+             |  list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+             |  FROM w),
+             |y AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+             |  len(list_distinct(ws))::BIGINT AS n_distinct,
+             |  len(list_distinct(bg))::BIGINT AS n_distinct_bg FROM x)
+             |SELECT doc_id, n_tokens, n_distinct,
+             |round(1.0 - n_distinct::DOUBLE / n_tokens + 1e-9, 4) AS dup_frac,
+             |round(1.0 - n_distinct_bg::DOUBLE / (n_tokens - 1) + 1e-9, 4) AS dup_bg_frac
+             |FROM y WHERE round(1.0 - n_distinct::DOUBLE / n_tokens + 1e-9, 4) > 0.7
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing — the last step before tokens hit a trainer:
+    // assign docs to fixed-budget (128-token) training sequences by
+    // exclusive running token count. Packing is inherently sequential
+    // WITHIN a pack stream, so the corpus is sharded into independent
+    // (lang, doc_id%8) streams first and each stream packs in
+    // parallel — at cluster scale the shard count scales with
+    // parallelism (8 stands in here); there is never a global-order
+    // window. Deterministic: same corpus → same sequences, any
+    // cluster layout.
+    Q("q_seq_pack",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val seqLen = 128
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.withColumn("prior", coalesce(sum("toks").over(w), lit(0L)))
+          .withColumn("seq_id", floor(col("prior") / seqLen))
+          .groupBy("lang", "shard", "seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+          .orderBy("lang", "shard", "seq_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |  len(string_split(text, ' '))::BIGINT AS toks,
+             |  doc_id % 8 AS shard FROM documents),
+             |p AS (SELECT *, coalesce(sum(toks) OVER (PARTITION BY lang, shard
+             |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+             |  FROM d)
+             |SELECT lang, shard, floor(prior / 128)::BIGINT AS seq_id,
+             |count(*) AS n_docs, sum(toks)::BIGINT AS n_tokens
+             |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // Deterministic stratified sampling — the data-mixing primitive of
     // a training-data pipeline: per-language keep-rates applied via an
     // ARITHMETIC hash of the stable doc_id (Knuth multiplicative mod

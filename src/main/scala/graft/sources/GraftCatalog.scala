@@ -125,6 +125,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(p.toString, Some(version.toLong), None)
   }
 
+  /** SQL time travel by wall clock: `... TIMESTAMP AS OF '...'` —
+    * Spark hands the literal as MICROSECONDS since epoch; resolve the
+    * newest commit at or before it (LakeTable.versionAt).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tablePath(ident)
+    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
+    val v = LakeTable.versionAt(SparkSession.active, p.toString, timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftTable(p.toString, Some(v), None)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)

@@ -347,6 +347,15 @@ class LakeTableSpec extends AnyFunSuite {
     // v1 = the CTAS write (v0 is the empty create)
     assert(spark.sql("SELECT count(*) AS c FROM graft_cat.ttdb.t VERSION AS OF 1")
       .head().getLong(0) == 10)
+    // TIMESTAMP AS OF: a wall-clock cut at the CTAS commit resolves
+    // the v1 snapshot (commit times live in the log; UTC ISO literal
+    // sidesteps session-vs-JVM timezone drift).
+    val tablePath = s"${GraftSession.catalogRoot}/ttdb/t"
+    val tCut = java.time.Instant.ofEpochMilli(
+      LakeTable.readCommit(spark, tablePath, 1L).ts).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft_cat.ttdb.t TIMESTAMP AS OF '$tCut'")
+      .head().getLong(0) == 10)
   }
 
   test("z-order clustering enables multi-column file skipping") {

@@ -440,6 +440,118 @@ object RelationalAdvanced {
              |                AND l3.l_shipdate > o_orderdate + INTERVAL 80 DAY)
              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
 
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // 6-way join keyed both ways through the nation dim — supplier's
+    // nation AND customer's nation — with the symmetric pair filter
+    // and per-year revenue. Both nation legs broadcast (fixed 25-row
+    // dim); the fact joins shuffle on their own keys only.
+    Q("q_tpch_q7",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey",
+          "l_shipdate", "l_extendedprice", "l_discount")
+        val pairs = (col("supp_nat") === 1 && col("cust_nat") === 2) ||
+          (col("supp_nat") === 2 && col("cust_nat") === 1)
+        t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey").as("supp_nat"))
+          .join(li, col("s_suppkey") === col("l_suppkey"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer").select(col("c_custkey"), col("c_nationkey").as("cust_nat")),
+            col("o_custkey") === col("c_custkey"))
+          .where(pairs)
+          .groupBy(col("supp_nat"), col("cust_nat"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(RelationalCore.money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy("supp_nat", "cust_nat", "l_year")
+      },
+      Some("""SELECT s_nationkey AS supp_nat, c_nationkey AS cust_nat,
+             |year(l_shipdate)::BIGINT AS l_year,
+             |round(sum(l_extendedprice*(1-l_discount)) + 0.000001, 2) AS revenue
+             |FROM supplier, lineitem, orders, customer
+             |WHERE s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+             |AND o_custkey = c_custkey
+             |AND ((s_nationkey = 1 AND c_nationkey = 2)
+             |  OR (s_nationkey = 2 AND c_nationkey = 1))
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q12 shape (shipping-mode priority split): late lines
+    // bucketed by returnflag with conditional priority counts — the
+    // corpus has no shipmode/receiptdate, so returnflag and
+    // ship > order + 60 days stand in; the CASE-count shape is Q12's.
+    Q("q_tpch_q12",
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        t(s, d, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+          .join(t(s, d, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag"),
+            col("o_orderkey") === col("l_orderkey"))
+          .where(col("l_returnflag").isin("A", "N") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+             |sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             |    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_returnflag IN ('A','N')
+             |AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q14 shape (promotion effect): the conditional-revenue
+    // ratio — one global row, both sums in a single pass over the
+    // month's lines joined to part.
+    Q("q_tpch_q14",
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        t(s, d, "lineitem")
+          .where(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-03-01")
+          .join(t(s, d, "part").select("p_partkey", "p_type"),
+            col("l_partkey") === col("p_partkey"))
+          .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
+            sum(rev) + lit(1e-9), 4).as("promo_revenue"))
+      },
+      Some("""SELECT round(100.0 *
+             |sum(CASE WHEN p_type = 'PROMO'
+             |    THEN l_extendedprice*(1-l_discount) ELSE 0 END) /
+             |sum(l_extendedprice*(1-l_discount)) + 1e-9, 4) AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'""".stripMargin)),
+
+    // TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three
+    // brand/size/quantity envelopes OR-ed — the pushdown stress case;
+    // the disjunction stays a single scan-side predicate, never three
+    // scans unioned.
+    Q("q_tpch_q19",
+      (s, d) => {
+        val cond =
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#20" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 40)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50))
+        t(s, d, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(t(s, d, "part").select("p_partkey", "p_brand", "p_size"),
+            col("l_partkey") === col("p_partkey"))
+          .where(cond)
+          .agg(RelationalCore.money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT round(sum(l_extendedprice*(1-l_discount)) + 0.000001, 2) AS revenue,
+             |count(*) AS n_lines
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+             |       AND l_quantity BETWEEN 1 AND 20)
+             |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+             |       AND l_quantity BETWEEN 10 AND 40)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+             |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin)),
+
     // Exact interpolated percentiles (Spark `percentile` == DuckDB
     // `quantile_cont`, both linear interpolation).
     Q("q_quantile",

@@ -100,16 +100,121 @@ final class LakeMicroBatchStream(spark: SparkSession, path: String,
 }
 
 /** Streaming (and batch) read of the PERSISTED change feed
-  * (`LakeTable.enableCdc` + change files under `_cdc/`): offsets are
-  * table versions, each micro-batch is a parquet scan of exactly the
-  * change files the commits in (start, end] published — never a diff
-  * join at read time. Commits without a cdc entry (pre-enablement
+  * (`LakeTable.enableCdc`): offsets are table versions; each
+  * micro-batch reads exactly the feed contributions of the commits in
+  * (start, end] — never a diff join at read time. Row-mutating
+  * commits contribute their `_cdc/` change files; APPEND commits
+  * contribute their own data group with `change_type='insert'` and
+  * `_commit_version` synthesized per partition (the Delta
+  * insert-only-commit optimization: appends with the feed on write
+  * nothing twice). Commits without a cdc entry (pre-enablement
   * history, compaction/clustering rewrites, pruned no-op DML)
   * contribute no rows, so layout maintenance never disturbs the feed —
   * unlike the data-dir source above, which must REJECT rewrites.
   * Replaying a checkpointed range re-reads the same immutable files:
   * exactly-once across restarts comes from version offsets alone.
   */
+final case class CdcSlicePartition(inner: InputPartition, version: Long,
+    synthetic: Boolean) extends InputPartition
+
+/** Dispatches real slices to parquet's reader and wraps synthetic
+  * (append-group) slices with the two constant columns via reused
+  * JoinedRows — no per-row allocation. Row-based throughout: one scan
+  * cannot mix columnar and row partitions, and feed batches are
+  * incremental; the vectorized bulk path is LakeTable.readChangeFeed.
+  */
+final class CdcReaderFactory(real: PartitionReaderFactory,
+    synth: PartitionReaderFactory, hasType: Boolean, hasVer: Boolean)
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+  import org.apache.spark.sql.connector.read.PartitionReader
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case CdcSlicePartition(inner, _, false) => real.createReader(inner)
+    case CdcSlicePartition(inner, v, true) =>
+      val r = synth.createReader(inner)
+      val typeRow = new GenericInternalRow(Array[Any](UTF8String.fromString("insert")))
+      val verRow = new GenericInternalRow(Array[Any](v))
+      val j1 = new JoinedRow; val j2 = new JoinedRow
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = r.next()
+        override def get(): InternalRow = {
+          val d = r.get()
+          if (hasType && hasVer) j2.apply(j1.apply(typeRow, d), verRow)
+          else if (hasType) j1.apply(typeRow, d)
+          else if (hasVer) j1.apply(d, verRow)
+          else d
+        }
+        override def close(): Unit = r.close()
+      }
+    case other => real.createReader(other)
+  }
+}
+
+/** Shared slice planning for the batch and streaming feed reads:
+  * change-file dirs plan through one parquet scan (full pushdown);
+  * each append group plans its own scan (per-version partitions, no
+  * filter push — Spark re-applies every data filter above the scan,
+  * so skipping the push costs only the skipping, never correctness).
+  */
+private[sources] final class CdcPlanning(spark: SparkSession, path: String,
+    full: StructType, output: StructType,
+    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    options: CaseInsensitiveStringMap) {
+
+  private val hasType = output.fieldNames.contains("change_type")
+  private val hasVer = output.fieldNames.contains("_commit_version")
+  private val dataOut = StructType(output.fields.filter(f =>
+    f.name != "change_type" && f.name != "_commit_version"))
+  private val dataFull = StructType(full.fields.filter(f =>
+    f.name != "change_type" && f.name != "_commit_version"))
+
+  private def realBuilder(dirs: Seq[String]) = {
+    val b = ParquetTable(s"graft-cdc.`$path`", spark, options, dirs, Some(full),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+    if (pushed.nonEmpty) b.pushFilters(pushed)
+    b.pruneColumns(output)
+    b
+  }
+
+  private def synthBuilder(dirs: Seq[String]) = {
+    val b = ParquetTable(s"graft-cdc.`$path`", spark, options, dirs, Some(dataFull),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+    b.pruneColumns(dataOut)
+    b
+  }
+
+  def partitions(slices: Seq[LakeTable.CdcSlice]): Array[InputPartition] = {
+    val (synth, real) = slices.partition(_.synthetic)
+    val out = Array.newBuilder[InputPartition]
+    if (real.nonEmpty)
+      out ++= realBuilder(real.map(_.dirPath)).build().toBatch.planInputPartitions()
+        .map(CdcSlicePartition(_, -1L, synthetic = false))
+    synth.foreach { sl =>
+      out ++= synthBuilder(Seq(sl.dirPath)).build().toBatch.planInputPartitions()
+        .map(CdcSlicePartition(_, sl.version, synthetic = true))
+    }
+    out.result()
+  }
+
+  /** Factories bind schema+conf, not file lists — one pair serves
+    * every batch of the stream.
+    */
+  def factory(slices: Seq[LakeTable.CdcSlice]): PartitionReaderFactory = {
+    // Current dirs are construction HINTS only (factories bind
+    // schema+conf, not file lists); empty lists work, just noisier logs.
+    val (synth, real) = slices.partition(_.synthetic)
+    new CdcReaderFactory(
+      realBuilder(real.map(_.dirPath)).build().toBatch.createReaderFactory(),
+      synthBuilder(synth.map(_.dirPath)).build().toBatch.createReaderFactory(),
+      hasType, hasVer)
+  }
+}
+
 final class LakeCdcMicroBatchStream(spark: SparkSession, path: String,
     schema: StructType, options: CaseInsensitiveStringMap,
     pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
@@ -118,16 +223,8 @@ final class LakeCdcMicroBatchStream(spark: SparkSession, path: String,
   private def current: Long = LakeTable.currentVersion(spark, path)
     .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
 
-  // Replays the query's negotiated pushdown per micro-batch, so a
-  // filtered/projected streaming read of the feed scans change files
-  // with the same parquet-level pruning a batch read gets.
-  private def innerBatch(dirPaths: Seq[String]): Batch = {
-    val b = ParquetTable(s"graft-cdc.`$path`", spark, options, dirPaths, Some(schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
-    if (pushed.nonEmpty) b.pushFilters(pushed)
-    prunedSchema.foreach(b.pruneColumns)
-    b.build().toBatch
-  }
+  private val planning =
+    new CdcPlanning(spark, path, schema, prunedSchema.getOrElse(schema), pushed, options)
 
   override def initialOffset(): Offset = LakeVersionOffset(-1L)
   override def latestOffset(): Offset = LakeVersionOffset(current)
@@ -136,13 +233,11 @@ final class LakeCdcMicroBatchStream(spark: SparkSession, path: String,
     val s = start.asInstanceOf[LakeVersionOffset].version
     val e = end.asInstanceOf[LakeVersionOffset].version
     if (e <= s) return Array.empty
-    val dirs = LakeTable.cdcDirsBetween(spark, path, s, e)
-    if (dirs.isEmpty) Array.empty else innerBatch(dirs).planInputPartitions()
+    planning.partitions(LakeTable.cdcSlices(spark, path, s, e))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    innerBatch(LakeTable.cdcDirsBetween(spark, path, -1L, current))
-      .createReaderFactory()
+    planning.factory(LakeTable.cdcSlices(spark, path, -1L, current))
 
   override def deserializeOffset(json: String): Offset =
     LakeVersionOffset(""""version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).getOrElse(
@@ -154,27 +249,37 @@ final class LakeCdcMicroBatchStream(spark: SparkSession, path: String,
   override def stop(): Unit = ()
 }
 
-/** Scan for the change feed: batch delegates to the (possibly dir-
-  * pruned, filter-pushed) inner parquet scan; streaming replays the
-  * same pushdown through [[LakeCdcMicroBatchStream]].
+/** Scan for the change feed: batch plans the version-ranged slices
+  * through [[CdcPlanning]]; streaming replays the same negotiated
+  * pushdown through [[LakeCdcMicroBatchStream]].
   */
-final class GraftCdcScan(inner: Scan, spark: SparkSession, path: String,
-    schema: StructType, options: CaseInsensitiveStringMap,
+final class GraftCdcScan(spark: SparkSession, path: String,
+    full: StructType, output: StructType, options: CaseInsensitiveStringMap,
     pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-    prunedSchema: Option[StructType]) extends Scan {
-  override def readSchema(): StructType = inner.readSchema()
-  override def toBatch: Batch = inner.toBatch
-  override def description(): String = inner.description()
-  override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
+    pushedPredicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
+    fromExclusive: Long, toInclusive: Long) extends Scan {
+  override def readSchema(): StructType = output
+  override def description(): String =
+    s"graft-cdc.`$path` versions ($fromExclusive, $toInclusive] " +
+      s"PushedFilters: [${pushedPredicates.mkString(", ")}], " +
+      s"ReadSchema: ${output.simpleString}"
+  override def toBatch: Batch = new Batch {
+    private val planning = new CdcPlanning(spark, path, full, output, pushed, options)
+    override def planInputPartitions(): Array[InputPartition] =
+      planning.partitions(LakeTable.cdcSlices(spark, path, fromExclusive, toInclusive))
+    override def createReaderFactory(): PartitionReaderFactory =
+      planning.factory(LakeTable.cdcSlices(spark, path, fromExclusive, toInclusive))
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LakeCdcMicroBatchStream(spark, path, schema, options, pushed, prunedSchema)
+    new LakeCdcMicroBatchStream(spark, path, full, options, pushed,
+      Some(output).filterNot(_ == full))
 }
 
 /** Scan builder for the change feed: delegates filter pushdown and
   * column pruning to Spark's parquet builder, and additionally mines
   * `_commit_version` bounds from the pushed conjuncts to skip WHOLE
-  * change-file dirs (dir ↔ version is known from the log, so a
-  * "changes since v" query never opens older change files at all).
+  * feed slices (dir ↔ version is known from the log, so a "changes
+  * since v" query never opens older change files or append groups).
   */
 final class GraftCdcScanBuilder(spark: SparkSession, path: String,
     schema: StructType, options: CaseInsensitiveStringMap)
@@ -185,11 +290,12 @@ final class GraftCdcScanBuilder(spark: SparkSession, path: String,
   private val cur = LakeTable.currentVersion(spark, path)
     .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
 
-  private def mkInner(dirs: Seq[String]) =
-    ParquetTable(s"graft-cdc.`$path`", spark, options, dirs, Some(schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
-
-  private val probe = mkInner(LakeTable.cdcDirsBetween(spark, path, -1L, cur))
+  // Probe over the change-file slices only: it answers the pushdown
+  // negotiation (file sources keep every data filter as a post-scan
+  // residual, so the answer is slice-independent).
+  private val probe = ParquetTable(s"graft-cdc.`$path`", spark, options,
+    LakeTable.cdcSlices(spark, path, -1L, cur).filterNot(_.synthetic).map(_.dirPath),
+    Some(schema), classOf[ParquetFileFormat]).newScanBuilder(options)
   private var pushed: Seq[Expression] = Nil
   private var prunedSchema: Option[StructType] = None
 
@@ -235,11 +341,8 @@ final class GraftCdcScanBuilder(spark: SparkSession, path: String,
 
   override def build(): Scan = {
     val (lo, hi) = versionRange()
-    val dirs = LakeTable.cdcDirsBetween(spark, path, lo - 1, hi.min(cur))
-    val inner = mkInner(dirs)
-    if (pushed.nonEmpty) inner.pushFilters(pushed)
-    prunedSchema.foreach(inner.pruneColumns)
-    new GraftCdcScan(inner.build(), spark, path, schema, options, pushed, prunedSchema)
+    new GraftCdcScan(spark, path, schema, prunedSchema.getOrElse(schema),
+      options, pushed, probe.pushedFilters, lo - 1, hi.min(cur))
   }
 }
 

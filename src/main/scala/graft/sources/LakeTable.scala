@@ -629,12 +629,13 @@ object LakeTable {
     val c = readCommit(spark, path, prev)
     val v = prev + 1
     val dir = writeGroup(spark, path, v, df, partitionBy)
-    // CDC: an append's change records are the appended rows verbatim —
-    // re-read from the just-written group, no diff join needed.
-    val cdc = cdcKey(spark, path).map { _ =>
-      writeCdc(spark, path, v,
-        readDirs(spark, path, Seq(dir)).withColumn("change_type", lit("insert")))
-    }
+    // CDC: an append's change records ARE the appended rows, so no
+    // change file is written at all — the commit carries an `@dir`
+    // marker and readers synthesize (change_type='insert',
+    // _commit_version=v) from the data group. Appends with the feed
+    // on pay ZERO write amplification (the Delta insert-only-commit
+    // optimization); only row-mutating commits write change files.
+    val cdc = cdcKey(spark, path).map(_ => "@" + dir)
     writeCommit(spark, path, Commit(v, "append", c.dirs :+ dir, cdc))
     v
   }
@@ -816,17 +817,27 @@ object LakeTable {
     dir
   }
 
-  /** Absolute `_cdc` dirs of the commits in (fromExclusive, toInclusive]. */
-  private[graft] def cdcDirsBetween(spark: SparkSession, path: String,
-      fromExclusive: Long, toInclusive: Long): Seq[String] =
+  /** One feed contribution: a change-file dir (synthetic=false) or an
+    * append's data group standing in for its own insert records
+    * (synthetic=true — reader adds change_type/_commit_version).
+    */
+  private[graft] final case class CdcSlice(version: Long, dirPath: String, synthetic: Boolean)
+
+  private[graft] def cdcSlices(spark: SparkSession, path: String,
+      fromExclusive: Long, toInclusive: Long): Seq[CdcSlice] =
     ((fromExclusive + 1) to toInclusive).flatMap { v =>
-      readCommit(spark, path, v).cdcDir
-        .map(d => new Path(new Path(path, "_cdc"), d).toString)
+      readCommit(spark, path, v).cdcDir.map { d =>
+        if (d.startsWith("@"))
+          CdcSlice(v, new Path(path, d.stripPrefix("@")).toString, synthetic = true)
+        else CdcSlice(v, new Path(new Path(path, "_cdc"), d).toString, synthetic = false)
+      }
     }
 
-  /** Batch read of the persisted change feed for versions in
-    * (fromExclusive, toInclusive] — a parquet scan of the change
-    * files, exactly what the streaming source replays per micro-batch.
+  /** Batch read of the change feed for versions in (fromExclusive,
+    * toInclusive]: change files scan as-is; append groups scan ONCE
+    * (vectorized, all dirs in one scan) with `_commit_version`
+    * recovered from the group dir name (`d<v>-<uuid>`) — no per-append
+    * plan growth and no change-file duplication for inserts.
     */
   def readChangeFeed(spark: SparkSession, path: String,
       fromExclusive: Long = -1L, toInclusive: Long = Long.MinValue): DataFrame = {
@@ -835,11 +846,28 @@ object LakeTable {
         throw new IllegalArgumentException(s"no LakeTable at $path"))
     else toInclusive
     val schema = cdcSchema(spark, path)
-    val dirs = cdcDirsBetween(spark, path, fromExclusive, hi)
-    if (dirs.isEmpty) {
+    val slices = cdcSlices(spark, path, fromExclusive, hi)
+    val (synth, real) = slices.partition(_.synthetic)
+    val parts = Seq.newBuilder[DataFrame]
+    if (real.nonEmpty)
+      parts += spark.read.schema(schema).parquet(real.map(_.dirPath): _*)
+    if (synth.nonEmpty) {
+      val dataCols = schema.fields.map(_.name)
+        .filter(n => n != "change_type" && n != "_commit_version")
+      val raw = spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          schema.fields.filter(f => dataCols.contains(f.name))))
+        .parquet(synth.map(_.dirPath): _*)
+      parts += raw
+        .withColumn("change_type", lit("insert"))
+        .withColumn("_commit_version",
+          regexp_extract(input_file_name(), "/d(\\d+)-[0-9a-f]{8}/", 1).cast("long"))
+        .select(schema.fields.map(f => col(f.name)): _*)
+    }
+    parts.result().reduceOption(_.unionByName(_)).getOrElse {
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava, schema)
-    } else spark.read.schema(schema).parquet(dirs: _*)
+    }
   }
 
   // ---- file-group-granular row-level DML -----------------------------

@@ -534,7 +534,11 @@ class LakeTableSpec extends AnyFunSuite {
     // filter pushdown reaches the parquet scan of the change files
     val filtered = feed.where(col("change_type") === "insert" && col("k") >= 4L)
     val plan = filtered.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(k,4)"), plan)
+    assert(plan.contains("PushedFilters: [") && plan.contains("k >= 4"), plan)
+    // appends write NO change files — the commit carries an @marker
+    // and the feed synthesizes inserts from the data group directly
+    assert(LakeTable.readCommit(spark, p, 1L).cdcDir.exists(_.startsWith("@")))
+    assert(!new java.io.File(s"$p/_cdc").exists, "append must not duplicate its rows into _cdc")
     assert(filtered.count() == 2L)
     // a _commit_version range opens ONLY the matching dirs
     val late = feed.where(col("_commit_version") >= 3L)

@@ -1260,6 +1260,25 @@ object LakeTable {
     v
   }
 
+  /** DESCRIBE HISTORY (the Delta audit-log surface): one row per
+    * retained commit — version, action, wall-clock time, file-group
+    * count, whether it published change records. Newest first, like
+    * Delta; bounded by vacuum retention.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val rows = (cur to 0L by -1).iterator.map { v =>
+      try {
+        val c = readCommit(spark, path, v)
+        Some((c.version, c.action, new java.sql.Timestamp(c.ts),
+          c.dirs.size.toLong, c.cdcDir.isDefined))
+      } catch { case _: java.io.FileNotFoundException => None } // vacuumed
+    }.takeWhile(_.isDefined).flatten.toSeq
+    rows.toDF("version", "action", "timestamp", "n_file_groups", "has_change_data")
+  }
+
   /** Data files of a snapshot (for compaction/catalog introspection). */
   def dataFiles(spark: SparkSession, path: String, version: Option[Long] = None): Seq[String] = {
     val v = version.orElse(currentVersion(spark, path)).get

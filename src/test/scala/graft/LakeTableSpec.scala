@@ -241,6 +241,24 @@ class LakeTableSpec extends AnyFunSuite {
     assert(pruned < all, s"partition pruning lost after DML: $pruned vs $all")
   }
 
+  test("DESCRIBE HISTORY lists retained commits newest-first with actions and CDC flags") {
+    val p = s"$root/history"
+    LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))
+    LakeTable.enableCdc(spark, p, "k")
+    LakeTable.append(spark, p, Seq((2L, "b")).toDF("k", "v"))
+    LakeTable.merge(spark, p, Seq((2L, "B")).toDF("k", "v"), "k")
+    LakeTable.compact(spark, p, 1)
+    val h = LakeTable.history(spark, p)
+      .select("version", "action", "has_change_data")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(h == Seq((3L, "compact", false), (2L, "merge", true),
+      (1L, "append", true), (0L, "create", false)), h)
+    // timestamps are monotone non-decreasing oldest→newest
+    val ts = LakeTable.history(spark, p).orderBy("version")
+      .select("timestamp").as[java.sql.Timestamp].collect()
+    assert(ts.sliding(2).forall(w => !w(1).before(w(0))))
+  }
+
   test("DELETE keeps rows whose predicate evaluates to NULL") {
     val p = s"$root/delnull"
     LakeTable.create(spark, p,

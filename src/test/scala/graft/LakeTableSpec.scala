@@ -241,6 +241,52 @@ class LakeTableSpec extends AnyFunSuite {
     assert(pruned < all, s"partition pruning lost after DML: $pruned vs $all")
   }
 
+  test("property: random granular-DML sequences equal the in-memory model (pruning never loses rows)") {
+    // The granular rewrite has many paths (touched/untouched splits,
+    // metadata-only no-ops, bound extraction, partial groups). Drive a
+    // seeded random mutation sequence against a plain Map model and
+    // require exact table equality after every step.
+    val rnd = new scala.util.Random(4242L)
+    val p = s"$root/prop_dml"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    var model = (0L until 40L).map(k => k -> s"v$k").toMap
+    LakeTable.create(spark, p, model.toSeq.toDF("k", "v"))
+    for (step <- 1 to 12) {
+      rnd.nextInt(5) match {
+        case 0 => // append a fresh disjoint range
+          val base = 1000L * step
+          val rows = (base until base + rnd.nextInt(5) + 1L).map(k => k -> s"a$k")
+          model ++= rows
+          LakeTable.append(spark, p, rows.toDF("k", "v"))
+        case 1 => // keyed merge: updates + inserts across ranges
+          val keys = Seq.fill(rnd.nextInt(4) + 1)(
+            if (rnd.nextBoolean()) rnd.nextInt(40).toLong else 1000L + rnd.nextInt(3000))
+          val rows = keys.distinct.map(k => k -> s"m$step-$k")
+          model ++= rows
+          LakeTable.merge(spark, p, rows.toDF("k", "v"), "k")
+        case 2 => // bounded delete
+          val lo = rnd.nextInt(4000).toLong; val hi = lo + rnd.nextInt(500)
+          model = model.filter { case (k, _) => k < lo || k > hi }
+          LakeTable.delete(spark, p, col("k") >= lo && col("k") <= hi)
+        case 3 => // bounded update
+          val lo = rnd.nextInt(4000).toLong; val hi = lo + rnd.nextInt(500)
+          model = model.map { case (k, v) =>
+            k -> (if (k >= lo && k <= hi) s"u$step" else v) }
+          LakeTable.update(spark, p, col("k") >= lo && col("k") <= hi,
+            Map("v" -> lit(s"u$step")))
+        case 4 => // predicate-scoped overwrite of a narrow region
+          val lo = rnd.nextInt(4000).toLong; val hi = lo + rnd.nextInt(200)
+          val repl = (lo to lo.min(hi)).map(k => k -> s"r$step-$k")
+          model = model.filter { case (k, _) => k < lo || k > hi } ++ repl
+          LakeTable.overwriteWhere(spark, p, col("k") >= lo && col("k") <= hi,
+            repl.toDF("k", "v"))
+      }
+      val got = LakeTable.read(spark, p).as[(Long, String)].collect().toMap
+      assert(got == model, s"divergence at step $step: " +
+        s"extra=${(got.toSet -- model.toSet).take(5)} missing=${(model.toSet -- got.toSet).take(5)}")
+    }
+  }
+
   test("DESCRIBE HISTORY lists retained commits newest-first with actions and CDC flags") {
     val p = s"$root/history"
     LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))

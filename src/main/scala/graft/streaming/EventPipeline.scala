@@ -101,6 +101,25 @@ object EventPipeline {
       .orderBy("user_id", "event_type")
   }
 
+  /** C19: BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark,
+    * Spark 3.5+): plain dropDuplicates keeps every key seen FOREVER —
+    * state grows with the key domain and eventually kills an unbounded
+    * 100 TB stream — while the watermark variant evicts a key's state
+    * once the watermark passes it, bounding state by the delay window.
+    * The corpus spans 30 days and the delay here covers it, so the
+    * output equals exact DISTINCT and the oracle can gate it; in
+    * production the delay is the dedup horizon (e.g. 24 h), the price
+    * of bounded state.
+    */
+  def dedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val dd = eventsStream(spark, dir)
+      .withWatermark("ts", "800 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    runToMemory(spark, dd, "graft_stream_dedup_wm", OutputMode.Append())
+      .orderBy("user_id", "event_type")
+  }
+
   /** C06: custom per-user state via flatMapGroupsWithState — running
     * (count, sum) per user, emitted on every update; the final emission
     * per user equals the batch aggregate.
@@ -385,6 +404,10 @@ object EventPipeline {
              |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)),
 
     Q("stream_dedup", (s, d) => dedup(s, d),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    Q("stream_dedup_wm", (s, d) => dedupWithinWatermark(s, d),
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY user_id, event_type""".stripMargin)),
 

@@ -35,6 +35,32 @@ object Extras {
              |GROUP BY n_name HAVING count(*) > 10
              |ORDER BY bal DESC, n_name""".stripMargin)),
 
+    // A83: modern grouping sugar — GROUP BY ALL / ORDER BY ALL infer
+    // the non-aggregate columns; identical statement runs in DuckDB.
+    Q("q_group_by_all",
+      (s, d) => GraftSession.sql(s, d,
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+          |round(sum(o_totalprice) + 1e-6, 2) AS rev
+          |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+             |round(sum(o_totalprice) + 1e-6, 2) AS rev
+             |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
+    // A84: IDENTIFIER() clause (Spark 4) — injection-safe dynamic
+    // object names for a SQL gateway: the table name arrives as a
+    // string PARAMETER, not string concatenation. DuckDB has no
+    // IDENTIFIER clause; its oracle names the table directly (same
+    // result, which is the point).
+    Q("q_sql_identifier",
+      (s, d) => {
+        graft.Tables(s, d, "nation").createOrReplaceTempView("nation")
+        s.sql("SELECT n_regionkey, count(*) AS cnt FROM IDENTIFIER(:tbl) " +
+          "GROUP BY n_regionkey ORDER BY n_regionkey",
+          Map("tbl" -> "nation"))
+      },
+      Some("""SELECT n_regionkey, count(*) AS cnt FROM nation
+             |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
     // B08: ORC round trip — write the supplier dim as ORC, read it
     // back, aggregate. Exercises the second columnar format's full
     // write + scan path (predicate pushdown works for ORC too).

@@ -61,6 +61,25 @@ object Extras {
       Some("""SELECT n_regionkey, count(*) AS cnt FROM nation
              |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
+    // A85: observed metrics (Dataset.observe + Observation) — the
+    // operational hook a gateway uses to account per-query row/byte
+    // counts WITHOUT a second scan: metrics accumulate on the action
+    // itself. The gate re-emits the observed values as a result row
+    // and checks them against a direct aggregate.
+    Q("q_observe",
+      (s, d) => {
+        import s.implicits._
+        val obs = new org.apache.spark.sql.Observation("corpus_metrics")
+        val df = t(s, d, "documents")
+          .observe(obs, count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("total_chars"))
+        df.write.format("noop").mode("overwrite").save() // one pass, metrics ride along
+        Seq((obs.get("n_docs").asInstanceOf[Long],
+          obs.get("total_chars").asInstanceOf[Long])).toDF("n_docs", "total_chars")
+      },
+      Some("""SELECT count(*) AS n_docs,
+             |sum(length(text))::BIGINT AS total_chars FROM documents""".stripMargin)),
+
     // B08: ORC round trip — write the supplier dim as ORC, read it
     // back, aggregate. Exercises the second columnar format's full
     // write + scan path (predicate pushdown works for ORC too).

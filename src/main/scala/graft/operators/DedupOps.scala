@@ -94,6 +94,33 @@ object DedupOps {
       |  WHERE round(inter::DOUBLE / (sza.sz + szb.sz - inter) + 0.000000001, 4) >= 0.8)
       |""".stripMargin
 
+  /** [[ngramPairs]] with the DF-CAP PREFILTER — the standard
+    * stop-shingle defense at 100 TB: a shingle appearing in more than
+    * `dfCap` documents contributes ~df² candidate-pair rows to the
+    * blocking self-join (one hot boilerplate shingle in 10⁶ docs is a
+    * 10¹²-row key), while carrying almost no identity signal. The cap
+    * drops those keys BEFORE the join, so the join cost tracks
+    * informative collisions; Jaccard is then exact over the capped
+    * (informative) shingle universe — mirrored in the oracle.
+    */
+  def ngramPairsCapped(s: SparkSession, d: String, threshold: Double, dfCap: Int): DataFrame = {
+    val sh0 = shingleTable(s, d)
+    val informative = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("h")
+    val sh = sh0.join(informative, "h")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")) + lit(1e-9), 4))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** doc_id + 16-long MinHash signature per doc (native expression). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     tokenized(s, d)
@@ -198,6 +225,31 @@ object DedupOps {
       (s, d) => ngramPairs(s, d, 0.8).orderBy("doc_a", "doc_b"),
       Some(ngramPairsSql +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b")),
+
+    // D28: the df-capped variant — blocking drops stop-shingles
+    // (df > 50) before the self-join so hot boilerplate keys never
+    // produce their ~df² candidate rows; Jaccard is exact over the
+    // informative-shingle universe, cap mirrored in the oracle.
+    Q("q_dedup_ngram_capped",
+      (s, d) => ngramPairsCapped(s, d, 0.8, dfCap = 50).orderBy("doc_a", "doc_b"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh0 AS (
+             |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+             |  FROM w, UNNEST(range(1, len(ws)-1)) t(i) WHERE len(ws) >= 3
+             |  UNION
+             |  SELECT doc_id, array_to_string(ws, ' ') FROM w WHERE len(ws) < 3),
+             |ok AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 50),
+             |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN ok USING(g)),
+             |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  round(inter::DOUBLE / (sza.sz + szb.sz - inter) + 0.000000001, 4) AS jaccard
+             |FROM it JOIN sz sza ON it.doc_a = sza.doc_id
+             |        JOIN sz szb ON it.doc_b = szb.doc_id
+             |WHERE round(inter::DOUBLE / (sza.sz + szb.sz - inter) + 0.000000001, 4) >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // D25: eval-set CONTAMINATION detection — the decontamination
     // check every benchmark-respecting training pipeline runs: find

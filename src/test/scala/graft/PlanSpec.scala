@@ -116,6 +116,7 @@ class PlanSpec extends AnyFunSuite {
       "q_knn_brute" -> 2,        // window on qid + sort (queries broadcast)
       "q_dedup_ngram" -> 5,      // inverted-index join + pair agg + 2 size joins + sort
       "q_text_repetition" -> 1,  // pure map over the corpus + final sort
+      "q_seq_pack" -> 2,         // one (lang,shard) exchange shared by window AND agg + sort
       "q_window_range" -> 3,     // day agg + ordered frame + sort
       "q_collation" -> 3,        // collated agg + sort
       "q_jdbc_federation" -> 3)  // agg + sort (dim broadcast from JDBC)

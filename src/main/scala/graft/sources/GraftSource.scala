@@ -41,7 +41,7 @@ class DefaultSource extends TableProvider with DataSourceRegister {
     val spark = SparkSession.active
     if (changeFeed(options)) LakeTable.cdcSchema(spark, path)
     else if (LakeTable.currentVersion(spark, path).isDefined)
-      LakeTable.read(spark, path, versionOf(options)).schema
+      LakeTable.tableSchema(spark, path, versionOf(options))
     else new StructType() // first write targets a fresh path
   }
 

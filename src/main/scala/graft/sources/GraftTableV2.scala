@@ -43,7 +43,7 @@ final class GraftTable(path: String, version: Option[Long],
   override def schema(): StructType =
     providedSchema.filter(_.nonEmpty).getOrElse {
       if (LakeTable.currentVersion(spark, path).isDefined)
-        LakeTable.read(spark, path, version).schema
+        LakeTable.tableSchema(spark, path, version)
       else new StructType() // not-yet-created target of a first write
     }
 
@@ -64,7 +64,7 @@ final class GraftTable(path: String, version: Option[Long],
     val scanOpts = new CaseInsensitiveStringMap(
       (options.asCaseSensitiveMap().asScala.toMap ++ Map("mergeSchema" -> "true")).asJava)
     new GraftScanBuilder(spark, path, commit.dirs,
-      LakeTable.read(spark, path, Some(v)).schema, scanOpts)
+      LakeTable.tableSchema(spark, path, Some(v)), scanOpts)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -75,10 +75,15 @@ final class GraftTable(path: String, version: Option[Long],
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
-              val exists = LakeTable.currentVersion(data.sparkSession, path).isDefined
+              val sp = data.sparkSession
+              val exists = LakeTable.currentVersion(sp, path).isDefined
+              // Honor the table's recorded partitioning: an INSERT
+              // INTO a PARTITIONED BY table must write partitioned
+              // groups, and an INSERT OVERWRITE must keep the layout.
+              val parts = if (exists) LakeTable.tablePartitioning(sp, path) else Nil
               if (overwrite || overwriteFlag || !exists)
-                LakeTable.create(data.sparkSession, path, data)
-              else LakeTable.append(data.sparkSession, path, data)
+                LakeTable.create(sp, path, data, parts)
+              else LakeTable.append(sp, path, data, parts)
             }
           }
       }

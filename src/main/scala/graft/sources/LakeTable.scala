@@ -610,16 +610,43 @@ object LakeTable {
     if (fs.exists(p)) fs.delete(p, true)
     val dir = writeGroup(spark, path, 0L, df, partitionBy)
     if (partitionBy.nonEmpty) {
+      // The schema rides along (base64 of its JSON, dodging escaping):
+      // an EMPTY partitioned create writes no parquet files at all, so
+      // schema inference has nothing to read until the first insert —
+      // the meta is the fallback that keeps DDL-then-INSERT resolvable.
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        df.schema.json.getBytes(StandardCharsets.UTF_8))
       val meta = tableMetaFile(path)
       val out = fsOf(spark, meta).create(meta, true)
       try out.write(
-        s"""{"partitionBy":[${partitionBy.map(c => "\"" + c + "\"").mkString(",")}]}"""
-          .getBytes(StandardCharsets.UTF_8))
+        (s"""{"partitionBy":[${partitionBy.map(c => "\"" + c + "\"").mkString(",")}],""" +
+          s""""schemaB64":"$b64"}""").getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
     writeCommit(spark, path, Commit(0L, "create", Seq(dir)))
     0L
   }
+
+  /** Table schema: inferred from the snapshot's files, falling back to
+    * the schema recorded at create for file-less (empty partitioned)
+    * tables.
+    */
+  def tableSchema(spark: SparkSession, path: String,
+      version: Option[Long] = None): org.apache.spark.sql.types.StructType =
+    try read(spark, path, version).schema
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        val p = tableMetaFile(path)
+        val fs = fsOf(spark, p)
+        if (!fs.exists(p)) throw e
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        """"schemaB64"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body)
+          .map(m => org.apache.spark.sql.types.DataType.fromJson(
+            new String(java.util.Base64.getDecoder.decode(m.group(1)), StandardCharsets.UTF_8))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getOrElse(throw e)
+    }
 
   /** Append a new file group; existing groups are untouched. */
   def append(spark: SparkSession, path: String, df: DataFrame,

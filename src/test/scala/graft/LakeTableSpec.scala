@@ -401,6 +401,23 @@ class LakeTableSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft_cat.specdb").isEmpty)
   }
 
+  test("catalog SQL: INSERT INTO a PARTITIONED BY table writes partitioned, pruned groups") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.pdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.pdb.pt")
+    spark.sql("CREATE TABLE graft_cat.pdb.pt (id BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.range(40).selectExpr("id", "CAST(id % 4 AS STRING) AS g")
+      .createOrReplaceTempView("pt_src")
+    spark.sql("INSERT INTO graft_cat.pdb.pt SELECT id, g FROM pt_src")
+    val df = spark.sql("SELECT * FROM graft_cat.pdb.pt WHERE g = '2'")
+    assert(df.count() == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("g"), plan)
+    val pruned = df.select(input_file_name()).distinct().count()
+    val all = spark.sql("SELECT * FROM graft_cat.pdb.pt")
+      .select(input_file_name()).distinct().count()
+    assert(pruned < all, s"partitioned INSERT not pruned: $pruned vs $all")
+  }
+
   test("catalog SQL time travel: VERSION AS OF pins a snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ttdb")
     spark.sql("DROP TABLE IF EXISTS graft_cat.ttdb.t")

@@ -34,9 +34,68 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class GraftTable(path: String, version: Option[Long],
     providedSchema: Option[StructType]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
+
+  // ---- SQL DELETE FROM (DSv2 SupportsDeleteV2) ----------------------
+  // Converts the pushed V2 predicates back to Columns and routes them
+  // through LakeTable.delete — so text-SQL deletes get the same
+  // file-group-granular COW (and CDC capture) as the API path.
+  // canDeleteWhere rejects anything unconvertible; Spark then raises
+  // the standard cannot-delete error instead of silently over-deleting.
+
+  private def toColumn(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VNot, Or => VOr, Predicate}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftglue.Glue
+    e match {
+      case a: VAnd => for (l <- toColumn(a.left()); r <- toColumn(a.right())) yield l && r
+      case o: VOr => for (l <- toColumn(o.left()); r <- toColumn(o.right())) yield l || r
+      case n: VNot => toColumn(n.child()).map(!_)
+      case p: Predicate if p.name() == "IN" && p.children().length >= 2 =>
+        val vs = p.children().drop(1).toSeq.map(toColumn)
+        for (c <- toColumn(p.children()(0)); if vs.forall(_.isDefined))
+          yield c.isin(vs.flatten: _*)
+      case p: Predicate if p.children().length == 2 =>
+        def bin(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+          for (l <- toColumn(p.children()(0)); r <- toColumn(p.children()(1))) yield f(l, r)
+        p.name() match {
+          case "=" => bin(_ === _)
+          case "<=>" => bin(_ <=> _)
+          case "<" => bin(_ < _)
+          case "<=" => bin(_ <= _)
+          case ">" => bin(_ > _)
+          case ">=" => bin(_ >= _)
+          case _ => None
+        }
+      case p: Predicate if p.children().length == 1 =>
+        p.name() match {
+          case "IS_NULL" => toColumn(p.children()(0)).map(_.isNull)
+          case "IS_NOT_NULL" => toColumn(p.children()(0)).map(_.isNotNull)
+          case _ => None
+        }
+      case f: NamedReference =>
+        Some(org.apache.spark.sql.functions.col(f.fieldNames().mkString(".")))
+      case l: VLiteral[_] => Some(Glue.column(Literal(l.value, l.dataType)))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    predicates.forall(toColumn(_).isDefined)
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cond = predicates.flatMap(toColumn(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    LakeTable.delete(spark, path, cond)
+  }
 
   override def name(): String = s"graft.`$path`" + version.map(v => s"@v$v").getOrElse("")
 

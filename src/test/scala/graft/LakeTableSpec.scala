@@ -418,6 +418,19 @@ class LakeTableSpec extends AnyFunSuite {
     assert(pruned < all, s"partitioned INSERT not pruned: $pruned vs $all")
   }
 
+  test("catalog SQL: DELETE FROM routes through granular COW delete") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ddb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ddb.t")
+    spark.range(20).selectExpr("id", "id % 4 AS g").createOrReplaceTempView("del_src")
+    spark.sql("CREATE TABLE graft_cat.ddb.t AS SELECT id, g FROM del_src")
+    spark.sql("DELETE FROM graft_cat.ddb.t WHERE id >= 15 OR g = 0")
+    assert(spark.sql("SELECT count(*) AS c FROM graft_cat.ddb.t").head().getLong(0) == 11)
+    assert(spark.sql("SELECT min(id) AS m FROM graft_cat.ddb.t").head().getLong(0) == 1)
+    // time travel still sees the pre-delete snapshot (COW, not purge)
+    val vs = spark.sql("SELECT count(*) AS c FROM graft_cat.ddb.t VERSION AS OF 1")
+    assert(vs.head().getLong(0) == 20)
+  }
+
   test("catalog SQL time travel: VERSION AS OF pins a snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ttdb")
     spark.sql("DROP TABLE IF EXISTS graft_cat.ttdb.t")

@@ -151,9 +151,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(tablePath(ident).toString, None, Option(schema))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolves through writes (mergeSchema), not ALTER TABLE")
+  /** ALTER TABLE ... ADD COLUMNS: a pure METADATA operation — the new
+    * columns are recorded in the table meta and surface as NULL until
+    * data lands (files are never rewritten, the lakehouse contract).
+    * Everything else (renames, drops, type changes) still rejects:
+    * those require rewriting or remapping data.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
+    val updated = changes.foldLeft(LakeTable.tableSchema(spark, p.toString)) {
+      case (sch, add: TableChange.AddColumn) if add.fieldNames.length == 1 =>
+        sch.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case (_, other) => throw new UnsupportedOperationException(
+        s"only ADD COLUMNS is a metadata-only change; got $other")
+    }
+    LakeTable.updateSchemaMeta(spark, p.toString, updated)
+    new GraftTable(p.toString, None, Some(updated))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

@@ -627,26 +627,63 @@ object LakeTable {
     0L
   }
 
-  /** Table schema: inferred from the snapshot's files, falling back to
-    * the schema recorded at create for file-less (empty partitioned)
-    * tables.
+  /** Schema recorded in the table meta, if any. */
+  private def metaSchema(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = tableMetaFile(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"schemaB64"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body)
+        .map(m => org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.util.Base64.getDecoder.decode(m.group(1)), StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Record `schema` (and keep the partitioning) in the table meta —
+    * the ALTER TABLE ADD COLUMNS persistence: files stay untouched,
+    * reads surface the new columns as NULL until data arrives.
+    */
+  private[graft] def updateSchemaMeta(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val parts = tablePartitioning(spark, path)
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      schema.json.getBytes(StandardCharsets.UTF_8))
+    val meta = tableMetaFile(path)
+    val out = fsOf(spark, meta).create(meta, true)
+    try out.write(
+      (s"""{"partitionBy":[${parts.map(c => "\"" + c + "\"").mkString(",")}],""" +
+        s""""schemaB64":"$b64"}""").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Table schema: the UNION of the snapshot's file-inferred schema
+    * and the meta-recorded one (create-time for empty partitioned
+    * tables, updated by ALTER TABLE ADD COLUMNS) — file-evolved and
+    * DDL-evolved columns both surface, each nullable until data lands.
     */
   def tableSchema(spark: SparkSession, path: String,
-      version: Option[Long] = None): org.apache.spark.sql.types.StructType =
-    try read(spark, path, version).schema
-    catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        val p = tableMetaFile(path)
-        val fs = fsOf(spark, p)
-        if (!fs.exists(p)) throw e
-        val in = fs.open(p)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        """"schemaB64"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body)
-          .map(m => org.apache.spark.sql.types.DataType.fromJson(
-            new String(java.util.Base64.getDecoder.decode(m.group(1)), StandardCharsets.UTF_8))
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-          .getOrElse(throw e)
+      version: Option[Long] = None): org.apache.spark.sql.types.StructType = {
+    val inferred =
+      try Some(read(spark, path, version).schema)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        metaSchema(spark, path) match {
+          case Some(m) => return m
+          case None => throw e
+        }
+      }
+    val i = inferred.get
+    metaSchema(spark, path) match {
+      case Some(m) =>
+        val have = i.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          i.fields ++ m.fields.filterNot(f => have(f.name)).map(_.copy(nullable = true)))
+      case None => i
     }
+  }
 
   /** Append a new file group; existing groups are untouched. */
   def append(spark: SparkSession, path: String, df: DataFrame,

@@ -431,6 +431,28 @@ class LakeTableSpec extends AnyFunSuite {
     assert(vs.head().getLong(0) == 20)
   }
 
+  test("catalog SQL: ALTER TABLE ADD COLUMNS is metadata-only and reads back NULL then data") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.adb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.adb.t")
+    spark.range(5).toDF("id").createOrReplaceTempView("alter_src")
+    spark.sql("CREATE TABLE graft_cat.adb.t AS SELECT id FROM alter_src")
+    val filesBefore = spark.sql("SELECT * FROM graft_cat.adb.t")
+      .select(input_file_name()).distinct().count()
+    spark.sql("ALTER TABLE graft_cat.adb.t ADD COLUMNS (note STRING)")
+    // metadata-only: same files, new column reads NULL
+    val df = spark.sql("SELECT id, note FROM graft_cat.adb.t")
+    assert(df.count() == 5 && df.where(col("note").isNull).count() == 5)
+    assert(df.select(input_file_name()).distinct().count() == filesBefore)
+    // data with the new column lands and coexists with old files
+    spark.sql("INSERT INTO graft_cat.adb.t SELECT CAST(100 AS BIGINT) AS id, 'x' AS note")
+    val all = spark.sql("SELECT id, note FROM graft_cat.adb.t")
+    assert(all.count() == 6 && all.where(col("note") === "x").count() == 1)
+    // non-metadata changes still reject
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.adb.t RENAME COLUMN id TO id2")
+    }
+  }
+
   test("catalog SQL time travel: VERSION AS OF pins a snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ttdb")
     spark.sql("DROP TABLE IF EXISTS graft_cat.ttdb.t")

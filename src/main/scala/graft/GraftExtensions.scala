@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session => graft.plans.ApproxQuantileRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.MaterializedViewRewrite(session))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // SQL UPDATE / MERGE INTO over graft catalog tables → granular COW
+    // (post-hoc: runs on the fully resolved statement, before checks).
+    ext.injectPostHocResolutionRule(session => graft.plans.GraftRowLevelSql(session))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(array<float>, array<float>) - cosine similarity"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))

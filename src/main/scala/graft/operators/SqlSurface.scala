@@ -304,5 +304,66 @@ object SqlSurface {
              |  try_cast(o_orderpriority AS INT) AS safe_cast,
              |  CASE WHEN o_orderkey = 0 THEN 9223372036854775807 END AS safe_add
              |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)),
+
+    // B30: SQL UPDATE over a catalog table — routed by GraftRowLevelSql
+    // into the file-group-granular COW path (never Spark's full-table
+    // ReplaceData), CDC-integrated, same pruning as the API verb.
+    Q("q_sql_update",
+      (s, d) => {
+        t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+          .createOrReplaceTempView("cust_upd_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        s.sql("DROP TABLE IF EXISTS graft_cat.db.cust_upd")
+        s.sql("CREATE TABLE graft_cat.db.cust_upd AS SELECT * FROM cust_upd_src")
+        s.sql("""UPDATE graft_cat.db.cust_upd
+                |SET c_acctbal = c_acctbal + 100.0 WHERE c_nationkey < 10""".stripMargin)
+        s.sql("""SELECT c_nationkey, count(*) AS cnt,
+                |round(sum(c_acctbal), 2) AS bal
+                |FROM graft_cat.db.cust_upd
+                |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt,
+             |round(sum(CASE WHEN c_nationkey < 10 THEN c_acctbal + 100.0
+             |               ELSE c_acctbal END), 2) AS bal
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B31: full SQL MERGE INTO — conditional DELETE, UPDATE, INSERT
+    // clauses in one statement, one full-outer join on the key, with
+    // the source's key range still pruning untouched file groups.
+    Q("q_sql_merge",
+      (s, d) => {
+        t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+          .createOrReplaceTempView("cust_mrg_base")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        s.sql("DROP TABLE IF EXISTS graft_cat.db.cust_mrg")
+        s.sql("CREATE TABLE graft_cat.db.cust_mrg AS SELECT * FROM cust_mrg_base")
+        s.sql("""SELECT c_custkey, c_nationkey, c_acctbal,
+                |  (c_custkey % 13 = 0) AS del, 1000.0 AS delta
+                |FROM cust_mrg_base WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0
+                |UNION ALL
+                |SELECT c_custkey + 1000000, c_nationkey, c_acctbal, false, 0.0
+                |FROM cust_mrg_base WHERE c_custkey % 11 = 0""".stripMargin)
+          .createOrReplaceTempView("cust_mrg_src")
+        s.sql("""MERGE INTO graft_cat.db.cust_mrg AS tgt
+                |USING cust_mrg_src AS src ON tgt.c_custkey = src.c_custkey
+                |WHEN MATCHED AND src.del THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET c_acctbal = tgt.c_acctbal + src.delta
+                |WHEN NOT MATCHED THEN INSERT (c_custkey, c_nationkey, c_acctbal)
+                |  VALUES (src.c_custkey, src.c_nationkey, src.c_acctbal)""".stripMargin)
+        s.sql("""SELECT c_nationkey, count(*) AS cnt,
+                |round(sum(c_acctbal), 2) AS bal
+                |FROM graft_cat.db.cust_mrg
+                |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+      },
+      Some("""WITH merged AS (
+             |  SELECT c_custkey, c_nationkey,
+             |    CASE WHEN c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+             |         THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
+             |  FROM customer WHERE c_custkey % 13 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_nationkey, c_acctbal
+             |  FROM customer WHERE c_custkey % 11 = 0)
+             |SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal),2) AS bal
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -39,6 +39,9 @@ final class GraftTable(path: String, version: Option[Long],
 
   private def spark: SparkSession = SparkSession.active
 
+  /** Root path of the backing LakeTable (for the row-level SQL rule). */
+  private[graft] def tablePath: String = path
+
   // ---- SQL DELETE FROM (DSv2 SupportsDeleteV2) ----------------------
   // Converts the pushed V2 predicates back to Columns and routes them
   // through LakeTable.delete — so text-SQL deletes get the same

@@ -1104,6 +1104,164 @@ object LakeTable {
     v
   }
 
+  /** One WHEN clause of a generalized [[mergeInto]]. Conditions and
+    * value expressions reference the target as `t.<col>` and the
+    * source as `s.<col>` (the aliases mergeInto joins under).
+    */
+  sealed trait MergeClause { def condition: Option[org.apache.spark.sql.Column] }
+  /** WHEN [NOT] MATCHED [AND cond] THEN UPDATE SET col = expr, ... */
+  final case class MergeUpdate(condition: Option[org.apache.spark.sql.Column],
+      set: Map[String, org.apache.spark.sql.Column]) extends MergeClause
+  /** WHEN [NOT] MATCHED [AND cond] THEN DELETE */
+  final case class MergeDelete(condition: Option[org.apache.spark.sql.Column])
+      extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (col, ...) VALUES (expr, ...) —
+    * unassigned target columns become NULL.
+    */
+  final case class MergeInsert(condition: Option[org.apache.spark.sql.Column],
+      values: Map[String, org.apache.spark.sql.Column]) extends MergeClause
+
+  /** Generalized MERGE INTO (the full SQL statement semantics):
+    *
+    * {{{
+    *   MERGE INTO target t USING source s ON <condition>
+    *   WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE
+    *   WHEN NOT MATCHED [AND c] THEN INSERT ...
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
+    * }}}
+    *
+    * First matching clause per category wins (SQL semantics); a row
+    * matched by no clause carries through unchanged (or, for unmatched
+    * source rows, is not inserted). ONE full-outer join on the merge
+    * condition is the whole data plan — at scale that is a single
+    * shuffle on the equi-keys of the condition.
+    *
+    * File-group granular like [[merge]]: equi-conjuncts `t.k = s.k`
+    * in the condition bound the target rows a source batch can match,
+    * so only stats-intersecting groups rewrite — UNLESS a NOT MATCHED
+    * BY SOURCE clause exists, which by definition touches every target
+    * row. Ambiguity guard: when the condition has equi-keys and any
+    * MATCHED clause exists, a source with duplicate key tuples throws
+    * (one target row would take two conflicting actions) — same
+    * contract as Delta's cardinality check.
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      condition: org.apache.spark.sql.Column,
+      matched: Seq[MergeClause],
+      notMatched: Seq[MergeInsert],
+      notMatchedBySource: Seq[MergeClause] = Nil): Long = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo, Expression}
+    import org.apache.spark.sql.graftglue.Glue
+    require(matched.forall(!_.isInstanceOf[MergeInsert]),
+      "WHEN MATCHED supports UPDATE/DELETE only")
+    require(notMatchedBySource.forall(!_.isInstanceOf[MergeInsert]),
+      "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only")
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val c = readCommit(spark, path, prev)
+
+    // Equi-key pairs (targetCol, sourceCol) mined from the condition's
+    // conjuncts — they drive file-group pruning and the dup guard.
+    def sideOf(e: Expression): Option[(String, String)] = e match {
+      case u: UnresolvedAttribute if u.nameParts.length == 2 &&
+          (u.nameParts.head == "t" || u.nameParts.head == "s") =>
+        Some((u.nameParts.head, u.nameParts(1)))
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val equiPairs = conjuncts(Glue.expression(condition)).flatMap {
+      case EqualTo(a, b) => (sideOf(a), sideOf(b)) match {
+        case (Some(("t", tc)), Some(("s", sc))) => Some((tc, sc))
+        case (Some(("s", sc)), Some(("t", tc))) => Some((tc, sc))
+        case _ => None
+      }
+      case _ => None
+    }
+
+    if (matched.nonEmpty && equiPairs.nonEmpty) {
+      val dup = source.groupBy(equiPairs.map(p => col(p._2)): _*)
+        .count().where(col("count") > 1).take(1)
+      if (dup.nonEmpty) throw new IllegalStateException(
+        "MERGE source has duplicate rows on the join key " +
+          equiPairs.map(_._2).mkString("(", ",", ")") +
+          " — a matched target row would take two conflicting actions")
+    }
+
+    // NOT MATCHED BY SOURCE reads every target row by definition.
+    val bounds: Map[String, ColumnBounds] =
+      if (notMatchedBySource.nonEmpty || equiPairs.isEmpty) Map.empty
+      else keyBounds(source, equiPairs.map(_._2))
+        .map { case (sc, b) => equiPairs.find(_._2 == sc).get._1 -> b }
+    // splitDirs treats empty bounds as "everything touched" (sound).
+    val (touched, untouched) = splitDirs(spark, path, c.dirs, bounds)
+
+    val tSchema = tableSchema(spark, path, Some(prev))
+    val targetRaw =
+      if (touched.isEmpty) read(spark, path, Some(prev)).limit(0)
+      else readDirs(spark, path, touched)
+    // Pin the full evolved schema (touched groups may predate an added
+    // column) and add presence markers for the full-outer categories.
+    val targetFull = tSchema.fields.foldLeft(targetRaw) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(tSchema.fieldNames.map(col).toSeq: _*)
+    val t = targetFull.withColumn("__graft_tp", lit(true)).alias("t")
+    val s = source.withColumn("__graft_sp", lit(true)).alias("s")
+    val joined = t.join(s, condition, "full_outer")
+    val tPresent = col("t.__graft_tp").isNotNull
+    val sPresent = col("s.__graft_sp").isNotNull
+
+    // First-applicable-clause index per category (-1 = none applies).
+    def firstMatch(clauses: Seq[MergeClause]): Column =
+      clauses.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), rest) =>
+        when(cl.condition.map(coalesce(_, lit(false))).getOrElse(lit(true)),
+          lit(i)).otherwise(rest)
+      }
+    def isDelete(clauses: Seq[MergeClause], act: Column): Column =
+      clauses.zipWithIndex.collect { case (_: MergeDelete, i) => act === lit(i) }
+        .reduceOption(_ || _).getOrElse(lit(false))
+    val mAct = firstMatch(matched)
+    val nmsAct = firstMatch(notMatchedBySource)
+    val insAct = firstMatch(notMatched)
+
+    val keep =
+      when(tPresent && sPresent, !isDelete(matched, mAct))
+        .when(tPresent && !sPresent, !isDelete(notMatchedBySource, nmsAct))
+        .otherwise(insAct =!= lit(-1))
+
+    def valueChain(clauses: Seq[MergeClause], act: Column, colName: String,
+        default: Column): Column =
+      clauses.zipWithIndex.foldRight(default) {
+        case ((MergeUpdate(_, set), i), rest) if set.contains(colName) =>
+          when(act === lit(i), set(colName)).otherwise(rest)
+        case ((MergeInsert(_, vals), i), rest) =>
+          when(act === lit(i), vals.getOrElse(colName, lit(null))).otherwise(rest)
+        case (_, rest) => rest
+      }
+    val outCols = tSchema.fields.toSeq.map { f =>
+      val tCol = col(s"t.${f.name}")
+      when(tPresent && sPresent, valueChain(matched, mAct, f.name, tCol))
+        .when(tPresent && !sPresent, valueChain(notMatchedBySource, nmsAct, f.name, tCol))
+        .otherwise(valueChain(notMatched, insAct, f.name, lit(null)))
+        .cast(f.dataType).as(f.name)
+    }
+    val result = joined.where(keep).select(outCols: _*)
+
+    val v = prev + 1
+    val dir = writeGroup(spark, path, v, result, tablePartitioning(spark, path))
+    val cdc = cdcKey(spark, path).map { k =>
+      writeCdc(spark, path, v,
+        diffFrames(targetFull, readDirs(spark, path, Seq(dir)), k, preimages = true))
+    }
+    writeCommit(spark, path, Commit(v, "merge", untouched :+ dir, cdc))
+    v
+  }
+
   /** AGGREGATE-key-model merge (the Doris AGGREGATE table model):
     * arriving rows whose key tuple already exists COMBINE with the
     * stored row — measures sum — instead of replacing it. This is the

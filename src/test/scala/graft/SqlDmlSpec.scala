@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.LakeTable
+
+/** SQL UPDATE / MERGE INTO over graft catalog tables — the row-level
+  * DML a Kyuubi SQL tenant runs (reference:
+  * internal/controller/kyuubi.go exposes full Spark SQL). Routed by
+  * GraftRowLevelSql into the file-group-granular COW path, so the
+  * statements get the same untouched-dir carry-forward and CDC
+  * capture as the API verbs.
+  */
+class SqlDmlSpec extends AnyFunSuite {
+
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.dml")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.dml.$name")
+    s"graft_cat.dml.$name"
+  }
+
+  test("SQL UPDATE applies assignments to matching rows only") {
+    val t = freshTable("upd")
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0))
+      .toDF("id", "tag", "amt").writeTo(t).create()
+    spark.sql(s"UPDATE $t SET amt = amt * 2, tag = upper(tag) WHERE id >= 2")
+    val rows = spark.table(t).orderBy("id")
+      .as[(Int, String, Double)].collect().toSeq
+    assert(rows === Seq((1, "a", 10.0), (2, "B", 40.0), (3, "A", 60.0)))
+  }
+
+  test("SQL UPDATE without WHERE touches every row") {
+    val t = freshTable("updall")
+    Seq((1, 5L), (2, 6L)).toDF("id", "v").writeTo(t).create()
+    spark.sql(s"UPDATE $t SET v = v + 100")
+    assert(spark.table(t).agg(sum("v")).as[Long].head() === 211L)
+  }
+
+  test("SQL MERGE INTO: matched update + not matched insert (upsert)") {
+    val t = freshTable("mrg")
+    Seq((1, 100.0, "old"), (2, 200.0, "old"))
+      .toDF("k", "v", "src").writeTo(t).create()
+    Seq((2, 222.0), (3, 333.0)).toDF("k", "v")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(s"""
+      MERGE INTO $t AS tgt USING mrg_src AS s ON tgt.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, src = 'merged'
+      WHEN NOT MATCHED THEN INSERT (k, v, src) VALUES (s.k, s.v, 'inserted')
+    """)
+    val rows = spark.table(t).orderBy("k")
+      .as[(Int, Double, String)].collect().toSeq
+    assert(rows === Seq((1, 100.0, "old"), (2, 222.0, "merged"), (3, 333.0, "inserted")))
+  }
+
+  test("SQL MERGE INTO: conditional clauses, DELETE, and star actions") {
+    val t = freshTable("mrg2")
+    Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0))
+      .toDF("k", "v").writeTo(t).create()
+    Seq((1, 11.0), (2, -1.0), (5, 50.0)).toDF("k", "v")
+      .createOrReplaceTempView("mrg2_src")
+    spark.sql(s"""
+      MERGE INTO $t AS tgt USING mrg2_src AS s ON tgt.k = s.k
+      WHEN MATCHED AND s.v < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val rows = spark.table(t).orderBy("k").as[(Int, Double)].collect().toSeq
+    assert(rows === Seq((1, 11.0), (3, 30.0), (4, 40.0), (5, 50.0)))
+  }
+
+  test("SQL MERGE INTO: NOT MATCHED BY SOURCE clauses see unreferenced rows") {
+    val t = freshTable("mrg3")
+    Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v").writeTo(t).create()
+    Seq((1, 11.0)).toDF("k", "v").createOrReplaceTempView("mrg3_src")
+    spark.sql(s"""
+      MERGE INTO $t AS tgt USING mrg3_src AS s ON tgt.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED BY SOURCE AND tgt.k = 3 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = tgt.v + 0.5
+    """)
+    val rows = spark.table(t).orderBy("k").as[(Int, Double)].collect().toSeq
+    assert(rows === Seq((1, 11.0), (2, 20.5)))
+  }
+
+  test("MERGE with duplicate source keys and a MATCHED clause throws") {
+    val t = freshTable("mrgdup")
+    Seq((1, 10.0)).toDF("k", "v").writeTo(t).create()
+    Seq((1, 1.0), (1, 2.0)).toDF("k", "v").createOrReplaceTempView("mrgdup_src")
+    val e = intercept[Exception] {
+      spark.sql(s"""
+        MERGE INTO $t AS tgt USING mrgdup_src AS s ON tgt.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+      """)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("SQL MERGE is file-group granular: untouched dirs carry forward") {
+    val root = GraftSession.catalogRoot + "/dml/mrggran"
+    val t = freshTable("mrggran")
+    // Two disjoint-key groups: create (1..100), append (1001..1100).
+    spark.range(1, 101).select($"id".as("k"), lit(1.0).as("v")).writeTo(t).create()
+    spark.range(1001, 1101).select($"id".as("k"), lit(2.0).as("v")).writeTo(t).append()
+    val before = LakeTable.readCommit(spark, root,
+      LakeTable.currentVersion(spark, root).get)
+    // Merge touches only the low-key group.
+    Seq((50L, 5.0), (200L, 9.0)).toDF("k", "v").createOrReplaceTempView("mrggran_src")
+    spark.sql(s"""
+      MERGE INTO $t AS tgt USING mrggran_src AS s ON tgt.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+    """)
+    val after = LakeTable.readCommit(spark, root,
+      LakeTable.currentVersion(spark, root).get)
+    // The high-key group's dir must survive verbatim (not rewritten).
+    val highDir = before.dirs.last
+    assert(after.dirs.contains(highDir),
+      s"untouched dir $highDir was rewritten: ${after.dirs}")
+    assert(spark.table(t).where($"k" === 50).select("v").as[Double].head() === 5.0)
+    assert(spark.table(t).where($"k" === 200).select("v").as[Double].head() === 9.0)
+    assert(spark.table(t).count() === 201)
+  }
+}

@@ -573,5 +573,185 @@ object RelationalAdvanced {
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
              |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // TPC-H Q8 shape (national market share): the two-role revenue
+    // ratio — per order-year, supplier-nation 3's share of all PROMO
+    // revenue sold into region 1. Six-way star join where nation
+    // appears on the CUSTOMER side for scoping and the SUPPLIER side
+    // for the share split; the 1e-9 nudge keeps the 4-decimal round
+    // off the half boundary (same device as Q14).
+    Q("q_tpch_q8",
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(t(s, d, "part").select("p_partkey", "p_type"),
+            col("l_partkey") === col("p_partkey"))
+          .where(col("p_type") === "PROMO")
+          .join(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey").as("supp_nat")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_regionkey")),
+            col("c_nationkey") === col("n_nationkey"))
+          .where(col("n_regionkey") === 1)
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(round(
+            sum(when(col("supp_nat") === 3, rev).otherwise(0.0)) / sum(rev) +
+              lit(1e-9), 4).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT year(o_orderdate)::BIGINT AS o_year,
+             |round(sum(CASE WHEN s_nationkey = 3
+             |          THEN l_extendedprice*(1-l_discount) ELSE 0 END) /
+             |      sum(l_extendedprice*(1-l_discount)) + 1e-9, 4) AS mkt_share
+             |FROM lineitem, part, supplier, orders, customer, nation
+             |WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+             |AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+             |AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+             |AND n_regionkey = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q13 shape (customer order-count distribution): the filter
+    // lives in the OUTER JOIN condition (customers with zero
+    // qualifying orders must survive with count 0), then a second
+    // aggregation histograms the counts — the classic
+    // aggregate-of-aggregate. All-integer output, no float risk.
+    Q("q_tpch_q13",
+      (s, d) => {
+        val qualifying = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderpriority")
+          .where(col("o_orderpriority") =!= "1-URGENT")
+        t(s, d, "customer").select("c_custkey")
+          .join(qualifying, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, count(*)::BIGINT AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |GROUP BY 1 ORDER BY 2 DESC, 1 DESC""".stripMargin)),
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue rollup, max
+    // revenue as a scalar, suppliers AT the max joined back. The max
+    // compares ROUNDED revenues (money nudge on both engines), so the
+    // winning set is stable cross-engine even on near-ties.
+    Q("q_tpch_q15",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-04-01")
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(RelationalCore.money(
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_revenue"))
+        t(s, d, "supplier").select("s_suppkey", "s_name")
+          .join(rev, col("s_suppkey") === col("supplier_no"))
+          .join(broadcast(rev.agg(max("total_revenue").as("m"))),
+            col("total_revenue") === col("m"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    round(sum(l_extendedprice*(1-l_discount)) + 0.000001, 2) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    // counts per part group with an excluded-supplier NOT IN subquery
+    // (negative-balance suppliers stand in for the 'complaints'
+    // comment filter the corpus lacks) — anti join + count(distinct).
+    Q("q_tpch_q16",
+      (s, d) => {
+        val excluded = t(s, d, "supplier")
+          .where(col("s_acctbal") < 0).select("s_suppkey")
+        t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+          .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(t(s, d, "part").select("p_partkey", "p_brand", "p_type", "p_size"),
+            col("l_partkey") === col("p_partkey"))
+          .where(col("p_brand") =!= "Brand#13" &&
+            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#13' AND p_size IN (1,4,7,10,13,16,19,22)
+             |AND l_suppkey NOT IN
+             |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q17 shape (small-quantity revenue): lines below 20% of
+    // their part's average quantity. `l_quantity < 0.2 * avg` is
+    // restated exactly as `l_quantity * 5 * cnt < qsum` — quantities
+    // are integer-valued, so both sides are exact in double and the
+    // boundary cannot flip between engines (0.2*avg cannot be
+    // represented exactly in binary).
+    Q("q_tpch_q17",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+        val stats = li.groupBy(col("l_partkey").as("ap"))
+          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qsum"))
+        li.join(t(s, d, "part").select("p_partkey", "p_brand"),
+            col("l_partkey") === col("p_partkey"))
+          .where(col("p_brand") === "Brand#9")
+          .join(stats, col("l_partkey") === col("ap"))
+          .where(col("l_quantity") * 5 * col("cnt") < col("qsum"))
+          .agg(round(sum("l_extendedprice") / 7.0 + lit(1e-6), 2).as("avg_yearly"))
+      },
+      Some("""WITH stats AS (
+             |  SELECT l_partkey AS ap, count(*) AS cnt, sum(l_quantity) AS qsum
+             |  FROM lineitem GROUP BY 1)
+             |SELECT round(sum(l_extendedprice) / 7.0 + 0.000001, 2) AS avg_yearly
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |JOIN stats ON l_partkey = ap
+             |WHERE p_brand = 'Brand#9' AND l_quantity * 5 * cnt < qsum""".stripMargin)),
+
+    // TPC-H Q22 shape (global sales opportunity): above-average-
+    // balance customers with NO orders, grouped by a "country code"
+    // (the last-two-digits substring of c_name stands in for the
+    // phone prefix the corpus lacks) — scalar avg subquery + anti
+    // join + IN-list.
+    Q("q_tpch_q22",
+      (s, d) => {
+        val cust = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+          .withColumn("cntrycode", substring(col("c_name"), 17, 2))
+          .where(col("cntrycode").isin("01", "13", "25", "31", "42"))
+        val bal = cust.where(col("c_acctbal") > 0)
+          .agg(avg("c_acctbal").as("ab"))
+        cust.join(broadcast(bal))
+          .where(col("c_acctbal") > col("ab"))
+          .join(t(s, d, "orders").select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("cntrycode")
+          .agg(count(lit(1)).as("numcust"),
+            RelationalCore.money(sum("c_acctbal")).as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      Some("""WITH cust AS (
+             |  SELECT c_custkey, c_acctbal, substring(c_name, 17, 2) AS cntrycode
+             |  FROM customer
+             |  WHERE substring(c_name, 17, 2) IN ('01','13','25','31','42'))
+             |SELECT cntrycode, count(*)::BIGINT AS numcust,
+             |round(sum(c_acctbal) + 0.000001, 2) AS totacctbal
+             |FROM cust
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust WHERE c_acctbal > 0)
+             |AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -186,9 +186,56 @@ final class GraftScanBuilder(spark: SparkSession, path: String, dirs: Seq[String
   import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
   import org.apache.spark.unsafe.types.UTF8String
 
-  private def mkInner(paths: Seq[String]) =
-    ParquetTable(s"graft.`$path`", spark, options, paths, Some(schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
+  private val partCols = LakeTable.tablePartitioning(spark, path)
+
+  /** Enumerate (partition values, leaf dir) across the group dirs —
+    * the spec [[org.apache.spark.sql.graftglue.Glue.partitionedParquetScanBuilder]]
+    * needs, since Spark cannot DISCOVER partitions across multiple
+    * file-group roots (single-base-path limitation).
+    */
+  private def partitionLeaves(paths: Seq[String]): Seq[(Seq[Option[String]], Path)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Option[String]], Path)]
+    paths.foreach { p =>
+      val dirPath = new Path(p)
+      val fs = dirPath.getFileSystem(conf)
+      if (fs.exists(dirPath)) {
+        val base = fs.makeQualified(dirPath).toString
+        val it = fs.listFiles(dirPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) {
+            val parent = fs.makeQualified(f.getPath.getParent)
+            if (!seen.contains(parent.toString)) {
+              val kvs = parent.toString.stripPrefix(base).stripPrefix("/")
+                .split("/").filter(_.contains("=")).map { seg =>
+                  val i = seg.indexOf('=')
+                  val raw = LakeTable.unescapePath(seg.substring(i + 1))
+                  seg.substring(0, i) ->
+                    (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+                }.toMap
+              seen(parent.toString) = (partCols.map(kvs.getOrElse(_, None)), parent)
+            }
+          }
+        }
+      }
+    }
+    seen.values.toSeq
+  }
+
+  private def mkInner(paths: Seq[String])
+      : org.apache.spark.sql.connector.read.ScanBuilder
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =
+    if (partCols.isEmpty)
+      ParquetTable(s"graft.`$path`", spark, options, paths, Some(schema),
+        classOf[ParquetFileFormat]).newScanBuilder(options)
+    else {
+      import org.apache.spark.sql.types.StructType
+      val partSchema = StructType(partCols.map(c => schema(c)))
+      org.apache.spark.sql.graftglue.Glue.partitionedParquetScanBuilder(
+        spark, partitionLeaves(paths), partSchema, schema, options)
+    }
 
   // The probe builder answers the pushdown negotiation (which filters
   // are fully handled); build() replays the calls on a pruned inner.

@@ -307,18 +307,46 @@ object LakeTable {
   /** Inclusive conjunctive bounds on one column; None = unbounded. */
   final case class ColumnBounds(lo: Option[Any], hi: Option[Any])
 
-  /** Prune a snapshot's file list with the sidecar stats: keep files
-    * whose [min,max] intersects every bound. Returns None when
-    * file-level pruning is unsafe — a Hive-partitioned layout (nested
-    * dirs would lose their partition columns in a bare file-list
-    * read). Files or columns without stats are always kept: skipping
-    * is an optimization, never a filter.
+  /** One group dir's pruning outcome: the dir (as named in the
+    * commit), its qualified base path (a valid `basePath` read
+    * option), and the files whose stats/partition values intersect
+    * the bounds.
     */
-  private[graft] def pruneFiles(spark: SparkSession, path: String, dirs: Seq[String],
-      bounds: Map[String, ColumnBounds]): Option[Seq[String]] = {
-    val keep = Seq.newBuilder[String]
+  private[graft] final case class PrunedDir(dir: String, base: String, kept: Seq[String])
+
+  /** Hive-style path unescape (`%xx` sequences, the encoding Spark
+    * writes into partition dir names).
+    */
+  private[graft] def unescapePath(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+          catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Per-dir stats/partition pruning: for each dir, the files whose
+    * [min,max] sidecar stats AND partition-dir values (`col=value`
+    * path segments are exact per-file bounds — the layout's free
+    * statistics) intersect every bound. `flat` is false when any file
+    * sits under a partition subdir — a bare file-list read of those
+    * would lose the partition columns, so only callers that either
+    * need the keep/empty DECISION (DML group pruning) or re-read with
+    * `basePath` may use a non-flat result. Files or columns without
+    * stats are always kept: skipping is an optimization, never a
+    * filter.
+    */
+  private[graft] def pruneFilesByDir(spark: SparkSession, path: String, dirs: Seq[String],
+      bounds: Map[String, ColumnBounds]): (Seq[PrunedDir], Boolean) = {
     var flat = true
-    dirs.foreach { d =>
+    val out = dirs.map { d =>
       val dirPath = new Path(path, d)
       val fs = fsOf(spark, dirPath)
       val statsPath = new Path(dirPath, StatsFile)
@@ -333,14 +361,39 @@ object LakeTable {
             .map(a => (dec(a(0)), dec(a(1))) -> (a(2).head, dec(a(3)), dec(a(4)))).toMap
         }
       val base = fs.makeQualified(dirPath).toString
+      val keep = Seq.newBuilder[String]
       val it = fs.listFiles(dirPath, true)
       while (it.hasNext) {
         val f = it.next()
         if (f.getPath.getName.endsWith(".parquet")) {
           val rel = fs.makeQualified(f.getPath).toString.stripPrefix(base + "/")
           if (rel.contains("/")) flat = false // partition-encoded layout
+          // col -> partition value (None = __HIVE_DEFAULT_PARTITION__).
+          val partVals: Map[String, Option[String]] =
+            rel.split("/").dropRight(1).toSeq.filter(_.contains("="))
+              .map { seg =>
+                val i = seg.indexOf('=')
+                val raw = unescapePath(seg.substring(i + 1))
+                seg.substring(0, i) ->
+                  (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+              }.toMap
+          // Exact bound check against a partition value; None = the
+          // column is not partition-encoded for this file.
+          def partOverlaps(column: String, b: ColumnBounds): Option[Boolean] =
+            partVals.get(column).map {
+              case None => false // NULL partition: comparisons never match
+              case Some(v) =>
+                def side(bound: Option[Any], ok: (Double, Double) => Boolean,
+                    okS: (String, String) => Boolean): Boolean = bound.forall {
+                  case n: Number => scala.util.Try(v.toDouble).toOption
+                    .forall(ok(_, n.doubleValue()))
+                  case s: String => okS(v, s)
+                  case _ => true
+                }
+                side(b.lo, _ >= _, _ >= _) && side(b.hi, _ <= _, _ <= _)
+            }
           val overlaps = bounds.forall { case (column, b) =>
-            stats.get((rel, column)) match {
+            partOverlaps(column, b).getOrElse(stats.get((rel, column)) match {
               case Some(('n', mn, mx)) =>
                 b.lo.forall { case l: Number => mx.toDouble >= l.doubleValue(); case _ => true } &&
                 b.hi.forall { case h: Number => mn.toDouble <= h.doubleValue(); case _ => true }
@@ -348,13 +401,40 @@ object LakeTable {
                 b.lo.forall { case l: String => mx >= l; case _ => true } &&
                 b.hi.forall { case h: String => mn <= h; case _ => true }
               case _ => true // no stats: must read it
-            }
+            })
           }
           if (overlaps) keep += f.getPath.toString
         }
       }
+      PrunedDir(d, base, keep.result())
     }
-    if (flat) Some(keep.result()) else None
+    (out, flat)
+  }
+
+  /** Flat-layout file pruning (see [[pruneFilesByDir]]); None when the
+    * layout is partition-encoded and a bare file list would lose the
+    * partition columns.
+    */
+  private[graft] def pruneFiles(spark: SparkSession, path: String, dirs: Seq[String],
+      bounds: Map[String, ColumnBounds]): Option[Seq[String]] = {
+    val (pruned, flat) = pruneFilesByDir(spark, path, dirs, bounds)
+    if (flat) Some(pruned.flatMap(_.kept)) else None
+  }
+
+  /** Read the surviving files of a prune: flat layouts as one file
+    * list, partition-encoded layouts per dir under its `basePath` so
+    * the partition columns are recovered from the paths.
+    */
+  private def readPruned(spark: SparkSession, path: String, pruned: Seq[PrunedDir],
+      flat: Boolean, version: Option[Long]): DataFrame = {
+    val nonEmpty = pruned.filter(_.kept.nonEmpty)
+    if (nonEmpty.isEmpty) read(spark, path, version).limit(0)
+    else if (flat)
+      spark.read.option("mergeSchema", "true").parquet(nonEmpty.flatMap(_.kept): _*)
+    else nonEmpty.map { pd =>
+      spark.read.option("mergeSchema", "true").option("basePath", pd.base)
+        .parquet(pd.kept: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** File-skipping range read: keep only the files of the snapshot
@@ -370,13 +450,10 @@ object LakeTable {
     val v = version.orElse(currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val c = readCommit(spark, path, v)
-    val base = pruneFiles(spark, path, c.dirs,
-        Map(column -> ColumnBounds(Some(lo), Some(hi)))) match {
-      case Some(files) if files.isEmpty => read(spark, path, Some(v)).limit(0)
-      case Some(files) => spark.read.option("mergeSchema", "true").parquet(files: _*)
-      case None => read(spark, path, Some(v)) // partitioned layout: no file pruning
-    }
-    base.where(col(column) >= lit(lo) && col(column) <= lit(hi))
+    val (pruned, flat) = pruneFilesByDir(spark, path, c.dirs,
+      Map(column -> ColumnBounds(Some(lo), Some(hi))))
+    readPruned(spark, path, pruned, flat, Some(v))
+      .where(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   // ---- per-file bloom sidecars (point lookups on UNCLUSTERED columns) --
@@ -479,7 +556,14 @@ object LakeTable {
     val base = pointCandidateFiles(spark, path, column, value, Some(v)) match {
       case Some(files) if files.isEmpty => read(spark, path, Some(v)).limit(0)
       case Some(files) => spark.read.option("mergeSchema", "true").parquet(files: _*)
-      case None => read(spark, path, Some(v))
+      case None =>
+        // Partition-encoded layout: no bloom tier, but stats +
+        // partition-value pruning still apply (basePath read keeps
+        // the partition columns).
+        val c = readCommit(spark, path, v)
+        val (pruned, flat) = pruneFilesByDir(spark, path, c.dirs,
+          Map(column -> ColumnBounds(Some(value), Some(value))))
+        readPruned(spark, path, pruned, flat, Some(v))
     }
     base.where(col(column) === lit(value))
   }
@@ -730,8 +814,18 @@ object LakeTable {
     val v = version.orElse(currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val c = readCommit(spark, path, v)
-    val dirs = c.dirs.map(d => new Path(path, d).toString)
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    readDirs(spark, path, c.dirs)
+  }
+
+  /** True iff the group dir holds at least one parquet file (a
+    * schema-only create writes an EMPTY group).
+    */
+  private def hasParquet(spark: SparkSession, dirPath: Path): Boolean = {
+    val fs = fsOf(spark, dirPath)
+    if (!fs.exists(dirPath)) return false
+    val it = fs.listFiles(dirPath, true)
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) return true
+    false
   }
 
   /** Change data feed between two snapshots (the Delta-CDF / Iceberg
@@ -954,14 +1048,13 @@ object LakeTable {
       bounds: Map[String, ColumnBounds]): (Seq[String], Seq[String]) = {
     if (bounds.isEmpty || bounds.values.forall(b => b.lo.isEmpty && b.hi.isEmpty))
       return (dirs, Nil)
-    val touched = Seq.newBuilder[String]; val untouched = Seq.newBuilder[String]
-    dirs.foreach { d =>
-      pruneFiles(spark, path, Seq(d), bounds) match {
-        case Some(files) if files.isEmpty => untouched += d
-        case _ => touched += d
-      }
-    }
-    (touched.result(), untouched.result())
+    // Only the keep/empty DECISION is needed here, so partition-encoded
+    // groups prune too: their `col=value` subdir names are exact bounds
+    // (a DELETE on a partition predicate rewrites only the groups that
+    // contain matching partitions).
+    val (pruned, _) = pruneFilesByDir(spark, path, dirs, bounds)
+    val (touched, untouched) = pruned.partition(_.kept.nonEmpty)
+    (touched.map(_.dir), untouched.map(_.dir))
   }
 
   /** min/max of the mutation source's key columns — the bounds a keyed
@@ -1068,9 +1161,26 @@ object LakeTable {
       .groupBy(_._1).view.mapValues(_.map(_._2).reduce(tighter(_, _))).toMap
   }
 
-  private def readDirs(spark: SparkSession, path: String, dirs: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(dirs.map(d => new Path(path, d).toString): _*)
+  /** Snapshot-subset read. Partitioned layouts with MULTIPLE groups
+    * cannot go through one multi-root parquet read — Spark's partition
+    * discovery requires a single base path (CONFLICTING_DIRECTORY_
+    * STRUCTURES otherwise) — so each group reads under its own
+    * `basePath` and the groups union by name (schema evolution via
+    * allowMissingColumns, same contract as mergeSchema). Empty groups
+    * (a schema-only create) contribute nothing.
+    */
+  private def readDirs(spark: SparkSession, path: String, dirs: Seq[String]): DataFrame = {
+    val paths = dirs.map(d => new Path(path, d).toString)
+    if (paths.length <= 1 || tablePartitioning(spark, path).isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    else {
+      val nonEmpty = paths.filter(p => hasParquet(spark, new Path(p)))
+      if (nonEmpty.isEmpty) spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      else nonEmpty.map { p =>
+        spark.read.option("mergeSchema", "true").option("basePath", p).parquet(p)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
 
   /** MERGE INTO (copy-on-write upsert): rows of `source` replace
     * target rows with the same `key`; unmatched source rows insert.

@@ -40,4 +40,52 @@ object Glue {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Parquet V2 scan builder over EXPLICIT partition metadata — the
+    * Hive-conversion pattern (CatalogFileIndex): Spark's own partition
+    * DISCOVERY requires all partitioned files to share one base path,
+    * which a multi-file-group lakehouse table cannot satisfy, so the
+    * caller supplies the (partition values → leaf dir) spec it already
+    * knows from its layout and discovery is skipped entirely. Returns
+    * a ScanBuilder identical in capability to ParquetTable's
+    * (pushdown, pruning, vectorized read, partition pruning against
+    * the provided spec).
+    *
+    * `leaves`: (partition values matching partitionSchema order, leaf
+    * dir) — raw string values, cast here; None = null partition.
+    */
+  def partitionedParquetScanBuilder(
+      spark: org.apache.spark.sql.SparkSession,
+      leaves: Seq[(Seq[Option[String]], org.apache.hadoop.fs.Path)],
+      partitionSchema: org.apache.spark.sql.types.StructType,
+      fullSchema: org.apache.spark.sql.types.StructType,
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionPath, PartitionSpec}
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+    import org.apache.spark.sql.types.{StringType, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val tz = classic.sessionState.conf.sessionLocalTimeZone
+    val dataSchema = StructType(
+      fullSchema.filterNot(f => partitionSchema.fieldNames.contains(f.name)))
+    val paths = leaves.map { case (values, dir) =>
+      val row = InternalRow.fromSeq(values.zip(partitionSchema.fields).map {
+        case (None, _) => null
+        case (Some(raw), f) =>
+          Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
+            Some(tz)).eval(null)
+      })
+      PartitionPath(row, dir)
+    }
+    val index = new InMemoryFileIndex(classic, paths.map(_.path),
+      Map("mergeSchema" -> "true"), Some(dataSchema),
+      FileStatusCache.getOrCreate(classic),
+      Some(PartitionSpec(partitionSchema, paths)), None)
+    ParquetScanBuilder(classic, index, fullSchema, dataSchema, options)
+  }
 }

@@ -241,6 +241,42 @@ class LakeTableSpec extends AnyFunSuite {
     assert(pruned < all, s"partition pruning lost after DML: $pruned vs $all")
   }
 
+  test("partition values prune DML groups and point/range reads (no footer stats needed)") {
+    val p = s"$root/part_prune"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    def batch(lo: Int, hi: Int, g: String) =
+      spark.range(lo, hi).toDF("k").withColumn("g", lit(g))
+    // Two partitioned groups with DISJOINT partition values.
+    LakeTable.create(spark, p, batch(0, 50, "a").union(batch(50, 100, "b")),
+      partitionBy = Seq("g"))
+    LakeTable.append(spark, p, batch(100, 150, "c").union(batch(150, 200, "d")),
+      partitionBy = Seq("g"))
+    val before = LakeTable.readCommit(spark, p,
+      LakeTable.currentVersion(spark, p).get)
+    // DELETE on the PARTITION column: only the group holding g='a'
+    // can match; the c/d group must carry forward verbatim.
+    LakeTable.delete(spark, p, col("g") === "a")
+    val after = LakeTable.readCommit(spark, p,
+      LakeTable.currentVersion(spark, p).get)
+    assert(after.dirs.contains(before.dirs.last),
+      s"partition-value pruning failed: ${before.dirs.last} was rewritten (${after.dirs})")
+    assert(!after.dirs.contains(before.dirs.head), "touched group must rewrite")
+    assert(LakeTable.read(spark, p).count() === 150)
+    assert(LakeTable.read(spark, p).where(col("g") === "a").count() === 0)
+    // Point read on the partition column: partition columns are
+    // recovered (basePath) and only matching-partition files open.
+    val pointDf = LakeTable.readPoint(spark, p, "g", "c")
+    assert(pointDf.count() === 50)
+    assert(pointDf.select(min("k"), max("k")).as[(Long, Long)].head() === ((100L, 149L)))
+    val opened = pointDf.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(opened.forall(_.contains("g=c")), s"opened non-matching files: ${opened.toSeq}")
+    // Range read on the DATA column still prunes by footer stats
+    // inside partitioned groups and keeps the partition column.
+    val r = LakeTable.readRange(spark, p, "k", 160, 170)
+    assert(r.count() === 11)
+    assert(r.select("g").distinct().as[String].collect().toSeq === Seq("d"))
+  }
+
   test("property: random granular-DML sequences equal the in-memory model (pruning never loses rows)") {
     // The granular rewrite has many paths (touched/untouched splits,
     // metadata-only no-ops, bound extraction, partial groups). Drive a
@@ -416,6 +452,33 @@ class LakeTableSpec extends AnyFunSuite {
     val all = spark.sql("SELECT * FROM graft_cat.pdb.pt")
       .select(input_file_name()).distinct().count()
     assert(pruned < all, s"partitioned INSERT not pruned: $pruned vs $all")
+  }
+
+  test("catalog SQL: a MULTI-GROUP partitioned table scans as one plan with partition pruning") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.pdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.pdb.ptm")
+    spark.sql("CREATE TABLE graft_cat.pdb.ptm (id BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.range(40).selectExpr("id", "CAST(id % 4 AS STRING) AS g")
+      .createOrReplaceTempView("ptm_src1")
+    spark.range(40, 80).selectExpr("id", "CAST(id % 4 AS STRING) AS g")
+      .createOrReplaceTempView("ptm_src2")
+    // Two separate INSERTs = two partitioned file groups: Spark's own
+    // partition discovery cannot span them (single-base-path limit) —
+    // the explicit-PartitionSpec index makes it one scan.
+    spark.sql("INSERT INTO graft_cat.pdb.ptm SELECT id, g FROM ptm_src1")
+    spark.sql("INSERT INTO graft_cat.pdb.ptm SELECT id, g FROM ptm_src2")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.pdb.ptm").as[Long].head() === 80L)
+    val df = spark.sql("SELECT * FROM graft_cat.pdb.ptm WHERE g = '2'")
+    assert(df.count() === 20)
+    // Partition pruning: only g=2 leaf dirs open, across BOTH groups.
+    val opened = df.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(opened.nonEmpty && opened.forall(_.contains("g=2")), opened.toSeq.toString)
+    assert(opened.map(_.replaceAll("/g=.*", "")).distinct.length === 2,
+      s"expected files from both groups: ${opened.toSeq}")
+    // The API read path unions the groups under per-dir basePaths.
+    val root = GraftSession.catalogRoot + "/pdb/ptm"
+    assert(LakeTable.read(spark, root).count() === 80)
+    assert(LakeTable.read(spark, root).where(col("g") === "3").count() === 20)
   }
 
   test("catalog SQL: DELETE FROM routes through granular COW delete") {

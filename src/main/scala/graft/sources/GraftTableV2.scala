@@ -35,12 +35,97 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class GraftTable(path: String, version: Option[Long],
     providedSchema: Option[StructType]) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   private def spark: SparkSession = SparkSession.active
 
   /** Root path of the backing LakeTable (for the row-level SQL rule). */
   private[graft] def tablePath: String = path
+
+  // ---- partition management (SHOW PARTITIONS / ALTER TABLE DROP
+  // PARTITION). Partitions here are IMPLICIT — they exist exactly
+  // where data exists (the Hive-style layout LakeTable writes) — so
+  // listing enumerates the snapshot's leaf dirs, dropping routes into
+  // the granular COW delete (time travel keeps the dropped data), and
+  // creating standalone empty partitions is meaningless by design.
+
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private def partitionCols: Seq[String] = LakeTable.tablePartitioning(spark, path)
+
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+
+  override def partitionSchema(): StructType =
+    StructType(partitionCols.map(c => schema()(c)))
+
+  /** Partition values of every leaf dir in the current snapshot (one
+    * row per distinct partition tuple across all file groups).
+    */
+  private def partitionRows(): Seq[(Seq[Option[String]], InternalRow)] = {
+    val pSchema = partitionSchema()
+    val v = version.orElse(LakeTable.currentVersion(spark, path))
+      .getOrElse(return Nil)
+    val c = LakeTable.readCommit(spark, path, v)
+    LakeTable.partitionLeaves(spark,
+        c.dirs.map(d => new org.apache.hadoop.fs.Path(path, d).toString),
+        partitionCols)
+      .map(_._1).distinct
+      .map { values =>
+        values -> InternalRow.fromSeq(values.zip(pSchema.fields).map {
+          case (None, _) => null
+          case (Some(raw), f) =>
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+                org.apache.spark.sql.types.StringType),
+              f.dataType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+        })
+      }
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val pSchema = partitionSchema()
+    val idx = names.map(n => pSchema.fieldIndex(n))
+    partitionRows().map(_._2).filter { row =>
+      idx.zipWithIndex.forall { case (fi, ii) =>
+        val want = ident.get(ii, pSchema(fi).dataType)
+        val have = row.get(fi, pSchema(fi).dataType)
+        want == have || (want != null && want.equals(have))
+      }
+    }.toArray
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pSchema = partitionSchema()
+    if (!partitionExists(ident)) return false
+    val pred = pSchema.fields.zipWithIndex.map { case (f, i) =>
+      if (ident.isNullAt(i)) col(f.name).isNull
+      else col(f.name) === lit(ident.get(i, f.dataType) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => other
+      })
+    }.reduceOption(_ && _).getOrElse(lit(false))
+    LakeTable.delete(spark, path, pred)
+    true
+  }
+
+  override def createPartition(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions are implicit: they appear when data is written " +
+        "(INSERT with the partition value) and vanish when none remains")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graft partitions carry no metadata")
+
+  override def loadPartitionMetadata(ident: InternalRow): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
 
   // ---- SQL DELETE FROM (DSv2 SupportsDeleteV2) ----------------------
   // Converts the pushed V2 predicates back to Columns and routes them
@@ -188,41 +273,6 @@ final class GraftScanBuilder(spark: SparkSession, path: String, dirs: Seq[String
 
   private val partCols = LakeTable.tablePartitioning(spark, path)
 
-  /** Enumerate (partition values, leaf dir) across the group dirs —
-    * the spec [[org.apache.spark.sql.graftglue.Glue.partitionedParquetScanBuilder]]
-    * needs, since Spark cannot DISCOVER partitions across multiple
-    * file-group roots (single-base-path limitation).
-    */
-  private def partitionLeaves(paths: Seq[String]): Seq[(Seq[Option[String]], Path)] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val seen = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Option[String]], Path)]
-    paths.foreach { p =>
-      val dirPath = new Path(p)
-      val fs = dirPath.getFileSystem(conf)
-      if (fs.exists(dirPath)) {
-        val base = fs.makeQualified(dirPath).toString
-        val it = fs.listFiles(dirPath, true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) {
-            val parent = fs.makeQualified(f.getPath.getParent)
-            if (!seen.contains(parent.toString)) {
-              val kvs = parent.toString.stripPrefix(base).stripPrefix("/")
-                .split("/").filter(_.contains("=")).map { seg =>
-                  val i = seg.indexOf('=')
-                  val raw = LakeTable.unescapePath(seg.substring(i + 1))
-                  seg.substring(0, i) ->
-                    (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
-                }.toMap
-              seen(parent.toString) = (partCols.map(kvs.getOrElse(_, None)), parent)
-            }
-          }
-        }
-      }
-    }
-    seen.values.toSeq
-  }
-
   private def mkInner(paths: Seq[String])
       : org.apache.spark.sql.connector.read.ScanBuilder
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -234,7 +284,8 @@ final class GraftScanBuilder(spark: SparkSession, path: String, dirs: Seq[String
       import org.apache.spark.sql.types.StructType
       val partSchema = StructType(partCols.map(c => schema(c)))
       org.apache.spark.sql.graftglue.Glue.partitionedParquetScanBuilder(
-        spark, partitionLeaves(paths), partSchema, schema, options)
+        spark, LakeTable.partitionLeaves(spark, paths, partCols), partSchema,
+        schema, options)
     }
 
   // The probe builder answers the pushdown negotiation (which filters

@@ -33,9 +33,20 @@ final class LakeMicroBatchStream(spark: SparkSession, path: String,
   private def current: Long = LakeTable.currentVersion(spark, path)
     .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
 
-  private def innerBatch(dirPaths: Seq[String]): Batch =
-    ParquetTable(s"graft.`$path`", spark, options, dirPaths, Some(schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
+  private def innerBatch(dirPaths: Seq[String]): Batch = {
+    val partCols = LakeTable.tablePartitioning(spark, path)
+    if (partCols.isEmpty)
+      ParquetTable(s"graft.`$path`", spark, options, dirPaths, Some(schema),
+        classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
+    else {
+      // Partitioned groups: explicit PartitionSpec (a micro-batch can
+      // span several group roots — discovery would reject that).
+      val partSchema = StructType(partCols.map(c => schema(c)))
+      org.apache.spark.sql.graftglue.Glue.partitionedParquetScanBuilder(
+        spark, LakeTable.partitionLeaves(spark, dirPaths, partCols), partSchema,
+        schema, options).build().toBatch
+    }
+  }
 
   /** Dirs the commits in (fromExclusive, toInclusive] added, with the
     * append-only contract enforced per commit.

@@ -411,6 +411,43 @@ object LakeTable {
     (out, flat)
   }
 
+  /** Enumerate (partition values, leaf dir) across group dirs — the
+    * explicit PartitionSpec a cross-group partitioned scan needs
+    * (Spark cannot DISCOVER partitions across multiple file-group
+    * roots; see Glue.partitionedParquetScanBuilder). Values follow
+    * `partCols` order; None = null partition.
+    */
+  private[graft] def partitionLeaves(spark: SparkSession, dirPaths: Seq[String],
+      partCols: Seq[String]): Seq[(Seq[Option[String]], Path)] = {
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Seq[Option[String]], Path)]
+    dirPaths.foreach { p =>
+      val dirPath = new Path(p)
+      val fs = fsOf(spark, dirPath)
+      if (fs.exists(dirPath)) {
+        val base = fs.makeQualified(dirPath).toString
+        val it = fs.listFiles(dirPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) {
+            val parent = fs.makeQualified(f.getPath.getParent)
+            if (!seen.contains(parent.toString)) {
+              val kvs = parent.toString.stripPrefix(base).stripPrefix("/")
+                .split("/").filter(_.contains("=")).map { seg =>
+                  val i = seg.indexOf('=')
+                  val raw = unescapePath(seg.substring(i + 1))
+                  seg.substring(0, i) ->
+                    (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+                }.toMap
+              seen(parent.toString) = (partCols.map(kvs.getOrElse(_, None)), parent)
+            }
+          }
+        }
+      }
+    }
+    seen.values.toSeq
+  }
+
   /** Flat-layout file pruning (see [[pruneFilesByDir]]); None when the
     * layout is partition-encoded and a bare file list would lose the
     * partition columns.

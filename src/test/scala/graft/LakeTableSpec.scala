@@ -481,6 +481,48 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, root).where(col("g") === "3").count() === 20)
   }
 
+  test("catalog SQL: SHOW PARTITIONS lists live partitions; DROP PARTITION deletes granularly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.pdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.pdb.ptp")
+    spark.sql("CREATE TABLE graft_cat.pdb.ptp (id BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.range(30).selectExpr("id", "CAST(id % 3 AS STRING) AS g")
+      .createOrReplaceTempView("ptp_src")
+    spark.sql("INSERT INTO graft_cat.pdb.ptp SELECT id, g FROM ptp_src")
+    val parts = spark.sql("SHOW PARTITIONS graft_cat.pdb.ptp")
+      .as[String].collect().toSeq.sorted
+    assert(parts === Seq("g=0", "g=1", "g=2"))
+    spark.sql("ALTER TABLE graft_cat.pdb.ptp DROP PARTITION (g='1')")
+    assert(spark.sql("SHOW PARTITIONS graft_cat.pdb.ptp")
+      .as[String].collect().toSeq.sorted === Seq("g=0", "g=2"))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.pdb.ptp").as[Long].head() === 20L)
+    // Time travel still sees the dropped partition (COW, not purge).
+    val root = GraftSession.catalogRoot + "/pdb/ptp"
+    val vPrev = LakeTable.currentVersion(spark, root).get - 1
+    assert(LakeTable.read(spark, root, Some(vPrev))
+      .where(col("g") === "1").count() === 10)
+  }
+
+  test("commit-log stream over a PARTITIONED table carries partition columns across groups") {
+    val p = s"$root/part_stream"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    def batch(lo: Int, hi: Int, g: String) =
+      spark.range(lo, hi).toDF("k").withColumn("g", lit(g))
+    LakeTable.create(spark, p, batch(0, 10, "a"), partitionBy = Seq("g"))
+    LakeTable.append(spark, p, batch(10, 30, "b"), partitionBy = Seq("g"))
+    LakeTable.append(spark, p, batch(30, 60, "c"), partitionBy = Seq("g"))
+    val out = s"$root/part_stream_out"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+    val q = spark.readStream.format("graft").load(p)
+      .groupBy("g").count()
+      .writeStream.format("memory").queryName("part_stream_sink")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("part_stream_sink")
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("a", 10L), ("b", 20L), ("c", 30L)))
+  }
+
   test("catalog SQL: DELETE FROM routes through granular COW delete") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ddb")
     spark.sql("DROP TABLE IF EXISTS graft_cat.ddb.t")

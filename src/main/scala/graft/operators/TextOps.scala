@@ -412,5 +412,89 @@ object TextOps {
              |FROM documents d JOIN rates r ON d.lang = r.lang
              |WHERE (d.doc_id * 2654435761) % 4294967296 < r.keep_below
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // D29: BM25 relevance scoring (Okapi BM25, the corpus-search /
+    // quality-weighting primitive): score every document against a
+    // query term set. Scale shape: the corpus tokenizes map-side and
+    // the explode is filtered to the query terms IMMEDIATELY — only
+    // (doc_id, dl, matched-term) rows ever shuffle, so cost tracks
+    // matches, not vocabulary; df/idf and the (N, avgdl) scalars are
+    // tiny broadcast sides. BM25+ idf (ln(1 + ...)) keeps scores
+    // positive at any df.
+    Q("q_text_bm25",
+      (s, d) => {
+        val terms = Seq("vector", "merge", "window")
+        val (k1, b) = (1.2, 0.75)
+        val docs = t(s, d, "documents").select("doc_id", "text")
+          .withColumn("toks",
+            filter(split(lower(col("text")), " "), x => x =!= ""))
+          .withColumn("dl", size(col("toks")))
+        val stats = docs.agg(
+          count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+          .where(col("term").isin(terms: _*))
+          .groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val df = tf.groupBy("term")
+          .agg(count_distinct(col("doc_id")).cast("double").as("df"))
+        tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+          .withColumn("contrib",
+            col("idf") * col("tf") * (lit(k1) + 1) /
+              (col("tf") + lit(k1) *
+                (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(round(sum("contrib") + lit(1e-9), 4).as("bm25"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl,
+             |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM docs),
+             |tf AS (
+             |  SELECT doc_id, dl, t AS term, count(*)::DOUBLE AS tf
+             |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM docs)
+             |  WHERE t IN ('vector', 'merge', 'window')
+             |  GROUP BY 1, 2, 3),
+             |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1)
+             |SELECT doc_id, round(sum(
+             |  ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) * tf * (1.2 + 1) /
+             |  (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) + 1e-9, 4) AS bm25
+             |FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // D30: deterministic stratified sampling — EXACTLY k docs per
+    // language, chosen by smallest multiplicative hash (a seeded,
+    // layout-independent permutation of doc_id, the q_corpus_mix
+    // device), selected through the bounded-heap TopKPerGroup operator
+    // instead of a per-language window sort: ≤ k rows shuffle per
+    // (language, partition), so drawing a 10k-doc eval sample from a
+    // 100 TB corpus never routes a language's whole corpus through one
+    // reducer. The oracle re-derives the identical sample via
+    // row_number, pinning sample MEMBERSHIP (min doc_id + char sum),
+    // not just size.
+    Q("q_corpus_sample",
+      (s, d) => {
+        val hashed = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          // negate: TopKPerGroup keeps LARGEST orderCol; we want smallest hash
+          .withColumn("nh",
+            -pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).cast("double"))
+        graft.plans.TopK.perGroup(hashed, Seq("lang"), "nh", "doc_id", 20)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sampled_chars"),
+            min("doc_id").as("first_doc"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sampled_chars,
+             |min(doc_id) AS first_doc
+             |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+             |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+             |      FROM documents)
+             |WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -278,4 +278,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("batchevalpython"), p.take(2000))
     assert(!p.contains("UDF("), s"vector conversion must use array_to_vector, not a UDF:\n${p.take(3000)}")
   }
+
+  test("q_text_bm25: df/stats broadcast; document text never reaches an exchange") {
+    val p = planOf("q_text_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // Every Exchange's output column list must be free of the raw text
+    // and token-array columns — only (doc_id, dl, term, partials) move.
+    "Exchange[^\\n]*".r.findAllIn(p).foreach { line =>
+      assert(!line.contains("text") && !line.contains("toks"),
+        s"corpus text shuffled:\n$line")
+    }
+  }
+
+  test("q_corpus_sample selects through the bounded-heap TopK operator, not a Window") {
+    val p = planOf("q_corpus_sample")
+    assert(p.contains("LocalTopK") && p.contains("FinalTopK"), p.take(2000))
+    assert(!p.contains("Window"), s"sampling fell back to a window sort:\n${p.take(2000)}")
+  }
 }

@@ -105,10 +105,10 @@ final class GraftTable(path: String, version: Option[Long],
     if (!partitionExists(ident)) return false
     val pred = pSchema.fields.zipWithIndex.map { case (f, i) =>
       if (ident.isNullAt(i)) col(f.name).isNull
-      else col(f.name) === lit(ident.get(i, f.dataType) match {
-        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-        case other => other
-      })
+      else col(f.name) === lit(
+        // internal → external (UTF8String → String, days-int → Date, …)
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(ident.get(i, f.dataType), f.dataType))
     }.reduceOption(_ && _).getOrElse(lit(false))
     LakeTable.delete(spark, path, pred)
     true

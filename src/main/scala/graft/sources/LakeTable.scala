@@ -307,12 +307,35 @@ object LakeTable {
   /** Inclusive conjunctive bounds on one column; None = unbounded. */
   final case class ColumnBounds(lo: Option[Any], hi: Option[Any])
 
-  /** One group dir's pruning outcome: the dir (as named in the
-    * commit), its qualified base path (a valid `basePath` read
-    * option), and the files whose stats/partition values intersect
-    * the bounds.
+  /** A commit entry may name a whole file-group dir (`d3-ab12`) or —
+    * after a partition-granular DML — a partition SUBDIR of one
+    * (`d3-ab12/g=en`). The group root is the entry minus its trailing
+    * `col=value` segments; it anchors the stats sidecar, the
+    * `basePath` option (so reads recover partition columns), and
+    * vacuum's referenced-dir check. Group dir names (`dN-uuid`) never
+    * contain '=', and Hive-escaping (%3D) keeps '=' out of encoded
+    * partition values, so the strip is unambiguous.
     */
-  private[graft] final case class PrunedDir(dir: String, base: String, kept: Seq[String])
+  private[graft] def groupRoot(entry: String): String = {
+    val segs = entry.split("/")
+    segs.reverse.dropWhile(_.contains("=")).reverse.mkString("/")
+  }
+
+  /** One data file's pruning outcome: its path, the finest commit
+    * entry that could carry it (its partition leaf dir — the entry
+    * itself for flat files), and whether its stats/partition values
+    * intersect the bounds.
+    */
+  private[graft] final case class PrunedFile(file: String, leaf: String, kept: Boolean)
+
+  /** One commit entry's pruning outcome: the entry (as named in the
+    * commit), the qualified GROUP ROOT path (a valid `basePath` read
+    * option), and its files' outcomes.
+    */
+  private[graft] final case class PrunedDir(dir: String, base: String,
+      files: Seq[PrunedFile]) {
+    def kept: Seq[String] = files.collect { case f if f.kept => f.file }
+  }
 
   /** Hive-style path unescape (`%xx` sequences, the encoding Spark
     * writes into partition dir names).
@@ -347,10 +370,12 @@ object LakeTable {
       bounds: Map[String, ColumnBounds]): (Seq[PrunedDir], Boolean) = {
     var flat = true
     val out = dirs.map { d =>
-      val dirPath = new Path(path, d)
+      val dirPath = new Path(path, d) // the entry (maybe a partition subdir)
+      val root = groupRoot(d)
+      val rootPath = new Path(path, root)
       val fs = fsOf(spark, dirPath)
-      val statsPath = new Path(dirPath, StatsFile)
-      // (file, column) -> (kind, min, max)
+      val statsPath = new Path(rootPath, StatsFile)
+      // (file, column) -> (kind, min, max) — rels are group-root-relative
       val stats: Map[(String, String), (Char, String, String)] =
         if (!fs.exists(statsPath)) Map.empty
         else {
@@ -360,8 +385,8 @@ object LakeTable {
             .filter(_.length == 5)
             .map(a => (dec(a(0)), dec(a(1))) -> (a(2).head, dec(a(3)), dec(a(4)))).toMap
         }
-      val base = fs.makeQualified(dirPath).toString
-      val keep = Seq.newBuilder[String]
+      val base = fs.makeQualified(rootPath).toString
+      val acc = Seq.newBuilder[PrunedFile]
       val it = fs.listFiles(dirPath, true)
       while (it.hasNext) {
         val f = it.next()
@@ -403,10 +428,13 @@ object LakeTable {
               case _ => true // no stats: must read it
             })
           }
-          if (overlaps) keep += f.getPath.toString
+          val leaf =
+            if (!rel.contains("/")) d
+            else root + "/" + rel.substring(0, rel.lastIndexOf('/'))
+          acc += PrunedFile(f.getPath.toString, leaf, overlaps)
         }
       }
-      PrunedDir(d, base, keep.result())
+      PrunedDir(d, base, acc.result())
     }
     (out, flat)
   }
@@ -425,7 +453,9 @@ object LakeTable {
       val dirPath = new Path(p)
       val fs = fsOf(spark, dirPath)
       if (fs.exists(dirPath)) {
-        val base = fs.makeQualified(dirPath).toString
+        // Partition values parse relative to the GROUP ROOT, so a
+        // subdir entry (…/d0/g=b) still yields its k=v segments.
+        val base = fs.makeQualified(new Path(groupRoot(p))).toString
         val it = fs.listFiles(dirPath, true)
         while (it.hasNext) {
           val f = it.next()
@@ -1086,12 +1116,26 @@ object LakeTable {
     if (bounds.isEmpty || bounds.values.forall(b => b.lo.isEmpty && b.hi.isEmpty))
       return (dirs, Nil)
     // Only the keep/empty DECISION is needed here, so partition-encoded
-    // groups prune too: their `col=value` subdir names are exact bounds
-    // (a DELETE on a partition predicate rewrites only the groups that
-    // contain matching partitions).
+    // groups prune too: their `col=value` subdir names are exact bounds.
+    // A partitioned group where only SOME partitions can match splits
+    // into per-PARTITION entries — the commit carries the untouched
+    // partition subdirs forward verbatim and only matching partitions
+    // feed the rewrite (a DELETE on one partition of a 1000-partition
+    // group moves 1/1000th of it).
     val (pruned, _) = pruneFilesByDir(spark, path, dirs, bounds)
-    val (touched, untouched) = pruned.partition(_.kept.nonEmpty)
-    (touched.map(_.dir), untouched.map(_.dir))
+    val touched = Seq.newBuilder[String]; val untouched = Seq.newBuilder[String]
+    pruned.foreach { pd =>
+      if (!pd.files.exists(_.kept)) untouched += pd.dir
+      else {
+        val leaves = pd.files.groupBy(_.leaf)
+        if (leaves.keySet == Set(pd.dir) || leaves.values.forall(_.exists(_.kept)))
+          touched += pd.dir // flat group, or every partition matches
+        else leaves.toSeq.sortBy(_._1).foreach { case (leaf, fs) =>
+          if (fs.exists(_.kept)) touched += leaf else untouched += leaf
+        }
+      }
+    }
+    (touched.result(), untouched.result())
   }
 
   /** min/max of the mutation source's key columns — the bounds a keyed
@@ -1207,15 +1251,28 @@ object LakeTable {
     * (a schema-only create) contribute nothing.
     */
   private def readDirs(spark: SparkSession, path: String, dirs: Seq[String]): DataFrame = {
-    val paths = dirs.map(d => new Path(path, d).toString)
-    if (paths.length <= 1 || tablePartitioning(spark, path).isEmpty)
-      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val flatEntries = dirs.forall(d => groupRoot(d) == d)
+    if ((dirs.length <= 1 && flatEntries) ||
+        (flatEntries && tablePartitioning(spark, path).isEmpty))
+      spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => new Path(path, d).toString): _*)
     else {
-      val nonEmpty = paths.filter(p => hasParquet(spark, new Path(p)))
-      if (nonEmpty.isEmpty) spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      else nonEmpty.map { p =>
-        spark.read.option("mergeSchema", "true").option("basePath", p).parquet(p)
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      // Partitioned (or subdir-entry) layout: one read per GROUP ROOT
+      // under its basePath — entries of the same group share a scan,
+      // partition columns come back from the paths.
+      val byRoot = dirs.groupBy(groupRoot).toSeq.sortBy(_._1)
+      val reads = byRoot.flatMap { case (root, entries) =>
+        val entryPaths = entries.map(e => new Path(path, e).toString)
+          .filter(p => hasParquet(spark, new Path(p)))
+        if (entryPaths.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .option("basePath", new Path(path, root).toString)
+          .parquet(entryPaths: _*))
+      }
+      if (reads.isEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(d => new Path(path, d).toString): _*)
+      else reads.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
@@ -1545,7 +1602,12 @@ object LakeTable {
     val cur = currentVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val keepVersions = (retainFrom to cur)
-    val keepDirs = keepVersions.flatMap(v => readCommit(spark, path, v).dirs).toSet
+    // Subdir entries (d0/g=b) pin their whole GROUP dir: reclamation is
+    // group-granular — a group frees only when no retained commit
+    // references any slice of it (conservative, like Delta's vacuum
+    // over partially-rewritten files).
+    val keepDirs = keepVersions
+      .flatMap(v => readCommit(spark, path, v).dirs.map(groupRoot)).toSet
     val root = new Path(path)
     val fs = fsOf(spark, root)
     fs.listStatus(root).foreach { st =>

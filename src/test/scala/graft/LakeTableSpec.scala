@@ -277,6 +277,39 @@ class LakeTableSpec extends AnyFunSuite {
     assert(r.select("g").distinct().as[String].collect().toSeq === Seq("d"))
   }
 
+  test("partition-SUBDIR granular DML: untouched partitions of a touched group carry forward as entries") {
+    val p = s"$root/part_subdir"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    // ONE group holding four partitions — the group-granular split
+    // can't skip it, the partition-granular one rewrites 1/4 of it.
+    LakeTable.create(spark, p,
+      spark.range(400).select(($"id" % 100).as("k"), (($"id" / 100).cast("int")).cast("string").as("g"), $"id".as("v")),
+      partitionBy = Seq("g"))
+    LakeTable.delete(spark, p, col("g") === "1" && col("k") < 50)
+    val c = LakeTable.readCommit(spark, p, LakeTable.currentVersion(spark, p).get)
+    // Commit = three untouched partition subdir entries + the rewrite.
+    val subdirEntries = c.dirs.filter(_.contains("="))
+    assert(subdirEntries.toSet.map((e: String) => e.substring(e.indexOf('=') + 1)) === Set("0", "2", "3"),
+      s"expected g=0/2/3 carried as subdir entries: ${c.dirs}")
+    assert(c.dirs.exists(d => !d.contains("=")), s"rewrite group missing: ${c.dirs}")
+    // Data correct, partition column intact.
+    assert(LakeTable.read(spark, p).count() === 350)
+    assert(LakeTable.read(spark, p).where($"g" === "1").count() === 50)
+    assert(LakeTable.read(spark, p).groupBy("g").count().count() === 4)
+    // Second DML over subdir entries: still correct, still granular.
+    LakeTable.update(spark, p, col("g") === "2", Map("v" -> (col("v") + 10000L)))
+    val c2 = LakeTable.readCommit(spark, p, LakeTable.currentVersion(spark, p).get)
+    assert(c2.dirs.exists(_.endsWith("g=0")), s"g=0 must survive verbatim: ${c2.dirs}")
+    assert(LakeTable.read(spark, p).where($"g" === "2" && $"v" >= 10000L).count() === 100)
+    assert(LakeTable.read(spark, p).count() === 350)
+    // Vacuum keeps whole groups any retained commit slices into.
+    LakeTable.vacuum(spark, p, LakeTable.currentVersion(spark, p).get)
+    assert(LakeTable.read(spark, p).count() === 350)
+    // Stats pruning still works through subdir entries (k lives in footers).
+    val few = LakeTable.readRange(spark, p, "k", 10, 12)
+    assert(few.count() === 4 * 3 - 3) // g=1 lost k<50: 3 ks × 4 gs − 3
+  }
+
   test("property: random granular-DML sequences equal the in-memory model (pruning never loses rows)") {
     // The granular rewrite has many paths (touched/untouched splits,
     // metadata-only no-ops, bound extraction, partial groups). Drive a

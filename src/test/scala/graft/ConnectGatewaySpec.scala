@@ -97,4 +97,33 @@ class ConnectGatewaySpec extends AnyFunSuite {
       c1.close(); c2.close()
     } finally org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
   }
+
+  test("remote row-level DML: UPDATE, MERGE INTO, and TRUNCATE run over the wire") {
+    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+    try {
+      val c = new Client
+      // The conf-injected extensions must carry GraftRowLevelSql into
+      // the Connect-spawned session — a remote tenant's UPDATE/MERGE
+      // is the Kyuubi-parity DML path.
+      c.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.gw")
+      c.sql("DROP TABLE IF EXISTS graft_cat.gw.dml")
+      c.sql("CREATE TABLE graft_cat.gw.dml AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(10)")
+      c.sql("UPDATE graft_cat.gw.dml SET v = v + 100 WHERE k >= 5")
+      val afterUpd = c.sql("SELECT round(sum(v), 1) AS s FROM graft_cat.gw.dml")
+      assert(afterUpd.head.getDouble(0) == 545.0, afterUpd) // 0..9 + 5*100
+      c.sql("""MERGE INTO graft_cat.gw.dml AS t
+              |USING (SELECT 3 AS k, 0.0 AS v UNION ALL SELECT 20, 20.0) AS s
+              |ON t.k = s.k
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      val afterMerge = c.sql(
+        "SELECT count(*) AS n, round(sum(v), 1) AS s FROM graft_cat.gw.dml")
+      assert(afterMerge.head.getLong(0) == 10L, afterMerge) // −k=3, +k=20
+      assert(afterMerge.head.getDouble(1) == 545.0 - 3.0 + 20.0, afterMerge)
+      // TRUNCATE rides SupportsDeleteV2's default (deleteWhere(true)).
+      c.sql("TRUNCATE TABLE graft_cat.gw.dml")
+      assert(c.sql("SELECT count(*) AS n FROM graft_cat.gw.dml").head.getLong(0) == 0L)
+      c.close()
+    } finally org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
+  }
 }

@@ -356,6 +356,64 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random granular DML over a PARTITIONED table equals the model (subdir entries included)") {
+    // Same model-equivalence drive as the flat property test, but the
+    // table is partitioned and predicates alternate between the
+    // PARTITION column (exercising partition-value pruning and
+    // subdir-entry splits) and the data column (footer stats through
+    // subdir entries). Every step must leave table == model.
+    val rnd = new scala.util.Random(20260813L)
+    val p = s"$root/prop_dml_part"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    def gOf(k: Long) = (k % 4).toString
+    var model = (0L until 60L).map(k => k -> s"v$k").toMap
+    def df(rows: Seq[(Long, String)]) =
+      rows.toDF("k", "v").withColumn("g", (col("k") % 4).cast("string"))
+    LakeTable.create(spark, p, df(model.toSeq), partitionBy = Seq("g"))
+    for (step <- 1 to 12) {
+      rnd.nextInt(5) match {
+        case 0 => // append
+          val base = 1000L * step
+          val rows = (base until base + rnd.nextInt(6) + 1L).map(k => k -> s"a$k")
+          model ++= rows
+          LakeTable.append(spark, p, df(rows), partitionBy = Seq("g"))
+        case 1 => // keyed merge on the data column
+          val keys = Seq.fill(rnd.nextInt(4) + 1)(
+            if (rnd.nextBoolean()) rnd.nextInt(60).toLong else 1000L + rnd.nextInt(3000))
+          val rows = keys.distinct.map(k => k -> s"m$step-$k")
+          model ++= rows
+          LakeTable.merge(spark, p, df(rows), "k")
+        case 2 => // delete on the PARTITION column (+ data bound half the time)
+          val g = rnd.nextInt(4).toString
+          if (rnd.nextBoolean()) {
+            model = model.filter { case (k, _) => gOf(k) != g }
+            LakeTable.delete(spark, p, col("g") === g)
+          } else {
+            val lo = rnd.nextInt(4000).toLong; val hi = lo + rnd.nextInt(800)
+            model = model.filter { case (k, _) => gOf(k) != g || k < lo || k > hi }
+            LakeTable.delete(spark, p, col("g") === g && col("k") >= lo && col("k") <= hi)
+          }
+        case 3 => // update on the partition column
+          val g = rnd.nextInt(4).toString
+          model = model.map { case (k, v) =>
+            k -> (if (gOf(k) == g) s"u$step" else v) }
+          LakeTable.update(spark, p, col("g") === g, Map("v" -> lit(s"u$step")))
+        case 4 => // bounded delete on the data column only
+          val lo = rnd.nextInt(4000).toLong; val hi = lo + rnd.nextInt(400)
+          model = model.filter { case (k, _) => k < lo || k > hi }
+          LakeTable.delete(spark, p, col("k") >= lo && col("k") <= hi)
+      }
+      val got = LakeTable.read(spark, p).select("k", "v")
+        .as[(Long, String)].collect().toMap
+      assert(got == model, s"divergence at step $step: " +
+        s"extra=${(got.toSet -- model.toSet).take(5)} missing=${(model.toSet -- got.toSet).take(5)}")
+      // Partition column always reconstructs from the layout.
+      val badG = LakeTable.read(spark, p)
+        .where(col("g") =!= (col("k") % 4).cast("string")).count()
+      assert(badG === 0L, s"partition column diverged at step $step")
+    }
+  }
+
   test("DESCRIBE HISTORY lists retained commits newest-first with actions and CDC flags") {
     val p = s"$root/history"
     LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))

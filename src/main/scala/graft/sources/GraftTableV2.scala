@@ -201,7 +201,8 @@ final class GraftTable(path: String, version: Option[Long],
       // BATCH_WRITE routes DataFrameWriter through the V2 plan;
       // V1_BATCH_WRITE tells execution the Write is a V1 fallback.
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = Option(options.get("version")).map(_.toLong).orElse(version)
@@ -215,20 +216,59 @@ final class GraftTable(path: String, version: Option[Long],
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
+      import org.apache.spark.sql.connector.expressions.filter.Predicate
+
       private var overwrite = false
+      // Predicate-scoped INSERT OVERWRITE (static partition mode):
+      // `INSERT OVERWRITE t PARTITION (g='x') ...` arrives as
+      // overwrite([g = 'x']) — routed into overwriteWhere, so only
+      // groups/partitions intersecting the predicate rewrite.
+      private var overwritePred: Option[org.apache.spark.sql.Column] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def canOverwrite(predicates: Array[Predicate]): Boolean =
+        predicates.forall(toColumn(_).isDefined)
+      override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+        val cols = predicates.flatMap(toColumn(_))
+        if (cols.length != predicates.length || cols.isEmpty) overwrite = true
+        else overwritePred = Some(cols.reduce(_ && _))
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
-              val sp = data.sparkSession
+            override def insert(rawData: DataFrame, overwriteFlag: Boolean): Unit = {
+              import org.apache.spark.sql.functions.{col, lit}
+              val sp = rawData.sparkSession
               val exists = LakeTable.currentVersion(sp, path).isDefined
+              // ACCEPT_ANY_SCHEMA means Spark hands the data over
+              // UNALIGNED (a VALUES insert arrives as col1, col2, …
+              // with the statement's literal types). Standard INSERT
+              // contract: when names don't all match the table, align
+              // BY POSITION and cast to the table's column types;
+              // name-matched writes pass through (schema evolution
+              // keeps working by name).
+              val data = if (!exists) rawData else {
+                val tSchema = LakeTable.tableSchema(sp, path)
+                val tNames = tSchema.fieldNames
+                val byName = rawData.columns.forall(c =>
+                  tNames.exists(_.equalsIgnoreCase(c)))
+                if (byName) rawData
+                else if (rawData.columns.length == tNames.length)
+                  rawData.toDF(tNames.toIndexedSeq: _*).select(
+                    tSchema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+                else throw new IllegalArgumentException(
+                  s"cannot align ${rawData.columns.length} written columns to " +
+                    s"table schema ${tNames.mkString("(", ",", ")")} by position or name")
+              }
               // Honor the table's recorded partitioning: an INSERT
               // INTO a PARTITIONED BY table must write partitioned
               // groups, and an INSERT OVERWRITE must keep the layout.
               val parts = if (exists) LakeTable.tablePartitioning(sp, path) else Nil
-              if (overwrite || overwriteFlag || !exists)
+              if (exists && overwritePred.isDefined)
+                LakeTable.overwriteWhere(sp, path, overwritePred.get, data)
+              else if (overwrite || overwriteFlag || !exists)
                 LakeTable.create(sp, path, data, parts)
               else LakeTable.append(sp, path, data, parts)
             }

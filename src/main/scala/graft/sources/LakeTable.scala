@@ -1191,10 +1191,6 @@ object LakeTable {
         case n: Number => Some(n)
         case _ => None
       }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     val eqB = (n: String, v: Any) => n -> ColumnBounds(Some(v), Some(v))
     val loB = (n: String, v: Any) => n -> ColumnBounds(Some(v), None)
     val hiB = (n: String, v: Any) => n -> ColumnBounds(None, Some(v))
@@ -1237,9 +1233,37 @@ object LakeTable {
       }
       ColumnBounds(pick(a.lo, b.lo, wantMax = true), pick(a.hi, b.hi, wantMax = false))
     }
-    conjuncts(condOpt.get)
-      .flatMap(boundOf(_))
-      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(tighter(_, _))).toMap
+    // Disjunction: the sound ENVELOPE — a column bounded on BOTH
+    // branches keeps the wider [min(lo), max(hi)]; bounded on one
+    // branch only → unbounded (rows from the other branch are free).
+    // This is what makes an OR-of-partition-tuples predicate (dynamic
+    // partition overwrite, IN-tuple deletes) still prune.
+    def wider(a: ColumnBounds, b: ColumnBounds): ColumnBounds = {
+      def pick(x: Option[Any], y: Option[Any], wantMax: Boolean): Option[Any] = (x, y) match {
+        case (Some(p: Number), Some(q: Number)) =>
+          if ((p.doubleValue > q.doubleValue) == wantMax) x else y
+        case (Some(p: String), Some(q: String)) => if ((p > q) == wantMax) x else y
+        case _ => None
+      }
+      ColumnBounds(pick(a.lo, b.lo, wantMax = false), pick(a.hi, b.hi, wantMax = true))
+    }
+    def walk(e: Expression): Map[String, ColumnBounds] = e match {
+      case And(l, r) =>
+        val (bl, br) = (walk(l), walk(r))
+        (bl.keySet ++ br.keySet).iterator.map { k =>
+          k -> ((bl.get(k), br.get(k)) match {
+            case (Some(a), Some(b)) => tighter(a, b)
+            case (a, b) => a.orElse(b).get
+          })
+        }.toMap
+      case Or(l, r) =>
+        val (bl, br) = (walk(l), walk(r))
+        bl.keySet.intersect(br.keySet).iterator
+          .map(k => k -> wider(bl(k), br(k)))
+          .filter { case (_, b) => b.lo.nonEmpty || b.hi.nonEmpty }.toMap
+      case other => boundOf(other).toMap
+    }
+    walk(condOpt.get)
   }
 
   /** Snapshot-subset read. Partitioned layouts with MULTIPLE groups

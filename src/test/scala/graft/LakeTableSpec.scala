@@ -572,6 +572,52 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, root).where(col("g") === "3").count() === 20)
   }
 
+  test("catalog SQL: INSERT OVERWRITE — static PARTITION scope and dynamic mode replace granularly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.pdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.pdb.ow")
+    spark.sql("CREATE TABLE graft_cat.pdb.ow (id BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.range(40).selectExpr("id", "CAST(id % 4 AS STRING) AS g")
+      .createOrReplaceTempView("ow_src")
+    spark.sql("INSERT INTO graft_cat.pdb.ow SELECT id, g FROM ow_src")
+    val root = GraftSession.catalogRoot + "/pdb/ow"
+
+    // STATIC partition overwrite: only g='1' is replaced; the other
+    // partitions carry forward (subdir entries — not rewritten).
+    spark.sql("INSERT OVERWRITE graft_cat.pdb.ow PARTITION (g='1') VALUES (100), (101)")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.pdb.ow").as[Long].head() === 32L)
+    assert(spark.sql("SELECT sum(id) FROM graft_cat.pdb.ow WHERE g = '1'")
+      .as[Long].head() === 201L)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.pdb.ow WHERE g = '0'")
+      .as[Long].head() === 10L)
+    val c1 = LakeTable.readCommit(spark, root, LakeTable.currentVersion(spark, root).get)
+    assert(c1.action === "replace", c1.toString)
+    assert(c1.dirs.exists(_.endsWith("g=0")), s"g=0 should ride as a subdir entry: ${c1.dirs}")
+
+    // A range-predicate overwrite through the same path: replace the
+    // slice WHERE g='2' in one atomic commit (replaceWhere semantics).
+    spark.sql("INSERT OVERWRITE graft_cat.pdb.ow PARTITION (g='2') VALUES (200)")
+    val rows = spark.sql("SELECT g, count(*) AS n FROM graft_cat.pdb.ow GROUP BY g ORDER BY g")
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("0", 10L), ("1", 2L), ("2", 1L), ("3", 10L)), rows.toString)
+    // Plain INSERT OVERWRITE (no partition scope) truncates + reloads.
+    spark.sql("INSERT OVERWRITE graft_cat.pdb.ow SELECT id, CAST(id % 2 AS STRING) FROM range(6)")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.pdb.ow").as[Long].head() === 6L)
+    // Dynamic mode needs a native DSv2 BatchWrite (no V1 fallback
+    // exists for OverwritePartitionsDynamic) — it must reject with the
+    // standard capability error, never silently full-overwrite.
+    val old = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft_cat.pdb.ow SELECT id, CAST(id % 2 AS STRING) FROM range(4)")
+      }
+      assert(e.getMessage.contains("dynamic overwrite"), e.getMessage)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("catalog SQL: SHOW PARTITIONS lists live partitions; DROP PARTITION deletes granularly") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.pdb")
     spark.sql("DROP TABLE IF EXISTS graft_cat.pdb.ptp")

@@ -209,6 +209,19 @@ object Clustering {
     * real dedup pipelines run between verification and the keep-rule.
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    clusterLabels(s, d).groupBy("label")
+      .agg(count(lit(1)).cast("long").as("cluster_size"),
+        sort_array(collect_list("id")).as("members"))
+      .where(col("cluster_size") >= 2)
+      .select(col("label").as("cluster_rep"), col("cluster_size"),
+        concat_ws(",", transform(col("members"), _.cast("string"))).as("members"))
+      .orderBy("cluster_rep")
+  }
+
+  /** Min-label propagation to fixpoint: (id, label) for every doc that
+    * appears in a verified near-dup pair (label = min reachable id).
+    */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val edges0 = DedupOps.ngramPairs(s, d, 0.8).select("doc_a", "doc_b")
     // Symmetric edge list including self-loops so isolated members keep labels.
     // localCheckpoint: materialize the (tiny) edge/label sets and cut
@@ -241,12 +254,29 @@ object Clustering {
       labels = next.select("id", "label")
       iter += 1
     }
-    labels.groupBy("label")
-      .agg(count(lit(1)).cast("long").as("cluster_size"),
-        sort_array(collect_list("id")).as("members"))
-      .where(col("cluster_size") >= 2)
-      .select(col("label").as("cluster_rep"), col("cluster_size"),
-        concat_ws(",", transform(col("members"), _.cast("string"))).as("members"))
+    labels
+  }
+
+  /** D31: canonical-copy selection — the step AFTER clustering in a
+    * real dedup pipeline: each near-dup cluster keeps exactly ONE
+    * survivor (the longest copy, min doc_id on ties — "keep the most
+    * complete version") and drops the rest. Selection goes through
+    * the bounded-heap TopK (k=1 per cluster), never a window sort:
+    * at 100 TB a boilerplate cluster with 10⁶ members must not route
+    * through one reducer. Oracle re-derives clusters via the
+    * recursive-CTE closure and the survivor via row_number.
+    */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabels(s, d)
+    val sized = labels.groupBy("label").agg(count(lit(1)).as("csz"))
+      .where(col("csz") >= 2)
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id").as("id"), col("n_chars"))
+    val cand = labels.join(sized, "label").join(docs, "id")
+      .withColumn("len_d", col("n_chars").cast("double"))
+    TopK.perGroup(cand, Seq("label"), "len_d", "id", 1)
+      .select(col("label").as("cluster_rep"), col("id").as("survivor"),
+        col("n_chars").as("survivor_chars"), (col("csz") - 1).as("dropped"))
       .orderBy("cluster_rep")
   }
 
@@ -369,5 +399,26 @@ object Clustering {
           |SELECT label AS cluster_rep, count(*)::BIGINT AS cluster_size,
           |  array_to_string(list_sort(list(id)), ',') AS members
           |FROM lab GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin)),
+
+    // D31: canonical-copy selection (see dedupCanonical) — same
+    // closure as D17, survivor = longest copy (min doc_id tiebreak).
+    Q("q_dedup_canonical", (s, d) => dedupCanonical(s, d),
+      Some(DedupOps.ngramPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          |       UNION SELECT doc_b, doc_a FROM pairs),
+          |reach(a, b) AS (
+          |  SELECT a, a FROM e
+          |  UNION
+          |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+          |lab AS (SELECT a AS id, min(b) AS label FROM reach GROUP BY 1),
+          |ranked AS (
+          |  SELECT l.label, l.id, doc.n_chars,
+          |    row_number() OVER (PARTITION BY l.label
+          |                       ORDER BY doc.n_chars DESC, l.id) AS rn,
+          |    count(*) OVER (PARTITION BY l.label) AS csz
+          |  FROM lab l JOIN documents doc ON l.id = doc.doc_id)
+          |SELECT label AS cluster_rep, id AS survivor,
+          |  n_chars AS survivor_chars, (csz - 1)::BIGINT AS dropped
+          |FROM ranked WHERE rn = 1 AND csz >= 2 ORDER BY 1""".stripMargin)),
   )
 }

@@ -219,5 +219,38 @@ object Events {
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
              |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
              |ORDER BY 1, 2""".stripMargin)),
+
+    // A92: user-journey path analysis (the behavioral-OLAP "top paths"
+    // report): each user's FIRST five events (by time, event_id
+    // tiebreak) form a path string; count users per path. The
+    // first-k selection goes through the bounded-heap TopK on negated
+    // event time (largest -t = earliest), NOT a per-user window sort —
+    // a power user with 10⁷ events contributes 5 rows to the shuffle,
+    // not 10⁷. Path assembly is a per-user sort of ≤ 5 structs.
+    Q("q_event_paths",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("neg_t", -col("ts").cast("double"))
+        val first5 = graft.plans.TopK.perGroup(ev, Seq("user_id"), "neg_t", "event_id", 5)
+        first5.groupBy("user_id")
+          .agg(concat_ws(">",
+            transform(
+              sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type"))).as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("users"))
+          .orderBy(desc("users"), col("path"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |                       ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |p AS (SELECT user_id,
+             |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             |      FROM r WHERE rn <= 5 GROUP BY 1)
+             |SELECT path, count(*)::BIGINT AS users
+             |FROM p GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin)),
   )
 }

@@ -296,4 +296,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LocalTopK") && p.contains("FinalTopK"), p.take(2000))
     assert(!p.contains("Window"), s"sampling fell back to a window sort:\n${p.take(2000)}")
   }
+
+  test("q_event_paths takes first-k events through bounded heaps, not a per-user window") {
+    val p = planOf("q_event_paths")
+    assert(p.contains("LocalTopK") && p.contains("FinalTopK"), p.take(2000))
+    assert(!p.contains("Window"), s"first-k fell back to a window sort:\n${p.take(2000)}")
+  }
 }

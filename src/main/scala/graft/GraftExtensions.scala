@@ -44,5 +44,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hyperplane_sketch", "hyperplane_sketch(array<float>, tables, bits, dim) - LSH bucket keys"),
       (args: Seq[Expression]) =>
         HyperplaneSketch(args(0), intArg(args(1)), intArg(args(2)), intArg(args(3)))))
+
+    // ---- table-valued functions: lakehouse metadata surfaces in pure
+    // SQL (the Delta `DESCRIBE HISTORY` / `table_changes(...)` UX).
+    // The plan is built at resolution time — both read only table
+    // METADATA (commit log) or plan a change-file scan; neither
+    // materializes data eagerly beyond the log.
+    ext.injectTableFunction((FunctionIdentifier("graft_history"),
+      info("graft_history",
+        "graft_history('db.table' | '/table/path') - commit audit log, newest first"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        analyzedPlan(graft.sources.LakeTable.history(spark,
+          resolveTarget(spark, stringArg(args.head))))
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_changes"),
+      info("graft_changes",
+        "graft_changes(target[, fromExclusive[, toInclusive]]) - the CDC feed as a table"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val target = resolveTarget(spark, stringArg(args.head))
+        val from = args.lift(1).map(longArg).getOrElse(-1L)
+        val to = args.lift(2).map(longArg).getOrElse(Long.MinValue)
+        analyzedPlan(graft.sources.LakeTable.readChangeFeed(spark, target, from, to))
+      }))
   }
+
+  private def stringArg(e: Expression): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case s: String => s
+    case other => throw new IllegalArgumentException(
+      s"expected a string literal argument, got $other")
+  }
+
+  private def longArg(e: Expression): Long = e.eval() match {
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal argument, got $other")
+  }
+
+  /** `db.table` resolves under the graft_cat warehouse root; anything
+    * with a '/' is a filesystem path used as-is.
+    */
+  private def resolveTarget(spark: org.apache.spark.sql.SparkSession, s: String): String =
+    if (s.contains("/")) s
+    else {
+      val root = spark.conf.getOption("spark.sql.catalog.graft_cat.root")
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$s' is not a path and no graft_cat catalog root is configured"))
+      (root +: s.split("\\.").toSeq).mkString("/")
+    }
+
+  private def analyzedPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

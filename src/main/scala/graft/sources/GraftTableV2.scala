@@ -302,6 +302,13 @@ final class GraftCdcTable(path: String) extends Table with SupportsRead {
   * filters, column pruning, vectorized read) delegates to Spark's own
   * ParquetScanBuilder, which still sees and applies every filter —
   * skipping only removes files whose stats PROVE no row can match.
+  *
+  * PARTITIONED tables take the explicit-PartitionSpec index instead
+  * (Spark cannot discover partitions across multiple group roots):
+  * there, pruning on partition columns happens natively in the scan
+  * against the supplied spec, and sidecar-stats file skipping is
+  * deliberately not layered on top (the API read paths still apply
+  * it via pruneFilesByDir).
   */
 final class GraftScanBuilder(spark: SparkSession, path: String, dirs: Seq[String],
     schema: StructType, options: CaseInsensitiveStringMap)

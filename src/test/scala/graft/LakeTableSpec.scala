@@ -414,6 +414,35 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL TVFs: graft_history and graft_changes expose log + CDC feed to pure SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.tvf")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.tvf.t")
+    spark.sql("CREATE TABLE graft_cat.tvf.t AS SELECT id AS k, id * 10 AS v FROM range(5)")
+    val root = GraftSession.catalogRoot + "/tvf/t"
+    LakeTable.enableCdc(spark, root, "k")
+    spark.sql("INSERT INTO graft_cat.tvf.t VALUES (100, 1000)")
+    spark.sql("UPDATE graft_cat.tvf.t SET v = 0 WHERE k = 2")
+    // History: newest-first, actions named, by catalog name OR path.
+    // CTAS is two commits: the catalog's empty create + the data append.
+    val hist = spark.sql("SELECT version, action FROM graft_history('tvf.t')")
+      .as[(Long, String)].collect().toSeq
+    assert(hist === Seq((3L, "update"), (2L, "append"), (1L, "append"), (0L, "create")),
+      hist.toString)
+    assert(spark.sql(s"SELECT count(*) FROM graft_history('$root')")
+      .as[Long].head() === 4L)
+    // Change feed: the UPDATE's preimage/postimage + the INSERT.
+    val ch = spark.sql(
+      """SELECT change_type, k, v FROM graft_changes('tvf.t')
+        |ORDER BY _commit_version, change_type, k""".stripMargin)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(ch === Seq(
+      ("insert", 100L, 1000L),
+      ("update_postimage", 2L, 0L), ("update_preimage", 2L, 20L)), ch.toString)
+    // Version-range slice: (2, 3] = the UPDATE's two records only.
+    assert(spark.sql("SELECT count(*) FROM graft_changes('tvf.t', 2, 3)")
+      .as[Long].head() === 2L)
+  }
+
   test("DESCRIBE HISTORY lists retained commits newest-first with actions and CDC flags") {
     val p = s"$root/history"
     LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))

@@ -1276,8 +1276,7 @@ object LakeTable {
     */
   private def readDirs(spark: SparkSession, path: String, dirs: Seq[String]): DataFrame = {
     val flatEntries = dirs.forall(d => groupRoot(d) == d)
-    if ((dirs.length <= 1 && flatEntries) ||
-        (flatEntries && tablePartitioning(spark, path).isEmpty))
+    if (flatEntries && tablePartitioning(spark, path).isEmpty)
       spark.read.option("mergeSchema", "true")
         .parquet(dirs.map(d => new Path(path, d).toString): _*)
     else {
@@ -1293,10 +1292,17 @@ object LakeTable {
           .option("basePath", new Path(path, root).toString)
           .parquet(entryPaths: _*))
       }
-      if (reads.isEmpty)
-        spark.read.option("mergeSchema", "true")
+      if (reads.nonEmpty) reads.reduce(_.unionByName(_, allowMissingColumns = true))
+      else metaSchema(spark, path) match {
+        // A partitioned DDL create writes NO files (partitionBy of an
+        // empty frame emits nothing) — an empty frame with the
+        // recorded schema keeps first-write DML (MERGE-as-insert,
+        // UPDATE no-op) working on the fresh table.
+        case Some(sch) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        case None => spark.read.option("mergeSchema", "true")
           .parquet(dirs.map(d => new Path(path, d).toString): _*)
-      else reads.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
     }
   }
 

@@ -99,6 +99,20 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("first-write DML on an empty PARTITIONED DDL table works (no files yet)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.dml")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.dml.fresh")
+    // A partitioned create writes NO files (partitionBy of an empty
+    // frame emits nothing) — DML must still see the recorded schema.
+    spark.sql("CREATE TABLE graft_cat.dml.fresh (k BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.sql("""MERGE INTO graft_cat.dml.fresh t
+                |USING (SELECT 1L AS k, '1' AS g) s ON t.k = s.k
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft_cat.dml.fresh").count() === 1L)
+    spark.sql("UPDATE graft_cat.dml.fresh SET k = k + 1")
+    assert(spark.sql("SELECT sum(k) FROM graft_cat.dml.fresh").as[Long].head() === 2L)
+  }
+
   test("SQL MERGE is file-group granular: untouched dirs carry forward") {
     val root = GraftSession.catalogRoot + "/dml/mrggran"
     val t = freshTable("mrggran")

@@ -113,6 +113,19 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(k) FROM graft_cat.dml.fresh").as[Long].head() === 2L)
   }
 
+  test("UPDATE/MERGE on non-graft tables keep Spark's standard unsupported error") {
+    // The interception rule must not swallow statements aimed at
+    // tables it doesn't own — Spark's capability error stays intact.
+    val dir = s"${operators.Lakehouse.scratch}/plain_parquet_dml"
+    spark.range(3).toDF("id").write.mode("overwrite").parquet(dir)
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW plain_dml AS SELECT * FROM parquet.`$dir`")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE parquet.`$dir` SET id = 0 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("UPDATE") || e.getMessage.contains("not support")
+      || e.getMessage.contains("UNSUPPORTED"), e.getMessage)
+  }
+
   test("SQL MERGE is file-group granular: untouched dirs carry forward") {
     val root = GraftSession.catalogRoot + "/dml/mrggran"
     val t = freshTable("mrggran")

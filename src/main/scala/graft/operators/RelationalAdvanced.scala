@@ -753,5 +753,150 @@ object RelationalAdvanced {
              |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust WHERE c_acctbal > 0)
              |AND c_custkey NOT IN (SELECT o_custkey FROM orders)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated-min-
+    // over-a-join pattern. The corpus has no partsupp, so the supply
+    // cost is DERIVED: min unit price ever charged per (part,
+    // supplier) pair in lineitem; the winner per part is the supplier
+    // AT the per-part minimum. Cost equality compares doubles both
+    // engines computed from identical inputs with identical
+    // expressions, so the winning set is stable.
+    Q("q_tpch_q2",
+      (s, d) => {
+        val ps = t(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+        val best = ps.groupBy(col("pk").as("bpk")).agg(min("cost").as("mc"))
+        ps.join(best, col("pk") === col("bpk") && col("cost") === col("mc"))
+          .join(t(s, d, "part").select("p_partkey", "p_brand", "p_size"),
+            col("pk") === col("p_partkey"))
+          .where(col("p_size") === 5)
+          .join(t(s, d, "supplier").select("s_suppkey", "s_name", "s_acctbal"),
+            col("sk") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_brand"), col("s_name"),
+            round(col("cost") + lit(1e-9), 2).as("min_cost"))
+          .orderBy("p_partkey", "s_name")
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey AS pk, l_suppkey AS sk,
+             |    min(l_extendedprice / l_quantity) AS cost
+             |  FROM lineitem GROUP BY 1, 2),
+             |best AS (SELECT pk, min(cost) AS mc FROM ps GROUP BY 1)
+             |SELECT p_partkey, p_brand, s_name, round(cost + 1e-9, 2) AS min_cost
+             |FROM ps JOIN best ON ps.pk = best.pk AND ps.cost = best.mc
+             |JOIN part ON ps.pk = p_partkey AND p_size = 5
+             |JOIN supplier ON ps.sk = s_suppkey
+             |ORDER BY p_partkey, s_name""".stripMargin)),
+
+    // TPC-H Q6 (forecasting revenue change): the pure filtered
+    // aggregate — one scan, every predicate pushed, no join, no
+    // shuffle beyond the single partial→final agg.
+    Q("q_tpch_q6",
+      (s, d) => t(s, d, "lineitem")
+        .where(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01" &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(RelationalCore.money(
+          sum(col("l_extendedprice") * col("l_discount"))).as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount) + 0.000001, 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q9 shape (product-type profit): 5-way join, LIKE filter
+    // on part name, profit per (supplier nation, order year). The
+    // corpus lacks ps_supplycost, so cost is modeled as 60% of the
+    // part's retail price per unit — deterministic and engine-neutral.
+    Q("q_tpch_q9",
+      (s, d) => {
+        val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")
+        t(s, d, "lineitem")
+          .join(t(s, d, "part").select("p_partkey", "p_name", "p_retailprice"),
+            col("l_partkey") === col("p_partkey"))
+          .where(col("p_name").like("small%"))
+          .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(RelationalCore.money(sum(profit)).as("sum_profit"))
+          .orderBy(col("nation"), desc("o_year"))
+      },
+      Some("""SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+             |round(sum(l_extendedprice*(1-l_discount)
+             |          - 0.6*p_retailprice*l_quantity) + 0.000001, 2) AS sum_profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin)),
+
+    // TPC-H Q11 shape (important stock): per-part value with a
+    // GLOBAL-scalar HAVING threshold (value > fraction of the total) —
+    // the aggregate-vs-aggregate-of-itself pattern. Value = shipped
+    // price volume by nation-0 suppliers, threshold 0.2% of its total.
+    Q("q_tpch_q11",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .where(col("s_nationkey") === 0)
+          .select(col("l_partkey"), (col("l_extendedprice") * col("l_quantity")).as("val"))
+        val perPart = li.groupBy("l_partkey").agg(sum("val").as("value"))
+        val total = li.agg((sum("val") * 0.002).as("threshold"))
+        perPart.crossJoin(broadcast(total))
+          .where(col("value") > col("threshold"))
+          .select(col("l_partkey").as("ps_partkey"),
+            RelationalCore.money(col("value")).as("value"))
+          .orderBy(desc("value"), col("ps_partkey"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE s_nationkey = 0 GROUP BY 1)
+             |SELECT l_partkey AS ps_partkey,
+             |  round(value + 0.000001, 2) AS value
+             |FROM v
+             |WHERE value > (SELECT sum(value) * 0.002 FROM v)
+             |ORDER BY 2 DESC, 1""".stripMargin)),
+
+    // TPC-H Q20 shape (potential part promotion): nested IN
+    // subqueries with a grouped threshold — suppliers who shipped
+    // more than 80 units of 'small' parts in 1997. The inner part
+    // filter and the grouped quantity threshold mirror Q20's
+    // partsupp/availqty logic over the columns the corpus has.
+    Q("q_tpch_q20",
+      (s, d) => {
+        val smallParts = t(s, d, "part")
+          .where(col("p_name").like("small%")).select("p_partkey")
+        val bigShippers = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+          .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_suppkey")
+          .agg(sum("l_quantity").as("qty"))
+          .where(col("qty") > 80)
+          .select("l_suppkey")
+        t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+          .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .where(col("s_nationkey") < 10)
+          .select("s_name", "s_nationkey")
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, s_nationkey FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem
+             |  WHERE l_partkey IN
+             |    (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+             |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  GROUP BY 1 HAVING sum(l_quantity) > 80)
+             |AND s_nationkey < 10
+             |ORDER BY s_name""".stripMargin)),
   )
 }

@@ -521,5 +521,35 @@ object Extras {
              |SELECT l_orderkey, o_orderdate, o_orderpriority,
              |CAST(rev_dec AS VARCHAR) AS revenue FROM top
              |ORDER BY rev_dec DESC, l_orderkey""".stripMargin)),
+
+    // A98: single-pass table profiling (the ANALYZE / data-quality
+    // sweep every warehouse runs before trusting a table): per-column
+    // row count, non-null count, exact distinct count — ONE scan
+    // computing every column's metrics as one multi-aggregate row
+    // (Spark plans multi-distinct via a single expand, not one scan
+    // per column), then unpivoted to the (column, metrics) report.
+    Q("q_profile",
+      (s, d) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        val aggs = count(lit(1)).as("_rows") +: cols.flatMap { c =>
+          Seq(count(col(c)).as(s"${c}__nn"), count_distinct(col(c)).as(s"${c}__nd"))
+        }
+        val one = Tables(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+        val stacked = cols.map { c =>
+          s"'$c', _rows, ${c}__nn, ${c}__nd"
+        }.mkString(", ")
+        one.selectExpr(
+          s"stack(${cols.length}, $stacked) AS (column_name, n_rows, non_null, n_distinct)")
+          .orderBy("column_name")
+      },
+      Some("""SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+             |  count(o_custkey) AS non_null, count(DISTINCT o_custkey) AS n_distinct FROM orders
+             |UNION ALL SELECT 'o_orderkey', count(*), count(o_orderkey),
+             |  count(DISTINCT o_orderkey) FROM orders
+             |UNION ALL SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+             |  count(DISTINCT o_orderpriority) FROM orders
+             |UNION ALL SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+             |  count(DISTINCT o_orderstatus) FROM orders
+             |ORDER BY 1""".stripMargin)),
   )
 }

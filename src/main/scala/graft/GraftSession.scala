@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Storage-partitioned joins: graft scans report their partition
+      // layout as KeyGroupedPartitioning (GraftStreamableScan), so
+      // same-key partitioned tables join with no exchange.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -402,6 +402,7 @@ final class GraftScanBuilder(spark: SparkSession, path: String, dirs: Seq[String
     // Wrapped so the same Scan serves readStream: batch behavior is
     // delegated untouched; toMicroBatchStream resolves to the
     // commit-log source (LakeStream.scala).
-    new GraftStreamableScan(inner.build(), spark, path, schema, options)
+    new GraftStreamableScan(inner.build(), spark, path, schema, options,
+      org.apache.spark.sql.types.StructType(partCols.map(c => schema(c))))
   }
 }

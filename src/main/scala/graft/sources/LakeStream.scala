@@ -357,12 +357,73 @@ final class GraftCdcScanBuilder(spark: SparkSession, path: String,
   }
 }
 
+/** One storage partition of a graft table as a join-ready input split:
+  * all files sharing a partition tuple, keyed for Spark's
+  * storage-partitioned join machinery. Not a case class, but the
+  * FilePartition unapply still matches it (the parquet reader factory
+  * pattern-matches its input), and HasPartitionKey is what
+  * BatchScanExec groups on.
+  */
+final class GraftKeyedFilePartition(index: Int,
+    files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(index, files)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
 /** Scan wrapper: batch behavior delegates untouched to the inner
   * parquet V2 scan; streaming resolves to the commit-log micro-batch
   * stream above.
+  *
+  * STORAGE-PARTITIONED JOINS (the Iceberg SPJ capability): for a
+  * partitioned table whose partition columns survive column pruning,
+  * the scan reports KeyGroupedPartitioning and regroups the inner
+  * scan's file splits into ONE split per partition tuple — two graft
+  * tables partitioned on the join key then sort-merge-join with NO
+  * exchange on either side (Spark aligns the key-grouped partitions).
+  * Gated on spark.sql.sources.v2.bucketing.enabled (on by default in
+  * GraftSession); when the report is inapplicable the batch stays
+  * exactly the inner scan's. The trade is SPJ's own: one task per
+  * storage partition, so partition sizing governs parallelism.
   */
 final class GraftStreamableScan(val inner: Scan, spark: SparkSession, val path: String,
-    schema: StructType, options: CaseInsensitiveStringMap) extends Scan {
+    schema: StructType, options: CaseInsensitiveStringMap,
+    partSchema: StructType = new StructType()) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  private def spjEnabled: Boolean = partSchema.nonEmpty &&
+    spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
+    partSchema.fieldNames.forall(c => readSchema().fieldNames.contains(c))
+
+  /** Inner splits regrouped per partition tuple (computed once). */
+  private lazy val keyedPartitions: Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val inputs = inner.toBatch.planInputPartitions()
+    val files = inputs.flatMap {
+      case FilePartition(_, fs) => fs
+      case other => throw new IllegalStateException(s"unexpected split $other")
+    }
+    val keyOf = (f: PartitionedFile) =>
+      partSchema.fields.indices.map(i =>
+        f.partitionValues.get(i, partSchema.fields(i).dataType)).toIndexedSeq
+    files.groupBy(keyOf).toSeq.sortBy(_._1.toString).zipWithIndex.map {
+      case ((_, fs), i) =>
+        new GraftKeyedFilePartition(i, fs, fs.head.partitionValues.copy())
+          : org.apache.spark.sql.connector.read.InputPartition
+    }.toArray
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjEnabled)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partSchema.fieldNames.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression),
+        keyedPartitions.length)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
   // Identity delegates to (inner, path): the wrapped ParquetScan is a
   // case class that canonicalizes structurally, and reference equality
   // here would defeat the planner's scan/exchange reuse when one query
@@ -373,7 +434,12 @@ final class GraftStreamableScan(val inner: Scan, spark: SparkSession, val path: 
   }
   override def hashCode(): Int = 31 * inner.hashCode() + path.hashCode
   override def readSchema(): StructType = inner.readSchema()
-  override def toBatch: Batch = inner.toBatch
+  override def toBatch: Batch =
+    if (!spjEnabled) inner.toBatch
+    else new Batch {
+      override def planInputPartitions() = keyedPartitions
+      override def createReaderFactory() = inner.toBatch.createReaderFactory()
+    }
   override def description(): String = inner.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =

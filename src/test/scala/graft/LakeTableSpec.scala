@@ -689,6 +689,33 @@ class LakeTableSpec extends AnyFunSuite {
     assert(rows === Seq(("a", 10L), ("b", 20L), ("c", 30L)))
   }
 
+  test("storage-partitioned join: same-key partitioned tables join with NO exchange") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.spj")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.spj.a")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.spj.b")
+    spark.sql("CREATE TABLE graft_cat.spj.a (id BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.sql("CREATE TABLE graft_cat.spj.b (v BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.range(40).selectExpr("id", "CAST(id % 4 AS STRING) AS g")
+      .createOrReplaceTempView("spj_a")
+    spark.range(20).selectExpr("id AS v", "CAST(id % 4 AS STRING) AS g")
+      .createOrReplaceTempView("spj_b")
+    spark.sql("INSERT INTO graft_cat.spj.a SELECT * FROM spj_a")
+    spark.sql("INSERT INTO graft_cat.spj.b SELECT * FROM spj_b")
+    val joined = spark.sql("""
+      SELECT a.g, a.id, b.v
+      FROM graft_cat.spj.a a JOIN graft_cat.spj.b b ON a.g = b.g""")
+    assert(joined.count() === 4L * 10 * 5) // 4 groups × 10 × 5 rows
+    val plan = joined.queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"storage-partitioned join still shuffles:\n${plan.toString.take(3000)}")
+    assert(plan.toString.contains("SortMergeJoin"), plan.toString.take(2000))
+    // Values stay correct per partition.
+    assert(joined.where(col("g") === "2").count() === 50)
+  }
+
   test("catalog SQL: DELETE FROM routes through granular COW delete") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ddb")
     spark.sql("DROP TABLE IF EXISTS graft_cat.ddb.t")

@@ -365,5 +365,40 @@ object SqlSurface {
              |  FROM customer WHERE c_custkey % 11 = 0)
              |SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal),2) AS bal
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B36: storage-partitioned join end-to-end — both tables
+    // partitioned on the same derived bucket, the join covers the
+    // partition key, so NEITHER side shuffles (KeyGroupedPartitioning
+    // alignment; the no-Exchange plan shape is spec-pinned in
+    // LakeTableSpec). The oracle recomputes the same join unbucketed.
+    Q("q_spj_join",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("spjq_cust_src")
+        t(s, d, "orders").createOrReplaceTempView("spjq_ord_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        s.sql("DROP TABLE IF EXISTS graft_cat.db.spj_cust")
+        s.sql("DROP TABLE IF EXISTS graft_cat.db.spj_ord")
+        s.sql("""CREATE TABLE graft_cat.db.spj_cust
+                |(c_custkey BIGINT, c_acctbal DOUBLE, bucket STRING)
+                |PARTITIONED BY (bucket)""".stripMargin)
+        s.sql("""CREATE TABLE graft_cat.db.spj_ord
+                |(o_custkey BIGINT, o_totalprice DOUBLE, bucket STRING)
+                |PARTITIONED BY (bucket)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.db.spj_cust
+                |SELECT c_custkey, c_acctbal, CAST(c_custkey % 8 AS STRING)
+                |FROM spjq_cust_src""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.db.spj_ord
+                |SELECT o_custkey, o_totalprice, CAST(o_custkey % 8 AS STRING)
+                |FROM spjq_ord_src""".stripMargin)
+        s.sql("""SELECT c.bucket, count(*) AS cnt,
+                |round(sum(o.o_totalprice), 2) AS rev
+                |FROM graft_cat.db.spj_cust c JOIN graft_cat.db.spj_ord o
+                |ON c.bucket = o.bucket AND c.c_custkey = o.o_custkey
+                |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""SELECT CAST(c_custkey % 8 AS VARCHAR) AS bucket, count(*) AS cnt,
+             |round(sum(o_totalprice), 2) AS rev
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -714,6 +714,16 @@ class LakeTableSpec extends AnyFunSuite {
     assert(plan.toString.contains("SortMergeJoin"), plan.toString.take(2000))
     // Values stay correct per partition.
     assert(joined.where(col("g") === "2").count() === 50)
+    // The reported layout also serves aggregation: GROUP BY the
+    // partition key plans with no exchange before the aggregate.
+    val agg = spark.sql(
+      "SELECT g, count(*) AS n, sum(id) AS s FROM graft_cat.spj.a GROUP BY g")
+    val aggShuffles = agg.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(aggShuffles.isEmpty,
+      s"partition-key aggregate still shuffles:\n${agg.queryExecution.executedPlan.toString.take(2000)}")
+    assert(agg.count() === 4L)
   }
 
   test("catalog SQL: DELETE FROM routes through granular COW delete") {

@@ -417,7 +417,9 @@ final class GraftStreamableScan(val inner: Scan, spark: SparkSession, val path: 
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (spjEnabled)
+    // nonEmpty guard: an EMPTY partitioned table must not report a
+    // zero-partition key grouping — stay unknown, the scan is empty.
+    if (spjEnabled && keyedPartitions.nonEmpty)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         partSchema.fieldNames.map(c =>
           org.apache.spark.sql.connector.expressions.Expressions.identity(c)

@@ -40,8 +40,12 @@ object LakeTable {
     * with the commit (None = commit produced no change records —
     * pre-enablement history, layout rewrites, pruned no-ops).
     */
+  /** `txn`: (application id, application version) recorded with the
+    * commit — the idempotent-write marker [[appendOnce]] checks.
+    */
   final case class Commit(version: Long, action: String, dirs: Seq[String],
-      cdcDir: Option[String] = None, ts: Long = 0L)
+      cdcDir: Option[String] = None, ts: Long = 0L,
+      txn: Option[(String, Long)] = None)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -131,7 +135,11 @@ object LakeTable {
     val cdc = """"cdc"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1))
     val ts = """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
       .map(_.group(1).toLong).getOrElse(0L)
-    Commit(ver, action, dirs, cdc, ts)
+    val txn = for {
+      app <- """"txnApp"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1))
+      tv <- """"txnVer"\s*:\s*(-?\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+    } yield (app, tv)
+    Commit(ver, action, dirs, cdc, ts, txn)
   }
 
   private[graft] def writeCommit(spark: SparkSession, path: String, c: Commit): Unit = {
@@ -142,6 +150,8 @@ object LakeTable {
     val json = s"""{"version":${c.version},"action":"${c.action}",""" +
       s""""dirs":[${c.dirs.map(d => "\"" + d + "\"").mkString(",")}]""" +
       c.cdcDir.map(d => s""","cdc":"$d"""").getOrElse("") +
+      c.txn.map { case (app, ver) =>
+        s""","txnApp":"$app","txnVer":$ver""" }.getOrElse("") +
       s""","ts":${if (c.ts > 0) c.ts else System.currentTimeMillis()}}"""
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -853,6 +863,54 @@ object LakeTable {
     val cdc = cdcKey(spark, path).map(_ => "@" + dir)
     writeCommit(spark, path, Commit(v, "append", c.dirs :+ dir, cdc))
     v
+  }
+
+  /** Latest application version `appId` has committed to this table
+    * (the Delta `txnVersion` idempotent-write query). Newest-first
+    * walk over the retained log — bounded by vacuum retention; a
+    * writer restarting after a long gap pays one log sweep, then its
+    * next marker is near the head again.
+    */
+  def txnVersion(spark: SparkSession, path: String, appId: String): Option[Long] = {
+    val cur = currentVersion(spark, path).getOrElse(return None)
+    (cur to 0L by -1).iterator.flatMap { v =>
+      try readCommit(spark, path, v).txn.collect { case (a, tv) if a == appId => tv }
+      catch { case _: java.io.FileNotFoundException => None } // vacuumed tail
+    }.maxOption
+  }
+
+  /** IDEMPOTENT append (the Delta `txnAppId`/`txnVersion` contract —
+    * what turns an at-least-once foreachBatch file sink into
+    * exactly-once): the write commits only if `appId` has not already
+    * committed a version ≥ `appVersion`; a replayed micro-batch after
+    * a restart becomes a no-op. Returns true when this call committed.
+    * A concurrent-racer loss re-checks and retries, so two replays of
+    * the same (appId, appVersion) can never both land.
+    */
+  def appendOnce(spark: SparkSession, path: String, df: DataFrame,
+      appId: String, appVersion: Long, partitionBy: Seq[String] = Nil): Boolean = {
+    var attempts = 0
+    while (true) {
+      if (txnVersion(spark, path, appId).exists(_ >= appVersion)) return false
+      val prev = currentVersion(spark, path)
+        .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+      val c = readCommit(spark, path, prev)
+      val v = prev + 1
+      val dir = writeGroup(spark, path, v, df, partitionBy)
+      val cdc = cdcKey(spark, path).map(_ => "@" + dir)
+      try {
+        writeCommit(spark, path,
+          Commit(v, "append", c.dirs :+ dir, cdc, txn = Some(appId -> appVersion)))
+        return true
+      } catch {
+        case e: IllegalStateException =>
+          // Lost the version race: someone else committed v (possibly
+          // OUR twin replaying the same batch) — re-check and retry.
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
+    }
+    false // unreachable
   }
 
   /** TIMESTAMP AS OF resolution: the newest version whose commit time

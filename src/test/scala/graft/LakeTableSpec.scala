@@ -443,6 +443,35 @@ class LakeTableSpec extends AnyFunSuite {
       .as[Long].head() === 2L)
   }
 
+  test("appendOnce: replayed batches are no-ops, concurrent twin replays land exactly once") {
+    val p = s"$root/append_once"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    LakeTable.create(spark, p, spark.range(0).toDF("id"))
+    val app = "stream-query-7"
+    // Batch 0 commits; its replay (same app version) is a no-op.
+    assert(LakeTable.appendOnce(spark, p, spark.range(10).toDF("id"), app, 0L))
+    assert(!LakeTable.appendOnce(spark, p, spark.range(10).toDF("id"), app, 0L))
+    assert(LakeTable.read(spark, p).count() === 10)
+    // Batch 1 commits; stale batch-0 replay after it still a no-op.
+    assert(LakeTable.appendOnce(spark, p, spark.range(10, 15).toDF("id"), app, 1L))
+    assert(!LakeTable.appendOnce(spark, p, spark.range(10).toDF("id"), app, 0L))
+    assert(LakeTable.read(spark, p).count() === 15)
+    assert(LakeTable.txnVersion(spark, p, app) === Some(1L))
+    // A DIFFERENT app's versions are independent.
+    assert(LakeTable.appendOnce(spark, p, spark.range(15, 18).toDF("id"), "other-app", 0L))
+    assert(LakeTable.read(spark, p).count() === 18)
+    // Concurrent twin replays of one batch: exactly one commits.
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => results.add(
+        LakeTable.appendOnce(spark, p, spark.range(18, 20).toDF("id"), app, 2L)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.count(b => b) === 1, results.asScala.toSeq.toString)
+    assert(LakeTable.read(spark, p).count() === 20)
+  }
+
   test("DESCRIBE HISTORY lists retained commits newest-first with actions and CDC flags") {
     val p = s"$root/history"
     LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))

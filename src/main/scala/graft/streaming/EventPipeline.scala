@@ -314,6 +314,41 @@ object EventPipeline {
       .orderBy("o_orderpriority")
   }
 
+  /** C20: exactly-once APPEND sink under FULL REPLAY — the
+    * foreachBatch sink writes through LakeTable.appendOnce (the Delta
+    * txnAppId/txnVersion contract), and the whole stream then runs a
+    * SECOND time from a fresh checkpoint: every micro-batch replays
+    * with its original batch id, every appendOnce is a no-op, and the
+    * table still equals ONE clean pass (the oracle is the plain batch
+    * aggregate — any duplication fails the hash).
+    */
+  def appendOnceSink(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${graft.operators.Lakehouse.scratch}/stream_append_once"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(lake), true)
+    graft.sources.LakeTable.create(spark, lake,
+      graft.Tables(spark, dir, "events")
+        .select("event_id", "user_id", "value").limit(0))
+    def runOnce(): Unit = withStreamPartitions(spark) {
+      val q = eventsStream(spark, dir)
+        .select("event_id", "user_id", "value")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.sources.LakeTable.appendOnce(spark, lake, batch, "ao-sink", id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce() // full replay: same batch ids, all no-ops
+    graft.sources.LakeTable.read(spark, lake)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), round(sum("value") + lit(1e-6), 2).as("sum_val"))
+      .orderBy("user_id")
+  }
+
   /** C16: the same lake-stream aggregate through the COMMIT-LOG
     * source (`readStream.format("graft")`): offsets are table
     * versions, batches are exactly the committed file groups — orphan
@@ -392,6 +427,11 @@ object EventPipeline {
       Some("""SELECT o_orderpriority, count(*) AS cnt,
              |round(sum(o_totalprice)+1e-6,2) AS rev
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("stream_append_once", (s, d) => appendOnceSink(s, d),
+      Some("""SELECT user_id, count(*) AS cnt,
+             |round(sum(value)+1e-6,2) AS sum_val
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("stream_enrich", (s, d) => streamEnrich(s, d),
       Some("""SELECT c_mktsegment, count(*) AS cnt, round(sum(value),2) AS sum_val

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftglue.Glue
-import graft.plans.{CosineSimilarity, HyperplaneSketch, MinHashSignature, NearestCentroid, SimHash64}
+import graft.plans.{AdcDistance, CosineSimilarity, HyperplaneSketch, MinHashSignature, NearestCentroid, SimHash64}
 
 /** Column-API wrappers for graft's native expressions plus
   * HOF-composed reference implementations (used by specs to
@@ -38,6 +38,13 @@ object Vectors {
     */
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
     Glue.column(NearestCentroid(Glue.expression(vec), centroids))
+
+  /** PQ asymmetric-distance lookup: Σ dtab[mi*ksub + codes[mi]] as one
+    * fused codegen loop (no intermediate arrays, no per-element boxed
+    * element_at) — the q_knn_pq probe-time hot path.
+    */
+  def adcDistance(codes: Column, dtab: Column, ksub: Int): Column =
+    Glue.column(AdcDistance(Glue.expression(codes), Glue.expression(dtab), ksub))
 
   /** Random-hyperplane sketch: `bits`-bit sign pattern of the vector
     * against `numTables` deterministic hyperplanes each — returns an

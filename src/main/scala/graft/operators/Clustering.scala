@@ -179,12 +179,12 @@ object Clustering {
 
     // ADC shortlist via bounded heaps (nadc = -adc so "best" = max):
     // each partition ships only its `shortlist` best codes per query.
+    // The table lookup is the fused AdcDistance codegen expression —
+    // the sequence/zip_with/element_at HOF it replaces allocated two
+    // arrays + m boxed lookups per (row × query) and regressed 5× at
+    // the TopK codegen seam (BENCH_r04).
     val adcScored = codes.crossJoin(broadcast(qTables))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (c, mi) => element_at(col("dtab"), mi * ksub + c + 1).cast("double")),
-        lit(0.0), (acc, v) => acc + v))
-      .withColumn("nadc", negate(col("adc")))
+      .withColumn("nadc", negate(Vectors.adcDistance(col("codes"), col("dtab"), ksub)))
       .select("qid", "vec_id", "nadc")
     val short = TopK.perGroup(adcScored, Seq("qid"), "nadc", "vec_id", shortlist)
       .select("qid", "vec_id")

@@ -288,6 +288,55 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Asymmetric-distance (ADC) lookup for product-quantization ANN:
+  * given a row's PQ codes (array<int>, one code per subspace) and a
+  * query's flattened m×ksub subspace distance table (array<float>),
+  * returns Σ_mi dtab[mi*ksub + codes[mi]] — the approximate squared
+  * distance. One fused loop per row; replaces the
+  * sequence+zip_with+element_at HOF composition, which allocated two
+  * intermediate arrays and m boxed lookups per corpus row at probe
+  * time (the q_knn_pq hot path — at 100 TB this runs once per stored
+  * code per query probe).
+  */
+case class AdcDistance(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"adc_distance expects (array<int>, array<float>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val tab = b.asInstanceOf[ArrayData]
+    var s = 0.0; var mi = 0
+    val m = codes.numElements()
+    while (mi < m) { s += tab.getFloat(mi * ksub + codes.getInt(mi)); mi += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, tab) => {
+      val s = ctx.freshName("s")
+      val mi = ctx.freshName("mi")
+      val m = ctx.freshName("m")
+      s"""
+         |double $s = 0.0;
+         |int $m = $codes.numElements();
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  $s += (double) $tab.getFloat($mi * $ksub + $codes.getInt($mi));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** 64-bit SimHash of a bag of element hashes: per bit position, count
   * +1/-1 votes across elements; the result bit is 1 iff the vote sum
   * is positive. Token multiplicity is intentionally kept (a bag, not

@@ -518,6 +518,30 @@ class LakeTableSpec extends AnyFunSuite {
     assert(got == exp, s"diff=${(got -- exp) ++ (exp -- got)}")
   }
 
+  test("top-k past the per-partition group cap: pass-through + spill fallback, results unchanged") {
+    import org.apache.spark.sql.expressions.Window
+    // 60 distinct groups against a cap of 7: every partition overflows
+    // the local heap map (rows pass through), and the final phase
+    // spills overflow groups to disk and recurses (60/7 → 9 passes) —
+    // the high-cardinality-group-key memory bound. Results must be
+    // IDENTICAL to the uncapped window answer.
+    val key = graft.plans.TopKStrategy.MaxGroupsKey
+    spark.conf.set(key, "7")
+    try {
+      val df = spark.range(3000).toDF("id")
+        .withColumn("g", col("id") % 60)
+        .withColumn("v", (col("id") * 13 % 7).cast("double"))
+        .repartition(8)
+      val got = graft.plans.TopK.perGroupRanked(df, Seq("g"), "v", "id", 4)
+        .select("g", "rn", "id").as[(Long, Long, Long)].collect().toSet
+      val w = Window.partitionBy("g").orderBy(desc("v"), col("id"))
+      val exp = df.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 4)
+        .select("g", "rn", "id").as[(Long, Long, Long)].collect().toSet
+      assert(got == exp, s"diff=${(got -- exp) ++ (exp -- got)}")
+    } finally spark.conf.unset(key)
+  }
+
   test("global (ungrouped) top-k returns exactly k rows") {
     val df = spark.range(1000).toDF("id")
       .withColumn("v", (col("id") * 37 % 101).cast("double"))

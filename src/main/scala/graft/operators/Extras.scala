@@ -97,6 +97,26 @@ object Extras {
              |FROM supplier WHERE s_acctbal > 0
              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // B38: Avro round trip — the fourth row-format leg (the deployed
+    // Hive/Spark stack reads Avro). One container file per partition
+    // on write, one split per file on read, through graft's own
+    // AvroIO (this distribution bundles the Avro runtime but not the
+    // spark-avro connector). Values must survive exactly — the oracle
+    // aggregates the original parquet.
+    Q("q_avro_roundtrip",
+      (s, d) => {
+        val dir = s"${Lakehouse.scratch}/orders_avro"
+        graft.sources.AvroIO.write(
+          t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"), dir)
+        graft.sources.AvroIO.read(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |round(sum(o_totalprice),2) AS total
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // A46: distribution window functions — ntile, percent_rank,
     // cume_dist over order value per priority.
     Q("q_window_dist",

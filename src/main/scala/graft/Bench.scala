@@ -24,23 +24,33 @@ object Bench {
     // so the first measured query isn't charged for JVM startup.
     Tables.names.foreach(n => try Tables(spark, sfDir, n).count() catch { case _: Throwable => () })
     // Materialize through the noop sink — unlike count(), it cannot
-    // elide top-level sorts/projections.
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // elide top-level sorts/projections. Staged queries (Q.staged)
+    // re-run their table-staging setup before EACH iteration OUTSIDE
+    // the timer, so the reported number is the operator verb alone
+    // (a compaction of already-compacted files, or a point lookup
+    // charged for the table write, would both be lies).
+    def once(q: Q): Double = {
+      try q.setup.foreach(_(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} setup failed: ${e.toString.take(500)}")
+        return -1.0
+      }
+      val fn = q.verb.getOrElse(q.run)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.toString.take(500)}")
+        System.err.println(s"[bench] ${q.name} failed: ${e.toString.take(500)}")
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
     }
     // Optional first arg: comma-separated query-name filter (local iteration).
     val wanted = args.headOption.map(_.split(",").map(_.trim).toSet)
-    val selected = wanted.fold(SparkEntry.queries)(w => SparkEntry.queries.filter(kv => w(kv._1)))
-    val results: Map[String, Double] = selected.map { case (name, fn) =>
-      val ok = (1 to runs).map(_ => once(name, fn)).filter(_ >= 0.0).sorted
-      name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
-    }
+    val selected = wanted.fold(Registry.all)(w => Registry.all.filter(q => w(q.name)))
+    val results: Map[String, Double] = selected.map { q =>
+      val ok = (1 to runs).map(_ => once(q)).filter(_ >= 0.0).sorted
+      q.name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+    }.toMap
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val good = results.filter(_._2 >= 0)
     val total = good.values.sum

@@ -40,18 +40,18 @@ object Lakehouse {
 
     // B02: small-file compaction — 64-file group bin-packed to 4,
     // same data (the gate proves it), new snapshot, old one retained.
-    Q("q_compaction",
-      (s, d) => {
+    Q.staged("q_compaction",
+      setup = (s, d) => LakeTable.create(s, s"$scratch/lineitem_compact",
+        t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+          .repartition(64)),
+      verb = (s, _) => {
         val lake = s"$scratch/lineitem_compact"
-        LakeTable.create(s, lake,
-          t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
-            .repartition(64))
         LakeTable.compact(s, lake, 4)
         LakeTable.read(s, lake)
           .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"),
             round(sum("l_extendedprice"), 2).as("price"))
       },
-      Some("""SELECT count(*) AS cnt, round(sum(l_quantity),2) AS qty,
+      oracle = Some("""SELECT count(*) AS cnt, round(sum(l_quantity),2) AS qty,
              |round(sum(l_extendedprice),2) AS price FROM lineitem""".stripMargin)),
 
     // B03: MERGE INTO (copy-on-write upsert): every 7th customer gets
@@ -170,18 +170,18 @@ object Lakehouse {
     // (l_orderkey, l_partkey); a two-column range predicate then
     // touches a fraction of the files (spec asserts the skip), and
     // results stay exact (this oracle).
-    Q("q_zorder",
-      (s, d) => {
+    Q.staged("q_zorder",
+      setup = (s, d) => LakeTable.create(s, s"$scratch/lineitem_zorder",
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+          .repartition(8)),
+      verb = (s, _) => {
         val lake = s"$scratch/lineitem_zorder"
-        LakeTable.create(s, lake,
-          t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
-            .repartition(8))
         LakeTable.clusterBy(s, lake, Seq("l_orderkey", "l_partkey"), 8)
         LakeTable.read(s, lake)
           .where(col("l_orderkey") < 1000 && col("l_partkey") < 500)
           .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
       },
-      Some("""SELECT count(*) AS cnt, round(sum(l_quantity),2) AS qty FROM lineitem
+      oracle = Some("""SELECT count(*) AS cnt, round(sum(l_quantity),2) AS qty FROM lineitem
              |WHERE l_orderkey < 1000 AND l_partkey < 500""".stripMargin)),
 
     // B14: incremental MV refresh — the algebraic (sum/count) rollup
@@ -262,16 +262,14 @@ object Lakehouse {
     // per-file min/max harvested from parquet footers at commit time
     // and opens only the files whose interval intersects the probe
     // (spec asserts the skip; this oracle proves exactness).
-    Q("q_point_lookup",
-      (s, d) => {
-        val lake = s"$scratch/orders_point"
-        LakeTable.create(s, lake,
-          t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-            .repartitionByRange(16, col("o_orderkey")))
-        LakeTable.readRange(s, lake, "o_orderkey", 1000L, 1999L)
-          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
-      },
-      Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+    Q.staged("q_point_lookup",
+      setup = (s, d) => LakeTable.create(s, s"$scratch/orders_point",
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(16, col("o_orderkey"))),
+      verb = (s, _) =>
+        LakeTable.readRange(s, s"$scratch/orders_point", "o_orderkey", 1000L, 1999L)
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev")),
+      oracle = Some("""SELECT count(*) AS cnt, round(sum(o_totalprice),2) AS rev
              |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999""".stripMargin)),
 
     // B26: aggregate-key-model ingest (Doris AGGREGATE table model):

@@ -381,7 +381,12 @@ object EventPipeline {
     * into exactly the direct aggregate of the final table state, which
     * the DuckDB oracle reconstructs relationally.
     */
-  def cdcStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Stages the CDC-enabled table the stream reads: create + two
+    * appends + doubling merge + predicate delete, each publishing
+    * change slices with its commit. Split from [[cdcStream]] so Bench
+    * can re-stage untimed and time only the change-feed fold.
+    */
+  def cdcStage(spark: SparkSession, dir: String): Unit = {
     import graft.sources.LakeTable
     val lake = s"${graft.operators.Lakehouse.scratch}/stream_cdc_orders"
     val base = graft.Tables(spark, dir, "orders")
@@ -394,6 +399,10 @@ object EventPipeline {
       base.where(pmod(col("o_orderkey"), lit(5)) === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2), "o_orderkey")
     LakeTable.delete(spark, lake, col("o_orderpriority") === lit("1-URGENT"))
+  }
+
+  def cdcStream(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${graft.operators.Lakehouse.scratch}/stream_cdc_orders"
     val sign = when(col("change_type").isin("insert", "update_postimage"), 1).otherwise(-1)
     val agg = spark.readStream.format("graft")
       .option("readChangeFeed", "true").load(lake)
@@ -406,8 +415,10 @@ object EventPipeline {
   }
 
   val qs: Seq[Q] = Seq(
-    Q("stream_cdc", (s, d) => cdcStream(s, d),
-      Some("""WITH st AS (
+    Q.staged("stream_cdc",
+      setup = (s, d) => cdcStage(s, d),
+      verb = (s, d) => cdcStream(s, d),
+      oracle = Some("""WITH st AS (
              |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
              |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0
              |  UNION ALL

@@ -34,6 +34,11 @@ object GraftSession {
       // same-key partitioned tables join with no exchange.
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Connect-gateway credential gate (pass-through until
+      // ConnectAuth.enable configures a credential query — the
+      // Kyuubi-parity JDBC-auth leg).
+      .config("spark.connect.grpc.interceptor.classes",
+        classOf[GraftAuthInterceptor].getName)
       .config("spark.ui.enabled", "false")
 
   def create(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {

@@ -256,6 +256,49 @@ object Lakehouse {
              |round(sum(c_acctbal) + 0.000001, 2) AS bal
              |FROM st GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B38: DYNAMIC partition overwrite through the native DSv2
+    // BatchWrite (GraftWrite.scala; the V1 fallback had to reject
+    // this): the overwrite replaces exactly the partitions present in
+    // the incoming data — untouched partitions carry forward without
+    // a rewrite — in one atomic, history-preserving commit. The
+    // oracle reconstructs the same partition swap relationally.
+    Q("q_lake_dynamic",
+      (s, d) => {
+        val tbl = "graft_cat.qdyn.orders_dynpart"
+        val ord = t(s, d, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.qdyn")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        ord.where(pmod(col("o_orderkey"), lit(3)) === 0)
+          .createOrReplaceTempView("qdyn_base")
+        s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+          "o_orderpriority STRING) PARTITIONED BY (o_orderpriority)")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM qdyn_base")
+        ord.where(pmod(col("o_orderkey"), lit(3)) === 1 &&
+            col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+          .createOrReplaceTempView("qdyn_repl")
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val old = s.conf.getOption(key)
+        s.conf.set(key, "dynamic")
+        try s.sql(s"INSERT OVERWRITE $tbl SELECT * FROM qdyn_repl")
+        finally old match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        s.table(tbl)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice") + 1e-6, 2).as("rev"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH st AS (
+             |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+             |  WHERE o_orderkey % 3 = 0 AND o_orderpriority NOT IN ('1-URGENT','3-MEDIUM')
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+             |  WHERE o_orderkey % 3 = 1 AND o_orderpriority IN ('1-URGENT','3-MEDIUM'))
+             |SELECT o_orderpriority, count(*) AS cnt,
+             |round(sum(o_totalprice)+1e-6,2) AS rev
+             |FROM st GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B18: stats-based point/range lookup — the Doris-style serving
     // path. The table is range-laid-out on the key at write time, so
     // each file covers a narrow key interval; readRange consults the

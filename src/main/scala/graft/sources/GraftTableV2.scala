@@ -5,13 +5,12 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -20,9 +19,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * so the scan IS a parquet V2 scan: filter pushdown, column pruning,
   * vectorized columnar batches and whole-stage codegen — none of the
   * per-row InternalRow→Row deserialization the V1 PrunedFilteredScan
-  * path paid at the relation boundary. Writes use the sanctioned
-  * V1Write fallback (toInsertableRelation → LakeTable create/append),
-  * which keeps the commit protocol in one place.
+  * path paid at the relation boundary. Writes go through the NATIVE
+  * DSv2 path (GraftWrite.scala): task-level parquet writers into a
+  * staged group dir, then a driver-side LakeTable staged commit — the
+  * commit protocol stays in one place and streaming/dynamic-overwrite
+  * writes become possible (both were unreachable from the old V1Write
+  * fallback).
   *
   * ACCEPT_ANY_SCHEMA: LakeTable supports per-group schema evolution
   * (mergeSchema read), so Spark's by-name write validation is left to
@@ -38,7 +40,7 @@ final class GraftTable(path: String, version: Option[Long],
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
-  private def spark: SparkSession = SparkSession.active
+  private def spark: SparkSession = org.apache.spark.sql.graftglue.Glue.activeSession
 
   /** Root path of the backing LakeTable (for the row-level SQL rule). */
   private[graft] def tablePath: String = path
@@ -135,6 +137,66 @@ final class GraftTable(path: String, version: Option[Long],
   // the standard cannot-delete error instead of silently over-deleting.
 
   private def toColumn(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.Column] = GraftPredicates.toColumn(e)
+
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    predicates.forall(toColumn(_).isDefined)
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cond = predicates.flatMap(toColumn(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    LakeTable.delete(spark, path, cond)
+  }
+
+  override def name(): String = s"graft.`$path`" + version.map(v => s"@v$v").getOrElse("")
+
+  override def schema(): StructType =
+    providedSchema.filter(_.nonEmpty).getOrElse {
+      if (LakeTable.currentVersion(spark, path).isDefined)
+        LakeTable.tableSchema(spark, path, version)
+      else new StructType() // not-yet-created target of a first write
+    }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ,
+      // MICRO_BATCH_READ: commit-log streaming source (LakeStream).
+      TableCapability.MICRO_BATCH_READ,
+      // Native DSv2 writes (GraftWrite.scala): task-level parquet
+      // writers + driver-side staged commit. STREAMING_WRITE is the
+      // exactly-once writeStream sink; OVERWRITE_DYNAMIC unlocks
+      // dynamic partition overwrite (both impossible under the old
+      // V1Write fallback).
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = Option(options.get("version")).map(_.toLong).orElse(version)
+      .orElse(LakeTable.currentVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val commit = LakeTable.readCommit(spark, path, v)
+    val scanOpts = new CaseInsensitiveStringMap(
+      (options.asCaseSensitiveMap().asScala.toMap ++ Map("mergeSchema" -> "true")).asJava)
+    new GraftScanBuilder(spark, path, commit.dirs,
+      LakeTable.tableSchema(spark, path, Some(v)), scanOpts)
+  }
+
+  /** Native DSv2 write path (GraftWrite.scala): task-level parquet
+    * writers into a staged group dir + a driver-side staged commit.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path, info)
+}
+
+/** V2 predicate → Column conversion shared by the delete/overwrite
+  * surfaces (canDeleteWhere/deleteWhere and the write builder).
+  */
+private[sources] object GraftPredicates {
+  def toColumn(e: org.apache.spark.sql.connector.expressions.Expression)
       : Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, NamedReference}
     import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VNot, Or => VOr, Predicate}
@@ -172,109 +234,6 @@ final class GraftTable(path: String, version: Option[Long],
       case _ => None
     }
   }
-
-  override def canDeleteWhere(predicates: Array[
-      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    predicates.forall(toColumn(_).isDefined)
-
-  override def deleteWhere(predicates: Array[
-      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    import org.apache.spark.sql.functions.lit
-    val cond = predicates.flatMap(toColumn(_))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    LakeTable.delete(spark, path, cond)
-  }
-
-  override def name(): String = s"graft.`$path`" + version.map(v => s"@v$v").getOrElse("")
-
-  override def schema(): StructType =
-    providedSchema.filter(_.nonEmpty).getOrElse {
-      if (LakeTable.currentVersion(spark, path).isDefined)
-        LakeTable.tableSchema(spark, path, version)
-      else new StructType() // not-yet-created target of a first write
-    }
-
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ,
-      // MICRO_BATCH_READ: commit-log streaming source (LakeStream).
-      TableCapability.MICRO_BATCH_READ,
-      // BATCH_WRITE routes DataFrameWriter through the V2 plan;
-      // V1_BATCH_WRITE tells execution the Write is a V1 fallback.
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val v = Option(options.get("version")).map(_.toLong).orElse(version)
-      .orElse(LakeTable.currentVersion(spark, path))
-      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
-    val commit = LakeTable.readCommit(spark, path, v)
-    val scanOpts = new CaseInsensitiveStringMap(
-      (options.asCaseSensitiveMap().asScala.toMap ++ Map("mergeSchema" -> "true")).asJava)
-    new GraftScanBuilder(spark, path, commit.dirs,
-      LakeTable.tableSchema(spark, path, Some(v)), scanOpts)
-  }
-
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate
-        with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
-      import org.apache.spark.sql.connector.expressions.filter.Predicate
-
-      private var overwrite = false
-      // Predicate-scoped INSERT OVERWRITE (static partition mode):
-      // `INSERT OVERWRITE t PARTITION (g='x') ...` arrives as
-      // overwrite([g = 'x']) — routed into overwriteWhere, so only
-      // groups/partitions intersecting the predicate rewrite.
-      private var overwritePred: Option[org.apache.spark.sql.Column] = None
-      override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def canOverwrite(predicates: Array[Predicate]): Boolean =
-        predicates.forall(toColumn(_).isDefined)
-      override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
-        val cols = predicates.flatMap(toColumn(_))
-        if (cols.length != predicates.length || cols.isEmpty) overwrite = true
-        else overwritePred = Some(cols.reduce(_ && _))
-        this
-      }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(rawData: DataFrame, overwriteFlag: Boolean): Unit = {
-              import org.apache.spark.sql.functions.{col, lit}
-              val sp = rawData.sparkSession
-              val exists = LakeTable.currentVersion(sp, path).isDefined
-              // ACCEPT_ANY_SCHEMA means Spark hands the data over
-              // UNALIGNED (a VALUES insert arrives as col1, col2, …
-              // with the statement's literal types). Standard INSERT
-              // contract: when names don't all match the table, align
-              // BY POSITION and cast to the table's column types;
-              // name-matched writes pass through (schema evolution
-              // keeps working by name).
-              val data = if (!exists) rawData else {
-                val tSchema = LakeTable.tableSchema(sp, path)
-                val tNames = tSchema.fieldNames
-                val byName = rawData.columns.forall(c =>
-                  tNames.exists(_.equalsIgnoreCase(c)))
-                if (byName) rawData
-                else if (rawData.columns.length == tNames.length)
-                  rawData.toDF(tNames.toIndexedSeq: _*).select(
-                    tSchema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
-                else throw new IllegalArgumentException(
-                  s"cannot align ${rawData.columns.length} written columns to " +
-                    s"table schema ${tNames.mkString("(", ",", ")")} by position or name")
-              }
-              // Honor the table's recorded partitioning: an INSERT
-              // INTO a PARTITIONED BY table must write partitioned
-              // groups, and an INSERT OVERWRITE must keep the layout.
-              val parts = if (exists) LakeTable.tablePartitioning(sp, path) else Nil
-              if (exists && overwritePred.isDefined)
-                LakeTable.overwriteWhere(sp, path, overwritePred.get, data)
-              else if (overwrite || overwriteFlag || !exists)
-                LakeTable.create(sp, path, data, parts)
-              else LakeTable.append(sp, path, data, parts)
-            }
-          }
-      }
-    }
 }
 
 /** DSv2 Table over a LakeTable's persisted change feed
@@ -284,7 +243,7 @@ final class GraftTable(path: String, version: Option[Long],
   * feed is written by the table's own DML commits.
   */
 final class GraftCdcTable(path: String) extends Table with SupportsRead {
-  private def spark: SparkSession = SparkSession.active
+  private def spark: SparkSession = org.apache.spark.sql.graftglue.Glue.activeSession
   override def name(): String = s"graft-cdc.`$path`"
   override def schema(): StructType = LakeTable.cdcSchema(spark, path)
   override def capabilities(): util.Set[TableCapability] =

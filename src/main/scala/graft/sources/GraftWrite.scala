@@ -1,0 +1,301 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, UnsafeProjection}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwriteV2, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.graftglue.Glue
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Native DSv2 write path for the graft Table (round-4 verdict item:
+  * replace the V1Write fallback). Tasks stream InternalRows straight
+  * into parquet files inside a STAGED group dir under the table root —
+  * one writer per (task × partition leaf), Hive-style `col=value`
+  * subdirs for partitioned tables, no DataFrame re-entry — and the
+  * driver turns the staged dir into a LakeTable commit
+  * ([[LakeTable.commitStaged]]): append, history-preserving full
+  * overwrite, predicate overwrite (static INSERT OVERWRITE PARTITION),
+  * or DYNAMIC partition overwrite (previously rejected, B34).
+  *
+  * The same factory serves [[StreamingWrite]]: each epoch stages its
+  * own dir and commits with a `(queryId, epochId)` txn marker, so a
+  * replayed micro-batch after a restart is skipped — the native
+  * `writeStream.format("graft")` sink is exactly-once by the same
+  * mechanism as [[LakeTable.appendOnce]] (C20).
+  *
+  * Task-attempt safety at cluster scale: every task message names the
+  * exact files it wrote; the commit deletes anything else in the
+  * staged dir, so zombie or speculative attempts the scheduler
+  * abandoned cannot leak duplicate rows.
+  */
+private[sources] object GraftWriteUtil {
+  /** Mirror of the V1 fallback's alignment contract (ACCEPT_ANY_SCHEMA
+    * hands data over unaligned): name-matched writes pass through
+    * (schema evolution by name keeps working); otherwise same-arity
+    * writes align BY POSITION and cast to the table's column types.
+    */
+  def targetSchema(spark: SparkSession, path: String, incoming: StructType): StructType = {
+    if (LakeTable.currentVersion(spark, path).isEmpty) return incoming
+    val t = LakeTable.tableSchema(spark, path)
+    val byName = incoming.fieldNames.forall(c => t.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (byName) incoming
+    else if (incoming.length == t.length) StructType(t.fields.toIndexedSeq)
+    else throw new IllegalArgumentException(
+      s"cannot align ${incoming.length} written columns to " +
+        s"table schema ${t.fieldNames.mkString("(", ",", ")")} by position or name")
+  }
+}
+
+private[sources] sealed trait GraftWriteMode
+private[sources] object GraftWriteMode {
+  case object Append extends GraftWriteMode
+  case object Truncate extends GraftWriteMode
+  final case class OverwritePred(pred: org.apache.spark.sql.Column) extends GraftWriteMode
+  case object Dynamic extends GraftWriteMode
+}
+
+final class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwriteV2
+    with SupportsDynamicOverwrite {
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private var mode: GraftWriteMode = GraftWriteMode.Append
+
+  override def truncate(): WriteBuilder = { mode = GraftWriteMode.Truncate; this }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = GraftWriteMode.Dynamic; this
+  }
+
+  override def canOverwrite(predicates: Array[Predicate]): Boolean =
+    predicates.forall(GraftPredicates.toColumn(_).isDefined)
+
+  override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+    val cols = predicates.flatMap(GraftPredicates.toColumn(_))
+    mode =
+      if (cols.length != predicates.length || cols.isEmpty) GraftWriteMode.Truncate
+      else GraftWriteMode.OverwritePred(cols.reduce(_ && _))
+    this
+  }
+
+  override def build(): Write = new GraftWrite(path, info, mode)
+}
+
+final class GraftWrite(path: String, info: LogicalWriteInfo, mode: GraftWriteMode)
+    extends Write {
+  override def toBatch: BatchWrite = new GraftBatchWrite(path, info, mode)
+  override def toStreaming: StreamingWrite = new GraftStreamingWrite(path, info, mode)
+}
+
+final class GraftBatchWrite(path: String, info: LogicalWriteInfo, mode: GraftWriteMode)
+    extends BatchWrite {
+
+  private def spark: SparkSession = org.apache.spark.sql.graftglue.Glue.activeSession
+  private val incoming = info.schema()
+  private val target = GraftWriteUtil.targetSchema(spark, path, incoming)
+  private val partCols =
+    if (LakeTable.currentVersion(spark, path).isDefined)
+      LakeTable.tablePartitioning(spark, path)
+    else Nil
+  private val stagedDir = {
+    val guess = LakeTable.currentVersion(spark, path).map(_ + 1).getOrElse(0L)
+    s"d$guess-${UUID.randomUUID.toString.take(8)}"
+  }
+
+  override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(path, stagedDir, incoming, target, partCols,
+      spark.conf.get("spark.sql.session.timeZone"),
+      Glue.broadcastConf(spark.sparkContext, Glue.sessionHadoopConf(spark)))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq.flatMap {
+      case GraftCommitMessage(fs) => fs
+      case _ => Nil
+    }
+    val staged = mode match {
+      case GraftWriteMode.Append => LakeTable.StagedMode.Append
+      case GraftWriteMode.Truncate => LakeTable.StagedMode.Overwrite
+      case GraftWriteMode.OverwritePred(p) => LakeTable.StagedMode.ReplaceWhere(p)
+      case GraftWriteMode.Dynamic => LakeTable.StagedMode.DynamicPartitions
+    }
+    LakeTable.commitStaged(spark, path, stagedDir, files, staged,
+      createSchema = Some(target))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path, stagedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+}
+
+/** Per-epoch staged dirs + txn-marked commits = exactly-once streaming
+  * sink. Append mode appends each epoch; Complete (truncate) mode
+  * replaces the table each epoch (history-preserving).
+  */
+final class GraftStreamingWrite(path: String, info: LogicalWriteInfo, mode: GraftWriteMode)
+    extends StreamingWrite {
+
+  private def spark: SparkSession = org.apache.spark.sql.graftglue.Glue.activeSession
+  private val incoming = info.schema()
+  private val target = GraftWriteUtil.targetSchema(spark, path, incoming)
+  private val partCols =
+    if (LakeTable.currentVersion(spark, path).isDefined)
+      LakeTable.tablePartitioning(spark, path)
+    else Nil
+  // Stable across restarts (checkpointed): the idempotence key.
+  private val appId = info.queryId()
+  private val base = s"ds-${UUID.randomUUID.toString.take(8)}"
+  private def epochDir(epochId: Long) = s"$base-e$epochId"
+
+  override def createStreamingWriterFactory(pInfo: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftWriterFactory(path, base, incoming, target, partCols,
+      spark.conf.get("spark.sql.session.timeZone"),
+      Glue.broadcastConf(spark.sparkContext, Glue.sessionHadoopConf(spark)))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = epochDir(epochId)
+    val files = messages.toSeq.flatMap {
+      case GraftCommitMessage(fs) => fs
+      case _ => Nil
+    }
+    val staged = mode match {
+      case GraftWriteMode.Truncate => LakeTable.StagedMode.Overwrite
+      case _ => LakeTable.StagedMode.Append
+    }
+    var attempts = 0
+    while (true) {
+      // Replayed epoch after a restart (or a racing twin): skip.
+      if (LakeTable.txnVersion(spark, path, appId).exists(_ >= epochId)) {
+        abort(epochId, messages)
+        return
+      }
+      try {
+        LakeTable.commitStaged(spark, path, dir, files, staged,
+          txn = Some(appId -> epochId), createSchema = Some(target))
+        return
+      } catch {
+        case e: IllegalStateException =>
+          attempts += 1
+          if (attempts >= 5) throw e // lost version race repeatedly
+      }
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path, epochDir(epochId))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+}
+
+final case class GraftCommitMessage(files: Seq[String]) extends WriterCommitMessage
+
+/** Serializable task-side factory; the streaming overload stages each
+  * epoch under `<stagedDir>-e<epochId>` (mirrored by
+  * [[GraftStreamingWrite.commit]]).
+  */
+final class GraftWriterFactory(tablePath: String, stagedDir: String,
+    rowSchema: StructType, targetSchema: StructType, partCols: Seq[String],
+    tz: String, confB: Broadcast[_])
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(tablePath, stagedDir, rowSchema, targetSchema, partCols,
+      tz, Glue.confOf(confB), partitionId, taskId)
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(tablePath, s"$stagedDir-e$epochId", rowSchema, targetSchema,
+      partCols, tz, Glue.confOf(confB), partitionId, taskId)
+}
+
+/** One writer per task: rows are (optionally) positionally cast to the
+  * table schema in one codegen'd projection, split by partition value,
+  * and appended to a parquet writer per partition leaf. All file
+  * handling is task-local; the names go back to the driver in the
+  * commit message.
+  */
+final class GraftDataWriter(tablePath: String, stagedDir: String,
+    rowSchema: StructType, targetSchema: StructType, partCols: Seq[String],
+    tz: String, conf: Configuration, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val needsCast = rowSchema != targetSchema
+  private val castProj =
+    if (!needsCast) null
+    else UnsafeProjection.create(targetSchema.fields.zipWithIndex.map { case (f, i) =>
+      Cast(BoundReference(i, rowSchema(i).dataType, nullable = true), f.dataType, Option(tz))
+    }.toIndexedSeq)
+
+  private val partIdx: Seq[Int] = partCols.map { c =>
+    targetSchema.fieldNames.zipWithIndex
+      .collectFirst { case (n, i) if n.equalsIgnoreCase(c) => i }
+      .getOrElse(throw new IllegalArgumentException(
+        s"partition column $c missing from written columns " +
+          targetSchema.fieldNames.mkString("(", ",", ")")))
+  }
+  private val dataIdx: Seq[Int] =
+    targetSchema.fields.indices.filterNot(partIdx.contains)
+  private val dataSchema = StructType(dataIdx.map(targetSchema.fields).toIndexedSeq)
+  private val dataProj =
+    if (partCols.isEmpty) null
+    else UnsafeProjection.create(dataIdx.map(i =>
+      BoundReference(i, targetSchema(i).dataType, nullable = true)).toIndexedSeq)
+  private val partStrProj =
+    if (partCols.isEmpty) null
+    else UnsafeProjection.create(partIdx.map(i =>
+      Cast(BoundReference(i, targetSchema(i).dataType, nullable = true),
+        StringType, Option(tz))).toIndexedSeq)
+
+  private val writers = mutable.LinkedHashMap.empty[String, org.apache.spark.sql.execution.datasources.OutputWriter]
+  private val filesWritten = mutable.ArrayBuffer.empty[String]
+  private val uuid = UUID.randomUUID.toString.take(8)
+
+  private def writerFor(leafRel: String) =
+    writers.getOrElseUpdate(leafRel, {
+      val name = f"part-$partitionId%05d-$taskId-$uuid-${writers.size}.parquet"
+      val relFile = if (leafRel.isEmpty) name else s"$leafRel/$name"
+      filesWritten += relFile
+      Glue.parquetRowWriter(
+        new Path(new Path(tablePath, stagedDir), relFile).toString, dataSchema, conf)
+    })
+
+  override def write(row: InternalRow): Unit = {
+    val r = if (needsCast) castProj(row) else row
+    if (partCols.isEmpty) writerFor("").write(r)
+    else {
+      val s = partStrProj(r)
+      val leaf = partIdx.indices.map { j =>
+        val v =
+          if (s.isNullAt(j)) "__HIVE_DEFAULT_PARTITION__"
+          else Glue.escapePathName(s.getUTF8String(j).toString)
+        s"${partCols(j)}=$v"
+      }.mkString("/")
+      writerFor(leaf).write(dataProj(r))
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    GraftCommitMessage(filesWritten.toSeq)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(w => try w.close() catch { case _: Throwable => () })
+    val fs = new Path(tablePath).getFileSystem(conf)
+    filesWritten.foreach { rel =>
+      try fs.delete(new Path(new Path(tablePath, stagedDir), rel), false)
+      catch { case _: Throwable => () }
+    }
+  }
+
+  override def close(): Unit = ()
+}

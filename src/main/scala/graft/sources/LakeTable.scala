@@ -913,6 +913,140 @@ object LakeTable {
     false // unreachable
   }
 
+  // ---- native-DSv2 staged commits -----------------------------------
+  //
+  // The native BatchWrite/StreamingWrite path (GraftWrite.scala) has
+  // its TASKS write parquet straight into a staged group dir under the
+  // table root; these driver-side verbs turn a staged dir into a
+  // commit through the same file-group/commit-log protocol as the API
+  // verbs — one place decides atomicity. `keepFiles` are the
+  // dir-relative paths the committed task messages name: anything else
+  // in the staged dir is debris from zombie/speculative task attempts
+  // and is removed before the stats harvest, so a task the scheduler
+  // abandoned mid-write can never leak duplicate rows into the commit.
+
+  private[graft] sealed trait StagedMode
+  private[graft] object StagedMode {
+    case object Append extends StagedMode
+    /** Full-table overwrite as a NEW VERSION pointing only at the
+      * staged group — history-preserving (time travel keeps the old
+      * snapshot), unlike `create` which resets the table.
+      */
+    case object Overwrite extends StagedMode
+    /** INSERT OVERWRITE ... PARTITION (static) / replaceWhere. */
+    final case class ReplaceWhere(predicate: org.apache.spark.sql.Column) extends StagedMode
+    /** Dynamic partition overwrite: replace exactly the partitions
+      * present in the staged data; every other partition carries
+      * forward (as partition-subdir entries when a group is split).
+      */
+    case object DynamicPartitions extends StagedMode
+  }
+
+  private[graft] def commitStaged(spark: SparkSession, path: String, stagedDir: String,
+      keepFiles: Seq[String], mode: StagedMode, txn: Option[(String, Long)] = None,
+      createPartitionBy: Seq[String] = Nil,
+      createSchema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+    import StagedMode._
+    val stagedPath = new Path(path, stagedDir)
+    val fs = fsOf(spark, stagedPath)
+    if (!fs.exists(stagedPath)) fs.mkdirs(stagedPath)
+    val keep = keepFiles.toSet
+    val base = fs.makeQualified(stagedPath).toString
+    val files = fs.listFiles(stagedPath, true)
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = fs.makeQualified(f.getPath).toString.stripPrefix(base + "/")
+        if (!keep(rel)) fs.delete(f.getPath, false)
+      }
+    }
+    writeStats(spark, path, stagedDir)
+    val hasData = keepFiles.nonEmpty
+    currentVersion(spark, path) match {
+      case None =>
+        // First write to a fresh path: create at version 0 (the staged
+        // dir IS the v0 group). Partitioned DDL tables already exist
+        // (the catalog's createTable commits v0), so createPartitionBy
+        // only matters for path-based first writes.
+        if (createPartitionBy.nonEmpty) {
+          val b64 = java.util.Base64.getEncoder.encodeToString(
+            createSchema.getOrElse(org.apache.spark.sql.types.StructType(Nil))
+              .json.getBytes(StandardCharsets.UTF_8))
+          val meta = tableMetaFile(path)
+          val out = fsOf(spark, meta).create(meta, true)
+          try out.write(
+            (s"""{"partitionBy":[${createPartitionBy.map(c => "\"" + c + "\"").mkString(",")}],""" +
+              s""""schemaB64":"$b64"}""").getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        writeCommit(spark, path, Commit(0L, "create", Seq(stagedDir), None, txn = txn))
+        0L
+      case Some(prev) =>
+        val c = readCommit(spark, path, prev)
+        val v = prev + 1
+        val parts = tablePartitioning(spark, path)
+        mode match {
+          case Append =>
+            // Zero-write-amplification CDC marker, like append().
+            val cdc = if (hasData) cdcKey(spark, path).map(_ => "@" + stagedDir) else None
+            val dirs = if (hasData) c.dirs :+ stagedDir else c.dirs
+            writeCommit(spark, path, Commit(v, "append", dirs, cdc, txn = txn))
+          case Overwrite =>
+            val cdc = cdcKey(spark, path).map { k =>
+              writeCdc(spark, path, v, diffFrames(read(spark, path, Some(prev)),
+                readDirs(spark, path, Seq(stagedDir)), k, preimages = true))
+            }
+            writeCommit(spark, path, Commit(v, "overwrite", Seq(stagedDir), cdc, txn = txn))
+          case ReplaceWhere(pred) =>
+            val (touched, untouched) = splitDirs(spark, path, c.dirs,
+              predicateBounds(read(spark, path, Some(prev)), pred))
+            val old =
+              if (touched.isEmpty) read(spark, path, Some(prev)).limit(0)
+              else readDirs(spark, path, touched)
+            val rewritten =
+              if (touched.isEmpty) None
+              else Some(writeGroup(spark, path, v,
+                old.where(!coalesce(pred, lit(false))), parts))
+            val cdc = cdcKey(spark, path).map { k =>
+              writeCdc(spark, path, v, diffFrames(old,
+                readDirs(spark, path, rewritten.toSeq :+ stagedDir), k, preimages = true))
+            }
+            writeCommit(spark, path,
+              Commit(v, "replace", (untouched ++ rewritten) :+ stagedDir, cdc, txn = txn))
+          case DynamicPartitions =>
+            require(parts.nonEmpty,
+              "dynamic partition overwrite requires a partitioned table")
+            val replaced = partitionLeaves(spark, Seq(stagedPath.toString), parts)
+              .map(_._1).toSet
+            val tableQ = fs.makeQualified(new Path(path)).toString
+            def rel(p: Path): String = p.toString.stripPrefix(tableQ + "/")
+            val keepDirs = Seq.newBuilder[String]
+            val droppedLeaves = Seq.newBuilder[String]
+            c.dirs.foreach { entry =>
+              val leaves = partitionLeaves(spark,
+                Seq(new Path(path, entry).toString), parts)
+              val (drop, keepL) = leaves.partition { case (values, _) => replaced(values) }
+              if (drop.isEmpty) keepDirs += entry
+              else {
+                keepL.foreach { case (_, leaf) => keepDirs += rel(leaf) }
+                droppedLeaves ++= drop.map { case (_, leaf) => rel(leaf) }
+              }
+            }
+            val cdc = cdcKey(spark, path).map { k =>
+              val ds = droppedLeaves.result()
+              val oldDf =
+                if (ds.isEmpty) read(spark, path, Some(prev)).limit(0)
+                else readDirs(spark, path, ds)
+              writeCdc(spark, path, v, diffFrames(oldDf,
+                readDirs(spark, path, Seq(stagedDir)), k, preimages = true))
+            }
+            writeCommit(spark, path,
+              Commit(v, "replace", keepDirs.result() :+ stagedDir, cdc, txn = txn))
+        }
+        v
+    }
+  }
+
   /** TIMESTAMP AS OF resolution: the newest version whose commit time
     * is ≤ `tsMillis` (None = the table didn't exist yet). Commits
     * record wall-clock publish time; the walk is newest-first so the

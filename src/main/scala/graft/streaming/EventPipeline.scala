@@ -349,6 +349,38 @@ object EventPipeline {
       .orderBy("user_id")
   }
 
+  /** C21: the NATIVE streaming sink — `writeStream.format("graft")`
+    * straight into a LakeTable, no foreachBatch: each epoch's tasks
+    * write parquet into a staged group (GraftWrite.scala) and the
+    * epoch commits with a (queryId, epochId) txn marker, so a
+    * replayed micro-batch after a restart is skipped — the same
+    * exactly-once contract C20 proves for appendOnce, now as a plain
+    * sink format (LakeTableSpec pins the replay case). The oracle is
+    * the batch aggregate: any duplication fails the hash.
+    */
+  def graftSink(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${graft.operators.Lakehouse.scratch}/stream_graft_sink"
+    val ckpt = s"${graft.operators.Lakehouse.scratch}/stream_graft_sink_ckpt"
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(lake, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, true)
+    }
+    withStreamPartitions(spark) {
+      val q = eventsStream(spark, dir)
+        .select("event_id", "user_id", "value")
+        .writeStream.format("graft")
+        .option("path", lake).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    graft.sources.LakeTable.read(spark, lake)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), round(sum("value") + lit(1e-6), 2).as("sum_val"))
+      .orderBy("user_id")
+  }
+
   /** C16: the same lake-stream aggregate through the COMMIT-LOG
     * source (`readStream.format("graft")`): offsets are table
     * versions, batches are exactly the committed file groups — orphan
@@ -440,6 +472,11 @@ object EventPipeline {
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("stream_append_once", (s, d) => appendOnceSink(s, d),
+      Some("""SELECT user_id, count(*) AS cnt,
+             |round(sum(value)+1e-6,2) AS sum_val
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("stream_graft_sink", (s, d) => graftSink(s, d),
       Some("""SELECT user_id, count(*) AS cnt,
              |round(sum(value)+1e-6,2) AS sum_val
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),

@@ -32,6 +32,71 @@ object Glue {
   def confOf(b: org.apache.spark.broadcast.Broadcast[_]): org.apache.hadoop.conf.Configuration =
     b.value.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
 
+  /** The active CLASSIC session. The unified `SparkSession.active`
+    * can resolve to a Spark Connect CLIENT session (which has no
+    * SparkContext and throws on any engine-side use) when a connect
+    * client ran in-process — engine code must bind to the classic
+    * one.
+    */
+  def activeSession: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.classic.SparkSession.active
+
+  /** The session-level Hadoop configuration WITH the SQL confs folded
+    * in (what FileFormat writers expect to read their settings from).
+    */
+  def sessionHadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.newHadoopConf()
+
+  /** Broadcast an arbitrary Hadoop configuration (the hadoopConf
+    * overload of [[broadcastHadoopConf]]).
+    */
+  def broadcastConf(sc: org.apache.spark.SparkContext,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.broadcast.Broadcast[_ <: java.io.Serializable] =
+    sc.broadcast(new org.apache.spark.util.SerializableConfiguration(conf))
+
+  /** Task-side parquet writer for InternalRow — the piece a native
+    * DSv2 DataWriter needs. Wires ParquetWriteSupport exactly as
+    * ParquetFileFormat.prepareWrite does (schema + legacy-format +
+    * timestamp-type + rebase keys, defensively defaulted when the
+    * shipped conf lacks them) and opens Spark's own ParquetOutputWriter
+    * at `file`, so the bytes written are indistinguishable from a
+    * DataFrame parquet write.
+    */
+  def parquetRowWriter(file: String, dataSchema: org.apache.spark.sql.types.StructType,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.OutputWriter = {
+    import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, TaskType, JobID}
+    import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+    import org.apache.parquet.hadoop.ParquetOutputFormat
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new org.apache.hadoop.conf.Configuration(conf)
+    ParquetWriteSupport.setSchema(dataSchema, c)
+    c.set(ParquetOutputFormat.WRITE_SUPPORT_CLASS, classOf[ParquetWriteSupport].getName)
+    // ParquetWriteSupport.init / SparkToParquetSchemaConverter read
+    // these SQLConf entries from the Hadoop conf with no fallback;
+    // default any the shipped session conf didn't carry explicitly.
+    Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE,
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE)
+      .foreach(e => c.setIfUnset(e.key, e.defaultValueString))
+    c.setIfUnset(ParquetOutputFormat.COMPRESSION, "snappy")
+    val attempt = new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, 0), 0)
+    new ParquetOutputWriter(file, new TaskAttemptContextImpl(c, attempt))
+  }
+
+  /** Hive-style partition-path escaping (matches what
+    * DataFrameWriter.partitionBy produces, so natively-written and
+    * API-written partition dirs interoperate).
+    */
+  def escapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
   /** Register a builder under `name` in the session's function
     * registry so TEXT SQL can call graft's native expressions.
     * Idempotent (createOrReplace).

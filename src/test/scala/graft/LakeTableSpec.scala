@@ -472,6 +472,43 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() === 20)
   }
 
+  test("native streaming sink: restart replay of an unacknowledged epoch lands exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val lake = s"$root/native_sink"
+    val ckpt = s"$root/native_sink_ckpt"
+    val src = s"$root/native_sink_src"
+    Seq(lake, ckpt, src).foreach(p =>
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p)))
+    spark.range(100).toDF("id").coalesce(1).write.parquet(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(new org.apache.spark.sql.types.StructType().add("id", "long"))
+        .parquet(src)
+        .writeStream.format("graft")
+        .option("path", lake).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(LakeTable.read(spark, lake).count() === 100)
+    val v1 = LakeTable.currentVersion(spark, lake).get
+    // Crash-after-write-before-ack: the sink committed to the lake but
+    // the checkpoint never recorded the epoch — delete the checkpoint's
+    // commit log so the restart REPLAYS the micro-batch with the same
+    // queryId + epochId. The (queryId, epochId) txn marker must make
+    // the replayed epoch a no-op: same rows, same version, no dup.
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$ckpt/commits"))
+    runOnce()
+    assert(LakeTable.read(spark, lake).count() === 100,
+      "replayed epoch duplicated rows")
+    assert(LakeTable.currentVersion(spark, lake).get === v1,
+      "replayed epoch produced a new commit")
+    // New data still flows after the replay (epoch ids advance).
+    spark.range(100, 120).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    assert(LakeTable.read(spark, lake).count() === 120)
+  }
+
   test("DESCRIBE HISTORY lists retained commits newest-first with actions and CDC flags") {
     val p = s"$root/history"
     LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))
@@ -684,16 +721,28 @@ class LakeTableSpec extends AnyFunSuite {
     // Plain INSERT OVERWRITE (no partition scope) truncates + reloads.
     spark.sql("INSERT OVERWRITE graft_cat.pdb.ow SELECT id, CAST(id % 2 AS STRING) FROM range(6)")
     assert(spark.sql("SELECT count(*) FROM graft_cat.pdb.ow").as[Long].head() === 6L)
-    // Dynamic mode needs a native DSv2 BatchWrite (no V1 fallback
-    // exists for OverwritePartitionsDynamic) — it must reject with the
-    // standard capability error, never silently full-overwrite.
+    // DYNAMIC partition overwrite (native DSv2 BatchWrite — the V1
+    // fallback had to reject this): replace exactly the partitions
+    // present in the data; untouched partitions carry forward.
+    spark.sql("INSERT INTO graft_cat.pdb.ow VALUES (900, '9')") // must survive
     val old = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val e = intercept[Exception] {
-        spark.sql("INSERT OVERWRITE graft_cat.pdb.ow SELECT id, CAST(id % 2 AS STRING) FROM range(4)")
-      }
-      assert(e.getMessage.contains("dynamic overwrite"), e.getMessage)
+      spark.sql("INSERT OVERWRITE graft_cat.pdb.ow SELECT id, CAST(id % 2 AS STRING) FROM range(4)")
+      val dyn = spark.sql("SELECT g, count(*) AS n, sum(id) AS s FROM graft_cat.pdb.ow GROUP BY g ORDER BY g")
+        .as[(String, Long, Long)].collect().toSeq
+      // g=0 → {0,2}, g=1 → {1,3} replaced; g=9 untouched.
+      assert(dyn === Seq(("0", 2L, 2L), ("1", 2L, 4L), ("9", 1L, 900L)), dyn.toString)
+      val cd = LakeTable.readCommit(spark, root, LakeTable.currentVersion(spark, root).get)
+      assert(cd.action === "replace", cd.toString)
+      // Granularity pin: the g=9 group (no replaced partitions) carries
+      // forward AS AN ENTRY — dynamic overwrite added exactly one new
+      // group and dropped the fully-replaced one, no rewrite of
+      // untouched data.
+      assert(cd.dirs.length === 2, cd.dirs.toString)
+      // Time travel still sees the pre-dynamic state (history preserved).
+      val prev = LakeTable.currentVersion(spark, root).get - 1
+      assert(LakeTable.read(spark, root, Some(prev)).count() === 7L)
     } finally old match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -54,7 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_history",
         "graft_history('db.table' | '/table/path') - commit audit log, newest first"),
       (args: Seq[Expression]) => {
-        val spark = org.apache.spark.sql.SparkSession.active
+        val spark = org.apache.spark.sql.graftglue.Glue.activeSession
         analyzedPlan(graft.sources.LakeTable.history(spark,
           resolveTarget(spark, stringArg(args.head))))
       }))
@@ -62,7 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_changes",
         "graft_changes(target[, fromExclusive[, toInclusive]]) - the CDC feed as a table"),
       (args: Seq[Expression]) => {
-        val spark = org.apache.spark.sql.SparkSession.active
+        val spark = org.apache.spark.sql.graftglue.Glue.activeSession
         val target = resolveTarget(spark, stringArg(args.head))
         val from = args.lift(1).map(longArg).getOrElse(-1L)
         val to = args.lift(2).map(longArg).getOrElse(Long.MinValue)

@@ -92,7 +92,7 @@ case class MaterializedViewRewrite(spark: SparkSession) extends Rule[LogicalPlan
     })
     if (!touchesMeasures) return None
 
-    val mvPlan = graft.sources.LakeTable.read(SparkSession.active, mv.mvPath)
+    val mvPlan = graft.sources.LakeTable.read(org.apache.spark.sql.graftglue.Glue.activeSession, mv.mvPath)
       .queryExecution.analyzed
     def mvAttr(n: String): Option[AttributeReference] =
       mvPlan.output.collectFirst { case a: AttributeReference if a.name == n => a }

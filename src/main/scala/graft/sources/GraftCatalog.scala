@@ -35,7 +35,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: String = _
 
-  private def spark: SparkSession = SparkSession.active
+  private def spark: SparkSession = org.apache.spark.sql.graftglue.Glue.activeSession
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -132,7 +132,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val p = tablePath(ident)
     if (!isLakeTable(p)) throw new NoSuchTableException(ident)
-    val v = LakeTable.versionAt(SparkSession.active, p.toString, timestamp / 1000L)
+    val v = LakeTable.versionAt(org.apache.spark.sql.graftglue.Glue.activeSession, p.toString, timestamp / 1000L)
       .getOrElse(throw new NoSuchTableException(ident))
     new GraftTable(p.toString, Some(v), None)
   }

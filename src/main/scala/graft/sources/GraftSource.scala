@@ -38,7 +38,7 @@ class DefaultSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
-    val spark = SparkSession.active
+    val spark = org.apache.spark.sql.graftglue.Glue.activeSession
     if (changeFeed(options)) LakeTable.cdcSchema(spark, path)
     else if (LakeTable.currentVersion(spark, path).isDefined)
       LakeTable.tableSchema(spark, path, versionOf(options))

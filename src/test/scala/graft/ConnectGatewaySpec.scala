@@ -118,27 +118,26 @@ class ConnectGatewaySpec extends AnyFunSuite {
     org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    // Rejected clients must still be close()d: a lingering Connect
+    // client session registers itself as the JVM-wide default
+    // SparkSession and would shadow the classic engine session for
+    // later suites.
+    def expectUnauthenticated(params: String): Unit = {
+      val c = new Client(params)
+      try {
+        val e = intercept[Exception] { c.sql("SELECT 1 AS x") }
+        assert(chain(e).exists(_.contains("UNAUTHENTICATED")), chain(e))
+      } finally { try c.close() catch { case _: Throwable => () } }
+    }
     try {
       // Valid credentials: full SQL surface works.
       val good = new Client(";graft_user=alice;graft_token=secret1")
       assert(good.sql("SELECT 41 + 1 AS x").head.getInt(0) == 42)
       good.close()
 
-      // Wrong token: rejected before any handler runs.
-      val badToken = intercept[Exception] {
-        new Client(";graft_user=alice;graft_token=wrong").sql("SELECT 1 AS x")
-      }
-      assert(chain(badToken).exists(_.contains("UNAUTHENTICATED")), chain(badToken))
-
-      // No credentials at all: rejected too.
-      val anon = intercept[Exception] { new Client().sql("SELECT 1 AS x") }
-      assert(chain(anon).exists(_.contains("UNAUTHENTICATED")), chain(anon))
-
-      // Unknown user: rejected.
-      val ghost = intercept[Exception] {
-        new Client(";graft_user=mallory;graft_token=secret1").sql("SELECT 1 AS x")
-      }
-      assert(chain(ghost).exists(_.contains("UNAUTHENTICATED")), chain(ghost))
+      expectUnauthenticated(";graft_user=alice;graft_token=wrong") // wrong token
+      expectUnauthenticated("") // no credentials at all
+      expectUnauthenticated(";graft_user=mallory;graft_token=secret1") // unknown user
     } finally {
       ConnectAuth.disable()
       org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)

@@ -90,7 +90,45 @@ final class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
 }
 
 final class GraftWrite(path: String, info: LogicalWriteInfo, mode: GraftWriteMode)
-    extends Write {
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** Writes to a PARTITIONED table request a clustered distribution on
+    * the partition columns: without it every task holds an open writer
+    * for every partition it sees — at 1000 executors × P partitions
+    * that is 1000·P small files per write and 1000·P open writer
+    * buffers. Clustering routes each partition's rows to one task
+    * (the Delta optimized-write shape), so files-per-write ∝ P.
+    * Gated off when the incoming columns don't carry the partition
+    * names (positional VALUES inserts — the distribution expression
+    * could not resolve) and by spark.graft.write.clusterByPartitions.
+    */
+  private val clusterCols: Seq[String] = {
+    val spark = org.apache.spark.sql.graftglue.Glue.activeSession
+    val enabled = spark.conf
+      .getOption("spark.graft.write.clusterByPartitions").forall(_.toBoolean)
+    if (!enabled || LakeTable.currentVersion(spark, path).isEmpty) Nil
+    else {
+      val parts = LakeTable.tablePartitioning(spark, path)
+      val names = info.schema().fieldNames
+      // use the INCOMING spelling of each partition column so the
+      // distribution expressions resolve against the query output
+      val resolved = parts.flatMap(p => names.find(_.equalsIgnoreCase(p)))
+      if (resolved.length == parts.length) resolved else Nil
+    }
+  }
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (clusterCols.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        clusterCols.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+          .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]).toArray)
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
   override def toBatch: BatchWrite = new GraftBatchWrite(path, info, mode)
   override def toStreaming: StreamingWrite = new GraftStreamingWrite(path, info, mode)
 }
@@ -105,6 +143,12 @@ final class GraftBatchWrite(path: String, info: LogicalWriteInfo, mode: GraftWri
     if (LakeTable.currentVersion(spark, path).isDefined)
       LakeTable.tablePartitioning(spark, path)
     else Nil
+  // Fail at planning, not as an opaque task failure on an executor.
+  partCols.foreach { c =>
+    require(target.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"write to partitioned table $path must supply partition column $c; " +
+        s"got ${target.fieldNames.mkString("(", ",", ")")}")
+  }
   private val stagedDir = {
     val guess = LakeTable.currentVersion(spark, path).map(_ + 1).getOrElse(0L)
     s"d$guess-${UUID.randomUUID.toString.take(8)}"
@@ -151,6 +195,11 @@ final class GraftStreamingWrite(path: String, info: LogicalWriteInfo, mode: Graf
     if (LakeTable.currentVersion(spark, path).isDefined)
       LakeTable.tablePartitioning(spark, path)
     else Nil
+  partCols.foreach { c =>
+    require(target.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"streaming write to partitioned table $path must supply partition column $c; " +
+        s"got ${target.fieldNames.mkString("(", ",", ")")}")
+  }
   // Stable across restarts (checkpointed): the idempotence key.
   private val appId = info.queryId()
   private val base = s"ds-${UUID.randomUUID.toString.take(8)}"

@@ -509,6 +509,67 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, lake).count() === 120)
   }
 
+  test("native partitioned write clusters rows by partition column: files-per-write ∝ partitions") {
+    // Without the requested clustered distribution every task writes a
+    // file into every partition it sees (tasks × partitions small
+    // files at cluster scale). With it, each partition's rows land on
+    // one task → one file per partition per write.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.pdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.pdb.clus")
+    spark.sql("CREATE TABLE graft_cat.pdb.clus (id BIGINT, g STRING) PARTITIONED BY (g)")
+    // 8 input partitions × 3 table partitions
+    spark.range(0, 300, 1, 8).selectExpr("id", "CAST(id % 3 AS STRING) AS g")
+      .createOrReplaceTempView("clus_src")
+    spark.sql("INSERT INTO graft_cat.pdb.clus SELECT id, g FROM clus_src")
+    val root = GraftSession.catalogRoot + "/pdb/clus"
+    val c = LakeTable.readCommit(spark, root, LakeTable.currentVersion(spark, root).get)
+    val groupDir = new org.apache.hadoop.fs.Path(root, c.dirs.last)
+    val fs = groupDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(groupDir, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString }
+      b.result()
+    }
+    // 3 partitions → exactly 3 files (one task per partition), not 8×3.
+    assert(files.length === 3, files.mkString("\n"))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.pdb.clus").as[Long].head() === 300L)
+    // Missing partition column fails at planning with a clear message.
+    val e = intercept[Exception] {
+      spark.range(5).toDF("id").write.format("graft").mode("append").save(root)
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+  }
+
+  test("CDC feed stays correct across a native dynamic partition overwrite") {
+    import org.apache.spark.sql.functions.when
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.pdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.pdb.cdcdyn")
+    spark.sql("CREATE TABLE graft_cat.pdb.cdcdyn (id BIGINT, g STRING) PARTITIONED BY (g)")
+    val root = GraftSession.catalogRoot + "/pdb/cdcdyn"
+    LakeTable.enableCdc(spark, root, "id")
+    spark.sql("INSERT INTO graft_cat.pdb.cdcdyn SELECT id, CAST(id % 2 AS STRING) FROM range(10)")
+    val old = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // Replace only g='0' (ids 100..104); g='1' untouched.
+      spark.sql("INSERT OVERWRITE graft_cat.pdb.cdcdyn SELECT id, '0' FROM range(100, 105)")
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // Folding the signed change feed reproduces the table state — the
+    // CDC contract under partition replacement.
+    val sign = when(col("change_type").isin("insert", "update_postimage"), 1).otherwise(-1)
+    val folded = LakeTable.readChangeFeed(spark, root)
+      .groupBy("id").agg(sum(sign).as("net"))
+      .where(col("net") > 0).select("id")
+      .as[Long].collect().toSet
+    val direct = spark.sql("SELECT id FROM graft_cat.pdb.cdcdyn").as[Long].collect().toSet
+    assert(folded === direct, s"folded=$folded direct=$direct")
+    assert(direct === (Set(1L, 3L, 5L, 7L, 9L) ++ (100L to 104L)), direct.toString)
+  }
+
   test("DESCRIBE HISTORY lists retained commits newest-first with actions and CDC flags") {
     val p = s"$root/history"
     LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))

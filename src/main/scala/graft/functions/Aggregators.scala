@@ -39,3 +39,38 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 }
+
+/** Column wrappers for the Roaring-bitmap exact-distinct surface (the
+  * Doris BITMAP_UNION capability — see plans/BitmapExpressions.scala).
+  */
+object Bitmaps {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftglue.Glue
+  import graft.plans.{BitmapAndCardinality, BitmapBuildAgg, BitmapCardinality, BitmapIntersectAgg, BitmapToArray, BitmapUnionAgg}
+
+  /** Aggregate an integral key column into a serialized distinct-set
+    * bitmap (binary). NULL keys are skipped.
+    */
+  def bitmapBuild(key: Column): Column =
+    Glue.column(BitmapBuildAgg(Glue.expression(key)).toAggregateExpression())
+
+  /** OR-merge stored bitmap blobs — the rollup re-aggregation. */
+  def bitmapUnion(bm: Column): Column =
+    Glue.column(BitmapUnionAgg(Glue.expression(bm)).toAggregateExpression())
+
+  /** Exact cardinality of a stored bitmap. */
+  def bitmapCount(bm: Column): Column =
+    Glue.column(BitmapCardinality(Glue.expression(bm)))
+
+  /** Exact |a ∩ b| of two stored bitmaps. */
+  def bitmapAndCount(a: Column, b: Column): Column =
+    Glue.column(BitmapAndCardinality(Glue.expression(a), Glue.expression(b)))
+
+  /** AND-merge stored bitmaps across rows (MATCH_ALL). */
+  def bitmapIntersect(bm: Column): Column =
+    Glue.column(BitmapIntersectAgg(Glue.expression(bm)).toAggregateExpression())
+
+  /** Materialize a stored bitmap's id set (ascending array<bigint>). */
+  def bitmapToArray(bm: Column): Column =
+    Glue.column(BitmapToArray(Glue.expression(bm)))
+}

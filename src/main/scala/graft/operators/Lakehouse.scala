@@ -445,6 +445,76 @@ object Lakehouse {
       Some("""SELECT event_type, count(DISTINCT user_id) AS approx_users
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B41: EXACT distinct-counting MV rollup via Roaring bitmap
+    // partials — the Doris BITMAP_UNION aggregate-model capability
+    // (the deployed OLAP engine's signature exact-distinct serving
+    // path, which its HLL columns only approximate). The MV stores one
+    // compressed bitmap blob per (event_type, day); ANY coarser
+    // grouping OR-merges blobs — never rescanning the fact — and the
+    // answer is exact at every cardinality, not just in a sketch's
+    // sparse regime. Partials are mergeable (TypedImperativeAggregate
+    // → ObjectHashAggregate, map-side combine), so the fact shuffle
+    // carries one blob per group per partition.
+    Q("q_mv_bitmap",
+      (s, d) => {
+        import graft.functions.Bitmaps
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("ts").cast("date").as("day"), col("user_id"))
+        val mvPath = s"$scratch/mv_events_bitmap"
+        LakeTable.create(s, mvPath,
+          ev.groupBy("event_type", "day")
+            .agg(Bitmaps.bitmapBuild(col("user_id")).as("bm_users"),
+              count(lit(1)).as("cnt")))
+        LakeTable.read(s, mvPath)
+          .groupBy("event_type")
+          .agg(Bitmaps.bitmapCount(Bitmaps.bitmapUnion(col("bm_users")))
+            .as("exact_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B42: inverted-index keyword search — the Doris inverted-index /
+    // MATCH_ALL capability (and the Hive+ES pattern the reference
+    // stack serves search from). Build: one corpus pass tokenizes
+    // map-side and aggregates token → Roaring bitmap of doc_ids, the
+    // posting lists persisted as a LakeTable (compressed blobs; the
+    // big corpus never shuffles text, only (token, doc_id) pairs).
+    // Query: a pushed point-filter reads ONLY the query terms' rows —
+    // file-skipping applies like any point lookup — then one
+    // AND-aggregate intersects the posting bitmaps and the bounded
+    // match set explodes to ids that broadcast-semi-join the corpus.
+    // Query cost tracks the query terms' posting sizes, never corpus
+    // size.
+    Q("q_text_search",
+      (s, d) => {
+        import graft.functions.Bitmaps
+        val terms = Seq("vector", "merge", "window")
+        val idxPath = s"$scratch/text_inverted_idx"
+        val docs = t(s, d, "documents")
+        LakeTable.create(s, idxPath,
+          docs.select(col("doc_id"),
+              explode(array_distinct(filter(split(lower(col("text")), " "),
+                x => x =!= ""))).as("term"))
+            .groupBy("term")
+            .agg(Bitmaps.bitmapBuild(col("doc_id")).as("bm"),
+              count(lit(1)).as("df")))
+        val matched = LakeTable.read(s, idxPath)
+          .where(col("term").isin(terms: _*))
+          .agg(Bitmaps.bitmapIntersect(col("bm")).as("bm"))
+          .select(explode(Bitmaps.bitmapToArray(col("bm"))).as("doc_id"))
+        docs.join(broadcast(matched), "doc_id")
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM (
+             |  SELECT doc_id, lang, n_chars,
+             |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             |  FROM documents)
+             |WHERE list_contains(tk, 'vector') AND list_contains(tk, 'merge')
+             |  AND list_contains(tk, 'window')
+             |ORDER BY doc_id""".stripMargin)),
+
     // B22: change data feed (Delta-CDF/Iceberg-changelog capability):
     // diff two snapshots into insert/update/delete records for
     // incremental downstream consumers. v0 = orderkey<1200; a DELETE

@@ -136,3 +136,88 @@ class VectorExprSpec extends AnyFunSuite {
     assert(hams(1) > 10)   // disjoint bags
   }
 }
+
+/** Roaring-bitmap exact-distinct aggregation (B41, the Doris
+  * BITMAP_UNION capability): partial merge across many partitions,
+  * blob round trip through a rollup union, and the mergeable
+  * ObjectHashAggregate plan shape.
+  */
+class BitmapExprSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import graft.functions.Bitmaps
+
+  test("bitmap build/union/count is exact across partitions and rollup levels") {
+    // 20 input partitions; key domain overlaps heavily across groups
+    // (every bucket sees a shifted slice of the key space), so the
+    // union must actually dedup across partial blobs, not just sum.
+    val df = spark.range(0, 100000, 1, 20)
+      .selectExpr("id % 7 AS g", "(id * 37) % 7919 AS k")
+    val mv = df.groupBy("g").agg(Bitmaps.bitmapBuild(col("k")).as("bm"))
+    // per-group exactness
+    val perGroup = mv.select(col("g"), Bitmaps.bitmapCount(col("bm")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = df.groupBy("g").agg(countDistinct("k").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perGroup === expected)
+    // rollup-by-union exactness: the global distinct served from blobs
+    val global = mv.agg(
+      Bitmaps.bitmapCount(Bitmaps.bitmapUnion(col("bm"))).as("c"))
+      .head().getLong(0)
+    assert(global === 7919L, s"global=$global")
+    // NULL keys are skipped, count(DISTINCT) semantics
+    val withNulls = spark.range(10)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN id END AS k")
+    assert(withNulls.agg(Bitmaps.bitmapCount(Bitmaps.bitmapBuild(col("k"))))
+      .head().getLong(0) === 5L)
+  }
+
+  test("bitmap aggregation plans as mergeable ObjectHashAggregate with partial map-side combine") {
+    val df = spark.range(0, 1000, 1, 4).selectExpr("id % 3 AS g", "id AS k")
+    val plan = df.groupBy("g").agg(Bitmaps.bitmapBuild(col("k")).as("bm"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // two-phase: a partial aggregate below the exchange
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("bitmap_and_count: exact intersection cardinality of stored blobs") {
+    val a = spark.range(0, 1000).selectExpr("id AS k")
+      .agg(Bitmaps.bitmapBuild(col("k")).as("bm")).withColumn("j", lit(1))
+    val b = spark.range(500, 2000).selectExpr("id AS k")
+      .agg(Bitmaps.bitmapBuild(col("k")).as("bm2")).withColumn("j", lit(1))
+    val n = a.join(b, "j")
+      .select(Bitmaps.bitmapAndCount(col("bm"), col("bm2")).as("c"))
+      .head().getLong(0)
+    assert(n === 500L)
+  }
+}
+
+/** MATCH_ALL intersection aggregate + id materialization (B42). */
+class BitmapIntersectSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import graft.functions.Bitmaps
+
+  test("bitmap_intersect ANDs across rows; null-buffer identity survives partial merge") {
+    import spark.implicits._
+    // three posting lists over many partitions: AND = {30..39}
+    val bms = Seq((0, 0L, 40L), (1, 10L, 50L), (2, 30L, 70L)).toDF("term", "lo", "hi")
+      .select(col("term"), explode(sequence(col("lo"), col("hi") - 1)).as("k"))
+      .repartition(6)
+      .groupBy("term").agg(Bitmaps.bitmapBuild(col("k")).as("bm"))
+    val ids = bms.agg(Bitmaps.bitmapIntersect(col("bm")).as("bm"))
+      .select(Bitmaps.bitmapToArray(col("bm")).as("ids"))
+      .head().getSeq[Long](0)
+    assert(ids === (30L until 40L))
+    // empty input relation → empty bitmap, not a crash
+    val none = bms.where(col("term") > 99)
+      .agg(Bitmaps.bitmapCount(Bitmaps.bitmapIntersect(col("bm"))))
+      .head().getLong(0)
+    assert(none === 0L)
+    // disjoint lists → genuinely empty intersection
+    val d = Seq((0, 0L, 10L), (1, 20L, 30L)).toDF("term", "lo", "hi")
+      .select(col("term"), explode(sequence(col("lo"), col("hi") - 1)).as("k"))
+      .groupBy("term").agg(Bitmaps.bitmapBuild(col("k")).as("bm"))
+      .agg(Bitmaps.bitmapCount(Bitmaps.bitmapIntersect(col("bm")))).head().getLong(0)
+    assert(d === 0L)
+  }
+}

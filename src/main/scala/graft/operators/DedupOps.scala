@@ -329,5 +329,87 @@ object DedupOps {
           .orderBy("vec_a", "vec_b")
       },
       None),
+
+    // D32: repeated-span detection — the Lee et al. ("Deduplicating
+    // Training Data Makes Language Models Better") EXACT-SUBSTRING
+    // dedup signal: find ≥w-token spans that recur across documents
+    // (boilerplate, licenses, templated text that document-level
+    // near-dedup misses). Scale shape: tokens fingerprint to a
+    // deterministic 31-bit arithmetic hash AT THE SCAN (pure map, the
+    // q_corpus_mix device — engine-portable, so the oracle runs the
+    // identical formula), the rolling w-token signature is a Horner
+    // chain over 7 lead() calls in ONE per-doc window pass (never a
+    // self-join), and only (doc_id, pos, 8-byte hash) rows ever
+    // shuffle — text stays at the scan. Span groups then aggregate by
+    // signature; output is the duplicated spans ranked by document
+    // reach. At 100 TB the window partitions by doc_id, so the pass
+    // is embarrassingly parallel across documents.
+    Q("q_dedup_spans", {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val p31 = SpanConstants.pow31
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), " "), x => x =!= "").as("ws"))
+        val toks = docs.select(col("doc_id"), posexplode(col("ws")))
+          .withColumnRenamed("col", "tok")
+        // token fingerprint: length*131 + Σ charcode_i * 31^(i-1), i≤8, mod 2^31
+        val poly = (1 to 8).foldLeft(length(col("tok")).cast("long") * 131L) {
+          (acc, i) =>
+            acc + when(length(col("tok")) >= i,
+              ascii(substring(col("tok"), i, 1)).cast("long")).otherwise(0L) * p31(i - 1)
+        }
+        val wn = Window.partitionBy("doc_id").orderBy("pos")
+        // w-token rolling signature: Horner with per-step mod 2^40 so
+        // BIGINT arithmetic is exact in both engines
+        val horner = (1 until SpanConstants.w).foldLeft(col("th")) { (acc, j) =>
+          (acc * 31L + lead(col("th"), j).over(wn)) % SpanConstants.M
+        }
+        toks
+          .select(col("doc_id"), col("pos"), (poly % 2147483648L).as("th"))
+          .withColumn("sig", horner)
+          .where(col("sig").isNotNull) // spans running off the doc end
+          .groupBy("sig")
+          .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+          .where(col("n_docs") >= 2)
+          .orderBy(desc("n_docs"), desc("n_occ"), col("sig"))
+          .limit(50)
+      }},
+      Some(SpanConstants.oracle)),
   )
+}
+
+/** Shared constants + the generated DuckDB mirror for q_dedup_spans:
+  * the Spark expression tree and the oracle SQL are derived from the
+  * same w / powers / moduli so the engines cannot drift.
+  */
+object SpanConstants {
+  val w = 8
+  val M = 1099511627776L // 2^40
+  val pow31: Array[Long] = Array.iterate(1L, 8)(_ * 31L)
+
+  val oracle: String = {
+    val polyTerms = (1 to 8).map { i =>
+      s"(CASE WHEN length(tok) >= $i THEN ascii(substr(tok, $i, 1)) ELSE 0 END)::BIGINT * ${pow31(i - 1)}::BIGINT"
+    }.mkString(" + ")
+    val horner = (1 until w).foldLeft("th") { (acc, j) =>
+      s"(($acc) * 31 + lead(th, $j) OVER wn) % $M"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+       |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) - 1 AS pos
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, pos,
+       |    (length(tok) * 131 + $polyTerms) % 2147483648 AS th
+       |  FROM toks),
+       |sg AS (
+       |  SELECT doc_id, $horner AS sig
+       |  FROM th WINDOW wn AS (PARTITION BY doc_id ORDER BY pos))
+       |SELECT sig, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+       |FROM sg WHERE sig IS NOT NULL
+       |GROUP BY sig HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, sig LIMIT 50""".stripMargin
+  }
 }

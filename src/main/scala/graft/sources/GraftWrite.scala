@@ -118,16 +118,60 @@ final class GraftWrite(path: String, info: LogicalWriteInfo, mode: GraftWriteMod
     }
   }
 
+  /** Columns of the recorded write sort order (B43, the Iceberg
+    * write.sort.by property), resolved against the incoming spelling;
+    * empty when unset or unresolvable (positional inserts).
+    */
+  private val sortCols: Seq[String] = {
+    val spark = org.apache.spark.sql.graftglue.Glue.activeSession
+    if (LakeTable.currentVersion(spark, path).isEmpty) Nil
+    else {
+      val sb = LakeTable.tableSortBy(spark, path)
+      val names = info.schema().fieldNames
+      val resolved = sb.flatMap(c => names.find(_.equalsIgnoreCase(c)))
+      if (resolved.length == sb.length) resolved else Nil
+    }
+  }
+
+  private def sortOrderOf(c: String) =
+    org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+
+  /** Partitioned tables cluster by partition; a FLAT table with a
+    * recorded sort order range-distributes on it instead, so the
+    * staged files land with pairwise-DISJOINT min/max ranges — the
+    * layout the footer-stats pruner (B18) turns into point reads that
+    * open one file.
+    */
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-    if (clusterCols.isEmpty)
-      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-    else
+    if (clusterCols.nonEmpty)
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
         clusterCols.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
           .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]).toArray)
+    else if (sortCols.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.ordered(
+        sortCols.map(sortOrderOf).toArray)
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
 
+  /** In-task order: partition columns first (rows for one leaf arrive
+    * contiguously, so a leaf's writer sees one run), then the recorded
+    * sort columns (rows inside each file are sorted — page-level
+    * stats stay tight even within a file).
+    */
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
+    (clusterCols ++ sortCols).map(sortOrderOf).toArray
+
+  /** Target bytes per write-shuffle partition (≈ target file size, the
+    * Delta/Iceberg write.target-file-size knob): AQE splits/coalesces
+    * the required-distribution shuffle toward this size, so file count
+    * tracks data volume instead of spark.sql.shuffle.partitions.
+    * 0 = session default advisory.
+    */
+  override def advisoryPartitionSizeInBytes(): Long =
+    org.apache.spark.sql.graftglue.Glue.activeSession.conf
+      .getOption("spark.graft.write.advisoryPartitionBytes").map(_.toLong).getOrElse(0L)
 
   override def toBatch: BatchWrite = new GraftBatchWrite(path, info, mode)
   override def toStreaming: StreamingWrite = new GraftStreamingWrite(path, info, mode)

@@ -763,6 +763,56 @@ object LakeTable {
     }
   }
 
+  /** Sort-order columns recorded for native writes (empty = none). */
+  def tableSortBy(spark: SparkSession, path: String): Seq[String] = {
+    val p = tableMetaFile(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"sortBy"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    }
+  }
+
+  /** Record a write sort order (the Iceberg `write.sort.by` table
+    * property): subsequent NATIVE writes range-distribute flat tables
+    * on these columns (and sort within the partition leaves of
+    * partitioned ones), so data files land with DISJOINT footer
+    * min/max ranges and the stats pruner (B18) opens only the files a
+    * point/range read can match. Metadata-only — existing files are
+    * untouched until rewritten.
+    */
+  def setSortBy(spark: SparkSession, path: String, cols: Seq[String]): Unit =
+    writeTableMeta(spark, path, tablePartitioning(spark, path),
+      metaSchema(spark, path), cols)
+
+  /** One writer for every `_table.json` mutation so no path drops a
+    * key another recorded (updateSchemaMeta used to erase nothing only
+    * because partitioning was the single other key).
+    */
+  private def writeTableMeta(spark: SparkSession, path: String, parts: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      sortBy: Seq[String]): Unit = {
+    val fields = Seq.newBuilder[String]
+    fields += s""""partitionBy":[${parts.map(c => "\"" + c + "\"").mkString(",")}]"""
+    if (sortBy.nonEmpty)
+      fields += s""""sortBy":[${sortBy.map(c => "\"" + c + "\"").mkString(",")}]"""
+    schema.foreach { sch =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        sch.json.getBytes(StandardCharsets.UTF_8))
+      fields += s""""schemaB64":"$b64""""
+    }
+    val meta = tableMetaFile(path)
+    val out = fsOf(spark, meta).create(meta, true)
+    try out.write(("{" + fields.result().mkString(",") + "}")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Create (or replace) the table as version 0. */
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Long = {
@@ -775,14 +825,7 @@ object LakeTable {
       // an EMPTY partitioned create writes no parquet files at all, so
       // schema inference has nothing to read until the first insert —
       // the meta is the fallback that keeps DDL-then-INSERT resolvable.
-      val b64 = java.util.Base64.getEncoder.encodeToString(
-        df.schema.json.getBytes(StandardCharsets.UTF_8))
-      val meta = tableMetaFile(path)
-      val out = fsOf(spark, meta).create(meta, true)
-      try out.write(
-        (s"""{"partitionBy":[${partitionBy.map(c => "\"" + c + "\"").mkString(",")}],""" +
-          s""""schemaB64":"$b64"}""").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      writeTableMeta(spark, path, partitionBy, Some(df.schema), Nil)
     }
     writeCommit(spark, path, Commit(0L, "create", Seq(dir)))
     0L
@@ -809,17 +852,9 @@ object LakeTable {
     * reads surface the new columns as NULL until data arrives.
     */
   private[graft] def updateSchemaMeta(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
-    val parts = tablePartitioning(spark, path)
-    val b64 = java.util.Base64.getEncoder.encodeToString(
-      schema.json.getBytes(StandardCharsets.UTF_8))
-    val meta = tableMetaFile(path)
-    val out = fsOf(spark, meta).create(meta, true)
-    try out.write(
-      (s"""{"partitionBy":[${parts.map(c => "\"" + c + "\"").mkString(",")}],""" +
-        s""""schemaB64":"$b64"}""").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    writeTableMeta(spark, path, tablePartitioning(spark, path), Some(schema),
+      tableSortBy(spark, path))
 
   /** Table schema: the UNION of the snapshot's file-inferred schema
     * and the meta-recorded one (create-time for empty partitioned
@@ -1857,14 +1892,26 @@ object LakeTable {
   }
 
   /** Bin-pack small files into `numFiles` outputs (same data, new
-    * version). At scale, numFiles = ceil(bytes / 128 MB).
+    * version). At scale, numFiles = ceil(bytes / 128 MB). A recorded
+    * write.sort.by order (B43) upgrades the bin-pack to SORT
+    * compaction (the Iceberg rewrite-with-sort-order): range-partition
+    * on the sort columns + sort within, so files written BEFORE the
+    * order was set (or by non-native writers) come out range-disjoint
+    * and the stats pruner serves point reads from one file.
     */
   def compact(spark: SparkSession, path: String, numFiles: Int): Long = {
     val prev = currentVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val v = prev + 1
-    val dir = writeGroup(spark, path, v,
-      read(spark, path, Some(prev)).coalesce(numFiles), tablePartitioning(spark, path))
+    val df = read(spark, path, Some(prev))
+    val sb = tableSortBy(spark, path)
+      .flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
+    val packed =
+      if (sb.nonEmpty)
+        df.repartitionByRange(numFiles, sb.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sb.map(org.apache.spark.sql.functions.col): _*)
+      else df.coalesce(numFiles)
+    val dir = writeGroup(spark, path, v, packed, tablePartitioning(spark, path))
     writeCommit(spark, path, Commit(v, "compact", Seq(dir)))
     v
   }

@@ -570,6 +570,66 @@ class LakeTableSpec extends AnyFunSuite {
     assert(direct === (Set(1L, 3L, 5L, 7L, 9L) ++ (100L to 104L)), direct.toString)
   }
 
+  test("write.sort.by: native writes land range-disjoint files; point reads open one file") {
+    val p = s"$root/sorted_write"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    // v0 seeds the table; the recorded sort order shapes the NEXT write
+    LakeTable.create(spark, p,
+      spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"))
+    LakeTable.setSortBy(spark, p, Seq("k"))
+    // deliberately scrambled input over 8 partitions: without the
+    // ordered distribution every file would span the whole key range.
+    // A tiny advisory size (the target-file-size knob) keeps AQE from
+    // coalescing this small write shuffle into one file; the 1 MB
+    // minPartitionSize floor must shrink too or it merges everything
+    // at toy scale (at real scale partitions dwarf both).
+    spark.conf.set("spark.graft.write.advisoryPartitionBytes", "2048")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1024")
+    try {
+      spark.range(10, 4010).selectExpr("(10 + (id * 2654435761) % 4000) AS k", "id AS v")
+        .repartition(8)
+        .write.format("graft").mode("append").save(p)
+    } finally {
+      spark.conf.unset("spark.graft.write.advisoryPartitionBytes")
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    }
+    // every appended file's [min,max] on k must be pairwise disjoint
+    val c = LakeTable.readCommit(spark, p, LakeTable.currentVersion(spark, p).get)
+    val newDir = c.dirs.last
+    val ranges = spark.read.parquet(s"$p/$newDir")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    assert(ranges.length > 1, "expected multiple range-partitioned files")
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"overlapping files: $a vs $b")
+    }
+    // footer-stats pruning: a point read opens exactly one of the new files
+    val touched = LakeTable.readRange(spark, p, "k", 2000L, 2000L)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+      .filter(_.contains(newDir))
+    assert(touched.length <= 1, touched.mkString("\n"))
+    // correctness unaffected: the shuffled write lost nothing
+    assert(LakeTable.read(spark, p).count() === 4010)
+    // ALTER-style schema meta updates must not erase the sort order
+    LakeTable.updateSchemaMeta(spark, p, LakeTable.tableSchema(spark, p))
+    assert(LakeTable.tableSortBy(spark, p) === Seq("k"))
+    // SORT compaction: the pre-order v0 file (full-range) plus the
+    // sorted appends rewrite into range-disjoint files table-wide
+    LakeTable.compact(spark, p, 4)
+    val all = spark.read.parquet(
+      s"$p/${LakeTable.readCommit(spark, p, LakeTable.currentVersion(spark, p).get).dirs.head}")
+    val cRanges = all.groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(cRanges.length === 4, cRanges.mkString(","))
+    cRanges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._1, s"overlapping compacted files: $a vs $b")
+    }
+    assert(LakeTable.read(spark, p).count() === 4010)
+  }
+
   test("DESCRIBE HISTORY lists retained commits newest-first with actions and CDC flags") {
     val p = s"$root/history"
     LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))

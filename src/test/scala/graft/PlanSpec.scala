@@ -302,4 +302,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LocalTopK") && p.contains("FinalTopK"), p.take(2000))
     assert(!p.contains("Window"), s"first-k fell back to a window sort:\n${p.take(2000)}")
   }
+
+  test("q_dedup_spans: one per-doc window pass; raw text/tokens never reach an exchange") {
+    val p = planOf("q_dedup_spans")
+    // rolling signature = a single Window node (7 leads share one spec)
+    assert("(?m)^.*Window".r.findAllIn(p).length == 1, p.take(3000))
+    "Exchange[^\n]*".r.findAllIn(p).foreach { line =>
+      assert(!line.contains("text") && !line.contains("tok"),
+        s"corpus text shuffled:\n$line")
+    }
+  }
 }

@@ -345,38 +345,77 @@ object DedupOps {
     // reach. At 100 TB the window partitions by doc_id, so the pass
     // is embarrassingly parallel across documents.
     Q("q_dedup_spans", {
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val p31 = SpanConstants.pow31
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"),
-            filter(split(lower(col("text")), " "), x => x =!= "").as("ws"))
-        val toks = docs.select(col("doc_id"), posexplode(col("ws")))
-          .withColumnRenamed("col", "tok")
-        // token fingerprint: length*131 + Σ charcode_i * 31^(i-1), i≤8, mod 2^31
-        val poly = (1 to 8).foldLeft(length(col("tok")).cast("long") * 131L) {
-          (acc, i) =>
-            acc + when(length(col("tok")) >= i,
-              ascii(substring(col("tok"), i, 1)).cast("long")).otherwise(0L) * p31(i - 1)
-        }
-        val wn = Window.partitionBy("doc_id").orderBy("pos")
-        // w-token rolling signature: Horner with per-step mod 2^40 so
-        // BIGINT arithmetic is exact in both engines
-        val horner = (1 until SpanConstants.w).foldLeft(col("th")) { (acc, j) =>
-          (acc * 31L + lead(col("th"), j).over(wn)) % SpanConstants.M
-        }
-        toks
-          .select(col("doc_id"), col("pos"), (poly % 2147483648L).as("th"))
-          .withColumn("sig", horner)
+      (s, d) =>
+        spanSigs(s, d)
           .where(col("sig").isNotNull) // spans running off the doc end
           .groupBy("sig")
           .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
           .where(col("n_docs") >= 2)
           .orderBy(desc("n_docs"), desc("n_occ"), col("sig"))
           .limit(50)
-      }},
+      },
       Some(SpanConstants.oracle)),
+
+    // D33: span-coverage corpus filter — the REMOVAL step after D32's
+    // detection (Lee et al. drop/trim documents dominated by
+    // cross-document duplicated substrings). A position is covered
+    // when ANY of the 8 spans containing it is a cross-doc duplicate:
+    // dup-start flags come from one hash-only join of the signature
+    // stream against the duplicated-signature set (8-byte keys, text
+    // never moves), and coverage is a ROWS-frame window max over the 7
+    // preceding starts — no per-position explosion, no self-join. Keep
+    // decision is exact integer arithmetic (2·covered < tokens) so the
+    // boundary cannot flip between engines.
+    Q("q_dedup_span_filter", {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sigs = spanSigs(s, d)
+        val dup = sigs.where(col("sig").isNotNull)
+          .groupBy("sig").agg(countDistinct("doc_id").as("nd"))
+          .where(col("nd") >= 2).select(col("sig"), lit(1).as("m"))
+        val wn = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-7, 0)
+        sigs.join(dup, Seq("sig"), "left")
+          .withColumn("isdup", when(col("m").isNotNull, 1L).otherwise(0L))
+          .withColumn("cov", max(col("isdup")).over(wn))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum("cov").as("n_cov"))
+          .withColumn("keep",
+            when(col("n_cov") * 2L < col("n_toks"), 1L).otherwise(0L))
+          .orderBy("doc_id")
+      }},
+      Some(SpanConstants.oracleFilter)),
   )
+
+  /** Shared D32/D33 signature stream: (doc_id, pos, sig) where sig is
+    * the 8-token rolling span signature starting at pos (NULL within 7
+    * tokens of the doc end). One per-doc window pass; only 8-byte
+    * hashes leave the scan projection.
+    */
+  private def spanSigs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p31 = SpanConstants.pow31
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("ws"))
+    val toks = docs.select(col("doc_id"), posexplode(col("ws")))
+      .withColumnRenamed("col", "tok")
+    // token fingerprint: length*131 + Σ charcode_i * 31^(i-1), i≤8, mod 2^31
+    val poly = (1 to 8).foldLeft(length(col("tok")).cast("long") * 131L) {
+      (acc, i) =>
+        acc + when(length(col("tok")) >= i,
+          ascii(substring(col("tok"), i, 1)).cast("long")).otherwise(0L) * p31(i - 1)
+    }
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    // w-token rolling signature: Horner with per-step mod 2^40 so
+    // BIGINT arithmetic is exact in both engines
+    val horner = (1 until SpanConstants.w).foldLeft(col("th")) { (acc, j) =>
+      (acc * 31L + lead(col("th"), j).over(wn)) % SpanConstants.M
+    }
+    toks
+      .select(col("doc_id"), col("pos"), (poly % 2147483648L).as("th"))
+      .withColumn("sig", horner)
+      .select(col("doc_id"), col("pos"), col("sig"))
+  }
 }
 
 /** Shared constants + the generated DuckDB mirror for q_dedup_spans:
@@ -388,7 +427,8 @@ object SpanConstants {
   val M = 1099511627776L // 2^40
   val pow31: Array[Long] = Array.iterate(1L, 8)(_ * 31L)
 
-  val oracle: String = {
+  /** Shared toks/th/sg CTE chain (the DuckDB mirror of spanSigs). */
+  private val cte: String = {
     val polyTerms = (1 to 8).map { i =>
       s"(CASE WHEN length(tok) >= $i THEN ascii(substr(tok, $i, 1)) ELSE 0 END)::BIGINT * ${pow31(i - 1)}::BIGINT"
     }.mkString(" + ")
@@ -405,11 +445,32 @@ object SpanConstants {
        |    (length(tok) * 131 + $polyTerms) % 2147483648 AS th
        |  FROM toks),
        |sg AS (
-       |  SELECT doc_id, $horner AS sig
-       |  FROM th WINDOW wn AS (PARTITION BY doc_id ORDER BY pos))
+       |  SELECT doc_id, pos, $horner AS sig
+       |  FROM th WINDOW wn AS (PARTITION BY doc_id ORDER BY pos))""".stripMargin
+  }
+
+  val oracle: String =
+    s"""$cte
        |SELECT sig, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
        |FROM sg WHERE sig IS NOT NULL
        |GROUP BY sig HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY n_docs DESC, n_occ DESC, sig LIMIT 50""".stripMargin
-  }
+
+  val oracleFilter: String =
+    s"""$cte,
+       |dup AS (
+       |  SELECT sig FROM sg WHERE sig IS NOT NULL
+       |  GROUP BY sig HAVING count(DISTINCT doc_id) >= 2),
+       |fl AS (
+       |  SELECT s.doc_id, s.pos,
+       |    CASE WHEN d.sig IS NOT NULL THEN 1 ELSE 0 END AS isdup
+       |  FROM sg s LEFT JOIN dup d ON s.sig = d.sig),
+       |cv AS (
+       |  SELECT doc_id,
+       |    max(isdup) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+       |  FROM fl)
+       |SELECT doc_id, count(*)::BIGINT AS n_toks, sum(cov)::BIGINT AS n_cov,
+       |  (CASE WHEN sum(cov) * 2 < count(*) THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -30,7 +30,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * of sessions (tenants) can share it concurrently — the commit
   * claim in LakeTable arbitrates writers.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -174,6 +175,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = tablePath(ident)
     if (!isLakeTable(p)) false else fs(p).delete(p, true)
   }
+
+  // ---- procedures (CALL graft_cat.system.<proc>, B44) -------------
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n))
+    else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)

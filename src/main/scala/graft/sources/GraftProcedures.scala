@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-maintenance procedures for the graft catalog — the Iceberg
+  * `CALL catalog.system.proc(...)` surface (B44), on Spark 4's
+  * ProcedureCatalog API. Every lifecycle verb that previously needed
+  * the Scala API is reachable from pure text SQL (and therefore from a
+  * remote Connect/JDBC gateway client, the Kyuubi usage):
+  *
+  * {{{
+  *   CALL graft_cat.system.compact('db.t', 4)
+  *   CALL graft_cat.system.vacuum('db.t', 3)
+  *   CALL graft_cat.system.set_sort_by('db.t', 'k')
+  *   CALL graft_cat.system.cluster_by('db.t', 'x,y', 8)
+  * }}}
+  *
+  * Each returns a one-row result (new version / retained groups) via a
+  * LocalScan — the driver-side result contract InvokeProcedures
+  * expects. The procedures are thin: all heavy lifting stays in the
+  * distributed LakeTable verbs they dispatch to.
+  */
+object GraftProcedures {
+
+  private def spark: SparkSession = org.apache.spark.sql.graftglue.Glue.activeSession
+
+  private def param(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+
+  private def row(vs: Any*): Array[InternalRow] =
+    Array(new GenericInternalRow(vs.toArray))
+
+  private final class Result(schema: StructType, data: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = data
+    override def readSchema(): StructType = schema
+  }
+
+  private abstract class Proc(procName: String, params: Array[ProcedureParameter],
+      outSchema: StructType) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft table maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](new Result(outSchema, run(input))).iterator()
+    def run(input: InternalRow): Array[InternalRow]
+  }
+
+  /** `db.t` (any depth) under this catalog's root → table path. */
+  private def path(root: String, table: String): String = {
+    val p = (root +: table.split('.').toSeq).mkString("/")
+    if (LakeTable.currentVersion(spark, p).isEmpty)
+      throw new IllegalArgumentException(s"no graft table at $table")
+    p
+  }
+
+  private val verSchema = StructType(Seq(StructField("version", LongType)))
+
+  def load(root: String, ident: Identifier): UnboundProcedure = {
+    if (!(ident.namespace().sameElements(Array("system"))))
+      throw new NoSuchElementException(s"unknown procedure namespace ${ident.namespace().mkString(".")}")
+    ident.name() match {
+      case "compact" => new Proc("compact",
+          Array(param("table", StringType), param("num_files", IntegerType)), verSchema) {
+        override def run(in: InternalRow): Array[InternalRow] =
+          row(LakeTable.compact(spark, path(root, in.getUTF8String(0).toString), in.getInt(1)))
+      }
+      case "vacuum" => new Proc("vacuum",
+          Array(param("table", StringType), param("retain_from", LongType)),
+          StructType(Seq(StructField("kept_groups", LongType)))) {
+        override def run(in: InternalRow): Array[InternalRow] =
+          row(LakeTable.vacuum(spark, path(root, in.getUTF8String(0).toString), in.getLong(1)))
+      }
+      case "set_sort_by" => new Proc("set_sort_by",
+          Array(param("table", StringType), param("cols", StringType)),
+          StructType(Seq(StructField("sort_by", StringType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val p = path(root, in.getUTF8String(0).toString)
+          val cols = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          LakeTable.setSortBy(spark, p, cols)
+          row(UTF8String.fromString(LakeTable.tableSortBy(spark, p).mkString(",")))
+        }
+      }
+      case "cluster_by" => new Proc("cluster_by",
+          Array(param("table", StringType), param("cols", StringType),
+            param("num_files", IntegerType)), verSchema) {
+        override def run(in: InternalRow): Array[InternalRow] =
+          row(LakeTable.clusterBy(spark, path(root, in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+            in.getInt(2)))
+      }
+      case other => throw new NoSuchElementException(s"unknown procedure $other")
+    }
+  }
+
+  val names: Array[String] = Array("compact", "vacuum", "set_sort_by", "cluster_by")
+}

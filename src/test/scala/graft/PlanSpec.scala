@@ -312,4 +312,17 @@ class PlanSpec extends AnyFunSuite {
         s"corpus text shuffled:\n$line")
     }
   }
+
+  test("q_dedup_span_filter: signature + coverage windows only; text never shuffles") {
+    val p = planOf("q_dedup_span_filter")
+    // sig window (computed per join side — the sig subtree feeds both
+    // the stream and the dup set) + ONE coverage window; more means a
+    // lost reuse
+    assert("(?m)^.*Window".r.findAllIn(p).length <= 3, p.take(3000))
+    assert(p.contains("specifiedwindowframe(RowFrame, -7"), p.take(3000))
+    "Exchange[^\n]*".r.findAllIn(p).foreach { line =>
+      assert(!line.contains("text") && !line.contains("tok"),
+        s"corpus text shuffled:\n$line")
+    }
+  }
 }

@@ -151,4 +151,47 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(spark.table(t).where($"k" === 200).select("v").as[Double].head() === 9.0)
     assert(spark.table(t).count() === 201)
   }
+
+  test("CALL system procedures: compact / set_sort_by / cluster_by / vacuum through text SQL") {
+    val t = freshTable("proc")
+    val root = s"${GraftSession.catalogRoot}/dml/proc"
+    // 3 appends = 3 file groups, each multi-file
+    Seq((1L, 1.0)).toDF("k", "v").writeTo(t).create()
+    spark.range(2, 1000).selectExpr("id AS k", "cast(id AS DOUBLE) AS v").writeTo(t).append()
+    spark.range(1000, 2000).selectExpr("id AS k", "cast(id AS DOUBLE) AS v").writeTo(t).append()
+    val preVer = LakeTable.currentVersion(spark, root).get
+    assert(LakeTable.readCommit(spark, root, preVer).dirs.length >= 3)
+
+    // compact: one group, exact row preservation, returns the version
+    val compacted = spark.sql(s"CALL graft_cat.system.compact('dml.proc', 2)")
+      .as[Long].head()
+    assert(compacted === preVer + 1)
+    assert(LakeTable.readCommit(spark, root, compacted).dirs.length === 1)
+    assert(spark.table(t).count() === 1999)
+
+    // set_sort_by records the order (echoed back), compact now sorts
+    val sb = spark.sql(s"CALL graft_cat.system.set_sort_by('dml.proc', 'k')")
+      .as[String].head()
+    assert(sb === "k")
+    assert(LakeTable.tableSortBy(spark, root) === Seq("k"))
+
+    // cluster_by commits a layout rewrite version
+    val zv = spark.sql(s"CALL graft_cat.system.cluster_by('dml.proc', 'k,v', 2)")
+      .as[Long].head()
+    assert(zv === compacted + 1)
+    assert(spark.table(t).count() === 1999)
+
+    // vacuum retains only recent versions; time travel to dropped fails
+    val kept = spark.sql(s"CALL graft_cat.system.vacuum('dml.proc', $zv)").as[Long].head()
+    assert(kept >= 1)
+    intercept[Exception] { LakeTable.read(spark, root, Some(0L)).count() }
+    assert(spark.table(t).count() === 1999)
+
+    // discoverable + misuse rejected
+    val procs = spark.sql("SHOW PROCEDURES IN graft_cat.system")
+      .select("procedure_name").as[String].collect().toSet
+    assert(Set("compact", "vacuum", "set_sort_by", "cluster_by").subsetOf(procs), procs)
+    intercept[Exception] { spark.sql("CALL graft_cat.system.no_such_proc('x')") }
+    intercept[Exception] { spark.sql("CALL graft_cat.system.compact('dml.missing', 2)") }
+  }
 }

@@ -96,9 +96,32 @@ object GraftProcedures {
             in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
             in.getInt(2)))
       }
+      case "add_check" => new Proc("add_check",
+          Array(param("table", StringType), param("name", StringType),
+            param("expr", StringType)),
+          StructType(Seq(StructField("checks", StringType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val p = path(root, in.getUTF8String(0).toString)
+          LakeTable.addCheck(spark, p, in.getUTF8String(1).toString,
+            in.getUTF8String(2).toString)
+          row(UTF8String.fromString(
+            LakeTable.tableChecks(spark, p).map(_._1).mkString(",")))
+        }
+      }
+      case "drop_check" => new Proc("drop_check",
+          Array(param("table", StringType), param("name", StringType)),
+          StructType(Seq(StructField("checks", StringType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val p = path(root, in.getUTF8String(0).toString)
+          LakeTable.dropCheck(spark, p, in.getUTF8String(1).toString)
+          row(UTF8String.fromString(
+            LakeTable.tableChecks(spark, p).map(_._1).mkString(",")))
+        }
+      }
       case other => throw new NoSuchElementException(s"unknown procedure $other")
     }
   }
 
-  val names: Array[String] = Array("compact", "vacuum", "set_sort_by", "cluster_by")
+  val names: Array[String] =
+    Array("compact", "vacuum", "set_sort_by", "cluster_by", "add_check", "drop_check")
 }

@@ -52,6 +52,18 @@ private[sources] object GraftWriteUtil {
       s"cannot align ${incoming.length} written columns to " +
         s"table schema ${t.fieldNames.mkString("(", ",", ")")} by position or name")
   }
+
+  /** CHECK constraints compiled against the write's target schema:
+    * analyzed + ordinal-bound on the DRIVER (name resolution and type
+    * coercion need the session), shipped to tasks as serializable
+    * Expressions for per-row Predicate evaluation. NULL passes.
+    */
+  def boundChecks(spark: SparkSession, path: String, target: StructType)
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+    if (LakeTable.currentVersion(spark, path).isEmpty) Nil
+    else LakeTable.tableChecks(spark, path).map { case (n, sql) =>
+      n -> Glue.boundExpression(spark, s"coalesce(($sql), true)", target)
+    }
 }
 
 private[sources] sealed trait GraftWriteMode
@@ -201,7 +213,8 @@ final class GraftBatchWrite(path: String, info: LogicalWriteInfo, mode: GraftWri
   override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(path, stagedDir, incoming, target, partCols,
       spark.conf.get("spark.sql.session.timeZone"),
-      Glue.broadcastConf(spark.sparkContext, Glue.sessionHadoopConf(spark)))
+      Glue.broadcastConf(spark.sparkContext, Glue.sessionHadoopConf(spark)),
+      GraftWriteUtil.boundChecks(spark, path, target))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq.flatMap {
@@ -252,7 +265,8 @@ final class GraftStreamingWrite(path: String, info: LogicalWriteInfo, mode: Graf
   override def createStreamingWriterFactory(pInfo: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftWriterFactory(path, base, incoming, target, partCols,
       spark.conf.get("spark.sql.session.timeZone"),
-      Glue.broadcastConf(spark.sparkContext, Glue.sessionHadoopConf(spark)))
+      Glue.broadcastConf(spark.sparkContext, Glue.sessionHadoopConf(spark)),
+      GraftWriteUtil.boundChecks(spark, path, target))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = epochDir(epochId)
@@ -298,16 +312,17 @@ final case class GraftCommitMessage(files: Seq[String]) extends WriterCommitMess
   */
 final class GraftWriterFactory(tablePath: String, stagedDir: String,
     rowSchema: StructType, targetSchema: StructType, partCols: Seq[String],
-    tz: String, confB: Broadcast[_])
+    tz: String, confB: Broadcast[_],
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(tablePath, stagedDir, rowSchema, targetSchema, partCols,
-      tz, Glue.confOf(confB), partitionId, taskId)
+      tz, Glue.confOf(confB), partitionId, taskId, checks)
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(tablePath, s"$stagedDir-e$epochId", rowSchema, targetSchema,
-      partCols, tz, Glue.confOf(confB), partitionId, taskId)
+      partCols, tz, Glue.confOf(confB), partitionId, taskId, checks)
 }
 
 /** One writer per task: rows are (optionally) positionally cast to the
@@ -318,8 +333,18 @@ final class GraftWriterFactory(tablePath: String, stagedDir: String,
   */
 final class GraftDataWriter(tablePath: String, stagedDir: String,
     rowSchema: StructType, targetSchema: StructType, partCols: Seq[String],
-    tz: String, conf: Configuration, partitionId: Int, taskId: Long)
+    tz: String, conf: Configuration, partitionId: Int, taskId: Long,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriter[InternalRow] {
+
+  // Per-row CHECK enforcement at the write seam (Delta invariant
+  // checker shape): one codegen'd predicate per constraint, evaluated
+  // on the post-cast row, throwing BEFORE any byte reaches parquet.
+  private val checkPreds = checks.map { case (n, e) =>
+    val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+    p.initialize(partitionId)
+    (n, p)
+  }
 
   private val needsCast = rowSchema != targetSchema
   private val castProj =
@@ -363,6 +388,10 @@ final class GraftDataWriter(tablePath: String, stagedDir: String,
 
   override def write(row: InternalRow): Unit = {
     val r = if (needsCast) castProj(row) else row
+    checkPreds.foreach { case (n, p) =>
+      if (!p.eval(r))
+        throw new IllegalArgumentException(s"CHECK constraint $n violated by written row")
+    }
     if (partCols.isEmpty) writerFor("").write(r)
     else {
       val s = partStrProj(r)

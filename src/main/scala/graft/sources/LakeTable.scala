@@ -207,11 +207,20 @@ object LakeTable {
 
   private def writeGroup(spark: SparkSession, path: String, v: Long, df: DataFrame,
       partitionBy: Seq[String]): String = {
+    // CHECK constraints guard every API-verb write in-stream: an
+    // assert_true filter per constraint (codegen'd, no extra pass) —
+    // the first violating row fails the job before anything commits.
+    // SQL semantics: NULL passes (coalesce to true).
+    val guarded = tableChecks(spark, path).foldLeft(df) { case (d, (n, sql)) =>
+      import org.apache.spark.sql.functions.{assert_true, expr, lit}
+      d.filter(assert_true(expr(s"coalesce(($sql), true)"),
+        lit(s"CHECK constraint $n violated: $sql")).isNull)
+    }
     // Unique suffix: concurrent writers racing for the same version
     // must stage DISTINCT dirs — only the commit rename decides the
     // winner; the loser's dir is orphaned (vacuum reclaims it).
     val dir = s"d$v-${java.util.UUID.randomUUID.toString.take(8)}"
-    val w = df.write.mode("overwrite")
+    val w = guarded.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(path, dir).toString)
     writeStats(spark, path, dir)
@@ -788,7 +797,7 @@ object LakeTable {
     */
   def setSortBy(spark: SparkSession, path: String, cols: Seq[String]): Unit =
     writeTableMeta(spark, path, tablePartitioning(spark, path),
-      metaSchema(spark, path), cols)
+      metaSchema(spark, path), cols, tableChecks(spark, path))
 
   /** One writer for every `_table.json` mutation so no path drops a
     * key another recorded (updateSchemaMeta used to erase nothing only
@@ -796,11 +805,21 @@ object LakeTable {
     */
   private def writeTableMeta(spark: SparkSession, path: String, parts: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      sortBy: Seq[String]): Unit = {
+      sortBy: Seq[String],
+      checks: Seq[(String, String)]): Unit = {
     val fields = Seq.newBuilder[String]
     fields += s""""partitionBy":[${parts.map(c => "\"" + c + "\"").mkString(",")}]"""
     if (sortBy.nonEmpty)
       fields += s""""sortBy":[${sortBy.map(c => "\"" + c + "\"").mkString(",")}]"""
+    if (checks.nonEmpty) {
+      // name TAB sql, base64 per entry: constraint SQL may contain any
+      // character, so it never touches the JSON-ish syntax above
+      val encoded = checks.map { case (n, sql) =>
+        "\"" + java.util.Base64.getEncoder.encodeToString(
+          s"$n\t$sql".getBytes(StandardCharsets.UTF_8)) + "\""
+      }
+      fields += s""""checksB64":[${encoded.mkString(",")}]"""
+    }
     schema.foreach { sch =>
       val b64 = java.util.Base64.getEncoder.encodeToString(
         sch.json.getBytes(StandardCharsets.UTF_8))
@@ -812,6 +831,52 @@ object LakeTable {
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** CHECK constraints recorded on the table as (name, boolean SQL).
+    * Enforced on every write path: API verbs through the writeGroup
+    * guard, native DSv2 writes through a per-row bound predicate in
+    * the task writer. SQL-standard semantics: NULL passes.
+    */
+  def tableChecks(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val p = tableMetaFile(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"checksB64"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+          .map { b64 =>
+            val s = new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
+            val i = s.indexOf('\t')
+            (s.substring(0, i), s.substring(i + 1))
+          })
+        .getOrElse(Nil)
+    }
+  }
+
+  /** Add a CHECK constraint (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * capability): EXISTING data is validated first — one scan; a
+    * violated constraint is rejected rather than recorded — then the
+    * constraint guards every subsequent write.
+    */
+  def addCheck(spark: SparkSession, path: String, name: String, sql: String): Unit = {
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    val existing = tableChecks(spark, path)
+    require(!existing.exists(_._1 == name), s"constraint $name already exists")
+    val violations =
+      read(spark, path).where(fexpr(s"NOT coalesce(($sql), true)")).limit(1).count()
+    require(violations == 0,
+      s"cannot add CHECK constraint $name: existing rows violate ($sql)")
+    writeTableMeta(spark, path, tablePartitioning(spark, path),
+      metaSchema(spark, path), tableSortBy(spark, path), existing :+ (name -> sql))
+  }
+
+  def dropCheck(spark: SparkSession, path: String, name: String): Unit =
+    writeTableMeta(spark, path, tablePartitioning(spark, path),
+      metaSchema(spark, path), tableSortBy(spark, path),
+      tableChecks(spark, path).filterNot(_._1 == name))
 
   /** Create (or replace) the table as version 0. */
   def create(spark: SparkSession, path: String, df: DataFrame,
@@ -825,7 +890,7 @@ object LakeTable {
       // an EMPTY partitioned create writes no parquet files at all, so
       // schema inference has nothing to read until the first insert —
       // the meta is the fallback that keeps DDL-then-INSERT resolvable.
-      writeTableMeta(spark, path, partitionBy, Some(df.schema), Nil)
+      writeTableMeta(spark, path, partitionBy, Some(df.schema), Nil, Nil)
     }
     writeCommit(spark, path, Commit(0L, "create", Seq(dir)))
     0L
@@ -854,7 +919,7 @@ object LakeTable {
   private[graft] def updateSchemaMeta(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): Unit =
     writeTableMeta(spark, path, tablePartitioning(spark, path), Some(schema),
-      tableSortBy(spark, path))
+      tableSortBy(spark, path), tableChecks(spark, path))
 
   /** Table schema: the UNION of the snapshot's file-inferred schema
     * and the meta-recorded one (create-time for empty partitioned

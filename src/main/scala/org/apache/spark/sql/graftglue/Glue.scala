@@ -90,6 +90,23 @@ object Glue {
     new ParquetOutputWriter(file, new TaskAttemptContextImpl(c, attempt))
   }
 
+  /** Parse + analyze a SQL boolean expression against `schema` and
+    * return it BOUND by ordinal — a serializable Expression a task can
+    * wrap in `Predicate.create` for per-row evaluation (the CHECK
+    * constraint enforcement path of the native graft write).
+    */
+  def boundExpression(spark: org.apache.spark.sql.SparkSession, sql: String,
+      schema: org.apache.spark.sql.types.StructType): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val parsed = classic.sessionState.sqlParser.parseExpression(sql)
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val analyzed = classic.sessionState.analyzer.execute(Filter(parsed, LocalRelation(attrs)))
+      .asInstanceOf[Filter]
+    BindReferences.bindReference(analyzed.condition, analyzed.child.output)
+  }
+
   /** Hive-style partition-path escaping (matches what
     * DataFrameWriter.partitionBy produces, so natively-written and
     * API-written partition dirs interoperate).

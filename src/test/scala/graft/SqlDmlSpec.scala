@@ -194,4 +194,53 @@ class SqlDmlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("CALL graft_cat.system.no_such_proc('x')") }
     intercept[Exception] { spark.sql("CALL graft_cat.system.compact('dml.missing', 2)") }
   }
+
+  test("CHECK constraints: validated at ADD, enforced on native + API + DML writes, NULL passes") {
+    val t = freshTable("chk")
+    val root = s"${GraftSession.catalogRoot}/dml/chk"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").writeTo(t).create()
+
+    // ADD validates existing data: a violated constraint is rejected
+    val bad = intercept[Exception] {
+      spark.sql("CALL graft_cat.system.add_check('dml.chk', 'v_small', 'v < 15')")
+    }
+    assert(bad.getMessage.contains("existing rows violate"), bad.getMessage)
+    assert(LakeTable.tableChecks(spark, root).isEmpty)
+
+    // a satisfiable one records and echoes back
+    val checks = spark.sql(
+      "CALL graft_cat.system.add_check('dml.chk', 'v_pos', 'v > 0')").as[String].head()
+    assert(checks === "v_pos")
+
+    // native DSv2 write: violating append fails, NO new version lands
+    val preVer = LakeTable.currentVersion(spark, root).get
+    val e1 = intercept[Exception] {
+      Seq((3L, -1.0)).toDF("k", "v").writeTo(t).append()
+    }
+    assert(e1.getMessage.contains("v_pos") ||
+      Option(e1.getCause).exists(_.getMessage.contains("v_pos")), e1.getMessage)
+    assert(LakeTable.currentVersion(spark, root).get === preVer)
+    assert(spark.table(t).count() === 2)
+
+    // API-verb write (writeGroup guard): violating merge fails too
+    val e2 = intercept[Exception] {
+      LakeTable.merge(spark, root, Seq((9L, -5.0)).toDF("k", "v"), "k")
+    }
+    assert(e2.getMessage.contains("v_pos") ||
+      Option(e2.getCause).exists(_.getMessage.contains("v_pos")), e2.toString)
+
+    // SQL UPDATE driving a value out of range fails as well
+    intercept[Exception] { spark.sql(s"UPDATE $t SET v = -v WHERE k = 1") }
+    assert(spark.table(t).where($"v" < 0).count() === 0)
+
+    // valid writes still flow on every path; NULL passes (SQL semantics)
+    Seq((3L, 30.0)).toDF("k", "v").writeTo(t).append()
+    spark.sql(s"INSERT INTO $t VALUES (4, NULL)")
+    assert(spark.table(t).count() === 4)
+
+    // drop_check lifts the guard
+    spark.sql("CALL graft_cat.system.drop_check('dml.chk', 'v_pos')")
+    Seq((5L, -50.0)).toDF("k", "v").writeTo(t).append()
+    assert(spark.table(t).count() === 5)
+  }
 }

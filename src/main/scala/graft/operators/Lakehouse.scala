@@ -228,6 +228,30 @@ object Lakehouse {
              |SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal) + 0.000001, 2) AS bal
              |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B46: merge-on-read DELETE via deletion vectors — two MOR
+    // deletes mark rows in per-file roaring bitmaps (cumulative, no
+    // data file rewritten; the commit re-references every dir), the
+    // read applies the vectors at scan time, then compact PURGES them
+    // and the final aggregate comes off the rewritten fast path. The
+    // oracle applies both predicates relationally.
+    Q("q_lake_mor",
+      (s, d) => {
+        val lake = s"$scratch/customer_mor"
+        LakeTable.create(s, lake,
+          t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal"))
+        LakeTable.deleteMor(s, lake, col("c_acctbal") < 0)
+        LakeTable.deleteMor(s, lake, col("c_nationkey") === 3)
+        LakeTable.compact(s, lake, 2)
+        LakeTable.read(s, lake)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal") + 1e-6, 2).as("bal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt,
+             |round(sum(c_acctbal) + 0.000001, 2) AS bal
+             |FROM customer WHERE NOT (c_acctbal < 0) AND NOT (c_nationkey = 3)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B28: predicate-scoped overwrite (Delta replaceWhere / INSERT
     // OVERWRITE): one atomic commit deletes the low-nation region and
     // installs its recomputed replacement (balances re-signed) —

@@ -247,3 +247,51 @@ case class BitmapAndCardinality(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** dv_deleted(file_path string, row_index bigint) → boolean: is this
+  * row marked deleted by the snapshot's deletion vectors (B46
+  * merge-on-read DELETE)? The per-file bitmap blobs ride the plan as
+  * one codegen reference object; rows arrive file-contiguous from a
+  * parquet scan, so a one-entry cache makes the per-row cost a single
+  * `Roaring64Bitmap.contains` — no string allocation on the hot path.
+  */
+case class DvDeleted(left: Expression, right: Expression,
+    blobs: Seq[(String, Array[Byte])]) extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"dv_deleted expects (string, bigint), got $t")
+  }
+
+  // UTF8String-keyed so the per-row probe allocates nothing; the map
+  // is read-only after lazy init, so concurrent task threads sharing
+  // this plan reference are safe.
+  @transient private lazy val map
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Roaring64Bitmap] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Roaring64Bitmap]()
+    blobs.foreach { case (f, b) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(f), BitmapCodec.deser(b))
+    }
+    m
+  }
+
+  def isDeleted(file: org.apache.spark.unsafe.types.UTF8String, pos: Long): Boolean = {
+    val bm = map.get(file)
+    bm != null && bm.contains(pos)
+  }
+
+  override def nullSafeEval(f: Any, p: Any): Any =
+    isDeleted(f.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      p.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dv", this, classOf[DvDeleted].getName)
+    defineCodeGen(ctx, ev, (f, p) => s"$ref.isDeleted($f, $p)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -118,10 +118,17 @@ object GraftProcedures {
             LakeTable.tableChecks(spark, p).map(_._1).mkString(",")))
         }
       }
+      case "delete_mor" => new Proc("delete_mor",
+          Array(param("table", StringType), param("predicate", StringType)), verSchema) {
+        override def run(in: InternalRow): Array[InternalRow] =
+          row(LakeTable.deleteMor(spark, path(root, in.getUTF8String(0).toString),
+            org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString)))
+      }
       case other => throw new NoSuchElementException(s"unknown procedure $other")
     }
   }
 
   val names: Array[String] =
-    Array("compact", "vacuum", "set_sort_by", "cluster_by", "add_check", "drop_check")
+    Array("compact", "vacuum", "set_sort_by", "cluster_by", "add_check", "drop_check",
+      "delete_mor")
 }

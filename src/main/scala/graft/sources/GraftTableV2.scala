@@ -179,6 +179,13 @@ final class GraftTable(path: String, version: Option[Long],
       .orElse(LakeTable.currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val commit = LakeTable.readCommit(spark, path, v)
+    // A snapshot carrying deletion vectors (B46 merge-on-read) serves
+    // through the DV-applying LakeTable read via a V1Scan — row-based
+    // but correct; `CALL system.compact` purges the vectors and puts
+    // the table back on the columnar pushdown scan below.
+    if (LakeTable.dvFor(spark, path, v, commit.dirs).nonEmpty)
+      return new GraftDvScanBuilder(spark, path, v,
+        LakeTable.tableSchema(spark, path, Some(v)))
     val scanOpts = new CaseInsensitiveStringMap(
       (options.asCaseSensitiveMap().asScala.toMap ++ Map("mergeSchema" -> "true")).asJava)
     new GraftScanBuilder(spark, path, commit.dirs,
@@ -190,6 +197,33 @@ final class GraftTable(path: String, version: Option[Long],
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
+}
+
+/** Scan builder for DV'd snapshots (B46): a V1Scan whose relation
+  * materializes the deletion-vector-applying [[LakeTable.read]] — the
+  * merge-on-read serving mode. Row-based (no columnar batch, no
+  * pushdown) by design: correctness while vectors exist, compaction
+  * restores the fast path.
+  */
+final class GraftDvScanBuilder(spark: SparkSession, path: String, v: Long,
+    tableSchema: StructType) extends ScanBuilder {
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = tableSchema
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          ctx: org.apache.spark.sql.SQLContext): T =
+        new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+          override def schema: StructType = tableSchema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            LakeTable.read(spark, path, Some(v))
+              .select(tableSchema.fieldNames.map(org.apache.spark.sql.functions.col)
+                .toIndexedSeq: _*).rdd
+        }.asInstanceOf[T]
+      override def description(): String = s"GraftDvScan $path@v$v"
+    }
 }
 
 /** V2 predicate → Column conversion shared by the delete/overwrite

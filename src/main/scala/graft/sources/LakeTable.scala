@@ -536,6 +536,12 @@ object LakeTable {
     val v = version.orElse(currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val c = readCommit(spark, path, v)
+    // A DV'd snapshot (B46) serves through the vector-applying read —
+    // correctness first; compact purges the vectors and restores the
+    // stats-pruned fast path.
+    if (dvFor(spark, path, v, c.dirs).nonEmpty)
+      return read(spark, path, Some(v))
+        .where(col(column) >= lit(lo) && col(column) <= lit(hi))
     val (pruned, flat) = pruneFilesByDir(spark, path, c.dirs,
       Map(column -> ColumnBounds(Some(lo), Some(hi))))
     readPruned(spark, path, pruned, flat, Some(v))
@@ -1168,12 +1174,128 @@ object LakeTable {
 
   /** Snapshot read; `version` selects an older snapshot (time travel).
     * mergeSchema tolerates per-group schema evolution (add-column).
+    * Deletion vectors recorded at or before the snapshot (B46
+    * merge-on-read) are applied; rewritten groups shed theirs by dir
+    * rename, older snapshots read pre-delete state by version.
     */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val c = readCommit(spark, path, v)
-    readDirs(spark, path, c.dirs)
+    readDirsDv(spark, path, c.dirs, dvFor(spark, path, v, c.dirs), withPos = false)
+  }
+
+  // ---- deletion vectors (merge-on-read DELETE, B46) -----------------
+
+  private def dvDirPath(path: String) = new Path(path, "_dv")
+
+  /** Latest DV per group dir at or before `version`, restricted to the
+    * snapshot's groups: group root → (file_path → roaring blob). DVs
+    * are CUMULATIVE per (version, group) — one listing + one small
+    * file read per DV'd group resolves the applicable state.
+    */
+  private[graft] def dvFor(spark: SparkSession, path: String, version: Long,
+      dirs: Seq[String]): Map[String, Map[String, Array[Byte]]] = {
+    val d = dvDirPath(path)
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) return Map.empty
+    val groups = dirs.map(groupRoot).toSet
+    fs.listStatus(d).map(_.getPath.getName).filter(_.endsWith(".dv"))
+      .flatMap { n =>
+        val core = n.stripSuffix(".dv")
+        val cut = core.indexOf('-')
+        if (!core.startsWith("v") || cut < 2) None
+        else scala.util.Try((core.substring(1, cut).toLong, core.substring(cut + 1))).toOption
+      }
+      .filter { case (v, g) => v <= version && groups(g) }
+      .groupBy(_._2)
+      .map { case (g, vs) => g -> readDvFile(spark, path, vs.map(_._1).max, g) }
+  }
+
+  private def dvFile(path: String, v: Long, group: String): Path =
+    new Path(dvDirPath(path), f"v$v%05d-$group.dv")
+
+  private def readDvFile(spark: SparkSession, path: String, v: Long,
+      group: String): Map[String, Array[Byte]] = {
+    val p = dvFile(path, v, group)
+    val in = new java.io.DataInputStream(fsOf(spark, p).open(p))
+    try {
+      val n = in.readInt()
+      (0 until n).map { _ =>
+        val f = in.readUTF()
+        val bytes = new Array[Byte](in.readInt())
+        in.readFully(bytes)
+        f -> bytes
+      }.toMap
+    } finally in.close()
+  }
+
+  private def writeDvFile(spark: SparkSession, path: String, v: Long, group: String,
+      files: Map[String, Array[Byte]]): Unit = {
+    val p = dvFile(path, v, group)
+    val out = new java.io.DataOutputStream(fsOf(spark, p).create(p, true))
+    try {
+      out.writeInt(files.size)
+      files.foreach { case (f, bytes) =>
+        out.writeUTF(f)
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+    } finally out.close()
+  }
+
+  /** Merge-on-read DELETE (the Delta/Iceberg-v3 deletion-vector
+    * capability): matching rows are marked in per-file roaring bitmaps
+    * keyed by parquet `_metadata` (file_path, row_index) — NO data
+    * file is rewritten, the commit re-references every existing dir,
+    * and write cost tracks the DELETED row count, not the touched
+    * file-group size (the point-delete shape COW pays a group rewrite
+    * for). Reads apply the vectors at scan time; `compact` purges them
+    * back to the fast path; time travel before the delete sees the
+    * rows; the CDC feed gets real delete records (the matched rows are
+    * in hand). DVs accumulate per group: each delete writes the UNION
+    * of prior and new marks, so readers resolve one DV file per group.
+    */
+  def deleteMor(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column): Long = {
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val v = prev + 1
+    val c = readCommit(spark, path, prev)
+    val dv0 = dvFor(spark, path, prev, c.dirs)
+    val live = readDirsDv(spark, path, c.dirs, dv0, withPos = true)
+    if (!live.columns.contains("__file")) { // empty DDL table: no files
+      writeCommit(spark, path, Commit(v, "delete-mor", c.dirs))
+      return v
+    }
+    val matched = live.where(predicate)
+    val blobs = matched.groupBy(col("__file"))
+      .agg(graft.functions.Bitmaps.bitmapBuild(col("__pos")).as("bm"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toSeq
+    if (blobs.isEmpty) { // nothing matched: pure metadata commit
+      writeCommit(spark, path, Commit(v, "delete-mor", c.dirs))
+      return v
+    }
+    val roots = c.dirs.map(groupRoot).distinct
+    def groupOf(file: String): String =
+      roots.find(g => file.contains(s"/$g/")).getOrElse(throw new IllegalStateException(
+        s"matched file $file is under no group of v$prev"))
+    blobs.groupBy(b => groupOf(b._1)).foreach { case (g, files) =>
+      val prevFiles = dv0.getOrElse(g, Map.empty)
+      val merged = (prevFiles.keySet ++ files.map(_._1)).map { f =>
+        val bm = new org.roaringbitmap.longlong.Roaring64Bitmap
+        prevFiles.get(f).foreach(b => bm.or(graft.plans.BitmapCodec.deser(b)))
+        files.collectFirst { case (`f`, b) => b }
+          .foreach(b => bm.or(graft.plans.BitmapCodec.deser(b)))
+        f -> graft.plans.BitmapCodec.ser(bm)
+      }.toMap
+      writeDvFile(spark, path, v, g, merged)
+    }
+    val cdc = cdcKey(spark, path).map { k =>
+      val rows = matched.drop("__file", "__pos")
+      writeCdc(spark, path, v, diffFrames(rows, rows.limit(0), k, preimages = true))
+    }
+    writeCommit(spark, path, Commit(v, "delete-mor", c.dirs, cdc))
+    v
   }
 
   /** True iff the group dir holds at least one parquet file (a
@@ -1566,11 +1688,39 @@ object LakeTable {
     * allowMissingColumns, same contract as mergeSchema). Empty groups
     * (a schema-only create) contribute nothing.
     */
-  private def readDirs(spark: SparkSession, path: String, dirs: Seq[String]): DataFrame = {
+  private def readDirs(spark: SparkSession, path: String, dirs: Seq[String]): DataFrame =
+    readDirsDv(spark, path, dirs, Map.empty, withPos = false)
+
+  /** [[readDirs]] with deletion-vector application (B46) and optional
+    * file/row-position columns. DVs and positions both ride on the
+    * parquet `_metadata` struct, which only exists per SCAN — so the
+    * select happens on each source frame BEFORE any union. `dv` maps
+    * group root → (file_path → bitmap blob); frames whose groups carry
+    * no DV skip the metadata projection entirely (zero overhead for
+    * the common non-MOR table).
+    */
+  private def readDirsDv(spark: SparkSession, path: String, dirs: Seq[String],
+      dv: Map[String, Map[String, Array[Byte]]], withPos: Boolean): DataFrame = {
+    def finish(df: DataFrame, groups: Seq[String]): DataFrame = {
+      val blobs = groups.flatMap(g => dv.getOrElse(g, Map.empty)).toSeq
+      if (blobs.isEmpty && !withPos) df
+      else {
+        val metaed = df
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val filtered =
+          if (blobs.isEmpty) metaed
+          else metaed.where(!org.apache.spark.sql.graftglue.Glue.column(
+            graft.plans.DvDeleted(
+              org.apache.spark.sql.graftglue.Glue.expression(col("__file")),
+              org.apache.spark.sql.graftglue.Glue.expression(col("__pos")), blobs)))
+        if (withPos) filtered else filtered.drop("__file", "__pos")
+      }
+    }
     val flatEntries = dirs.forall(d => groupRoot(d) == d)
     if (flatEntries && tablePartitioning(spark, path).isEmpty)
-      spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => new Path(path, d).toString): _*)
+      finish(spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => new Path(path, d).toString): _*), dirs)
     else {
       // Partitioned (or subdir-entry) layout: one read per GROUP ROOT
       // under its basePath — entries of the same group share a scan,
@@ -1580,9 +1730,9 @@ object LakeTable {
         val entryPaths = entries.map(e => new Path(path, e).toString)
           .filter(p => hasParquet(spark, new Path(p)))
         if (entryPaths.isEmpty) None
-        else Some(spark.read.option("mergeSchema", "true")
+        else Some(finish(spark.read.option("mergeSchema", "true")
           .option("basePath", new Path(path, root).toString)
-          .parquet(entryPaths: _*))
+          .parquet(entryPaths: _*), Seq(root)))
       }
       if (reads.nonEmpty) reads.reduce(_.unionByName(_, allowMissingColumns = true))
       else metaSchema(spark, path) match {
@@ -1944,6 +2094,28 @@ object LakeTable {
     if (fs.exists(cdcRoot)) fs.listStatus(cdcRoot).foreach { st =>
       if (st.isDirectory && !keepCdc.contains(st.getPath.getName))
         fs.delete(st.getPath, true)
+    }
+    // Deletion vectors (B46) follow data retention: drop DV files for
+    // unreferenced groups, and of the pre-horizon versions keep only
+    // the LATEST per group (the cumulative state a read at the horizon
+    // resolves) — same shape as commit retention.
+    val dvRoot = dvDirPath(path)
+    if (fs.exists(dvRoot)) {
+      val entries = fs.listStatus(dvRoot).map(_.getPath.getName).filter(_.endsWith(".dv"))
+        .flatMap { n =>
+          val core = n.stripSuffix(".dv")
+          val cut = core.indexOf('-')
+          if (!core.startsWith("v") || cut < 2) None
+          else scala.util.Try((core.substring(1, cut).toLong,
+            core.substring(cut + 1), n)).toOption
+        }
+      val keepLatestOld = entries.filter(_._1 < retainFrom).groupBy(_._2)
+        .map { case (_, vs) => vs.maxBy(_._1)._3 }.toSet
+      entries.foreach { case (v, g, n) =>
+        val keep = keepDirs.contains(groupRoot(g)) &&
+          (v >= retainFrom || keepLatestOld.contains(n))
+        if (!keep) fs.delete(new Path(dvRoot, n), false)
+      }
     }
     // Refresh the hint BEFORE dropping old commits: a checkpoint left
     // pointing at a vacuumed version would force every reader through

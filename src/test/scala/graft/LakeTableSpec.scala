@@ -630,6 +630,70 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() === 4010)
   }
 
+  test("deletion vectors: MOR delete rewrites nothing; reads, time travel, SQL, compact, vacuum agree") {
+    val p = s"$root/mor"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    LakeTable.create(spark, p,
+      spark.range(0, 1000).selectExpr("id AS k", "id % 10 AS g").repartition(4))
+    val v0 = LakeTable.currentVersion(spark, p).get
+    val d0 = LakeTable.readCommit(spark, p, v0).dirs
+
+    // MOR delete: commit re-references the SAME dirs — zero rewrite
+    val v1 = LakeTable.deleteMor(spark, p, col("k") % 2 === 0)
+    assert(LakeTable.readCommit(spark, p, v1).dirs === d0)
+    val after1 = LakeTable.read(spark, p)
+    assert(after1.count() === 500)
+    assert(after1.where(col("k") % 2 === 0).count() === 0)
+
+    // cumulative second delete over the same groups
+    val v2 = LakeTable.deleteMor(spark, p, col("k") < 100)
+    assert(LakeTable.read(spark, p).count() === 450)
+
+    // time travel reads pre-delete state by version
+    assert(LakeTable.read(spark, p, Some(v0)).count() === 1000)
+    assert(LakeTable.read(spark, p, Some(v1)).count() === 500)
+
+    // no-match delete = pure metadata commit
+    val v3 = LakeTable.deleteMor(spark, p, col("k") === 999999L)
+    assert(LakeTable.readCommit(spark, p, v3).dirs === d0)
+    assert(LakeTable.read(spark, p).count() === 450)
+
+    // the DSv2 path (format("graft") / catalog SQL) applies the vectors
+    assert(spark.read.format("graft").load(p).count() === 450)
+    assert(spark.read.format("graft").load(p).where(col("k") === 50).count() === 0)
+
+    // stats-path point reads stay correct while vectors exist
+    assert(LakeTable.readRange(spark, p, "k", 50L, 50L).count() === 0)
+    assert(LakeTable.readRange(spark, p, "k", 101L, 101L).count() === 1)
+
+    // compact purges: rewritten group carries no vectors, fast path back
+    val v4 = LakeTable.compact(spark, p, 2)
+    val newDirs = LakeTable.readCommit(spark, p, v4).dirs
+    assert(LakeTable.dvFor(spark, p, v4, newDirs).isEmpty)
+    assert(LakeTable.read(spark, p).count() === 450)
+    assert(spark.read.format("graft").load(p).count() === 450)
+
+    // vacuum to the purged version drops every DV file
+    LakeTable.vacuum(spark, p, v4)
+    val dvDir = new org.apache.hadoop.fs.Path(p, "_dv")
+    val fs = dvDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty)
+    assert(LakeTable.read(spark, p).count() === 450)
+  }
+
+  test("MOR delete feeds CDC: matched rows become delete records") {
+    val p = s"$root/mor_cdc"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    LakeTable.create(spark, p,
+      spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v"))
+    LakeTable.enableCdc(spark, p, "k")
+    val v = LakeTable.deleteMor(spark, p, col("k") >= 90)
+    val feed = LakeTable.readChangeFeed(spark, p, v - 1, v)
+    assert(feed.where(col("change_type") === "delete").count() === 10)
+    assert(feed.where(col("change_type") === "delete")
+      .agg(min("k")).head().getLong(0) === 90L)
+  }
+
   test("DESCRIBE HISTORY lists retained commits newest-first with actions and CDC flags") {
     val p = s"$root/history"
     LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "v"))

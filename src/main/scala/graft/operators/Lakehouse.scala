@@ -240,6 +240,8 @@ object Lakehouse {
         LakeTable.create(s, lake,
           t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal"))
         LakeTable.deleteMor(s, lake, col("c_acctbal") < 0)
+        LakeTable.updateMor(s, lake, col("c_nationkey") < 5,
+          Map("c_acctbal" -> (col("c_acctbal") * 1.1)))
         LakeTable.deleteMor(s, lake, col("c_nationkey") === 3)
         LakeTable.compact(s, lake, 2)
         LakeTable.read(s, lake)
@@ -247,9 +249,12 @@ object Lakehouse {
           .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal") + 1e-6, 2).as("bal"))
           .orderBy("c_nationkey")
       },
-      Some("""SELECT c_nationkey, count(*) AS cnt,
+      Some("""WITH kept AS (SELECT c_custkey, c_nationkey,
+             |  CASE WHEN c_nationkey < 5 THEN c_acctbal * 1.1 ELSE c_acctbal END AS c_acctbal
+             |  FROM customer WHERE NOT (c_acctbal < 0))
+             |SELECT c_nationkey, count(*) AS cnt,
              |round(sum(c_acctbal) + 0.000001, 2) AS bal
-             |FROM customer WHERE NOT (c_acctbal < 0) AND NOT (c_nationkey = 3)
+             |FROM kept WHERE NOT (c_nationkey = 3)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // B28: predicate-scoped overwrite (Delta replaceWhere / INSERT

@@ -161,7 +161,12 @@ case class GraftUpdateCommand(path: String,
     set: Seq[(String, Column)],
     condition: Option[Column]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeTable.update(spark, path, condition.getOrElse(lit(true)), set.toMap)
+    // DV-mode tables (Delta enableDeletionVectors): merge-on-read
+    // update — vectors over old positions + one appended image group.
+    if (LakeTable.dvEnabled(spark, path))
+      LakeTable.updateMor(spark, path, condition.getOrElse(lit(true)), set.toMap)
+    else
+      LakeTable.update(spark, path, condition.getOrElse(lit(true)), set.toMap)
     Nil
   }
 }

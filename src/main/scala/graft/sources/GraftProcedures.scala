@@ -124,11 +124,29 @@ object GraftProcedures {
           row(LakeTable.deleteMor(spark, path(root, in.getUTF8String(0).toString),
             org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString)))
       }
+      case "update_mor" => new Proc("update_mor",
+          Array(param("table", StringType), param("predicate", StringType),
+            param("set_col", StringType), param("set_expr", StringType)), verSchema) {
+        override def run(in: InternalRow): Array[InternalRow] =
+          row(LakeTable.updateMor(spark, path(root, in.getUTF8String(0).toString),
+            org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString),
+            Map(in.getUTF8String(2).toString ->
+              org.apache.spark.sql.functions.expr(in.getUTF8String(3).toString))))
+      }
+      case "enable_dv" => new Proc("enable_dv",
+          Array(param("table", StringType), param("on", BooleanType)),
+          StructType(Seq(StructField("dv_mode", BooleanType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val p = path(root, in.getUTF8String(0).toString)
+          LakeTable.setDvMode(spark, p, in.getBoolean(1))
+          row(java.lang.Boolean.valueOf(LakeTable.dvEnabled(spark, p)))
+        }
+      }
       case other => throw new NoSuchElementException(s"unknown procedure $other")
     }
   }
 
   val names: Array[String] =
     Array("compact", "vacuum", "set_sort_by", "cluster_by", "add_check", "drop_check",
-      "delete_mor")
+      "delete_mor", "update_mor", "enable_dv")
 }

@@ -148,7 +148,10 @@ final class GraftTable(path: String, version: Option[Long],
     import org.apache.spark.sql.functions.lit
     val cond = predicates.flatMap(toColumn(_))
       .reduceOption(_ && _).getOrElse(lit(true))
-    LakeTable.delete(spark, path, cond)
+    // Delta's enableDeletionVectors semantics: DV-mode tables take the
+    // merge-on-read path (B46) — no group rewrite, cost ∝ deleted rows.
+    if (LakeTable.dvEnabled(spark, path)) LakeTable.deleteMor(spark, path, cond)
+    else LakeTable.delete(spark, path, cond)
   }
 
   override def name(): String = s"graft.`$path`" + version.map(v => s"@v$v").getOrElse("")

@@ -45,7 +45,8 @@ object LakeTable {
     */
   final case class Commit(version: Long, action: String, dirs: Seq[String],
       cdcDir: Option[String] = None, ts: Long = 0L,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      dvFiles: Seq[String] = Nil)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -139,7 +140,10 @@ object LakeTable {
       app <- """"txnApp"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1))
       tv <- """"txnVer"\s*:\s*(-?\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
     } yield (app, tv)
-    Commit(ver, action, dirs, cdc, ts, txn)
+    val dv = """"dv"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    Commit(ver, action, dirs, cdc, ts, txn, dv)
   }
 
   private[graft] def writeCommit(spark: SparkSession, path: String, c: Commit): Unit = {
@@ -152,6 +156,8 @@ object LakeTable {
       c.cdcDir.map(d => s""","cdc":"$d"""").getOrElse("") +
       c.txn.map { case (app, ver) =>
         s""","txnApp":"$app","txnVer":$ver""" }.getOrElse("") +
+      (if (c.dvFiles.isEmpty) ""
+       else s""","dv":[${c.dvFiles.map(d => "\"" + d + "\"").mkString(",")}]""") +
       s""","ts":${if (c.ts > 0) c.ts else System.currentTimeMillis()}}"""
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -803,7 +809,7 @@ object LakeTable {
     */
   def setSortBy(spark: SparkSession, path: String, cols: Seq[String]): Unit =
     writeTableMeta(spark, path, tablePartitioning(spark, path),
-      metaSchema(spark, path), cols, tableChecks(spark, path))
+      metaSchema(spark, path), cols, tableChecks(spark, path), dvEnabled(spark, path))
 
   /** One writer for every `_table.json` mutation so no path drops a
     * key another recorded (updateSchemaMeta used to erase nothing only
@@ -812,9 +818,11 @@ object LakeTable {
   private def writeTableMeta(spark: SparkSession, path: String, parts: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       sortBy: Seq[String],
-      checks: Seq[(String, String)]): Unit = {
+      checks: Seq[(String, String)],
+      dvMode: Boolean): Unit = {
     val fields = Seq.newBuilder[String]
     fields += s""""partitionBy":[${parts.map(c => "\"" + c + "\"").mkString(",")}]"""
+    if (dvMode) fields += "\"dvMode\":true"
     if (sortBy.nonEmpty)
       fields += s""""sortBy":[${sortBy.map(c => "\"" + c + "\"").mkString(",")}]"""
     if (checks.nonEmpty) {
@@ -876,13 +884,33 @@ object LakeTable {
     require(violations == 0,
       s"cannot add CHECK constraint $name: existing rows violate ($sql)")
     writeTableMeta(spark, path, tablePartitioning(spark, path),
-      metaSchema(spark, path), tableSortBy(spark, path), existing :+ (name -> sql))
+      metaSchema(spark, path), tableSortBy(spark, path), existing :+ (name -> sql),
+      dvEnabled(spark, path))
   }
 
   def dropCheck(spark: SparkSession, path: String, name: String): Unit =
     writeTableMeta(spark, path, tablePartitioning(spark, path),
       metaSchema(spark, path), tableSortBy(spark, path),
-      tableChecks(spark, path).filterNot(_._1 == name))
+      tableChecks(spark, path).filterNot(_._1 == name), dvEnabled(spark, path))
+
+  /** Delta's enableDeletionVectors table property: when ON, SQL DELETE
+    * and UPDATE route through the merge-on-read verbs (deleteMor /
+    * updateMor) instead of copy-on-write group rewrites.
+    */
+  def dvEnabled(spark: SparkSession, path: String): Boolean = {
+    val p = tableMetaFile(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) false
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"dvMode"\s*:\s*true""".r.findFirstIn(body).isDefined
+    }
+  }
+
+  def setDvMode(spark: SparkSession, path: String, on: Boolean): Unit =
+    writeTableMeta(spark, path, tablePartitioning(spark, path),
+      metaSchema(spark, path), tableSortBy(spark, path), tableChecks(spark, path), on)
 
   /** Create (or replace) the table as version 0. */
   def create(spark: SparkSession, path: String, df: DataFrame,
@@ -896,7 +924,7 @@ object LakeTable {
       // an EMPTY partitioned create writes no parquet files at all, so
       // schema inference has nothing to read until the first insert —
       // the meta is the fallback that keeps DDL-then-INSERT resolvable.
-      writeTableMeta(spark, path, partitionBy, Some(df.schema), Nil, Nil)
+      writeTableMeta(spark, path, partitionBy, Some(df.schema), Nil, Nil, dvMode = false)
     }
     writeCommit(spark, path, Commit(0L, "create", Seq(dir)))
     0L
@@ -925,7 +953,7 @@ object LakeTable {
   private[graft] def updateSchemaMeta(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): Unit =
     writeTableMeta(spark, path, tablePartitioning(spark, path), Some(schema),
-      tableSortBy(spark, path), tableChecks(spark, path))
+      tableSortBy(spark, path), tableChecks(spark, path), dvEnabled(spark, path))
 
   /** Table schema: the UNION of the snapshot's file-inferred schema
     * and the meta-recorded one (create-time for empty partitioned
@@ -1108,7 +1136,7 @@ object LakeTable {
               predicateBounds(read(spark, path, Some(prev)), pred))
             val old =
               if (touched.isEmpty) read(spark, path, Some(prev)).limit(0)
-              else readDirs(spark, path, touched)
+              else readDirsLive(spark, path, touched, prev)
             val rewritten =
               if (touched.isEmpty) None
               else Some(writeGroup(spark, path, v,
@@ -1142,7 +1170,7 @@ object LakeTable {
               val ds = droppedLeaves.result()
               val oldDf =
                 if (ds.isEmpty) read(spark, path, Some(prev)).limit(0)
-                else readDirs(spark, path, ds)
+                else readDirsLive(spark, path, ds, prev)
               writeCdc(spark, path, v, diffFrames(oldDf,
                 readDirs(spark, path, Seq(stagedDir)), k, preimages = true))
             }
@@ -1189,35 +1217,60 @@ object LakeTable {
 
   private def dvDirPath(path: String) = new Path(path, "_dv")
 
-  /** Latest DV per group dir at or before `version`, restricted to the
-    * snapshot's groups: group root → (file_path → roaring blob). DVs
-    * are CUMULATIVE per (version, group) — one listing + one small
-    * file read per DV'd group resolves the applicable state.
+  /** Parse a DV file name `v<version>-<uuid8>-<group>.dv` →
+    * (version, group). The uuid makes racing writers' files distinct;
+    * only the name the PUBLISHED commit references counts.
     */
-  private[graft] def dvFor(spark: SparkSession, path: String, version: Long,
-      dirs: Seq[String]): Map[String, Map[String, Array[Byte]]] = {
+  private def parseDvName(n: String): Option[(Long, String)] = {
+    if (!n.startsWith("v") || !n.endsWith(".dv")) return None
+    val core = n.stripSuffix(".dv")
+    val c1 = core.indexOf('-')
+    if (c1 < 2) return None
+    val c2 = core.indexOf('-', c1 + 1)
+    if (c2 < 0) return None
+    scala.util.Try((core.substring(1, c1).toLong, core.substring(c2 + 1))).toOption
+  }
+
+  /** Resolved DV state per group at `version`: group root →
+    * (publishing file name, file_path → roaring blob). DVs are
+    * CUMULATIVE per (version, group), so one file per group resolves
+    * the state; a candidate only counts if the commit of its version
+    * actually references it (an orphan from a lost commit race never
+    * applies). One listing + one commit read per DV'd group-version.
+    */
+  private def dvResolve(spark: SparkSession, path: String, version: Long,
+      dirs: Seq[String]): Map[String, (String, Map[String, Array[Byte]])] = {
     val d = dvDirPath(path)
     val fs = fsOf(spark, d)
     if (!fs.exists(d)) return Map.empty
     val groups = dirs.map(groupRoot).toSet
-    fs.listStatus(d).map(_.getPath.getName).filter(_.endsWith(".dv"))
-      .flatMap { n =>
-        val core = n.stripSuffix(".dv")
-        val cut = core.indexOf('-')
-        if (!core.startsWith("v") || cut < 2) None
-        else scala.util.Try((core.substring(1, cut).toLong, core.substring(cut + 1))).toOption
-      }
-      .filter { case (v, g) => v <= version && groups(g) }
+    // Verification: a candidate applies iff the commit of its version
+    // references it. A VACUUMED commit (file gone) accepts its
+    // survivors — vacuum already removed every unreferenced orphan, so
+    // what remains below the horizon is exactly the resolved state.
+    val commitDv = scala.collection.mutable.Map.empty[Long, Option[Set[String]]]
+    def referenced(v: Long): Option[Set[String]] = commitDv.getOrElseUpdate(v,
+      scala.util.Try(readCommit(spark, path, v).dvFiles.toSet).toOption)
+    fs.listStatus(d).map(_.getPath.getName)
+      .flatMap(n => parseDvName(n).map { case (v, g) => (v, g, n) })
+      .filter { case (v, g, _) => v <= version && groups(g) }
       .groupBy(_._2)
-      .map { case (g, vs) => g -> readDvFile(spark, path, vs.map(_._1).max, g) }
+      .flatMap { case (g, cands) =>
+        cands.sortBy(-_._1).collectFirst {
+          case (v, _, n) if referenced(v).forall(_.contains(n)) =>
+            g -> (n, readDvFile(spark, path, n))
+        }
+      }
   }
 
-  private def dvFile(path: String, v: Long, group: String): Path =
-    new Path(dvDirPath(path), f"v$v%05d-$group.dv")
+  /** [[dvResolve]] without the file names — the read-path view. */
+  private[graft] def dvFor(spark: SparkSession, path: String, version: Long,
+      dirs: Seq[String]): Map[String, Map[String, Array[Byte]]] =
+    dvResolve(spark, path, version, dirs).map { case (g, (_, m)) => g -> m }
 
-  private def readDvFile(spark: SparkSession, path: String, v: Long,
-      group: String): Map[String, Array[Byte]] = {
-    val p = dvFile(path, v, group)
+  private def readDvFile(spark: SparkSession, path: String,
+      name: String): Map[String, Array[Byte]] = {
+    val p = new Path(dvDirPath(path), name)
     val in = new java.io.DataInputStream(fsOf(spark, p).open(p))
     try {
       val n = in.readInt()
@@ -1230,9 +1283,14 @@ object LakeTable {
     } finally in.close()
   }
 
+  /** Write one group's cumulative DV under a UNIQUE name (racing
+    * writers never clobber each other); returns the name for the
+    * commit to reference — only referenced files ever apply.
+    */
   private def writeDvFile(spark: SparkSession, path: String, v: Long, group: String,
-      files: Map[String, Array[Byte]]): Unit = {
-    val p = dvFile(path, v, group)
+      files: Map[String, Array[Byte]]): String = {
+    val name = f"v$v%05d-${java.util.UUID.randomUUID.toString.take(8)}-$group.dv"
+    val p = new Path(dvDirPath(path), name)
     val out = new java.io.DataOutputStream(fsOf(spark, p).create(p, true))
     try {
       out.writeInt(files.size)
@@ -1242,6 +1300,7 @@ object LakeTable {
         out.write(bytes)
       }
     } finally out.close()
+    name
   }
 
   /** Merge-on-read DELETE (the Delta/Iceberg-v3 deletion-vector
@@ -1275,11 +1334,27 @@ object LakeTable {
       writeCommit(spark, path, Commit(v, "delete-mor", c.dirs))
       return v
     }
-    val roots = c.dirs.map(groupRoot).distinct
+    val dvNames = mergeAndWriteDv(spark, path, v, c.dirs, dv0, blobs)
+    val cdc = cdcKey(spark, path).map { k =>
+      val rows = matched.drop("__file", "__pos")
+      writeCdc(spark, path, v, diffFrames(rows, rows.limit(0), k, preimages = true))
+    }
+    writeCommit(spark, path, Commit(v, "delete-mor", c.dirs, cdc, dvFiles = dvNames))
+    v
+  }
+
+  /** Shared MOR tail: union the new per-file marks into each touched
+    * group's cumulative DV and write one uniquely-named file per
+    * group; returns the names for the commit to reference.
+    */
+  private def mergeAndWriteDv(spark: SparkSession, path: String, v: Long,
+      dirs: Seq[String], dv0: Map[String, Map[String, Array[Byte]]],
+      blobs: Seq[(String, Array[Byte])]): Seq[String] = {
+    val roots = dirs.map(groupRoot).distinct
     def groupOf(file: String): String =
       roots.find(g => file.contains(s"/$g/")).getOrElse(throw new IllegalStateException(
-        s"matched file $file is under no group of v$prev"))
-    blobs.groupBy(b => groupOf(b._1)).foreach { case (g, files) =>
+        s"matched file $file is under no group of v${v - 1}"))
+    blobs.groupBy(b => groupOf(b._1)).map { case (g, files) =>
       val prevFiles = dv0.getOrElse(g, Map.empty)
       val merged = (prevFiles.keySet ++ files.map(_._1)).map { f =>
         val bm = new org.roaringbitmap.longlong.Roaring64Bitmap
@@ -1289,12 +1364,47 @@ object LakeTable {
         f -> graft.plans.BitmapCodec.ser(bm)
       }.toMap
       writeDvFile(spark, path, v, g, merged)
+    }.toSeq
+  }
+
+  /** Merge-on-read UPDATE: the matched rows' OLD positions are marked
+    * in deletion vectors (no group rewrite) and their NEW images land
+    * as one appended group — a single atomic commit referencing every
+    * old dir plus the update group. Write cost ∝ updated rows; CHECK
+    * constraints guard the new images through the writeGroup funnel;
+    * CDC gets preimage/postimage update pairs from the rows in hand.
+    */
+  def updateMor(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val v = prev + 1
+    val c = readCommit(spark, path, prev)
+    val dv0 = dvFor(spark, path, prev, c.dirs)
+    val live = readDirsDv(spark, path, c.dirs, dv0, withPos = true)
+    if (!live.columns.contains("__file")) {
+      writeCommit(spark, path, Commit(v, "update-mor", c.dirs))
+      return v
     }
+    val matched = live.where(predicate)
+    val blobs = matched.groupBy(col("__file"))
+      .agg(graft.functions.Bitmaps.bitmapBuild(col("__pos")).as("bm"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toSeq
+    if (blobs.isEmpty) {
+      writeCommit(spark, path, Commit(v, "update-mor", c.dirs))
+      return v
+    }
+    val dvNames = mergeAndWriteDv(spark, path, v, c.dirs, dv0, blobs)
+    val oldRows = matched.drop("__file", "__pos")
+    val newRows = assignments.foldLeft(oldRows) { case (acc, (cn, e)) =>
+      acc.withColumn(cn, e)
+    }
+    val dir = writeGroup(spark, path, v, newRows, tablePartitioning(spark, path))
     val cdc = cdcKey(spark, path).map { k =>
-      val rows = matched.drop("__file", "__pos")
-      writeCdc(spark, path, v, diffFrames(rows, rows.limit(0), k, preimages = true))
+      writeCdc(spark, path, v, diffFrames(oldRows, newRows, k, preimages = true))
     }
-    writeCommit(spark, path, Commit(v, "delete-mor", c.dirs, cdc))
+    writeCommit(spark, path, Commit(v, "update-mor", c.dirs :+ dir, cdc, dvFiles = dvNames))
     v
   }
 
@@ -1691,6 +1801,14 @@ object LakeTable {
   private def readDirs(spark: SparkSession, path: String, dirs: Seq[String]): DataFrame =
     readDirsDv(spark, path, dirs, Map.empty, withPos = false)
 
+  /** Touched-group read with the snapshot's deletion vectors applied.
+    * EVERY copy-on-write rewrite source must read LIVE rows — a plain
+    * readDirs would resurrect vectored-out rows into the rewrite.
+    */
+  private def readDirsLive(spark: SparkSession, path: String, dirs: Seq[String],
+      version: Long): DataFrame =
+    readDirsDv(spark, path, dirs, dvFor(spark, path, version, dirs), withPos = false)
+
   /** [[readDirs]] with deletion-vector application (B46) and optional
     * file/row-position columns. DVs and positions both ride on the
     * parquet `_metadata` struct, which only exists per SCAN — so the
@@ -1764,7 +1882,7 @@ object LakeTable {
     // touched (pure insert) or the source is missing columns.
     val target =
       if (touched.isEmpty) read(spark, path, Some(prev)).limit(0)
-      else readDirs(spark, path, touched)
+      else readDirsLive(spark, path, touched, prev)
     val kept = target.join(source.select(key), Seq(key), "left_anti")
     val merged = kept.unionByName(source, allowMissingColumns = true)
     val v = prev + 1
@@ -1879,7 +1997,7 @@ object LakeTable {
     val tSchema = tableSchema(spark, path, Some(prev))
     val targetRaw =
       if (touched.isEmpty) read(spark, path, Some(prev)).limit(0)
-      else readDirs(spark, path, touched)
+      else readDirsLive(spark, path, touched, prev)
     // Pin the full evolved schema (touched groups may predate an added
     // column) and add presence markers for the full-outer categories.
     val targetFull = tSchema.fields.foldLeft(targetRaw) { (df, f) =>
@@ -1960,7 +2078,7 @@ object LakeTable {
     val (touched, untouched) = splitDirs(spark, path, c.dirs, keyBounds(source, keys))
     val target =
       if (touched.isEmpty) read(spark, path, Some(prev)).limit(0)
-      else readDirs(spark, path, touched)
+      else readDirsLive(spark, path, touched, prev)
     val combined = target.unionByName(source, allowMissingColumns = true)
       .groupBy(keys.map(col): _*)
       .agg(sum(sumCols.head).as(sumCols.head),
@@ -1995,7 +2113,7 @@ object LakeTable {
       predicateBounds(read(spark, path, Some(prev)), predicate))
     val old =
       if (touched.isEmpty) read(spark, path, Some(prev)).limit(0)
-      else readDirs(spark, path, touched)
+      else readDirsLive(spark, path, touched, prev)
     val replaced = old.where(!coalesce(predicate, lit(false)))
       .unionByName(df, allowMissingColumns = true)
     val v = prev + 1
@@ -2025,7 +2143,7 @@ object LakeTable {
       // Nothing can match: the commit is pure metadata, zero data moved.
       writeCommit(spark, path, Commit(v, "delete", c.dirs))
     } else {
-      val old = readDirs(spark, path, touched)
+      val old = readDirsLive(spark, path, touched, prev)
       val dir = writeGroup(spark, path, v,
         old.where(!coalesce(predicate, lit(false))), tablePartitioning(spark, path))
       val cdc = cdcKey(spark, path).map { k =>
@@ -2052,7 +2170,7 @@ object LakeTable {
     if (touched.isEmpty) {
       writeCommit(spark, path, Commit(v, "update", c.dirs))
     } else {
-      val df = readDirs(spark, path, touched)
+      val df = readDirsLive(spark, path, touched, prev)
       val updated = assignments.foldLeft(df) { case (acc, (cn, e)) =>
         acc.withColumn(cn, when(predicate, e).otherwise(col(cn)))
       }
@@ -2095,26 +2213,20 @@ object LakeTable {
       if (st.isDirectory && !keepCdc.contains(st.getPath.getName))
         fs.delete(st.getPath, true)
     }
-    // Deletion vectors (B46) follow data retention: drop DV files for
-    // unreferenced groups, and of the pre-horizon versions keep only
-    // the LATEST per group (the cumulative state a read at the horizon
-    // resolves) — same shape as commit retention.
+    // Deletion vectors (B46) follow data retention: keep files a
+    // retained commit references, plus the RESOLVED pre-horizon state
+    // per group (what a read at the horizon applies) — orphans from
+    // lost commit races and superseded cumulative files go.
     val dvRoot = dvDirPath(path)
     if (fs.exists(dvRoot)) {
-      val entries = fs.listStatus(dvRoot).map(_.getPath.getName).filter(_.endsWith(".dv"))
-        .flatMap { n =>
-          val core = n.stripSuffix(".dv")
-          val cut = core.indexOf('-')
-          if (!core.startsWith("v") || cut < 2) None
-          else scala.util.Try((core.substring(1, cut).toLong,
-            core.substring(cut + 1), n)).toOption
-        }
-      val keepLatestOld = entries.filter(_._1 < retainFrom).groupBy(_._2)
-        .map { case (_, vs) => vs.maxBy(_._1)._3 }.toSet
-      entries.foreach { case (v, g, n) =>
-        val keep = keepDirs.contains(groupRoot(g)) &&
-          (v >= retainFrom || keepLatestOld.contains(n))
-        if (!keep) fs.delete(new Path(dvRoot, n), false)
+      val referenced = keepVersions
+        .flatMap(v => scala.util.Try(readCommit(spark, path, v).dvFiles).getOrElse(Nil)).toSet
+      val horizonState = scala.util.Try(
+        dvResolve(spark, path, retainFrom, readCommit(spark, path, retainFrom).dirs)
+          .values.map(_._1).toSet).getOrElse(Set.empty)
+      fs.listStatus(dvRoot).map(_.getPath.getName).filter(_.endsWith(".dv")).foreach { n =>
+        if (!referenced.contains(n) && !horizonState.contains(n))
+          fs.delete(new Path(dvRoot, n), false)
       }
     }
     // Refresh the hint BEFORE dropping old commits: a checkpoint left

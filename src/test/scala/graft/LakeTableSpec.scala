@@ -681,6 +681,34 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() === 450)
   }
 
+  test("MOR update: old positions vectored out, new images appended, one atomic commit") {
+    val p = s"$root/mor_upd"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    LakeTable.create(spark, p,
+      spark.range(0, 200).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v").repartition(3))
+    val d0 = LakeTable.readCommit(spark, p, 0L).dirs
+    val v1 = LakeTable.updateMor(spark, p, col("k") < 50,
+      Map("v" -> (col("v") + 9.0)))
+    val c1 = LakeTable.readCommit(spark, p, v1)
+    // every original dir survives + exactly one appended update group
+    assert(c1.dirs.take(d0.length) === d0 && c1.dirs.length === d0.length + 1)
+    assert(c1.dvFiles.nonEmpty)
+    val t = LakeTable.read(spark, p)
+    assert(t.count() === 200)
+    assert(t.where(col("v") === 10.0).count() === 50)
+    assert(t.where(col("v") === 1.0).count() === 150)
+    // no double-vision: each key exactly once
+    assert(t.groupBy("k").count().where(col("count") =!= 1).count() === 0)
+    // time travel sees the pre-update values
+    assert(LakeTable.read(spark, p, Some(0L)).where(col("v") === 10.0).count() === 0)
+    // chained MOR update over the DV'd snapshot composes
+    LakeTable.updateMor(spark, p, col("k") < 10, Map("v" -> lit(99.0)))
+    val t2 = LakeTable.read(spark, p)
+    assert(t2.count() === 200)
+    assert(t2.where(col("v") === 99.0).count() === 10)
+    assert(t2.where(col("v") === 10.0).count() === 40)
+  }
+
   test("MOR delete feeds CDC: matched rows become delete records") {
     val p = s"$root/mor_cdc"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))

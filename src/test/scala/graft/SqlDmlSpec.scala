@@ -195,6 +195,41 @@ class SqlDmlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("CALL graft_cat.system.compact('dml.missing', 2)") }
   }
 
+  test("DV-mode tables route SQL DELETE/UPDATE through merge-on-read") {
+    val t = freshTable("mordml")
+    val root = s"${GraftSession.catalogRoot}/dml/mordml"
+    spark.range(0, 500).selectExpr("id AS k", "cast(id AS DOUBLE) AS v").writeTo(t).create()
+    val dv0 = spark.sql("CALL graft_cat.system.enable_dv('dml.mordml', true)")
+      .as[Boolean].head()
+    assert(dv0)
+    val d0 = LakeTable.readCommit(spark, root,
+      LakeTable.currentVersion(spark, root).get).dirs
+
+    // SQL DELETE: merge-on-read — same dirs, vectors recorded
+    spark.sql(s"DELETE FROM $t WHERE k < 100")
+    val c1 = LakeTable.readCommit(spark, root,
+      LakeTable.currentVersion(spark, root).get)
+    assert(c1.dirs === d0, c1.dirs.toString)
+    assert(c1.dvFiles.nonEmpty)
+    assert(spark.table(t).count() === 400)
+
+    // SQL UPDATE: vectors + one appended image group
+    spark.sql(s"UPDATE $t SET v = v + 1000 WHERE k >= 400")
+    val c2 = LakeTable.readCommit(spark, root,
+      LakeTable.currentVersion(spark, root).get)
+    assert(c2.dirs.take(d0.length) === d0 && c2.dirs.length === d0.length + 1, c2.dirs)
+    assert(spark.table(t).count() === 400)
+    assert(spark.table(t).where($"v" >= 1000.0).count() === 100)
+
+    // switch DV mode off: DML is copy-on-write again
+    spark.sql("CALL graft_cat.system.enable_dv('dml.mordml', false)")
+    spark.sql(s"DELETE FROM $t WHERE k = 200")
+    val c3 = LakeTable.readCommit(spark, root,
+      LakeTable.currentVersion(spark, root).get)
+    assert(c3.dvFiles.isEmpty)
+    assert(spark.table(t).count() === 399)
+  }
+
   test("CHECK constraints: validated at ADD, enforced on native + API + DML writes, NULL passes") {
     val t = freshTable("chk")
     val root = s"${GraftSession.catalogRoot}/dml/chk"

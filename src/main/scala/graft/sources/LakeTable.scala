@@ -33,6 +33,13 @@ import java.nio.charset.StandardCharsets
   * append; merge shuffles once on the key and rewrites only the groups
   * its key range intersects; compaction is the standard bin-pack
   * rewrite targeting ~128 MB files.
+  *
+  * Merge-on-read deletion vectors (`_dv/`, B46) need NO conditional
+  * PUT on an object store: every DV file is written under a unique
+  * name and only applies once the commit referencing it publishes —
+  * write-once immutable objects, with the commit's own conditional
+  * PUT as the sole synchronization point (losers' files are inert
+  * orphans vacuumed later).
   */
 object LakeTable {
 
@@ -1995,15 +2002,29 @@ object LakeTable {
     val (touched, untouched) = splitDirs(spark, path, c.dirs, bounds)
 
     val tSchema = tableSchema(spark, path, Some(prev))
+    // DV-mode (B46): MERGE goes merge-on-read — affected target rows
+    // are carried with their (file, position) so they can be vectored
+    // out instead of rewriting their groups.
+    val dvMode = dvEnabled(spark, path)
+    val dv0 = if (dvMode) dvFor(spark, path, prev, c.dirs)
+      else Map.empty[String, Map[String, Array[Byte]]]
     val targetRaw =
-      if (touched.isEmpty) read(spark, path, Some(prev)).limit(0)
+      if (touched.isEmpty) {
+        val base = read(spark, path, Some(prev)).limit(0)
+        if (dvMode) base.withColumn("__file", lit(null).cast("string"))
+          .withColumn("__pos", lit(null).cast("long"))
+        else base
+      }
+      else if (dvMode) readDirsDv(spark, path, touched, dv0, withPos = true)
       else readDirsLive(spark, path, touched, prev)
     // Pin the full evolved schema (touched groups may predate an added
     // column) and add presence markers for the full-outer categories.
+    val outNames = tSchema.fieldNames.toSeq ++
+      (if (dvMode) Seq("__file", "__pos") else Nil)
     val targetFull = tSchema.fields.foldLeft(targetRaw) { (df, f) =>
       if (df.columns.contains(f.name)) df
       else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(tSchema.fieldNames.map(col).toSeq: _*)
+    }.select(outNames.map(col): _*)
     val t = targetFull.withColumn("__graft_tp", lit(true)).alias("t")
     val s = source.withColumn("__graft_sp", lit(true)).alias("s")
     val joined = t.join(s, condition, "full_outer")
@@ -2044,9 +2065,29 @@ object LakeTable {
         .otherwise(valueChain(notMatched, insAct, f.name, lit(null)))
         .cast(f.dataType).as(f.name)
     }
+    val v = prev + 1
+    if (dvMode) {
+      // Merge-on-read: vector out every target row an action applied
+      // to; append only the surviving images + inserts (pass-through
+      // target rows stay in their files untouched).
+      val acted = (sPresent && mAct =!= lit(-1)) || (!sPresent && nmsAct =!= lit(-1))
+      val affected = joined.where(tPresent && acted)
+      val blobs = affected.groupBy(col("t.__file"))
+        .agg(graft.functions.Bitmaps.bitmapBuild(col("t.__pos")).as("bm"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toSeq
+      val appendRows = joined.where(keep && (!tPresent || acted)).select(outCols: _*)
+      val dvNames = mergeAndWriteDv(spark, path, v, c.dirs, dv0, blobs)
+      val dir = writeGroup(spark, path, v, appendRows, tablePartitioning(spark, path))
+      val cdc = cdcKey(spark, path).map { k =>
+        val oldAffected = affected.select(tSchema.fieldNames.map(n => col(s"t.$n")).toSeq: _*)
+        writeCdc(spark, path, v,
+          diffFrames(oldAffected, readDirs(spark, path, Seq(dir)), k, preimages = true))
+      }
+      writeCommit(spark, path, Commit(v, "merge-mor", c.dirs :+ dir, cdc, dvFiles = dvNames))
+      return v
+    }
     val result = joined.where(keep).select(outCols: _*)
 
-    val v = prev + 1
     val dir = writeGroup(spark, path, v, result, tablePartitioning(spark, path))
     val cdc = cdcKey(spark, path).map { k =>
       writeCdc(spark, path, v,

@@ -221,6 +221,30 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 400)
     assert(spark.table(t).where($"v" >= 1000.0).count() === 100)
 
+    // SQL MERGE in DV mode: matched update + delete + insert — every
+    // existing dir carried + ONE appended image/insert group
+    val dBefore = LakeTable.readCommit(spark, root,
+      LakeTable.currentVersion(spark, root).get).dirs
+    Seq((150L, 7.0), (250L, -1.0), (9999L, 5.0)).toDF("k", "nv")
+      .createOrReplaceTempView("mor_src")
+    spark.sql(s"""
+      MERGE INTO $t AS tgt USING mor_src AS s ON tgt.k = s.k
+      WHEN MATCHED AND s.nv < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+    """)
+    val cm = LakeTable.readCommit(spark, root,
+      LakeTable.currentVersion(spark, root).get)
+    assert(cm.action === "merge-mor")
+    assert(cm.dirs.take(dBefore.length) === dBefore &&
+      cm.dirs.length === dBefore.length + 1, cm.dirs)
+    assert(cm.dvFiles.nonEmpty)
+    assert(spark.table(t).count() === 400) // -1 delete (k=250) +1 insert
+    assert(spark.table(t).where($"k" === 150).select("v").as[Double].head() === 7.0)
+    assert(spark.table(t).where($"k" === 250).count() === 0)
+    assert(spark.table(t).where($"k" === 9999).select("v").as[Double].head() === 5.0)
+    assert(spark.table(t).groupBy("k").count().where($"count" =!= 1).count() === 0)
+
     // switch DV mode off: DML is copy-on-write again
     spark.sql("CALL graft_cat.system.enable_dv('dml.mordml', false)")
     spark.sql(s"DELETE FROM $t WHERE k = 200")

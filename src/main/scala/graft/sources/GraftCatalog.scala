@@ -106,12 +106,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = nsPath(namespace)
     fs(p).listStatus(p).filter(_.isDirectory)
       .filter(s => isLakeTable(s.getPath))
-      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .map(s => Identifier.of(namespace, s.getPath.getName)) ++
+      GraftViews.list(spark, root, namespace) // Hive model: views list as tables
   }
 
-  override def tableExists(ident: Identifier): Boolean = isLakeTable(tablePath(ident))
+  override def tableExists(ident: Identifier): Boolean =
+    isLakeTable(tablePath(ident)) || GraftViews.exists(spark, root, ident)
 
   override def loadTable(ident: Identifier): Table = {
+    // Stored views (B47) resolve as virtual tables: scans re-execute
+    // the stored SQL (the Hive "view is a table object" model).
+    if (GraftViews.exists(spark, root, ident)) {
+      val (sql, schema) = GraftViews.load(spark, root, ident)
+      return new GraftViewTable((ident.namespace() :+ ident.name()).mkString("."), sql, schema)
+    }
     val p = tablePath(ident)
     if (!isLakeTable(p)) throw new NoSuchTableException(ident)
     new GraftTable(p.toString, None, None)
@@ -172,6 +180,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    if (GraftViews.exists(spark, root, ident))
+      return GraftViews.drop(spark, root, ident)
     val p = tablePath(ident)
     if (!isLakeTable(p)) false else fs(p).delete(p, true)
   }

@@ -133,6 +133,25 @@ object GraftProcedures {
             Map(in.getUTF8String(2).toString ->
               org.apache.spark.sql.functions.expr(in.getUTF8String(3).toString))))
       }
+      case "create_view" => new Proc("create_view",
+          Array(param("name", StringType), param("query", StringType),
+            param("replace", BooleanType)),
+          StructType(Seq(StructField("columns", StringType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val parts = in.getUTF8String(0).toString.split('.')
+          require(parts.length >= 2, "view name must be namespace-qualified (db.v)")
+          val ident = Identifier.of(parts.init, parts.last)
+          val schema = GraftViews.create(spark, root, ident,
+            in.getUTF8String(1).toString, in.getBoolean(2))
+          row(UTF8String.fromString(schema.fieldNames.mkString(",")))
+        }
+      }
+      case "restore" => new Proc("restore",
+          Array(param("table", StringType), param("version", LongType)), verSchema) {
+        override def run(in: InternalRow): Array[InternalRow] =
+          row(LakeTable.restore(spark, path(root, in.getUTF8String(0).toString),
+            in.getLong(1)))
+      }
       case "enable_dv" => new Proc("enable_dv",
           Array(param("table", StringType), param("on", BooleanType)),
           StructType(Seq(StructField("dv_mode", BooleanType)))) {
@@ -148,5 +167,5 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "vacuum", "set_sort_by", "cluster_by", "add_check", "drop_check",
-      "delete_mor", "update_mor", "enable_dv")
+      "delete_mor", "update_mor", "enable_dv", "restore", "create_view")
 }

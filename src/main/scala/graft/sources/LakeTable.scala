@@ -1350,6 +1350,44 @@ object LakeTable {
     v
   }
 
+  /** Delta RESTORE: roll the table back to `toVersion`'s state as a
+    * NEW commit re-referencing that snapshot's dirs — O(1) in data
+    * size, history preserved (the rolled-back versions stay
+    * time-travelable until vacuum). Deletion-vector state pins by
+    * REWRITING toVersion's per-group vector state under the new
+    * version — an EMPTY vector file masks interim vectors for groups
+    * that had none at toVersion. CDC (if enabled) records the full
+    * state diff, the Delta-CDF restore contract.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val cur = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    require(toVersion <= cur, s"cannot restore $path to future version $toVersion (current $cur)")
+    val old = readCommit(spark, path, toVersion)
+    val v = cur + 1
+    val restoredGroups = old.dirs.map(groupRoot).toSet
+    val stateAtTo = dvResolve(spark, path, toVersion, old.dirs)
+    // groups of the restored snapshot with ANY vector file ≤ cur need
+    // pinning (interim MOR deletes would otherwise leak into v)
+    val d = dvDirPath(path)
+    val fs = fsOf(spark, d)
+    val groupsWithAny =
+      if (!fs.exists(d)) Set.empty[String]
+      else fs.listStatus(d).map(_.getPath.getName)
+        .flatMap(parseDvName).filter(_._1 <= cur).map(_._2).toSet
+        .intersect(restoredGroups)
+    val dvNames = groupsWithAny.toSeq.sorted.map { g =>
+      writeDvFile(spark, path, v, g,
+        stateAtTo.get(g).map(_._2).getOrElse(Map.empty))
+    }
+    val cdc = cdcKey(spark, path).map { k =>
+      writeCdc(spark, path, v, diffFrames(read(spark, path, Some(cur)),
+        read(spark, path, Some(toVersion)), k, preimages = true))
+    }
+    writeCommit(spark, path, Commit(v, "restore", old.dirs, cdc, dvFiles = dvNames))
+    v
+  }
+
   /** Shared MOR tail: union the new per-file marks into each touched
     * group's cumulative DV and write one uniquely-named file per
     * group; returns the names for the commit to reference.

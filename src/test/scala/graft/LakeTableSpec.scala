@@ -709,6 +709,33 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t2.where(col("v") === 10.0).count() === 40)
   }
 
+  test("RESTORE rolls back to an older snapshot as a new commit; DV state pins correctly") {
+    val p = s"$root/restore"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    LakeTable.create(spark, p, spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v"))
+    LakeTable.append(spark, p, spark.range(100, 200).selectExpr("id AS k", "id * 2 AS v"))
+    val v1 = LakeTable.currentVersion(spark, p).get // 200 rows, no vectors
+    val v2 = LakeTable.deleteMor(spark, p, col("k") < 50) // 150 live
+    LakeTable.update(spark, p, col("k") >= 150, Map("v" -> lit(0L))) // COW v3
+    assert(LakeTable.read(spark, p).where(col("v") === 0L).count() === 50)
+
+    // restore to v1: vectored rows come BACK, COW update rolls back
+    val v4 = LakeTable.restore(spark, p, v1)
+    assert(LakeTable.readCommit(spark, p, v4).action === "restore")
+    val t4 = LakeTable.read(spark, p)
+    assert(t4.count() === 200)
+    assert(t4.where(col("v") === 0L).count() === 1) // k=0 only (update rolled back)
+    // history preserved: the rolled-back state is still time-travelable
+    assert(LakeTable.read(spark, p, Some(v2)).count() === 150)
+
+    // restore to the DV'd v2: interim state gone, vectors pinned
+    LakeTable.restore(spark, p, v2)
+    val t5 = LakeTable.read(spark, p)
+    assert(t5.count() === 150)
+    assert(t5.where(col("k") < 50).count() === 0)
+    assert(t5.where(col("v") === 0L).count() === 0)
+  }
+
   test("MOR delete feeds CDC: matched rows become delete records") {
     val p = s"$root/mor_cdc"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))

@@ -195,6 +195,42 @@ class SqlDmlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("CALL graft_cat.system.compact('dml.missing', 2)") }
   }
 
+  test("catalog views: stored SQL served as virtual tables across tenant sessions") {
+    val t = freshTable("vbase")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.dml.v1")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v").writeTo(t).create()
+    val cols = spark.sql(
+      s"CALL graft_cat.system.create_view('dml.v1', 'SELECT k, v * 2 AS v2 FROM $t WHERE k >= 2', false)")
+      .as[String].head()
+    assert(cols === "k,v2")
+    assert(spark.table("graft_cat.dml.v1").orderBy("k")
+      .as[(Long, Double)].collect().toSeq === Seq((2L, 40.0), (3L, 60.0)))
+    // a view is a stored QUERY: base-table changes show through
+    spark.sql(s"INSERT INTO $t VALUES (4, 40.0)")
+    assert(spark.table("graft_cat.dml.v1").count() === 3)
+    // listed with the tables (the Hive model); other tenants resolve it
+    assert(spark.sql("SHOW TABLES IN graft_cat.dml")
+      .select("tableName").as[String].collect().contains("v1"))
+    assert(spark.newSession().table("graft_cat.dml.v1").count() === 3)
+    // composable: SQL over the view, joins included
+    assert(spark.sql(s"SELECT sum(v2) FROM graft_cat.dml.v1 WHERE k >= 3")
+      .as[Double].head() === 60.0 + 80.0)
+    // duplicate create rejects; replace=true redefines
+    intercept[Exception] {
+      spark.sql(s"CALL graft_cat.system.create_view('dml.v1', 'SELECT 1 AS one', false)")
+    }
+    spark.sql(s"CALL graft_cat.system.create_view('dml.v1', 'SELECT count(*) AS n FROM $t', true)")
+    assert(spark.table("graft_cat.dml.v1").as[Long].head() === 4L)
+    // broken SQL rejects at create
+    intercept[Exception] {
+      spark.sql("CALL graft_cat.system.create_view('dml.vbad', 'SELECT * FROM no_such', false)")
+    }
+    // DROP TABLE drops the view object, never touching the base table
+    spark.sql("DROP TABLE graft_cat.dml.v1")
+    intercept[Exception] { spark.table("graft_cat.dml.v1").count() }
+    assert(spark.table(t).count() === 4)
+  }
+
   test("DV-mode tables route SQL DELETE/UPDATE through merge-on-read") {
     val t = freshTable("mordml")
     val root = s"${GraftSession.catalogRoot}/dml/mordml"

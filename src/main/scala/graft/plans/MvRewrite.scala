@@ -39,13 +39,56 @@ final case class MvDef(
 
 object MvRegistry {
   private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  // negative probe cache: base path -> retry-after wall clock. Bounds
+  // descriptor probing to one FS stat per base per minute, so the
+  // optimizer rule never hammers storage for unregistered scans.
+  private val probedMiss = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   /** Scheme-insensitive: `file:/x/y` and `/x/y` name the same base. */
   private def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
-  def register(d: MvDef): Unit = defs.put(norm(d.basePath), d)
+  def register(d: MvDef): Unit = { defs.put(norm(d.basePath), d); probedMiss.remove(norm(d.basePath)) }
   def deregister(basePath: String): Unit = defs.remove(norm(basePath))
   def find(paths: Seq[String]): Option[MvDef] =
     paths.flatMap(p => Option(defs.get(norm(p)))).headOption
-  def clear(): Unit = defs.clear()
+  def clear(): Unit = { defs.clear(); probedMiss.clear() }
+
+  /** [[find]], falling back to the PERSISTED descriptor (`_mv.json` at
+    * the base root, written by Rollup.createAndRegister): a rollup
+    * registered by one session transparently serves every session
+    * sharing the warehouse — the registry is just a cache of durable
+    * state (B50).
+    */
+  def findOrLoad(spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): Option[MvDef] =
+    find(paths).orElse {
+      val now = System.currentTimeMillis()
+      paths.flatMap { p =>
+        val key = norm(p)
+        val retryAt = probedMiss.get(key)
+        if (retryAt != null && now < retryAt) None
+        else loadDescriptor(spark, p) match {
+          case Some(d) => register(d); Some(d)
+          case None => probedMiss.put(key, now + 60000L); None
+        }
+      }.headOption
+    }
+
+  private[graft] def descriptorFile(basePath: String) =
+    new org.apache.hadoop.fs.Path(basePath, "_mv.json")
+
+  private def loadDescriptor(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): Option[MvDef] = try {
+    val p = descriptorFile(basePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def f(k: String): Option[String] =
+        (""""""" + k + """"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(body).map(_.group(1))
+      for (mv <- f("mvPath"); dims <- f("dims"); ms <- f("measures"))
+        yield MvDef(basePath, mv, dims.split(",").filter(_.nonEmpty).toSeq,
+          ms.split(",").filter(_.nonEmpty).toSet)
+    }
+  } catch { case _: Exception => None }
 }
 
 case class MaterializedViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -53,7 +96,7 @@ case class MaterializedViewRewrite(spark: SparkSession) extends Rule[LogicalPlan
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate =>
       baseScanPaths(agg.child).flatMap { paths =>
-        MvRegistry.find(paths).flatMap(mv => tryRewrite(agg, mv))
+        MvRegistry.findOrLoad(spark, paths).flatMap(mv => tryRewrite(agg, mv))
       }.getOrElse(agg)
   }
 
@@ -68,8 +111,26 @@ case class MaterializedViewRewrite(spark: SparkSession) extends Rule[LogicalPlan
       case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
       case _ => None
     }
+    // Catalog tables (DSv2): route on the TABLE root — but never a
+    // time-traveled scan (pinned version or version option), whose
+    // snapshot the MV does not represent. Matched both pre-pushdown
+    // (DataSourceV2Relation — where injected optimizer rules run) and
+    // post-pushdown for safety.
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      v2TablePath(r.table, r.options)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      v2TablePath(r.relation.table, r.relation.options)
     case _ => None
   }
+
+  private def v2TablePath(table: org.apache.spark.sql.connector.catalog.Table,
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Option[Seq[String]] =
+    table match {
+      case gt: graft.sources.GraftTable
+          if gt.pinnedVersion.isEmpty && options.get("version") == null =>
+        Some(Seq(gt.tablePath))
+      case _ => None
+    }
 
   private def tryRewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = try {
     // Cheap structural checks BEFORE any metadata I/O: grouping must be

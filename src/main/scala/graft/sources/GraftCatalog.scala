@@ -126,12 +126,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** SQL time travel: `SELECT ... FROM graft_cat.db.t VERSION AS OF n`
-    * resolves a pinned LakeTable snapshot.
+    * resolves a pinned LakeTable snapshot; a NON-numeric spec resolves
+    * through the table's named tags (`VERSION AS OF 'stable'`).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     if (!isLakeTable(p)) throw new NoSuchTableException(ident)
-    new GraftTable(p.toString, Some(version.toLong), None)
+    new GraftTable(p.toString,
+      Some(LakeTable.resolveVersion(spark, p.toString, version)), None)
   }
 
   /** SQL time travel by wall clock: `... TIMESTAMP AS OF '...'` —

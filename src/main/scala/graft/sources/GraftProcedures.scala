@@ -133,6 +133,49 @@ object GraftProcedures {
             Map(in.getUTF8String(2).toString ->
               org.apache.spark.sql.functions.expr(in.getUTF8String(3).toString))))
       }
+      case "create_mv" => new Proc("create_mv",
+          Array(param("mv", StringType), param("base", StringType),
+            param("dims", StringType), param("measures", StringType)), verSchema) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val mvParts = in.getUTF8String(0).toString.split('.')
+          require(mvParts.length >= 2, "mv name must be namespace-qualified (db.mv)")
+          val mvPath = (root +: mvParts.toSeq).mkString("/")
+          val basePath = path(root, in.getUTF8String(1).toString)
+          Rollup.createAndRegister(spark, basePath, mvPath,
+            in.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+            in.getUTF8String(3).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          row(LakeTable.currentVersion(spark, mvPath).getOrElse(0L))
+        }
+      }
+      case "drop_mv" => new Proc("drop_mv",
+          Array(param("base", StringType)),
+          StructType(Seq(StructField("dropped", BooleanType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          Rollup.dropRegistration(spark, path(root, in.getUTF8String(0).toString))
+          row(java.lang.Boolean.TRUE)
+        }
+      }
+      case "tag" => new Proc("tag",
+          Array(param("table", StringType), param("name", StringType),
+            param("version", LongType)),
+          StructType(Seq(StructField("tags", StringType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val p = path(root, in.getUTF8String(0).toString)
+          LakeTable.setTag(spark, p, in.getUTF8String(1).toString, in.getLong(2))
+          row(UTF8String.fromString(LakeTable.tags(spark, p).toSeq.sortBy(_._1)
+            .map { case (n, v) => s"$n=$v" }.mkString(",")))
+        }
+      }
+      case "drop_tag" => new Proc("drop_tag",
+          Array(param("table", StringType), param("name", StringType)),
+          StructType(Seq(StructField("tags", StringType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val p = path(root, in.getUTF8String(0).toString)
+          LakeTable.dropTag(spark, p, in.getUTF8String(1).toString)
+          row(UTF8String.fromString(LakeTable.tags(spark, p).toSeq.sortBy(_._1)
+            .map { case (n, v) => s"$n=$v" }.mkString(",")))
+        }
+      }
       case "create_view" => new Proc("create_view",
           Array(param("name", StringType), param("query", StringType),
             param("replace", BooleanType)),
@@ -167,5 +210,6 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "vacuum", "set_sort_by", "cluster_by", "add_check", "drop_check",
-      "delete_mor", "update_mor", "enable_dv", "restore", "create_view")
+      "delete_mor", "update_mor", "enable_dv", "restore", "create_view",
+      "tag", "drop_tag", "create_mv", "drop_mv")
 }

@@ -45,6 +45,11 @@ final class GraftTable(path: String, version: Option[Long],
   /** Root path of the backing LakeTable (for the row-level SQL rule). */
   private[graft] def tablePath: String = path
 
+  /** Time-travel pin, if this Table was resolved `VERSION/TIMESTAMP AS
+    * OF` (the MV router must never serve a pinned snapshot).
+    */
+  private[graft] def pinnedVersion: Option[Long] = version
+
   // ---- partition management (SHOW PARTITIONS / ALTER TABLE DROP
   // PARTITION). Partitions here are IMPLICIT — they exist exactly
   // where data exists (the Hive-style layout LakeTable writes) — so

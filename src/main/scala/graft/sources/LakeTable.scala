@@ -1388,6 +1388,55 @@ object LakeTable {
     v
   }
 
+  // ---- named tags (Iceberg tags: human-readable snapshot pins) ------
+
+  private def tagsFile(path: String) = new Path(logDir(path), "_tags.json")
+
+  /** All tags: name → pinned version. */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val p = tagsFile(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+  }
+
+  private def writeTags(spark: SparkSession, path: String, t: Map[String, Long]): Unit = {
+    val p = tagsFile(path)
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(("{" + t.toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""$n":$v""" }.mkString(",") + "}")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Pin `name` to `version` (the Iceberg tag): `VERSION AS OF 'name'`
+    * resolves through it. Version must exist at tag time; vacuum does
+    * NOT consult tags (document tags as retention-advisory like Delta
+    * names nothing — pin retention accordingly).
+    */
+  def setTag(spark: SparkSession, path: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag '$name' must be non-numeric (numeric strings resolve as versions)")
+    readCommit(spark, path, version) // existence check, throws if absent
+    writeTags(spark, path, tags(spark, path) + (name -> version))
+  }
+
+  def dropTag(spark: SparkSession, path: String, name: String): Unit =
+    writeTags(spark, path, tags(spark, path) - name)
+
+  /** Resolve a version STRING: numeric = the version itself, anything
+    * else = a tag name.
+    */
+  def resolveVersion(spark: SparkSession, path: String, spec: String): Long =
+    if (spec.forall(_.isDigit)) spec.toLong
+    else tags(spark, path).getOrElse(spec,
+      throw new IllegalArgumentException(s"no tag '$spec' on $path"))
+
   /** Shared MOR tail: union the new per-file marks into each touched
     * group's cumulative DV and write one uniquely-named file per
     * group; returns the names for the commit to reference.
@@ -2434,19 +2483,50 @@ object Rollup {
   import graft.plans.{MvDef, MvRegistry}
 
   /** Build (or replace) the sum/min/max/cnt partials LakeTable for
-    * `basePath` grouped by `dims`, and register it for auto-routing.
+    * `basePath` grouped by `dims`, register it for auto-routing, and
+    * PERSIST the registration (`_mv.json` at the base root) so every
+    * session sharing the warehouse routes through it (B50). The base
+    * may be a plain parquet dir or a graft LakeTable.
     */
   def createAndRegister(spark: SparkSession, basePath: String, mvPath: String,
       dims: Seq[String], measures: Seq[String]): MvDef = {
-    val base = spark.read.parquet(basePath)
+    val base =
+      if (LakeTable.currentVersion(spark, basePath).isDefined)
+        LakeTable.read(spark, basePath)
+      else spark.read.parquet(basePath)
     val aggs = measures.flatMap(m => Seq(
       sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m"))) :+
       count(lit(1)).as("cnt")
     LakeTable.create(spark, mvPath,
       base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*))
     val d = MvDef(basePath, mvPath, dims, measures.toSet)
+    // Persistence is BEST-EFFORT and only for directory bases (a
+    // single-file parquet base — or a read-only location — cannot
+    // carry a sidecar): the in-memory registration always lands, the
+    // descriptor just makes it durable across sessions.
+    try {
+      val desc = MvRegistry.descriptorFile(basePath)
+      val fs = desc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.getFileStatus(new Path(basePath)).isDirectory) {
+        val out = fs.create(desc, true)
+        try out.write(
+          (s"""{"mvPath":"$mvPath","dims":"${dims.mkString(",")}",""" +
+            s""""measures":"${measures.mkString(",")}"}""").getBytes("UTF-8"))
+        finally out.close()
+      }
+    } catch { case _: Exception => () }
     MvRegistry.register(d)
     d
+  }
+
+  /** Deregister + delete the persisted descriptor (the MV table itself
+    * is dropped separately, like any table).
+    */
+  def dropRegistration(spark: SparkSession, basePath: String): Unit = {
+    MvRegistry.deregister(basePath)
+    val desc = MvRegistry.descriptorFile(basePath)
+    val fs = desc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(desc)) fs.delete(desc, false)
   }
 }
 

@@ -195,6 +195,70 @@ class SqlDmlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("CALL graft_cat.system.compact('dml.missing', 2)") }
   }
 
+  test("persistent MV: SQL aggregates over a CATALOG table route to the rollup durably") {
+    val t = freshTable("mvbase")
+    val root = s"${GraftSession.catalogRoot}/dml/mvbase"
+    spark.sql("DROP TABLE IF EXISTS graft_cat.dml.mv1")
+    spark.range(0, 10000)
+      .selectExpr("id % 7 AS g", "id % 3 AS h", "cast(id AS DOUBLE) AS m")
+      .writeTo(t).create()
+    spark.sql(s"CALL graft_cat.system.create_mv('dml.mv1', 'dml.mvbase', 'g,h', 'm')")
+    def agg = spark.sql(s"SELECT g, count(*) AS cnt, sum(m) AS s FROM $t GROUP BY g")
+    val direct = spark.range(0, 10000)
+      .selectExpr("id % 7 AS g", "cast(id AS DOUBLE) AS m")
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("m").as("s"))
+      .orderBy("g").as[(Long, Long, Double)].collect().toSeq
+    assert(agg.orderBy("g").as[(Long, Long, Double)].collect().toSeq === direct)
+    // routed: the physical plan scans the MV, never the base's groups
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("mv1"), plan.take(2000))
+    assert(!plan.contains("mvbase"), plan.take(2000))
+    // durable: a cold registry reloads from the persisted descriptor
+    graft.plans.MvRegistry.clear()
+    val plan2 = agg.queryExecution.executedPlan.toString
+    assert(plan2.contains("mv1"), plan2.take(2000))
+    // a time-traveled read must NOT route (the MV is current-state)
+    val tt = spark.sql(s"SELECT g, count(*) AS cnt FROM $t VERSION AS OF 0 GROUP BY g")
+    assert(!tt.queryExecution.executedPlan.toString.contains("mv1"))
+    // drop: straight back to the base scan
+    spark.sql("CALL graft_cat.system.drop_mv('dml.mvbase')")
+    graft.plans.MvRegistry.clear()
+    val plan3 = agg.queryExecution.executedPlan.toString
+    assert(!plan3.contains("mv1"), plan3.take(2000))
+    assert(agg.orderBy("g").as[(Long, Long, Double)].collect().toSeq === direct)
+  }
+
+  test("named tags pin snapshots: VERSION AS OF 'tag' through text SQL") {
+    val t = freshTable("tags")
+    val root = s"${GraftSession.catalogRoot}/dml/tags"
+    spark.range(0, 100).selectExpr("id AS k").writeTo(t).create()
+    val v0 = LakeTable.currentVersion(spark, root).get
+    spark.sql(s"CALL graft_cat.system.tag('dml.tags', 'stable', $v0)")
+    spark.range(100, 250).selectExpr("id AS k").writeTo(t).append()
+    // the tag keeps resolving the pinned snapshot as the table moves
+    assert(spark.table(t).count() === 250)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'stable'")
+      .as[Long].head() === 100L)
+    // numeric specs still resolve as raw versions
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF $v0")
+      .as[Long].head() === 100L)
+    // re-pointing and dropping
+    spark.sql(s"CALL graft_cat.system.tag('dml.tags', 'stable', ${v0 + 1})")
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'stable'")
+      .as[Long].head() === 250L)
+    spark.sql(s"CALL graft_cat.system.drop_tag('dml.tags', 'stable')")
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'stable'").collect()
+    }
+    // a tag cannot point at a version that does not exist, nor be numeric
+    intercept[Exception] {
+      spark.sql(s"CALL graft_cat.system.tag('dml.tags', 'future', 999)")
+    }
+    intercept[Exception] {
+      spark.sql(s"CALL graft_cat.system.tag('dml.tags', '42', $v0)")
+    }
+  }
+
   test("catalog views: stored SQL served as virtual tables across tenant sessions") {
     val t = freshTable("vbase")
     spark.sql("DROP TABLE IF EXISTS graft_cat.dml.v1")

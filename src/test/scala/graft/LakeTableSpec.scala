@@ -736,6 +736,38 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t5.where(col("v") === 0L).count() === 0)
   }
 
+  test("MOR delete/update on a PARTITIONED table: per-leaf positions resolve, layout intact") {
+    val p = s"$root/mor_part"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    LakeTable.create(spark, p,
+      spark.range(0, 600).selectExpr("id AS k", "id % 3 AS g", "CAST(1.0 AS DOUBLE) AS v"),
+      partitionBy = Seq("g"))
+    LakeTable.append(spark, p,
+      spark.range(600, 900).selectExpr("id AS k", "id % 3 AS g", "CAST(2.0 AS DOUBLE) AS v"))
+    val d0 = LakeTable.readCommit(spark, p,
+      LakeTable.currentVersion(spark, p).get).dirs
+
+    val v1 = LakeTable.deleteMor(spark, p, col("k") % 2 === 0)
+    assert(LakeTable.readCommit(spark, p, v1).dirs === d0)
+    val t1 = LakeTable.read(spark, p)
+    assert(t1.count() === 450)
+    assert(t1.where(col("k") % 2 === 0).count() === 0)
+    // partition pruning still works over the DV'd read
+    assert(t1.where(col("g") === 1).count() === 150)
+
+    LakeTable.updateMor(spark, p, col("k") === 1L, Map("v" -> lit(42.0)))
+    val t2 = LakeTable.read(spark, p)
+    assert(t2.count() === 450)
+    assert(t2.where(col("v") === 42.0).select("k").as[Long].collect().toSeq === Seq(1L))
+    assert(t2.groupBy("k").count().where(col("count") =!= 1).count() === 0)
+    // compact purges and the partitioned layout survives
+    LakeTable.compact(spark, p, 2)
+    val t3 = LakeTable.read(spark, p)
+    assert(t3.count() === 450)
+    assert(t3.where(col("g") === 2).count() === 150)
+    assert(t3.where(col("v") === 42.0).count() === 1)
+  }
+
   test("MOR delete feeds CDC: matched rows become delete records") {
     val p = s"$root/mor_cdc"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))

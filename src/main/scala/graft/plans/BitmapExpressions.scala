@@ -250,13 +250,15 @@ case class BitmapAndCardinality(left: Expression, right: Expression)
 
 /** dv_deleted(file_path string, row_index bigint) → boolean: is this
   * row marked deleted by the snapshot's deletion vectors (B46
-  * merge-on-read DELETE)? The per-file bitmap blobs ride the plan as
-  * one codegen reference object; rows arrive file-contiguous from a
-  * parquet scan, so a one-entry cache makes the per-row cost a single
-  * `Roaring64Bitmap.contains` — no string allocation on the hot path.
+  * merge-on-read DELETE)? The per-file bitmap blobs travel as a
+  * BROADCAST (fetched once per executor) — embedding them in the
+  * expression would re-serialize the whole vector set with the plan
+  * for every task, the difference between KBs and GBs of task bytes
+  * on a heavily-deleted 100 TB table.
   */
 case class DvDeleted(left: Expression, right: Expression,
-    blobs: Seq[(String, Array[Byte])]) extends BinaryExpression {
+    blobs: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]])
+    extends BinaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
@@ -272,7 +274,7 @@ case class DvDeleted(left: Expression, right: Expression,
   @transient private lazy val map
       : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Roaring64Bitmap] = {
     val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Roaring64Bitmap]()
-    blobs.foreach { case (f, b) =>
+    blobs.value.foreach { case (f, b) =>
       m.put(org.apache.spark.unsafe.types.UTF8String.fromString(f), BitmapCodec.deser(b))
     }
     m

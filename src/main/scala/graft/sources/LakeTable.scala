@@ -1913,19 +1913,23 @@ object LakeTable {
     */
   private def readDirsDv(spark: SparkSession, path: String, dirs: Seq[String],
       dv: Map[String, Map[String, Array[Byte]]], withPos: Boolean): DataFrame = {
+    // ONE broadcast of the full vector set per read plan (executors
+    // fetch it once); every DV'd frame filter references the same
+    // handle instead of shipping blobs inside each task's plan bytes.
+    lazy val dvBc = spark.sparkContext.broadcast(dv.values.flatten.toMap)
     def finish(df: DataFrame, groups: Seq[String]): DataFrame = {
-      val blobs = groups.flatMap(g => dv.getOrElse(g, Map.empty)).toSeq
-      if (blobs.isEmpty && !withPos) df
+      val hasDv = groups.exists(g => dv.get(g).exists(_.nonEmpty))
+      if (!hasDv && !withPos) df
       else {
         val metaed = df
           .withColumn("__file", col("_metadata.file_path"))
           .withColumn("__pos", col("_metadata.row_index"))
         val filtered =
-          if (blobs.isEmpty) metaed
+          if (!hasDv) metaed
           else metaed.where(!org.apache.spark.sql.graftglue.Glue.column(
             graft.plans.DvDeleted(
               org.apache.spark.sql.graftglue.Glue.expression(col("__file")),
-              org.apache.spark.sql.graftglue.Glue.expression(col("__pos")), blobs)))
+              org.apache.spark.sql.graftglue.Glue.expression(col("__pos")), dvBc)))
         if (withPos) filtered else filtered.drop("__file", "__pos")
       }
     }

@@ -356,6 +356,55 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random MOR+COW mutation interleavings equal the in-memory model") {
+    // Deletion vectors add states the COW fuzz never reaches: vectors
+    // stacking per group, COW rewrites over vectored groups, update
+    // images getting vectored by LATER deletes, compaction purges.
+    // Same contract: exact table == model after every step.
+    for (seed <- Seq(7777L, 20260813L)) {
+    val rnd = new scala.util.Random(seed)
+    val p = s"$root/prop_mor_$seed"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    var model = (0L until 60L).map(k => k -> k * 2.0).toMap
+    LakeTable.create(spark, p, model.toSeq.toDF("k", "v"))
+    for (step <- 1 to 14) {
+      rnd.nextInt(6) match {
+        case 0 => // append a fresh disjoint range
+          val base = 1000L * step
+          val rows = (base until base + rnd.nextInt(5) + 1L).map(k => k -> k * 1.0)
+          model ++= rows
+          LakeTable.append(spark, p, rows.toDF("k", "v"))
+        case 1 => // MOR delete of a bounded range
+          val lo = rnd.nextInt(4000).toLong; val hi = lo + rnd.nextInt(600)
+          model = model.filter { case (k, _) => k < lo || k > hi }
+          LakeTable.deleteMor(spark, p, col("k") >= lo && col("k") <= hi)
+        case 2 => // MOR update of a bounded range
+          val lo = rnd.nextInt(4000).toLong; val hi = lo + rnd.nextInt(600)
+          val add = step * 10000.0
+          model = model.map { case (k, v) =>
+            k -> (if (k >= lo && k <= hi) v + add else v) }
+          LakeTable.updateMor(spark, p, col("k") >= lo && col("k") <= hi,
+            Map("v" -> (col("v") + lit(add))))
+        case 3 => // COW delete over possibly-vectored groups
+          val lo = rnd.nextInt(4000).toLong; val hi = lo + rnd.nextInt(300)
+          model = model.filter { case (k, _) => k < lo || k > hi }
+          LakeTable.delete(spark, p, col("k") >= lo && col("k") <= hi)
+        case 4 => // COW keyed merge (updates + inserts)
+          val keys = Seq.fill(rnd.nextInt(4) + 1)(
+            if (rnd.nextBoolean()) rnd.nextInt(60).toLong else 1000L + rnd.nextInt(3000))
+          val rows = keys.distinct.map(k => k -> (step * 100000.0 + k))
+          model ++= rows
+          LakeTable.merge(spark, p, rows.toDF("k", "v"), "k")
+        case 5 => // compaction purges every vector, data unchanged
+          LakeTable.compact(spark, p, 2)
+      }
+      val got = LakeTable.read(spark, p).as[(Long, Double)].collect().toMap
+      assert(got == model, s"divergence at step $step (seed $seed): " +
+        s"extra=${(got.toSet -- model.toSet).take(5)} missing=${(model.toSet -- got.toSet).take(5)}")
+    }
+    }
+  }
+
   test("property: random granular DML over a PARTITIONED table equals the model (subdir entries included)") {
     // Same model-equivalence drive as the flat property test, but the
     // table is partitioned and predicates alternate between the

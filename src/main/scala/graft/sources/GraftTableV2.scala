@@ -161,6 +161,33 @@ final class GraftTable(path: String, version: Option[Long],
 
   override def name(): String = s"graft.`$path`" + version.map(v => s"@v$v").getOrElse("")
 
+  /** Table properties surfaced to `DESCRIBE TABLE EXTENDED` / SHOW
+    * TBLPROPERTIES: the operational state an operator needs at a
+    * glance (current version, recorded layout, constraints, DV mode,
+    * tags) — all read from the same durable metadata the engine uses.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "graft")
+    try {
+      LakeTable.currentVersion(spark, path).foreach { v =>
+        m.put("current-version", v.toString)
+      }
+      val sb = LakeTable.tableSortBy(spark, path)
+      if (sb.nonEmpty) m.put("write.sort.by", sb.mkString(","))
+      LakeTable.tableChecks(spark, path).foreach { case (n, sql) =>
+        m.put(s"check.$n", sql)
+      }
+      if (LakeTable.dvEnabled(spark, path)) m.put("deletion-vectors", "enabled")
+      val tags = LakeTable.tags(spark, path)
+      if (tags.nonEmpty)
+        m.put("tags", tags.toSeq.sortBy(_._1)
+          .map { case (n, v) => s"$n=$v" }.mkString(","))
+      LakeTable.cdcKey(spark, path).foreach(k => m.put("cdc.key", k))
+    } catch { case _: Exception => () } // a fresh CTAS target has no state yet
+    m
+  }
+
   override def schema(): StructType =
     providedSchema.filter(_.nonEmpty).getOrElse {
       if (LakeTable.currentVersion(spark, path).isDefined)

@@ -195,6 +195,23 @@ class SqlDmlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("CALL graft_cat.system.compact('dml.missing', 2)") }
   }
 
+  test("DESCRIBE EXTENDED surfaces version, sort order, checks, DV mode, tags") {
+    val t = freshTable("props")
+    Seq((1L, 1.0)).toDF("k", "v").writeTo(t).create()
+    spark.sql("CALL graft_cat.system.set_sort_by('dml.props', 'k')")
+    spark.sql("CALL graft_cat.system.add_check('dml.props', 'v_pos', 'v > 0')")
+    spark.sql("CALL graft_cat.system.enable_dv('dml.props', true)")
+    spark.sql("CALL graft_cat.system.tag('dml.props', 'init', 0)")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t")
+      .as[(String, String)].collect().toMap
+    assert(props.contains("current-version")) // "provider" is display-reserved
+    assert(props.get("write.sort.by").contains("k"))
+    assert(props.get("check.v_pos").contains("v > 0"))
+    assert(props.get("deletion-vectors").contains("enabled"))
+    assert(props.get("tags").contains("init=0"))
+    assert(spark.sql(s"DESCRIBE TABLE EXTENDED $t").count() > 0)
+  }
+
   test("persistent MV: SQL aggregates over a CATALOG table route to the rollup durably") {
     val t = freshTable("mvbase")
     val root = s"${GraftSession.catalogRoot}/dml/mvbase"

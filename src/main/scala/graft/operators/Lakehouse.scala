@@ -257,6 +257,47 @@ object Lakehouse {
              |FROM kept WHERE NOT (c_nationkey = 3)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B48: RESTORE — two mutations (one COW delete, one MOR delete)
+    // then a rollback to v0: the aggregate must equal the PRISTINE
+    // input exactly, proving both mutation styles fully unwind
+    // (deletion-vector state pinned by the restore commit). O(1) in
+    // data size: the restore re-references v0's dirs.
+    Q("q_lake_restore",
+      (s, d) => {
+        val lake = s"$scratch/customer_restore"
+        LakeTable.create(s, lake,
+          t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal"))
+        LakeTable.delete(s, lake, col("c_acctbal") < 0)
+        LakeTable.deleteMor(s, lake, col("c_nationkey") === 3)
+        LakeTable.restore(s, lake, 0L)
+        LakeTable.read(s, lake)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal") + 1e-6, 2).as("bal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt,
+             |round(sum(c_acctbal) + 0.000001, 2) AS bal
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B47: persistent catalog views — the stored query re-executes on
+    // read (virtual-table serving), composing with outer SQL; the
+    // oracle inlines the same two-level query.
+    Q("q_catalog_view",
+      (s, d) => {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.vq")
+        s.sql("DROP TABLE IF EXISTS graft_cat.vq.nation_base")
+        t(s, d, "nation").writeTo("graft_cat.vq.nation_base").create()
+        s.sql("""CALL graft_cat.system.create_view('vq.by_region',
+          'SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+           FROM graft_cat.vq.nation_base GROUP BY n_regionkey', true)""")
+        s.sql("""SELECT * FROM graft_cat.vq.by_region
+                 WHERE n >= 3 ORDER BY n_regionkey""")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+             |  FROM nation GROUP BY n_regionkey) t
+             |WHERE n >= 3 ORDER BY n_regionkey""".stripMargin)),
+
     // B28: predicate-scoped overwrite (Delta replaceWhere / INSERT
     // OVERWRITE): one atomic commit deletes the low-nation region and
     // installs its recomputed replacement (balances re-signed) —

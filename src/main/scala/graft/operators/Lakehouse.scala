@@ -257,6 +257,29 @@ object Lakehouse {
              |FROM kept WHERE NOT (c_nationkey = 3)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B43: write.sort.by serving — record a sort order, append the
+    // fact through the NATIVE ordered write (range-disjoint files),
+    // SORT-compact the pre-order seed in, then answer a key range off
+    // the footer-stats pruner. Oracle = the same range query inline.
+    Q("q_sorted_serve",
+      (s, d) => {
+        val lake = s"$scratch/orders_sorted"
+        val orders = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        LakeTable.create(s, lake, orders.limit(0)) // empty seed fixes schema
+        LakeTable.setSortBy(s, lake, Seq("o_orderkey"))
+        orders.write.format("graft").mode("append").save(lake)
+        LakeTable.compact(s, lake, 8) // sort compaction: range-disjoint files
+        LakeTable.readRange(s, lake, "o_orderkey", 1000L, 2000L)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice") + 1e-6, 2).as("tot"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS cnt,
+             |round(sum(o_totalprice) + 0.000001, 2) AS tot
+             |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B48: RESTORE — two mutations (one COW delete, one MOR delete)
     // then a rollback to v0: the aggregate must equal the PRISTINE
     // input exactly, proving both mutation styles fully unwind

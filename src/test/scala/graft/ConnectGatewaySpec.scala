@@ -200,4 +200,30 @@ class ConnectGatewaySpec extends AnyFunSuite {
       c.close()
     } finally org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
   }
+
+  test("remote table lifecycle: CALL procedures, DV-mode DML, views, tags over the wire") {
+    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+    try {
+      val c = new Client
+      c.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.gw")
+      c.sql("DROP TABLE IF EXISTS graft_cat.gw.life")
+      c.sql("DROP TABLE IF EXISTS graft_cat.gw.life_v")
+      c.sql("CREATE TABLE graft_cat.gw.life AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(100)")
+      // maintenance procedure round trip (result row comes back)
+      val ver = c.sql("CALL graft_cat.system.compact('gw.life', 1)")
+      assert(ver.head.getLong(0) >= 1L, ver)
+      // DV-mode DELETE from a remote tenant: merge-on-read, no rewrite
+      c.sql("CALL graft_cat.system.enable_dv('gw.life', true)")
+      c.sql("DELETE FROM graft_cat.gw.life WHERE k < 50")
+      assert(c.sql("SELECT count(*) AS n FROM graft_cat.gw.life").head.getLong(0) == 50L)
+      // view created remotely, queried remotely
+      c.sql("CALL graft_cat.system.create_view('gw.life_v', 'SELECT count(*) AS n FROM graft_cat.gw.life', true)")
+      assert(c.sql("SELECT * FROM graft_cat.gw.life_v").head.getLong(0) == 50L)
+      // tag + time travel by name, remotely
+      c.sql("CALL graft_cat.system.tag('gw.life', 'before_delete', 1)")
+      assert(c.sql("SELECT count(*) AS n FROM graft_cat.gw.life VERSION AS OF 'before_delete'")
+        .head.getLong(0) == 100L)
+      c.close()
+    } finally org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
+  }
 }

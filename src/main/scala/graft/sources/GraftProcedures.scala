@@ -72,6 +72,13 @@ object GraftProcedures {
         override def run(in: InternalRow): Array[InternalRow] =
           row(LakeTable.compact(spark, path(root, in.getUTF8String(0).toString), in.getInt(1)))
       }
+      case "compact_where" => new Proc("compact_where",
+          Array(param("table", StringType), param("num_files", IntegerType),
+            param("predicate", StringType)), verSchema) {
+        override def run(in: InternalRow): Array[InternalRow] =
+          row(LakeTable.compactWhere(spark, path(root, in.getUTF8String(0).toString),
+            in.getInt(1), org.apache.spark.sql.functions.expr(in.getUTF8String(2).toString)))
+      }
       case "vacuum" => new Proc("vacuum",
           Array(param("table", StringType), param("retain_from", LongType)),
           StructType(Seq(StructField("kept_groups", LongType)))) {
@@ -209,7 +216,7 @@ object GraftProcedures {
   }
 
   val names: Array[String] =
-    Array("compact", "vacuum", "set_sort_by", "cluster_by", "add_check", "drop_check",
-      "delete_mor", "update_mor", "enable_dv", "restore", "create_view",
-      "tag", "drop_tag", "create_mv", "drop_mv")
+    Array("compact", "compact_where", "vacuum", "set_sort_by", "cluster_by",
+      "add_check", "drop_check", "delete_mor", "update_mor", "enable_dv",
+      "restore", "create_view", "tag", "drop_tag", "create_mv", "drop_mv")
 }

@@ -2397,6 +2397,39 @@ object LakeTable {
     v
   }
 
+  /** Predicate-scoped compaction (Delta `OPTIMIZE ... WHERE`): only
+    * file groups whose stats/partition values intersect the predicate
+    * rewrite (bin-packed, sort order honored); everything else rides
+    * the commit forward untouched. The maintenance shape that actually
+    * runs at 100 TB — compacting one hot partition, not the table.
+    * Touched groups shed their deletion vectors (rows materialize
+    * live); untouched groups keep theirs.
+    */
+  def compactWhere(spark: SparkSession, path: String, numFiles: Int,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val c = readCommit(spark, path, prev)
+    val (touched, untouched) = splitDirs(spark, path, c.dirs,
+      predicateBounds(read(spark, path, Some(prev)), predicate))
+    val v = prev + 1
+    if (touched.isEmpty) {
+      writeCommit(spark, path, Commit(v, "compact", c.dirs))
+      return v
+    }
+    val df = readDirsLive(spark, path, touched, prev)
+    val sb = tableSortBy(spark, path)
+      .flatMap(cn => df.columns.find(_.equalsIgnoreCase(cn)))
+    val packed =
+      if (sb.nonEmpty)
+        df.repartitionByRange(numFiles, sb.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sb.map(org.apache.spark.sql.functions.col): _*)
+      else df.coalesce(numFiles)
+    val dir = writeGroup(spark, path, v, packed, tablePartitioning(spark, path))
+    writeCommit(spark, path, Commit(v, "compact", untouched :+ dir))
+    v
+  }
+
   /** Z-order clustering rewrite: interleave the bits of the rank of
     * each clustering column (rank ≈ value's quantile bucket, so mixed
     * types and skews flatten out), range-partition by the Z-value and

@@ -758,6 +758,38 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t2.where(col("v") === 10.0).count() === 40)
   }
 
+  test("scoped compaction rewrites only intersecting groups; untouched keep dirs and vectors") {
+    val p = s"$root/compact_where"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    // two disjoint-key groups, each multi-file
+    LakeTable.create(spark, p,
+      spark.range(0, 500).selectExpr("id AS k", "id * 1.0 AS v").repartition(4))
+    LakeTable.append(spark, p,
+      spark.range(10000, 10500).selectExpr("id AS k", "id * 1.0 AS v").repartition(4))
+    // vector some high-range rows: the untouched group must KEEP them
+    LakeTable.deleteMor(spark, p, col("k") >= 10400)
+    val before = LakeTable.readCommit(spark, p,
+      LakeTable.currentVersion(spark, p).get).dirs
+    val v = LakeTable.compactWhere(spark, p, 1, col("k") < 500)
+    val after = LakeTable.readCommit(spark, p, v)
+    // high-key group dir carried verbatim; low-key group replaced by ONE new dir
+    assert(after.dirs.contains(before.last), after.dirs.toString)
+    assert(!after.dirs.contains(before.head), after.dirs.toString)
+    assert(after.dirs.length === 2)
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val newDir = after.dirs.filterNot(before.contains).head
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(p, newDir))
+      .count(_.getPath.getName.endsWith(".parquet")) === 1)
+    // data intact: low range compacted, high range still vector-filtered
+    val t = LakeTable.read(spark, p)
+    assert(t.count() === 900)
+    assert(t.where(col("k") >= 10400).count() === 0)
+    // a no-intersection predicate is a pure metadata commit
+    val v2 = LakeTable.compactWhere(spark, p, 1, col("k") === 999999L)
+    assert(LakeTable.readCommit(spark, p, v2).dirs === after.dirs)
+  }
+
   test("RESTORE rolls back to an older snapshot as a new commit; DV state pins correctly") {
     val p = s"$root/restore"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))

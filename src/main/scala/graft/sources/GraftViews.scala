@@ -83,6 +83,15 @@ object GraftViews {
     val fs = fsOf(spark, p)
     fs.exists(p) && fs.delete(p, false)
   }
+
+  /** Nested-view resolution depth for the current planning thread.
+    * CREATE validates its own query, but a later REPLACE of a
+    * referenced view can close a cycle that validation never saw —
+    * the bound turns an infinite recursion into a clear error.
+    */
+  private[sources] val depth: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
+  private[sources] val MaxDepth = 10
 }
 
 /** A stored view served as a read-only DSv2 table: scans re-execute
@@ -110,10 +119,18 @@ final class GraftViewTable(viewName: String, sql: String, viewSchema: StructType
             with org.apache.spark.sql.sources.TableScan {
           override def sqlContext: org.apache.spark.sql.SQLContext = ctx
           override def schema: StructType = viewSchema
-          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-            org.apache.spark.sql.graftglue.Glue.activeSession.sql(sql)
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            val d = GraftViews.depth.get()
+            if (d >= GraftViews.MaxDepth)
+              throw new IllegalStateException(
+                s"view nesting exceeds ${GraftViews.MaxDepth} resolving $viewName — " +
+                  "likely a cycle introduced by a view replacement")
+            GraftViews.depth.set(d + 1)
+            try org.apache.spark.sql.graftglue.Glue.activeSession.sql(sql)
               .select(viewSchema.fieldNames.map(org.apache.spark.sql.functions.col)
                 .toIndexedSeq: _*).rdd
+            finally GraftViews.depth.set(d)
+          }
         }.asInstanceOf[T]
       override def description(): String = s"GraftView $viewName"
     }

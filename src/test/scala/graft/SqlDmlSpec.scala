@@ -310,6 +310,17 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.dml.v1")
     intercept[Exception] { spark.table("graft_cat.dml.v1").count() }
     assert(spark.table(t).count() === 4)
+    // a cycle closed by a REPLACE (validation can't see it) errors
+    // with the nesting bound instead of recursing forever
+    spark.sql(s"CALL graft_cat.system.create_view('dml.va', 'SELECT count(*) AS n FROM $t', true)")
+    spark.sql("CALL graft_cat.system.create_view('dml.vb', 'SELECT n FROM graft_cat.dml.va', true)")
+    spark.sql("CALL graft_cat.system.create_view('dml.va', 'SELECT n FROM graft_cat.dml.vb', true)")
+    val e = intercept[Exception] { spark.table("graft_cat.dml.va").count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("nesting")), e.toString.take(500))
+    spark.sql("DROP TABLE graft_cat.dml.va")
+    spark.sql("DROP TABLE graft_cat.dml.vb")
   }
 
   test("DV-mode tables route SQL DELETE/UPDATE through merge-on-read") {

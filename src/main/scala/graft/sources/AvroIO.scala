@@ -84,12 +84,19 @@ object AvroIO {
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     fs.mkdirs(p)
+    // Ship the SESSION Hadoop conf to tasks (spark.hadoop.* settings —
+    // object-store credentials, endpoints — never reach a bare
+    // `new Configuration()`).
+    val confBc = org.apache.spark.sql.graftglue.Glue.broadcastConf(
+      df.sparkSession.sparkContext,
+      org.apache.spark.sql.graftglue.Glue.sessionHadoopConf(df.sparkSession))
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(avroJson)
         val part = new Path(dir + "/part-%05d.avro".format(pid))
-        val out = part.getFileSystem(new Configuration()).create(part, true)
+        val out = part.getFileSystem(
+          org.apache.spark.sql.graftglue.Glue.confOf(confBc)).create(part, true)
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
         w.setCodec(CodecFactory.deflateCodec(6))
         w.create(schema, out)
@@ -135,10 +142,14 @@ object AvroIO {
       StructField(f.name(), dt, nullable)
     }.toArray)
     val n = st.length
+    // Same session-conf shipping as the write side: task-side FsInput
+    // must see spark.hadoop.* (s3a credentials, endpoints).
+    val confBc = org.apache.spark.sql.graftglue.Glue.broadcastConf(
+      spark.sparkContext, org.apache.spark.sql.graftglue.Glue.sessionHadoopConf(spark))
     val rdd = spark.sparkContext.parallelize(files, files.length).flatMap { file =>
       val schema = new Schema.Parser().parse(avroJson)
       val r = new DataFileReader[GenericRecord](
-        new FsInput(new Path(file), new Configuration()),
+        new FsInput(new Path(file), org.apache.spark.sql.graftglue.Glue.confOf(confBc)),
         new GenericDatumReader[GenericRecord](schema))
       new Iterator[Row] {
         override def hasNext: Boolean = r.hasNext || { r.close(); false }

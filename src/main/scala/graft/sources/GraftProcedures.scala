@@ -191,6 +191,15 @@ object GraftProcedures {
           val parts = in.getUTF8String(0).toString.split('.')
           require(parts.length >= 2, "view name must be namespace-qualified (db.v)")
           val ident = Identifier.of(parts.init, parts.last)
+          // Hive-metastore single-namespace rule: a view may not
+          // SHADOW an existing data table (loadTable resolves views
+          // first, so a same-name view would silently hijack reads
+          // and make DROP TABLE delete the view while the data
+          // persists underneath).
+          require(LakeTable.currentVersion(spark,
+              (root +: parts.toSeq).mkString("/")).isEmpty,
+            s"a table named ${parts.mkString(".")} already exists; " +
+              "views and tables share one namespace")
           val schema = GraftViews.create(spark, root, ident,
             in.getUTF8String(1).toString, in.getBoolean(2))
           row(UTF8String.fromString(schema.fieldNames.mkString(",")))

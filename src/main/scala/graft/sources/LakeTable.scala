@@ -1422,6 +1422,11 @@ object LakeTable {
   def setTag(spark: SparkSession, path: String, name: String, version: Long): Unit = {
     require(name.nonEmpty && !name.forall(_.isDigit),
       s"tag '$name' must be non-numeric (numeric strings resolve as versions)")
+    // The tags file is write-by-format/read-by-regex: a quote or
+    // backslash in a name would corrupt it and silently drop or alter
+    // OTHER tags on the next read — reject at the door instead.
+    require(name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"tag '$name' may only contain letters, digits, '.', '_', '-'")
     readCommit(spark, path, version) // existence check, throws if absent
     writeTags(spark, path, tags(spark, path) + (name -> version))
   }

@@ -47,15 +47,22 @@ object GraftSession {
     s
   }
 
+  /** Register every lakehouse table of `dir` as a temp view — the
+    * catalog-priming half of [[sql]], separable so benchmarks can
+    * stage it outside the timed query.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { n =>
+      try Tables(spark, dir, n).createOrReplaceTempView(n)
+      catch { case _: Throwable => () } // table absent in this dir
+    }
+
   /** The SQL-gateway surface (what a Kyuubi user has): register every
     * lakehouse table of `dir` as a temp view, then run arbitrary
     * Spark SQL against them.
     */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
-    Tables.names.foreach { n =>
-      try Tables(spark, dir, n).createOrReplaceTempView(n)
-      catch { case _: Throwable => () } // table absent in this dir
-    }
+    registerViews(spark, dir)
     spark.sql(query)
   }
 }

@@ -24,13 +24,14 @@ object Extras {
     // A45: the SQL-gateway path end-to-end — text SQL with joins,
     // aggregation, HAVING, ORDER BY through spark.sql over registered
     // views. The oracle is the same statement modulo dialect.
-    Q("q_sql_interface",
-      (s, d) => GraftSession.sql(s, d,
+    Q.staged("q_sql_interface",
+      setup = (s, d) => GraftSession.registerViews(s, d),
+      verb = (s, _) => s.sql(
         """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name HAVING count(*) > 10
           |ORDER BY bal DESC, n_name""".stripMargin),
-      Some("""SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+      oracle = Some("""SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name HAVING count(*) > 10
              |ORDER BY bal DESC, n_name""".stripMargin)),

@@ -305,18 +305,19 @@ object Lakehouse {
     // B47: persistent catalog views — the stored query re-executes on
     // read (virtual-table serving), composing with outer SQL; the
     // oracle inlines the same two-level query.
-    Q("q_catalog_view",
-      (s, d) => {
+    Q.staged("q_catalog_view",
+      setup = (s, d) => {
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.vq")
         s.sql("DROP TABLE IF EXISTS graft_cat.vq.nation_base")
         t(s, d, "nation").writeTo("graft_cat.vq.nation_base").create()
         s.sql("""CALL graft_cat.system.create_view('vq.by_region',
           'SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
            FROM graft_cat.vq.nation_base GROUP BY n_regionkey', true)""")
-        s.sql("""SELECT * FROM graft_cat.vq.by_region
-                 WHERE n >= 3 ORDER BY n_regionkey""")
       },
-      Some("""SELECT * FROM (
+      verb = (s, _) =>
+        s.sql("""SELECT * FROM graft_cat.vq.by_region
+                 WHERE n >= 3 ORDER BY n_regionkey"""),
+      oracle = Some("""SELECT * FROM (
              |  SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
              |  FROM nation GROUP BY n_regionkey) t
              |WHERE n >= 3 ORDER BY n_regionkey""".stripMargin)),

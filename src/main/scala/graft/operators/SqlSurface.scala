@@ -181,20 +181,21 @@ object SqlSurface {
     // catalog-qualified name — resolution, V2 parquet scan with
     // pushdown, and the LakeTable commit protocol all through
     // `graft_cat.db.t`, no temp views.
-    Q("q_catalog_sql",
-      (s, d) => {
+    Q.staged("q_catalog_sql",
+      setup = (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("orders")
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
         s.sql("DROP TABLE IF EXISTS graft_cat.db.orders_cat")
         s.sql("""CREATE TABLE graft_cat.db.orders_cat AS
                 |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""".stripMargin)
+      },
+      verb = (s, _) =>
         s.sql("""SELECT o_orderstatus, count(*) AS cnt,
                 |round(sum(o_totalprice), 2) AS rev
                 |FROM graft_cat.db.orders_cat
                 |WHERE o_totalprice > 150000
-                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
-      },
-      Some("""SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice),2) AS rev
+                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      oracle = Some("""SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice),2) AS rev
              |FROM orders WHERE o_totalprice > 150000
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -308,13 +309,15 @@ object SqlSurface {
     // B30: SQL UPDATE over a catalog table — routed by GraftRowLevelSql
     // into the file-group-granular COW path (never Spark's full-table
     // ReplaceData), CDC-integrated, same pruning as the API verb.
-    Q("q_sql_update",
-      (s, d) => {
+    Q.staged("q_sql_update",
+      setup = (s, d) => {
         t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
           .createOrReplaceTempView("cust_upd_src")
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
         s.sql("DROP TABLE IF EXISTS graft_cat.db.cust_upd")
         s.sql("CREATE TABLE graft_cat.db.cust_upd AS SELECT * FROM cust_upd_src")
+      },
+      verb = (s, _) => {
         s.sql("""UPDATE graft_cat.db.cust_upd
                 |SET c_acctbal = c_acctbal + 100.0 WHERE c_nationkey < 10""".stripMargin)
         s.sql("""SELECT c_nationkey, count(*) AS cnt,
@@ -322,7 +325,7 @@ object SqlSurface {
                 |FROM graft_cat.db.cust_upd
                 |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
       },
-      Some("""SELECT c_nationkey, count(*) AS cnt,
+      oracle = Some("""SELECT c_nationkey, count(*) AS cnt,
              |round(sum(CASE WHEN c_nationkey < 10 THEN c_acctbal + 100.0
              |               ELSE c_acctbal END), 2) AS bal
              |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -330,8 +333,8 @@ object SqlSurface {
     // B31: full SQL MERGE INTO — conditional DELETE, UPDATE, INSERT
     // clauses in one statement, one full-outer join on the key, with
     // the source's key range still pruning untouched file groups.
-    Q("q_sql_merge",
-      (s, d) => {
+    Q.staged("q_sql_merge",
+      setup = (s, d) => {
         t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
           .createOrReplaceTempView("cust_mrg_base")
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
@@ -344,6 +347,8 @@ object SqlSurface {
                 |SELECT c_custkey + 1000000, c_nationkey, c_acctbal, false, 0.0
                 |FROM cust_mrg_base WHERE c_custkey % 11 = 0""".stripMargin)
           .createOrReplaceTempView("cust_mrg_src")
+      },
+      verb = (s, _) => {
         s.sql("""MERGE INTO graft_cat.db.cust_mrg AS tgt
                 |USING cust_mrg_src AS src ON tgt.c_custkey = src.c_custkey
                 |WHEN MATCHED AND src.del THEN DELETE
@@ -355,7 +360,7 @@ object SqlSurface {
                 |FROM graft_cat.db.cust_mrg
                 |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
       },
-      Some("""WITH merged AS (
+      oracle = Some("""WITH merged AS (
              |  SELECT c_custkey, c_nationkey,
              |    CASE WHEN c_custkey % 7 = 0 AND c_custkey % 13 <> 0
              |         THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
@@ -371,8 +376,8 @@ object SqlSurface {
     // partition key, so NEITHER side shuffles (KeyGroupedPartitioning
     // alignment; the no-Exchange plan shape is spec-pinned in
     // LakeTableSpec). The oracle recomputes the same join unbucketed.
-    Q("q_spj_join",
-      (s, d) => {
+    Q.staged("q_spj_join",
+      setup = (s, d) => {
         t(s, d, "customer").createOrReplaceTempView("spjq_cust_src")
         t(s, d, "orders").createOrReplaceTempView("spjq_ord_src")
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
@@ -390,13 +395,14 @@ object SqlSurface {
         s.sql("""INSERT INTO graft_cat.db.spj_ord
                 |SELECT o_custkey, o_totalprice, CAST(o_custkey % 8 AS STRING)
                 |FROM spjq_ord_src""".stripMargin)
+      },
+      verb = (s, _) =>
         s.sql("""SELECT c.bucket, count(*) AS cnt,
                 |round(sum(o.o_totalprice), 2) AS rev
                 |FROM graft_cat.db.spj_cust c JOIN graft_cat.db.spj_ord o
                 |ON c.bucket = o.bucket AND c.c_custkey = o.o_custkey
-                |GROUP BY 1 ORDER BY 1""".stripMargin)
-      },
-      Some("""SELECT CAST(c_custkey % 8 AS VARCHAR) AS bucket, count(*) AS cnt,
+                |GROUP BY 1 ORDER BY 1""".stripMargin),
+      oracle = Some("""SELECT CAST(c_custkey % 8 AS VARCHAR) AS bucket, count(*) AS cnt,
              |round(sum(o_totalprice), 2) AS rev
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),

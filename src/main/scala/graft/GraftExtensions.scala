@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Catalog views inline into the consuming plan (Iceberg-style):
+    // predicates/pruning reach the base scans instead of stopping at a
+    // row-RDD view boundary.
+    ext.injectResolutionRule(session => graft.plans.GraftViewInline(session))
     ext.injectOptimizerRule(session => graft.plans.ApproxQuantileRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.MaterializedViewRewrite(session))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

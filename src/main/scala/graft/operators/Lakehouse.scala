@@ -257,6 +257,34 @@ object Lakehouse {
              |FROM kept WHERE NOT (c_nationkey = 3)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B51: DV-mode point serving — the B46 complement: while deletion
+    // vectors are LIVE (no compaction), a catalog-SQL key-range query
+    // must still serve off the fast path: filters pushed, columns
+    // pruned, min/max sidecars skipping to ~1 of 16 range-disjoint
+    // files (GraftDvScanBuilder), vectors applied on the survivors.
+    // Before round 6 this path full-scanned every column of every
+    // file through a row boundary — the long-lived-MOR scale killer.
+    Q.staged("q_mor_point",
+      setup = (s, d) => {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        s.sql("DROP TABLE IF EXISTS graft_cat.db.orders_morpt")
+        val lake = s"${graft.GraftSession.catalogRoot}/db/orders_morpt"
+        val orders = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        LakeTable.create(s, lake, orders.repartitionByRange(16, col("o_orderkey")))
+        LakeTable.setSortBy(s, lake, Seq("o_orderkey"))
+        LakeTable.compact(s, lake, 16)
+        LakeTable.deleteMor(s, lake, pmod(col("o_orderkey"), lit(1000)) === 7)
+      },
+      verb = (s, _) =>
+        s.sql("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+                |FROM graft_cat.db.orders_morpt
+                |WHERE o_orderkey BETWEEN 5000 AND 5200
+                |ORDER BY o_orderkey""".stripMargin),
+      oracle = Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+             |FROM orders
+             |WHERE o_orderkey BETWEEN 5000 AND 5200 AND o_orderkey % 1000 <> 7
+             |ORDER BY 1""".stripMargin)),
+
     // B43: write.sort.by serving — record a sort order, append the
     // fact through the NATIVE ordered write (range-disjoint files),
     // SORT-compact the pre-order seed in, then answer a key range off

@@ -215,9 +215,11 @@ final class GraftTable(path: String, version: Option[Long],
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val commit = LakeTable.readCommit(spark, path, v)
     // A snapshot carrying deletion vectors (B46 merge-on-read) serves
-    // through the DV-applying LakeTable read via a V1Scan — row-based
-    // but correct; `CALL system.compact` purges the vectors and puts
-    // the table back on the columnar pushdown scan below.
+    // through GraftDvScanBuilder: V1 filter pushdown + column pruning
+    // + sidecar-stats file skipping, vectors applied inside the
+    // relation's own columnar parquet subplan. `CALL system.compact`
+    // purges the vectors and puts the table back on the fully-V2
+    // columnar scan below.
     if (LakeTable.dvFor(spark, path, v, commit.dirs).nonEmpty)
       return new GraftDvScanBuilder(spark, path, v,
         LakeTable.tableSchema(spark, path, Some(v)))
@@ -234,31 +236,129 @@ final class GraftTable(path: String, version: Option[Long],
     new GraftWriteBuilder(path, info)
 }
 
-/** Scan builder for DV'd snapshots (B46): a V1Scan whose relation
-  * materializes the deletion-vector-applying [[LakeTable.read]] — the
-  * merge-on-read serving mode. Row-based (no columnar batch, no
-  * pushdown) by design: correctness while vectors exist, compaction
-  * restores the fast path.
+/** Scan builder for DV'd snapshots (B46): the merge-on-read serving
+  * mode. The scan keeps the lakehouse fast-path behaviors even while
+  * vectors exist — it negotiates V1 filter pushdown and column
+  * pruning, mines the pushed conjuncts for bounds and SKIPS whole
+  * files via the min/max sidecar stats (plus partition-dir values),
+  * and builds its result as a DataFrame over only the surviving
+  * files: parquet row-group pushdown, vectorized read and whole-stage
+  * codegen all run INSIDE the relation, with the broadcast
+  * deletion-vector filter applied per (file, row_index). Only the
+  * relation boundary itself is row-based (V1Scan), and it carries
+  * just the filtered, projected rows.
+  *
+  * Safety stance: every pushed filter is ALSO returned as a residual
+  * (`pushFilters` returns its input), so Spark re-evaluates the
+  * predicate on top — pushdown here is a pure optimization and can
+  * never change results, exactly the PrunedFilteredScan contract.
+  * `CALL system.compact` still purges vectors and restores the fully
+  * columnar V2 scan.
   */
 final class GraftDvScanBuilder(spark: SparkSession, path: String, v: Long,
-    tableSchema: StructType) extends ScanBuilder {
-  override def build(): org.apache.spark.sql.connector.read.Scan =
+    tableSchema: StructType) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(toColumn(_).isDefined)
+    filters // all stay residual: the source's application is advisory
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
+
+  /** sources.Filter → Column, None for anything without an exact
+    * Column equivalent (those are neither applied nor advertised).
+    */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, value) => Some(col(a) === lit(value))
+    case EqualNullSafe(a, value) => Some(col(a) <=> lit(value))
+    case GreaterThan(a, value) => Some(col(a) > lit(value))
+    case GreaterThanOrEqual(a, value) => Some(col(a) >= lit(value))
+    case LessThan(a, value) => Some(col(a) < lit(value))
+    case LessThanOrEqual(a, value) => Some(col(a) <= lit(value))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, value) => Some(col(a).startsWith(value))
+    case StringEndsWith(a, value) => Some(col(a).endsWith(value))
+    case StringContains(a, value) => Some(col(a).contains(value))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(not)
+    case _ => None
+  }
+
+  /** Inclusive per-column bounds from the pushed conjuncts (the
+    * top-level array is a conjunction), for sidecar-stats file
+    * skipping; unrecognized shapes contribute no bound (sound).
+    */
+  private def boundsOf(filters: Array[Filter]): Map[String, LakeTable.ColumnBounds] = {
+    val bounds = scala.collection.mutable.Map.empty[String, LakeTable.ColumnBounds]
+    def ok(value: Any): Option[Any] = value match {
+      case s: String => Some(s)
+      case n: Number => Some(n)
+      case _ => None
+    }
+    def tightenLo(c: String, value: Any): Unit = bounds.updateWith(c) {
+      case Some(b) if b.lo.isEmpty => Some(b.copy(lo = Some(value)))
+      case other => other.orElse(Some(LakeTable.ColumnBounds(Some(value), None)))
+    }
+    def tightenHi(c: String, value: Any): Unit = bounds.updateWith(c) {
+      case Some(b) if b.hi.isEmpty => Some(b.copy(hi = Some(value)))
+      case other => other.orElse(Some(LakeTable.ColumnBounds(None, Some(value))))
+    }
+    def walk(f: Filter): Unit = f match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, value) => ok(value).foreach { w => tightenLo(a, w); tightenHi(a, w) }
+      case GreaterThan(a, value) => ok(value).foreach(tightenLo(a, _))
+      case GreaterThanOrEqual(a, value) => ok(value).foreach(tightenLo(a, _))
+      case LessThan(a, value) => ok(value).foreach(tightenHi(a, _))
+      case LessThanOrEqual(a, value) => ok(value).foreach(tightenHi(a, _))
+      case _ => ()
+    }
+    filters.foreach(walk)
+    bounds.toMap
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val commit = LakeTable.readCommit(spark, path, v)
+    val (pruned, flat) = LakeTable.pruneFilesByDir(spark, path, commit.dirs,
+      boundsOf(pushed))
+    val total = pruned.map(_.files.size).sum
+    val kept = pruned.map(_.kept.size).sum
+    val dv = LakeTable.dvFor(spark, path, v, commit.dirs)
+    val filterCol = pushed.flatMap(toColumn(_)).reduceOption(_ && _)
+    val reqCols = required.fieldNames.toIndexedSeq
+    val reqSchema = required
     new org.apache.spark.sql.connector.read.V1Scan {
-      override def readSchema(): StructType = tableSchema
+      override def readSchema(): StructType = reqSchema
       override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
           with org.apache.spark.sql.sources.TableScan](
           ctx: org.apache.spark.sql.SQLContext): T =
         new org.apache.spark.sql.sources.BaseRelation
             with org.apache.spark.sql.sources.TableScan {
           override def sqlContext: org.apache.spark.sql.SQLContext = ctx
-          override def schema: StructType = tableSchema
-          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-            LakeTable.read(spark, path, Some(v))
-              .select(tableSchema.fieldNames.map(org.apache.spark.sql.functions.col)
-                .toIndexedSeq: _*).rdd
+          override def schema: StructType = reqSchema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            val base = LakeTable.readPrunedDv(spark, path, pruned, flat, dv, tableSchema)
+            val filtered = filterCol.fold(base)(base.where)
+            filtered.select(reqCols.map(col): _*).rdd
+          }
+          // Surfaces in `explain` (RowDataSourceScanExec prints the
+          // relation): the file-skipping evidence a plan audit needs.
+          override def toString: String = s"GraftDvScan $path@v$v files=$kept/$total"
         }.asInstanceOf[T]
-      override def description(): String = s"GraftDvScan $path@v$v"
+      override def description(): String = s"GraftDvScan $path@v$v files=$kept/$total"
     }
+  }
 }
 
 /** V2 predicate → Column conversion shared by the delete/overwrite

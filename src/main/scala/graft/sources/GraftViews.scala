@@ -89,9 +89,9 @@ object GraftViews {
     * referenced view can close a cycle that validation never saw —
     * the bound turns an infinite recursion into a clear error.
     */
-  private[sources] val depth: ThreadLocal[Integer] =
+  private[graft] val depth: ThreadLocal[Integer] =
     ThreadLocal.withInitial(() => Integer.valueOf(0))
-  private[sources] val MaxDepth = 10
+  private[graft] val MaxDepth = 10
 }
 
 /** A stored view served as a read-only DSv2 table: scans re-execute
@@ -100,7 +100,7 @@ object GraftViews {
   * the scan re-selects by name so additive base-table evolution can't
   * shift columns underneath it.
   */
-final class GraftViewTable(viewName: String, sql: String, viewSchema: StructType)
+final class GraftViewTable(viewName: String, val sql: String, viewSchema: StructType)
     extends Table with SupportsRead {
   import scala.jdk.CollectionConverters._
 

@@ -549,16 +549,17 @@ object LakeTable {
     val v = version.orElse(currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val c = readCommit(spark, path, v)
-    // A DV'd snapshot (B46) serves through the vector-applying read —
-    // correctness first; compact purges the vectors and restores the
-    // stats-pruned fast path.
-    if (dvFor(spark, path, v, c.dirs).nonEmpty)
-      return read(spark, path, Some(v))
-        .where(col(column) >= lit(lo) && col(column) <= lit(hi))
     val (pruned, flat) = pruneFilesByDir(spark, path, c.dirs,
       Map(column -> ColumnBounds(Some(lo), Some(hi))))
-    readPruned(spark, path, pruned, flat, Some(v))
-      .where(col(column) >= lit(lo) && col(column) <= lit(hi))
+    // A DV'd snapshot (B46) keeps the same file skipping — vectors key
+    // by (file, row) so pruning whole files is sound — with the
+    // vector filter applied on the surviving files.
+    val dv = dvFor(spark, path, v, c.dirs)
+    val base =
+      if (dv.nonEmpty) readPrunedDv(spark, path, pruned, flat, dv,
+        tableSchema(spark, path, Some(v)))
+      else readPruned(spark, path, pruned, flat, Some(v))
+    base.where(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   // ---- per-file bloom sidecars (point lookups on UNCLUSTERED columns) --
@@ -1293,12 +1294,15 @@ object LakeTable {
   /** Write one group's cumulative DV under a UNIQUE name (racing
     * writers never clobber each other); returns the name for the
     * commit to reference — only referenced files ever apply.
+    * Conf-parameterized so EXECUTOR tasks can call it (the
+    * distributed MOR tail ships the session conf by broadcast).
     */
-  private def writeDvFile(spark: SparkSession, path: String, v: Long, group: String,
+  private def writeDvFileWith(conf: org.apache.hadoop.conf.Configuration,
+      path: String, v: Long, group: String,
       files: Map[String, Array[Byte]]): String = {
     val name = f"v$v%05d-${java.util.UUID.randomUUID.toString.take(8)}-$group.dv"
     val p = new Path(dvDirPath(path), name)
-    val out = new java.io.DataOutputStream(fsOf(spark, p).create(p, true))
+    val out = new java.io.DataOutputStream(p.getFileSystem(conf).create(p, true))
     try {
       out.writeInt(files.size)
       files.foreach { case (f, bytes) =>
@@ -1309,6 +1313,10 @@ object LakeTable {
     } finally out.close()
     name
   }
+
+  private def writeDvFile(spark: SparkSession, path: String, v: Long, group: String,
+      files: Map[String, Array[Byte]]): String =
+    writeDvFileWith(spark.sparkContext.hadoopConfiguration, path, v, group, files)
 
   /** Merge-on-read DELETE (the Delta/Iceberg-v3 deletion-vector
     * capability): matching rows are marked in per-file roaring bitmaps
@@ -1334,14 +1342,14 @@ object LakeTable {
       return v
     }
     val matched = live.where(predicate)
-    val blobs = matched.groupBy(col("__file"))
+    val marks = matched.groupBy(col("__file"))
       .agg(graft.functions.Bitmaps.bitmapBuild(col("__pos")).as("bm"))
-      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toSeq
-    if (blobs.isEmpty) { // nothing matched: pure metadata commit
+      .toDF("__file", "bm")
+    val dvNames = mergeAndWriteDv(spark, path, v, c.dirs, dv0, marks)
+    if (dvNames.isEmpty) { // nothing matched: pure metadata commit
       writeCommit(spark, path, Commit(v, "delete-mor", c.dirs))
       return v
     }
-    val dvNames = mergeAndWriteDv(spark, path, v, c.dirs, dv0, blobs)
     val cdc = cdcKey(spark, path).map { k =>
       val rows = matched.drop("__file", "__pos")
       writeCdc(spark, path, v, diffFrames(rows, rows.limit(0), k, preimages = true))
@@ -1442,28 +1450,50 @@ object LakeTable {
     else tags(spark, path).getOrElse(spec,
       throw new IllegalArgumentException(s"no tag '$spec' on $path"))
 
-  /** Shared MOR tail: union the new per-file marks into each touched
-    * group's cumulative DV and write one uniquely-named file per
-    * group; returns the names for the commit to reference.
+  /** Shared MOR tail, fully distributed: the per-file mark bitmaps
+    * stay in `marks` (columns `__file`, `bm`) — tasks group them by
+    * file-group, union each group's new marks into its prior
+    * cumulative DV (broadcast; the read path already materialized it
+    * for the vector filter) and write that group's DV file from the
+    * EXECUTOR; the driver collects only the written NAMES (the
+    * bloom-build shape). Driver memory no longer scales with
+    * touched-file count, so a broad DELETE over 10⁶ files collects
+    * 10⁶ short strings, not 10⁶ bitmap blobs. Returns the names for
+    * the commit to reference; empty = no row matched.
     */
   private def mergeAndWriteDv(spark: SparkSession, path: String, v: Long,
       dirs: Seq[String], dv0: Map[String, Map[String, Array[Byte]]],
-      blobs: Seq[(String, Array[Byte])]): Seq[String] = {
+      marks: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.graftglue.Glue
     val roots = dirs.map(groupRoot).distinct
-    def groupOf(file: String): String =
-      roots.find(g => file.contains(s"/$g/")).getOrElse(throw new IllegalStateException(
-        s"matched file $file is under no group of v${v - 1}"))
-    blobs.groupBy(b => groupOf(b._1)).map { case (g, files) =>
-      val prevFiles = dv0.getOrElse(g, Map.empty)
-      val merged = (prevFiles.keySet ++ files.map(_._1)).map { f =>
-        val bm = new org.roaringbitmap.longlong.Roaring64Bitmap
-        prevFiles.get(f).foreach(b => bm.or(graft.plans.BitmapCodec.deser(b)))
-        files.collectFirst { case (`f`, b) => b }
-          .foreach(b => bm.or(graft.plans.BitmapCodec.deser(b)))
-        f -> graft.plans.BitmapCodec.ser(bm)
-      }.toMap
-      writeDvFile(spark, path, v, g, merged)
-    }.toSeq
+    val confBc = Glue.broadcastConf(spark.sparkContext, Glue.sessionHadoopConf(spark))
+    val dv0Bc = spark.sparkContext.broadcast(dv0)
+    val pathStr = path
+    val vv = v
+    marks.select(col("__file").cast("string"), col("bm")).rdd
+      .map { r =>
+        val f = r.getString(0)
+        val g = roots.find(g => f.contains(s"/$g/")).getOrElse(
+          throw new IllegalStateException(
+            s"matched file $f is under no group of v${vv - 1}"))
+        (g, (f, r.getAs[Array[Byte]](1)))
+      }
+      // One task per touched group: a group's DV file is one writer's
+      // output by construction, and its size is bounded by that
+      // group's file count — the same bound the file itself has.
+      .groupByKey(math.max(1,
+        math.min(roots.size, spark.sparkContext.defaultParallelism)))
+      .map { case (g, files) =>
+        val prevFiles = dv0Bc.value.getOrElse(g, Map.empty)
+        val newFiles = files.toMap
+        val merged = (prevFiles.keySet ++ newFiles.keySet).map { f =>
+          val bm = new org.roaringbitmap.longlong.Roaring64Bitmap
+          prevFiles.get(f).foreach(b => bm.or(graft.plans.BitmapCodec.deser(b)))
+          newFiles.get(f).foreach(b => bm.or(graft.plans.BitmapCodec.deser(b)))
+          f -> graft.plans.BitmapCodec.ser(bm)
+        }.toMap
+        writeDvFileWith(Glue.confOf(confBc), pathStr, vv, g, merged)
+      }.collect().toSeq
   }
 
   /** Merge-on-read UPDATE: the matched rows' OLD positions are marked
@@ -1487,14 +1517,14 @@ object LakeTable {
       return v
     }
     val matched = live.where(predicate)
-    val blobs = matched.groupBy(col("__file"))
+    val marks = matched.groupBy(col("__file"))
       .agg(graft.functions.Bitmaps.bitmapBuild(col("__pos")).as("bm"))
-      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toSeq
-    if (blobs.isEmpty) {
+      .toDF("__file", "bm")
+    val dvNames = mergeAndWriteDv(spark, path, v, c.dirs, dv0, marks)
+    if (dvNames.isEmpty) {
       writeCommit(spark, path, Commit(v, "update-mor", c.dirs))
       return v
     }
-    val dvNames = mergeAndWriteDv(spark, path, v, c.dirs, dv0, blobs)
     val oldRows = matched.drop("__file", "__pos")
     val newRows = assignments.foldLeft(oldRows) { case (acc, (cn, e)) =>
       acc.withColumn(cn, e)
@@ -1969,6 +1999,42 @@ object LakeTable {
     }
   }
 
+  /** DV-applying read over a PRUNED file subset — the merge-on-read
+    * catalog-SQL serving path (B46): the same broadcast-vector filter
+    * as [[readDirsDv]], over only the files that survived
+    * stats/partition pruning. Sound because vectors key by
+    * (file_path, row_index): dropping a whole file drops its marks
+    * with it, and marks never make a row MATCH a predicate.
+    */
+  private[graft] def readPrunedDv(spark: SparkSession, path: String,
+      pruned: Seq[PrunedDir], flat: Boolean,
+      dv: Map[String, Map[String, Array[Byte]]],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    lazy val dvBc = spark.sparkContext.broadcast(dv.values.flatten.toMap)
+    def finish(df: DataFrame, groups: Seq[String]): DataFrame = {
+      val hasDv = groups.exists(g => dv.get(g).exists(_.nonEmpty))
+      if (!hasDv) df
+      else df
+        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .where(!org.apache.spark.sql.graftglue.Glue.column(
+          graft.plans.DvDeleted(
+            org.apache.spark.sql.graftglue.Glue.expression(col("__file")),
+            org.apache.spark.sql.graftglue.Glue.expression(col("__pos")), dvBc)))
+        .drop("__file", "__pos")
+    }
+    val nonEmpty = pruned.filter(_.kept.nonEmpty)
+    if (nonEmpty.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else if (flat)
+      finish(spark.read.option("mergeSchema", "true")
+        .parquet(nonEmpty.flatMap(_.kept): _*), nonEmpty.map(p => groupRoot(p.dir)))
+    else nonEmpty.map { pd =>
+      finish(spark.read.option("mergeSchema", "true").option("basePath", pd.base)
+        .parquet(pd.kept: _*), Seq(groupRoot(pd.dir)))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** MERGE INTO (copy-on-write upsert): rows of `source` replace
     * target rows with the same `key`; unmatched source rows insert.
     * One shuffle on the key (the anti join). File-group granular: only
@@ -2168,11 +2234,11 @@ object LakeTable {
       // target rows stay in their files untouched).
       val acted = (sPresent && mAct =!= lit(-1)) || (!sPresent && nmsAct =!= lit(-1))
       val affected = joined.where(tPresent && acted)
-      val blobs = affected.groupBy(col("t.__file"))
+      val marks = affected.groupBy(col("t.__file"))
         .agg(graft.functions.Bitmaps.bitmapBuild(col("t.__pos")).as("bm"))
-        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toSeq
+        .toDF("__file", "bm")
       val appendRows = joined.where(keep && (!tPresent || acted)).select(outCols: _*)
-      val dvNames = mergeAndWriteDv(spark, path, v, c.dirs, dv0, blobs)
+      val dvNames = mergeAndWriteDv(spark, path, v, c.dirs, dv0, marks)
       val dir = writeGroup(spark, path, v, appendRows, tablePartitioning(spark, path))
       val cdc = cdcKey(spark, path).map { k =>
         val oldAffected = affected.select(tSchema.fieldNames.map(n => col(s"t.$n")).toSeq: _*)

@@ -1599,4 +1599,92 @@ class LakeTableSpec extends AnyFunSuite {
     assert(read.count() == 2)
     assert(read.queryExecution.executedPlan.toString.contains("PartitionFilters:"))
   }
+
+  test("broad MOR delete across many groups: one executor-written DV file per group, names-only commit") {
+    val p = s"$root/mor_many"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    // 8 file groups (create + 7 appends), each multiple files.
+    LakeTable.create(spark, p,
+      spark.range(0, 250).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS x").repartition(3))
+    (1 to 7).foreach { i =>
+      LakeTable.append(spark, p,
+        spark.range(i * 250L, (i + 1) * 250L)
+          .selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS x").repartition(3))
+    }
+    // A broad delete touching every group: the distributed MOR tail
+    // writes one cumulative DV file per touched group from tasks and
+    // the commit references exactly those names (the driver never
+    // holds the blobs — it collects file NAMES).
+    val v = LakeTable.deleteMor(spark, p, col("k") % 4 === 0)
+    val c = LakeTable.readCommit(spark, p, v)
+    assert(c.dvFiles.size === 8, c.dvFiles)
+    assert(c.dirs === LakeTable.readCommit(spark, p, v - 1).dirs) // no rewrite
+    assert(LakeTable.read(spark, p).count() === 2000 - 500)
+    // chained MOR update composes over the many-group vector state
+    LakeTable.updateMor(spark, p, col("k") === 1, Map("x" -> lit(9.0)))
+    val t = LakeTable.read(spark, p)
+    assert(t.count() === 1500)
+    assert(t.where(col("x") === 9.0).count() === 1)
+    assert(t.groupBy("k").count().where(col("count") =!= 1).count() === 0)
+  }
+
+  test("DV-mode catalog SQL keeps pushdown, pruning and stats file skipping") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dv_serve")
+    val p = GraftSession.catalogRoot + "/db/dv_serve"
+    // 4 range-disjoint sorted file groups so min/max sidecars can prove
+    // non-overlap, plus a pad column pruning must drop.
+    LakeTable.create(spark, p,
+      spark.range(0, 4000)
+        .selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS x", "repeat('p', 10) AS pad")
+        .repartitionByRange(4, col("k")))
+    LakeTable.setSortBy(spark, p, Seq("k"))
+    LakeTable.compact(spark, p, 4)
+    val vDel = LakeTable.deleteMor(spark, p, col("k") % 100 === 7)
+    assert(LakeTable.readCommit(spark, p, vDel).dvFiles.nonEmpty) // vectors live
+    val q = spark.sql("SELECT k, x FROM graft_cat.db.dv_serve WHERE k = 1234")
+    val plan = q.queryExecution.executedPlan.toString
+    // The DV serving scan, not a blind full scan: filters pushed,
+    // columns pruned (no pad), and the sidecar stats open 1 file of 4.
+    assert(plan.contains("GraftDvScan"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,1234)]"), plan)
+    assert(plan.contains("files=1/4"), plan)
+    assert(plan.contains("ReadSchema: struct<k:bigint,x:double>"), plan)
+    assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((1234L, 2468.0)))
+    // vectors still apply through the pruned path: the deleted row of
+    // this file is invisible, and the global count reflects all marks
+    assert(spark.sql("SELECT * FROM graft_cat.db.dv_serve WHERE k = 1107").count() === 0)
+    assert(spark.sql("SELECT count(*) AS c FROM graft_cat.db.dv_serve")
+      .collect()(0).getLong(0) === 4000 - 40)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dv_serve")
+  }
+
+  test("catalog views inline into the consuming plan: pushdown and pruning reach the base scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.vi_fact")
+    spark.range(0, 2000)
+      .selectExpr("id AS k", "id % 10 AS g", "CAST(id AS DOUBLE) * 1.5 AS x", "repeat('q', 20) AS pad")
+      .writeTo("graft_cat.db.vi_fact").create()
+    spark.sql("""CALL graft_cat.system.create_view('db.vi_view',
+      'SELECT k, g, x FROM graft_cat.db.vi_fact', true)""")
+    val q = spark.sql("SELECT x FROM graft_cat.db.vi_view WHERE k = 777")
+    val plan = q.queryExecution.executedPlan.toString
+    // Inlined: the physical plan is the BASE parquet scan with the
+    // outer predicate pushed and only (k, x) read — no row-RDD view
+    // relation (GraftView) anywhere.
+    assert(!plan.contains("GraftView"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,777)]"), plan)
+    assert(plan.contains("ReadSchema: struct<k:bigint,x:double>"), plan)
+    assert(q.collect().map(_.getDouble(0)).toSeq === Seq(1165.5))
+    // nested views inline transitively and stay correct
+    spark.sql("""CALL graft_cat.system.create_view('db.vi_view2',
+      'SELECT g, sum(x) AS sx FROM graft_cat.db.vi_view GROUP BY g', true)""")
+    val n = spark.sql("SELECT sx FROM graft_cat.db.vi_view2 WHERE g = 3")
+    assert(!n.queryExecution.executedPlan.toString.contains("GraftView"))
+    val expected = (0 until 2000).filter(_ % 10 == 3).map(_ * 1.5).sum
+    assert(n.collect().map(_.getDouble(0)).toSeq === Seq(expected))
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.vi_view2")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.vi_view")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.vi_fact")
+  }
 }

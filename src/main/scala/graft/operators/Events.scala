@@ -16,6 +16,13 @@ object Events {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** Epoch seconds regardless of timestamp flavor: TIMESTAMP_NTZ cannot
+    * cast to DOUBLE directly, so route through LTZ — wall-clock lossless
+    * under the session's fixed UTC timezone.
+    */
+  private def epochS(c: org.apache.spark.sql.Column) =
+    c.cast("timestamp_ltz").cast("double")
+
   val qs: Seq[Q] = Seq(
 
     Q("q_events_tumbling",
@@ -71,7 +78,7 @@ object Events {
         t(s, d, "events")
           .withColumn("new_s",
             when(lag("ts", 1).over(byUser).isNull ||
-              col("ts").cast("double") - lag("ts", 1).over(byUser).cast("double") >= 1800.0, 1L)
+              epochS(col("ts")) - epochS(lag("ts", 1).over(byUser)) >= 1800.0, 1L)
               .otherwise(0L))
           .withColumn("sid", sum("new_s").over(cum))
           .select("event_id", "user_id", "sid")
@@ -231,7 +238,7 @@ object Events {
       (s, d) => {
         val ev = Tables(s, d, "events")
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-          .withColumn("neg_t", -col("ts").cast("double"))
+          .withColumn("neg_t", -epochS(col("ts")))
         val first5 = graft.plans.TopK.perGroup(ev, Seq("user_id"), "neg_t", "event_id", 5)
         first5.groupBy("user_id")
           .agg(concat_ws(">",

@@ -43,9 +43,17 @@ object EventPipeline {
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
       new org.apache.hadoop.fs.Path(ingest, "events.parquet"), false, conf)
     val raw: StructType = spark.read.parquet(src.toString).schema
+    // Event-time ops (withWatermark, window, session_window) require
+    // TIMESTAMP (LTZ); the generated parquet may carry ts as NANOS-long
+    // or TIMESTAMP_NTZ depending on writer version. Session tz is UTC,
+    // so the NTZ->LTZ cast is wall-clock lossless; windowed outputs
+    // cast back to NTZ to match the oracle's naive timestamps.
     spark.readStream.schema(raw).parquet(ingest.toString)
-      .withColumn("ts",
-        if (raw("ts").dataType == LongType) expr("timestamp_micros(ts div 1000)") else col("ts"))
+      .withColumn("ts", raw("ts").dataType match {
+        case LongType => expr("timestamp_micros(ts div 1000)")
+        case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
+        case _ => col("ts")
+      })
   }
 
   /** Stateful streaming operators pay per-state-store-instance
@@ -85,7 +93,8 @@ object EventPipeline {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
     runToMemory(spark, agg, "graft_stream_tumbling", OutputMode.Complete())
-      .select(col("window.start").as("wstart"), col("event_type"), col("cnt"), col("sum_val"))
+      .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("cnt"), col("sum_val"))
       .orderBy("wstart", "event_type")
   }
 
@@ -518,7 +527,8 @@ object EventPipeline {
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_val"))
       runToMemory(s, agg, "graft_stream_session", OutputMode.Complete())
-        .select(col("user_id"), col("session_window.start").as("session_start"),
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
           col("n_events"), col("sum_val"))
         .orderBy("user_id", "session_start")
     },

@@ -47,19 +47,26 @@ object Bench {
     // Optional first arg: comma-separated query-name filter (local iteration).
     val wanted = args.headOption.map(_.split(",").map(_.trim).toSet)
     val selected = wanted.fold(Registry.all)(w => Registry.all.filter(q => w(q.name)))
-    val results: Map[String, Double] = selected.map { q =>
-      val ok = (1 to runs).map(_ => once(q)).filter(_ >= 0.0).sorted
-      q.name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+    val samples: Map[String, Seq[Double]] = selected.map { q =>
+      q.name -> (1 to runs).map(_ => once(q)).filter(_ >= 0.0).sorted
     }.toMap
+    val results: Map[String, Double] =
+      samples.map { case (k, ok) => k -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2)) }
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val good = results.filter(_._2 >= 0)
     val total = good.values.sum
 
     def entry(kv: (String, Double)) = "\"" + kv._1 + "\":" + f"${kv._2}%.3f"
     val fullMap = results.toSeq.sortBy(_._1).map(entry).mkString("{", ",", "}")
+    // Per-query [min,max] across the runs: the variance record that
+    // separates a real regression from machine load (a wide spread
+    // says "noisy neighbor", a tight-but-slow one says "regression").
+    val spreadMap = samples.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+      .map { case (k, ok) => "\"" + k + f"""\":[${ok.head}%.3f,${ok.last}%.3f]""" }
+      .mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":${results.size},""" +
-      s""""failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},""" +
-      s""""queries":$fullMap,"sf":"$sfDir"}"""
+      s""""runs":$runs,"failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},""" +
+      s""""queries":$fullMap,"spread":$spreadMap,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
 

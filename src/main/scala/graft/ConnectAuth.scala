@@ -90,18 +90,52 @@ object ConnectAuth {
 /** The gRPC interceptor itself (zero-arg constructor — the registry
   * instantiates it reflectively). Rejections close the call with
   * UNAUTHENTICATED before any Connect handler runs.
+  *
+  * Identity binding (the GraftAuthz trust chain): when auth is
+  * enabled, every request's `user_context.user_id` — the identity
+  * Connect keys its server-side sessions by, and the one
+  * [[GraftAuthIdentity]] resolves grants against — must EQUAL the
+  * authenticated `graft_user`. Without this, a tenant could present
+  * their own valid credentials while claiming another tenant's
+  * user_id and inherit that tenant's grants. The proto shapes are
+  * checked reflectively (every Connect request message carries
+  * `getUserContext`), so the binding covers all RPCs without
+  * enumerating them.
   */
 final class GraftAuthInterceptor extends ServerInterceptor {
   private val UserKey = Metadata.Key.of("graft_user", Metadata.ASCII_STRING_MARSHALLER)
   private val TokenKey = Metadata.Key.of("graft_token", Metadata.ASCII_STRING_MARSHALLER)
 
   override def interceptCall[ReqT, RespT](call: ServerCall[ReqT, RespT],
-      headers: Metadata, next: ServerCallHandler[ReqT, RespT]): ServerCall.Listener[ReqT] =
-    if (!ConnectAuth.required || ConnectAuth.check(headers.get(UserKey), headers.get(TokenKey)))
-      next.startCall(call, headers)
-    else {
+      headers: Metadata, next: ServerCallHandler[ReqT, RespT]): ServerCall.Listener[ReqT] = {
+    if (!ConnectAuth.required) return next.startCall(call, headers)
+    val user = headers.get(UserKey)
+    if (!ConnectAuth.check(user, headers.get(TokenKey))) {
       call.close(Status.UNAUTHENTICATED.withDescription(
         "graft gateway: missing or invalid graft_user/graft_token credentials"), new Metadata())
-      new ServerCall.Listener[ReqT] {}
+      return new ServerCall.Listener[ReqT] {}
     }
+    val delegate = next.startCall(call, headers)
+    new org.sparkproject.connect.grpc.ForwardingServerCallListener
+        .SimpleForwardingServerCallListener[ReqT](delegate) {
+      @volatile private var closed = false
+      private def claimedUser(message: ReqT): String =
+        try {
+          val uc = message.getClass.getMethod("getUserContext").invoke(message)
+          uc.getClass.getMethod("getUserId").invoke(uc).asInstanceOf[String]
+        } catch { case _: Exception => "" } // non-plan message: nothing to bind
+      override def onMessage(message: ReqT): Unit = {
+        val claimed = claimedUser(message)
+        if (claimed.nonEmpty && claimed != user) {
+          closed = true
+          call.close(Status.PERMISSION_DENIED.withDescription(
+            s"graft gateway: user_context.user_id '$claimed' does not match " +
+              s"authenticated graft_user '$user'"), new Metadata())
+        } else super.onMessage(message)
+      }
+      override def onHalfClose(): Unit = if (!closed) super.onHalfClose()
+      override def onCancel(): Unit = if (!closed) super.onCancel()
+      override def onComplete(): Unit = if (!closed) super.onComplete()
+    }
+  }
 }

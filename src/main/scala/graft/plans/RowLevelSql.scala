@@ -41,7 +41,15 @@ case class GraftRowLevelSql(session: SparkSession) extends Rule[LogicalPlan] {
   private def graftTarget(plan: LogicalPlan): Option[(String, Seq[Attribute])] =
     plan.collectFirst {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
-        (r.table.asInstanceOf[GraftTable].tablePath, r.output)
+        val t = r.table.asInstanceOf[GraftTable]
+        // The catalog resolved this handle for a SELECT-only principal:
+        // UPDATE/MERGE route around the DSv2 write surfaces, so the
+        // authorization guard re-applies here.
+        t.writeDenied.foreach { p =>
+          throw new graft.GraftAuthz.AccessDenied(
+            s"PERMISSION_DENIED: principal '$p' lacks MODIFY on graft table ${t.tablePath}")
+        }
+        (t.tablePath, r.output)
     }
 
   private def noSubquery(es: Seq[Expression], stmt: String): Unit =

@@ -34,7 +34,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
-  private var root: String = _
+  private var store: CatalogStore = _
 
   private def spark: SparkSession = org.apache.spark.sql.graftglue.Glue.activeSession
   private def fs(p: Path): FileSystem =
@@ -42,30 +42,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    root = Option(options.get("root")).getOrElse(
+    val root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.root"))
+    // Metastore backend: the stateless FS-implied registry (default)
+    // or a shared JDBC database (GraftCatalogStore.scala).
+    store = Option(options.get("store")).map(_.toLowerCase) match {
+      case None | Some("fs") => new FsCatalogStore(root)
+      case Some("jdbc") => new JdbcCatalogStore(root,
+        Option(options.get("jdbc.url")).getOrElse(throw new IllegalArgumentException(
+          s"catalog $name with store=jdbc requires spark.sql.catalog.$name.jdbc.url")),
+        Option(options.get("jdbc.user")), Option(options.get("jdbc.password")))
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unknown catalog store '$other' (fs | jdbc)")
+    }
   }
 
   override def name(): String = catalogName
 
-  private def nsPath(namespace: Array[String]): Path =
-    new Path((root +: namespace).mkString("/"))
+  private def nsName(namespace: Array[String]): String = namespace.mkString(".")
 
-  private def tablePath(ident: Identifier): Path =
-    new Path((root +: ident.namespace() :+ ident.name()).mkString("/"))
+  // ---- authorization (GraftAuthz; no-ops unless enforcement is on) --
 
-  private def isLakeTable(p: Path): Boolean =
-    LakeTable.currentVersion(spark, p.toString).isDefined
+  private def nsOf(ident: Identifier): String = ident.namespace().mkString(".")
+
+  private def requireSelect(ident: Identifier): Unit =
+    graft.GraftAuthz.requireSelect(spark, nsOf(ident), ident.name())
+
+  private def requireModify(ident: Identifier): Unit =
+    graft.GraftAuthz.requireModify(spark, nsOf(ident), ident.name())
+
+  /** Reads only need SELECT; DML through the returned handle needs
+    * MODIFY — enforced by marking the handle write-denied instead of
+    * failing the load (the same Table object serves both paths).
+    */
+  private def authorized(ident: Identifier, t: GraftTable): GraftTable = {
+    requireSelect(ident)
+    if (!graft.GraftAuthz.mayModify(spark, nsOf(ident), ident.name()))
+      t.denyWritesFor(graft.GraftAuthIdentity.current(spark))
+    t
+  }
 
   // ---- namespaces -------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val r = new Path(root)
-    val f = fs(r)
-    if (!f.exists(r)) Array.empty
-    else f.listStatus(r).filter(_.isDirectory).map(s => Array(s.getPath.getName))
-  }
+  override def listNamespaces(): Array[Array[String]] =
+    store.listNamespaces(spark).map(Array(_))
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -73,56 +94,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && fs(nsPath(namespace)).exists(nsPath(namespace))
+    namespace.length == 1 && store.namespaceExists(spark, nsName(namespace))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
     if (namespaceExists(namespace))
-      Map("location" -> nsPath(namespace).toString).asJava
+      Map("location" -> (store.root + "/" + nsName(namespace))).asJava
     else throw new NoSuchNamespaceException(namespace)
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     if (namespace.length != 1)
       throw new IllegalArgumentException("graft catalog namespaces are single-level")
+    graft.GraftAuthz.requireModify(spark, namespace.mkString("."), "*")
     if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
-    fs(nsPath(namespace)).mkdirs(nsPath(namespace))
+    store.createNamespace(spark, nsName(namespace))
   }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft catalog namespaces carry no metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    graft.GraftAuthz.requireModify(spark, namespace.mkString("."), "*")
     if (!namespaceExists(namespace)) return false
-    val p = nsPath(namespace)
-    if (!cascade && fs(p).listStatus(p).nonEmpty)
+    if (!cascade && !store.namespaceEmpty(spark, nsName(namespace)))
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
-    fs(p).delete(p, true)
+    store.dropNamespace(spark, nsName(namespace))
   }
 
   // ---- tables -----------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    val p = nsPath(namespace)
-    fs(p).listStatus(p).filter(_.isDirectory)
-      .filter(s => isLakeTable(s.getPath))
-      .map(s => Identifier.of(namespace, s.getPath.getName)) ++
-      GraftViews.list(spark, root, namespace) // Hive model: views list as tables
+    val ns = nsName(namespace)
+    (store.listTables(spark, ns) ++
+      store.listViews(spark, ns)) // Hive model: views list as tables
+      .map(n => Identifier.of(namespace, n)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isLakeTable(tablePath(ident)) || GraftViews.exists(spark, root, ident)
+    store.tableLocation(spark, nsOf(ident), ident.name()).isDefined ||
+      store.viewExists(spark, nsOf(ident), ident.name())
 
   override def loadTable(ident: Identifier): Table = {
     // Stored views (B47) resolve as virtual tables: scans re-execute
     // the stored SQL (the Hive "view is a table object" model).
-    if (GraftViews.exists(spark, root, ident)) {
-      val (sql, schema) = GraftViews.load(spark, root, ident)
+    if (store.viewExists(spark, nsOf(ident), ident.name())) {
+      requireSelect(ident)
+      val (sql, schema) = store.loadView(spark, nsOf(ident), ident.name())
       return new GraftViewTable((ident.namespace() :+ ident.name()).mkString("."), sql, schema)
     }
-    val p = tablePath(ident)
-    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
-    new GraftTable(p.toString, None, None)
+    val p = store.tableLocation(spark, nsOf(ident), ident.name())
+      .getOrElse(throw new NoSuchTableException(ident))
+    authorized(ident, new GraftTable(p, None, None))
   }
 
   /** SQL time travel: `SELECT ... FROM graft_cat.db.t VERSION AS OF n`
@@ -130,10 +153,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * through the table's named tags (`VERSION AS OF 'stable'`).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val p = tablePath(ident)
-    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
-    new GraftTable(p.toString,
-      Some(LakeTable.resolveVersion(spark, p.toString, version)), None)
+    val p = store.tableLocation(spark, nsOf(ident), ident.name())
+      .getOrElse(throw new NoSuchTableException(ident))
+    authorized(ident, new GraftTable(p,
+      Some(LakeTable.resolveVersion(spark, p, version)), None))
   }
 
   /** SQL time travel by wall clock: `... TIMESTAMP AS OF '...'` —
@@ -141,15 +164,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * newest commit at or before it (LakeTable.versionAt).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val p = tablePath(ident)
-    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
-    val v = LakeTable.versionAt(org.apache.spark.sql.graftglue.Glue.activeSession, p.toString, timestamp / 1000L)
+    val p = store.tableLocation(spark, nsOf(ident), ident.name())
       .getOrElse(throw new NoSuchTableException(ident))
-    new GraftTable(p.toString, Some(v), None)
+    val v = LakeTable.versionAt(org.apache.spark.sql.graftglue.Glue.activeSession, p, timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
+    authorized(ident, new GraftTable(p, Some(v), None))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    requireModify(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val partCols = partitions.toSeq.map { t =>
       if (t.name != "identity")
@@ -158,8 +182,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    LakeTable.create(spark, tablePath(ident).toString, empty, partCols)
-    new GraftTable(tablePath(ident).toString, None, Option(schema))
+    val loc = store.defaultLocation(nsOf(ident), ident.name())
+    // Claim the NAME first (a JDBC store's primary key arbitrates
+    // concurrent creates across hosts), then write the table; a
+    // failed write releases the claim.
+    store.registerTable(spark, nsOf(ident), ident.name(), loc)
+    try LakeTable.create(spark, loc, empty, partCols)
+    catch { case e: Throwable =>
+      store.unregisterTable(spark, nsOf(ident), ident.name()); throw e
+    }
+    new GraftTable(loc, None, Option(schema))
   }
 
   /** ALTER TABLE ... ADD COLUMNS: a pure METADATA operation — the new
@@ -169,29 +201,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * those require rewriting or remapping data.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val p = tablePath(ident)
-    if (!isLakeTable(p)) throw new NoSuchTableException(ident)
-    val updated = changes.foldLeft(LakeTable.tableSchema(spark, p.toString)) {
+    requireModify(ident)
+    val p = store.tableLocation(spark, nsOf(ident), ident.name())
+      .getOrElse(throw new NoSuchTableException(ident))
+    val updated = changes.foldLeft(LakeTable.tableSchema(spark, p)) {
       case (sch, add: TableChange.AddColumn) if add.fieldNames.length == 1 =>
         sch.add(add.fieldNames()(0), add.dataType(), nullable = true)
       case (_, other) => throw new UnsupportedOperationException(
         s"only ADD COLUMNS is a metadata-only change; got $other")
     }
-    LakeTable.updateSchemaMeta(spark, p.toString, updated)
-    new GraftTable(p.toString, None, Some(updated))
+    LakeTable.updateSchemaMeta(spark, p, updated)
+    new GraftTable(p, None, Some(updated))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    if (GraftViews.exists(spark, root, ident))
-      return GraftViews.drop(spark, root, ident)
-    val p = tablePath(ident)
-    if (!isLakeTable(p)) false else fs(p).delete(p, true)
+    requireModify(ident)
+    if (store.viewExists(spark, nsOf(ident), ident.name()))
+      return store.dropView(spark, nsOf(ident), ident.name())
+    store.tableLocation(spark, nsOf(ident), ident.name()) match {
+      case None => false
+      case Some(loc) =>
+        store.unregisterTable(spark, nsOf(ident), ident.name())
+        val p = new Path(loc)
+        !fs(p).exists(p) || fs(p).delete(p, true)
+    }
   }
 
   // ---- procedures (CALL graft_cat.system.<proc>, B44) -------------
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(root, ident)
+    GraftProcedures.load(store, ident)
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -199,9 +238,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // `RENAME TO catalog.db.t2` arrives with the catalog prefix still
+    // inside the identifier's namespace (Spark parses the new name
+    // verbatim); strip it, as Iceberg's catalog does.
+    val to =
+      if (newIdent.namespace().length > 1 && newIdent.namespace()(0) == catalogName)
+        Identifier.of(newIdent.namespace().drop(1), newIdent.name())
+      else newIdent
+    requireModify(oldIdent); requireModify(to)
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
-    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    if (!fs(tablePath(oldIdent)).rename(tablePath(oldIdent), tablePath(newIdent)))
-      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    store.renameTable(spark, nsOf(oldIdent), oldIdent.name(),
+      nsOf(to), to.name())
   }
 }

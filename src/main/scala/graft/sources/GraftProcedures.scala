@@ -53,43 +53,49 @@ object GraftProcedures {
     def run(input: InternalRow): Array[InternalRow]
   }
 
-  /** `db.t` (any depth) under this catalog's root → table path. */
-  private def path(root: String, table: String): String = {
-    val p = (root +: table.split('.').toSeq).mkString("/")
-    if (LakeTable.currentVersion(spark, p).isEmpty)
-      throw new IllegalArgumentException(s"no graft table at $table")
-    p
+  /** `db.t` under this catalog → the table's data location (resolved
+    * through the catalog's store, so a JDBC-registered table on
+    * another host's root resolves too). Every procedure that comes
+    * through here mutates the table or its metadata (compaction,
+    * vacuum, DML, restore, tags, …), so this is also the
+    * authorization choke point: MODIFY on the table.
+    */
+  private def path(store: CatalogStore, table: String): String = {
+    val parts = table.split('.').toSeq
+    graft.GraftAuthz.requireModify(spark, parts.init.mkString("."), parts.last)
+    store.tableLocation(spark, parts.init.mkString("."), parts.last)
+      .getOrElse(throw new IllegalArgumentException(s"no graft table at $table"))
   }
 
   private val verSchema = StructType(Seq(StructField("version", LongType)))
 
-  def load(root: String, ident: Identifier): UnboundProcedure = {
+  def load(store: CatalogStore, ident: Identifier): UnboundProcedure = {
     if (!(ident.namespace().sameElements(Array("system"))))
       throw new NoSuchElementException(s"unknown procedure namespace ${ident.namespace().mkString(".")}")
     ident.name() match {
       case "compact" => new Proc("compact",
           Array(param("table", StringType), param("num_files", IntegerType)), verSchema) {
         override def run(in: InternalRow): Array[InternalRow] =
-          row(LakeTable.compact(spark, path(root, in.getUTF8String(0).toString), in.getInt(1)))
+          row(LakeTable.compact(spark, path(store, in.getUTF8String(0).toString), in.getInt(1)))
       }
       case "compact_where" => new Proc("compact_where",
           Array(param("table", StringType), param("num_files", IntegerType),
             param("predicate", StringType)), verSchema) {
         override def run(in: InternalRow): Array[InternalRow] =
-          row(LakeTable.compactWhere(spark, path(root, in.getUTF8String(0).toString),
+          row(LakeTable.compactWhere(spark, path(store, in.getUTF8String(0).toString),
             in.getInt(1), org.apache.spark.sql.functions.expr(in.getUTF8String(2).toString)))
       }
       case "vacuum" => new Proc("vacuum",
           Array(param("table", StringType), param("retain_from", LongType)),
           StructType(Seq(StructField("kept_groups", LongType)))) {
         override def run(in: InternalRow): Array[InternalRow] =
-          row(LakeTable.vacuum(spark, path(root, in.getUTF8String(0).toString), in.getLong(1)))
+          row(LakeTable.vacuum(spark, path(store, in.getUTF8String(0).toString), in.getLong(1)))
       }
       case "set_sort_by" => new Proc("set_sort_by",
           Array(param("table", StringType), param("cols", StringType)),
           StructType(Seq(StructField("sort_by", StringType)))) {
         override def run(in: InternalRow): Array[InternalRow] = {
-          val p = path(root, in.getUTF8String(0).toString)
+          val p = path(store, in.getUTF8String(0).toString)
           val cols = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
           LakeTable.setSortBy(spark, p, cols)
           row(UTF8String.fromString(LakeTable.tableSortBy(spark, p).mkString(",")))
@@ -99,7 +105,7 @@ object GraftProcedures {
           Array(param("table", StringType), param("cols", StringType),
             param("num_files", IntegerType)), verSchema) {
         override def run(in: InternalRow): Array[InternalRow] =
-          row(LakeTable.clusterBy(spark, path(root, in.getUTF8String(0).toString),
+          row(LakeTable.clusterBy(spark, path(store, in.getUTF8String(0).toString),
             in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
             in.getInt(2)))
       }
@@ -108,7 +114,7 @@ object GraftProcedures {
             param("expr", StringType)),
           StructType(Seq(StructField("checks", StringType)))) {
         override def run(in: InternalRow): Array[InternalRow] = {
-          val p = path(root, in.getUTF8String(0).toString)
+          val p = path(store, in.getUTF8String(0).toString)
           LakeTable.addCheck(spark, p, in.getUTF8String(1).toString,
             in.getUTF8String(2).toString)
           row(UTF8String.fromString(
@@ -119,7 +125,7 @@ object GraftProcedures {
           Array(param("table", StringType), param("name", StringType)),
           StructType(Seq(StructField("checks", StringType)))) {
         override def run(in: InternalRow): Array[InternalRow] = {
-          val p = path(root, in.getUTF8String(0).toString)
+          val p = path(store, in.getUTF8String(0).toString)
           LakeTable.dropCheck(spark, p, in.getUTF8String(1).toString)
           row(UTF8String.fromString(
             LakeTable.tableChecks(spark, p).map(_._1).mkString(",")))
@@ -128,14 +134,14 @@ object GraftProcedures {
       case "delete_mor" => new Proc("delete_mor",
           Array(param("table", StringType), param("predicate", StringType)), verSchema) {
         override def run(in: InternalRow): Array[InternalRow] =
-          row(LakeTable.deleteMor(spark, path(root, in.getUTF8String(0).toString),
+          row(LakeTable.deleteMor(spark, path(store, in.getUTF8String(0).toString),
             org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString)))
       }
       case "update_mor" => new Proc("update_mor",
           Array(param("table", StringType), param("predicate", StringType),
             param("set_col", StringType), param("set_expr", StringType)), verSchema) {
         override def run(in: InternalRow): Array[InternalRow] =
-          row(LakeTable.updateMor(spark, path(root, in.getUTF8String(0).toString),
+          row(LakeTable.updateMor(spark, path(store, in.getUTF8String(0).toString),
             org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString),
             Map(in.getUTF8String(2).toString ->
               org.apache.spark.sql.functions.expr(in.getUTF8String(3).toString))))
@@ -146,11 +152,19 @@ object GraftProcedures {
         override def run(in: InternalRow): Array[InternalRow] = {
           val mvParts = in.getUTF8String(0).toString.split('.')
           require(mvParts.length >= 2, "mv name must be namespace-qualified (db.mv)")
-          val mvPath = (root +: mvParts.toSeq).mkString("/")
-          val basePath = path(root, in.getUTF8String(1).toString)
-          Rollup.createAndRegister(spark, basePath, mvPath,
+          val (mvNs, mvName) = (mvParts.init.mkString("."), mvParts.last)
+          graft.GraftAuthz.requireModify(spark, mvNs, mvName)
+          val mvPath = store.defaultLocation(mvNs, mvName)
+          val basePath = path(store, in.getUTF8String(1).toString)
+          // Claim the MV's catalog name first (JDBC-store concurrency),
+          // then build; release on failure.
+          store.registerTable(spark, mvNs, mvName, mvPath)
+          try Rollup.createAndRegister(spark, basePath, mvPath,
             in.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
             in.getUTF8String(3).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          catch { case e: Throwable =>
+            store.unregisterTable(spark, mvNs, mvName); throw e
+          }
           row(LakeTable.currentVersion(spark, mvPath).getOrElse(0L))
         }
       }
@@ -158,7 +172,7 @@ object GraftProcedures {
           Array(param("base", StringType)),
           StructType(Seq(StructField("dropped", BooleanType)))) {
         override def run(in: InternalRow): Array[InternalRow] = {
-          Rollup.dropRegistration(spark, path(root, in.getUTF8String(0).toString))
+          Rollup.dropRegistration(spark, path(store, in.getUTF8String(0).toString))
           row(java.lang.Boolean.TRUE)
         }
       }
@@ -167,7 +181,7 @@ object GraftProcedures {
             param("version", LongType)),
           StructType(Seq(StructField("tags", StringType)))) {
         override def run(in: InternalRow): Array[InternalRow] = {
-          val p = path(root, in.getUTF8String(0).toString)
+          val p = path(store, in.getUTF8String(0).toString)
           LakeTable.setTag(spark, p, in.getUTF8String(1).toString, in.getLong(2))
           row(UTF8String.fromString(LakeTable.tags(spark, p).toSeq.sortBy(_._1)
             .map { case (n, v) => s"$n=$v" }.mkString(",")))
@@ -177,7 +191,7 @@ object GraftProcedures {
           Array(param("table", StringType), param("name", StringType)),
           StructType(Seq(StructField("tags", StringType)))) {
         override def run(in: InternalRow): Array[InternalRow] = {
-          val p = path(root, in.getUTF8String(0).toString)
+          val p = path(store, in.getUTF8String(0).toString)
           LakeTable.dropTag(spark, p, in.getUTF8String(1).toString)
           row(UTF8String.fromString(LakeTable.tags(spark, p).toSeq.sortBy(_._1)
             .map { case (n, v) => s"$n=$v" }.mkString(",")))
@@ -190,32 +204,35 @@ object GraftProcedures {
         override def run(in: InternalRow): Array[InternalRow] = {
           val parts = in.getUTF8String(0).toString.split('.')
           require(parts.length >= 2, "view name must be namespace-qualified (db.v)")
-          val ident = Identifier.of(parts.init, parts.last)
+          val (vNs, vName) = (parts.init.mkString("."), parts.last)
+          graft.GraftAuthz.requireModify(spark, vNs, vName)
           // Hive-metastore single-namespace rule: a view may not
           // SHADOW an existing data table (loadTable resolves views
           // first, so a same-name view would silently hijack reads
           // and make DROP TABLE delete the view while the data
           // persists underneath).
-          require(LakeTable.currentVersion(spark,
-              (root +: parts.toSeq).mkString("/")).isEmpty,
+          require(store.tableLocation(spark, vNs, vName).isEmpty,
             s"a table named ${parts.mkString(".")} already exists; " +
               "views and tables share one namespace")
-          val schema = GraftViews.create(spark, root, ident,
-            in.getUTF8String(1).toString, in.getBoolean(2))
+          if (!in.getBoolean(2))
+            require(!store.viewExists(spark, vNs, vName),
+              s"view ${parts.mkString(".")} already exists")
+          val schema = spark.sql(in.getUTF8String(1).toString).schema // rejects broken SQL
+          store.saveView(spark, vNs, vName, in.getUTF8String(1).toString, schema)
           row(UTF8String.fromString(schema.fieldNames.mkString(",")))
         }
       }
       case "restore" => new Proc("restore",
           Array(param("table", StringType), param("version", LongType)), verSchema) {
         override def run(in: InternalRow): Array[InternalRow] =
-          row(LakeTable.restore(spark, path(root, in.getUTF8String(0).toString),
+          row(LakeTable.restore(spark, path(store, in.getUTF8String(0).toString),
             in.getLong(1)))
       }
       case "enable_dv" => new Proc("enable_dv",
           Array(param("table", StringType), param("on", BooleanType)),
           StructType(Seq(StructField("dv_mode", BooleanType)))) {
         override def run(in: InternalRow): Array[InternalRow] = {
-          val p = path(root, in.getUTF8String(0).toString)
+          val p = path(store, in.getUTF8String(0).toString)
           LakeTable.setDvMode(spark, p, in.getBoolean(1))
           row(java.lang.Boolean.valueOf(LakeTable.dvEnabled(spark, p)))
         }

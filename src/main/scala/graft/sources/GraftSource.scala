@@ -46,7 +46,12 @@ class DefaultSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // With authorization on, remote tenants may not sidestep the
+    // catalog's grants via path-based access (no-op otherwise).
+    graft.GraftAuthz.guardPathAccess(
+      org.apache.spark.sql.graftglue.Glue.activeSession, pathOf(properties))
     if (changeFeed(properties)) new GraftCdcTable(pathOf(properties))
     else new GraftTable(pathOf(properties), versionOf(properties), Option(schema))
+  }
 }

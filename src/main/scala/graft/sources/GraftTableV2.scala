@@ -50,6 +50,21 @@ final class GraftTable(path: String, version: Option[Long],
     */
   private[graft] def pinnedVersion: Option[Long] = version
 
+  // ---- authorization (GraftAuthz) ---------------------------------
+  // A catalog that resolved this handle for a SELECT-only principal
+  // marks it write-denied: reads serve normally, every mutation
+  // surface (DSv2 writes, deleteWhere/TRUNCATE, partition drop, and
+  // the row-level SQL rule via `writeDenied`) rejects. The flag lives
+  // on the handle — Spark resolves a fresh Table per statement, so it
+  // can never leak across principals.
+  @volatile private var deniedFor: Option[String] = None
+  private[graft] def denyWritesFor(principal: String): Unit = { deniedFor = Some(principal) }
+  private[graft] def writeDenied: Option[String] = deniedFor
+  private def guardWrite(): Unit = deniedFor.foreach { p =>
+    throw new graft.GraftAuthz.AccessDenied(
+      s"PERMISSION_DENIED: principal '$p' lacks MODIFY on graft table $path")
+  }
+
   // ---- partition management (SHOW PARTITIONS / ALTER TABLE DROP
   // PARTITION). Partitions here are IMPLICIT — they exist exactly
   // where data exists (the Hive-style layout LakeTable writes) — so
@@ -107,6 +122,7 @@ final class GraftTable(path: String, version: Option[Long],
   }
 
   override def dropPartition(ident: InternalRow): Boolean = {
+    guardWrite()
     import org.apache.spark.sql.functions.{col, lit}
     val pSchema = partitionSchema()
     if (!partitionExists(ident)) return false
@@ -150,6 +166,7 @@ final class GraftTable(path: String, version: Option[Long],
 
   override def deleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    guardWrite()
     import org.apache.spark.sql.functions.lit
     val cond = predicates.flatMap(toColumn(_))
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -232,8 +249,10 @@ final class GraftTable(path: String, version: Option[Long],
   /** Native DSv2 write path (GraftWrite.scala): task-level parquet
     * writers into a staged group dir + a driver-side staged commit.
     */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    guardWrite()
     new GraftWriteBuilder(path, info)
+  }
 }
 
 /** Scan builder for DV'd snapshots (B46): the merge-on-read serving

@@ -59,12 +59,20 @@ object GraftViews {
     if (!replace && exists(spark, root, ident))
       throw new IllegalStateException(s"view ${ident} already exists")
     val schema = spark.sql(sql).schema // also rejects broken SQL at create
+    save(spark, root, ident, sql, schema)
+    schema
+  }
+
+  /** Persist an already-validated definition (the FS catalog store's
+    * view writer).
+    */
+  def save(spark: SparkSession, root: String, ident: Identifier, sql: String,
+      schema: StructType): Unit = {
     val p = viewFile(root, ident)
     val out = fsOf(spark, p).create(p, true)
     try out.write(s"sql\t${b64(sql)}\nschema\t${b64(schema.json)}"
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    schema
   }
 
   def load(spark: SparkSession, root: String, ident: Identifier): (String, StructType) = {

@@ -50,6 +50,14 @@ class ConnectGatewaySpec extends AnyFunSuite {
       ds.getClass.getMethod("collect").invoke(ds)
         .asInstanceOf[Array[_]].toSeq.map(_.asInstanceOf[org.apache.spark.sql.Row])
     }
+    /** `spark.read.format("graft").load(path).collect()` over the wire. */
+    def readGraft(path: String): Seq[org.apache.spark.sql.Row] = {
+      val reader = session.getClass.getMethod("read").invoke(session)
+      val fmt = reader.getClass.getMethod("format", classOf[String]).invoke(reader, "graft")
+      val ds = fmt.getClass.getMethod("load", classOf[String]).invoke(fmt, path)
+      ds.getClass.getMethod("collect").invoke(ds)
+        .asInstanceOf[Array[_]].toSeq.map(_.asInstanceOf[org.apache.spark.sql.Row])
+    }
     def close(): Unit = session.getClass.getMethod("close").invoke(session)
   }
 
@@ -130,14 +138,25 @@ class ConnectGatewaySpec extends AnyFunSuite {
       } finally { try c.close() catch { case _: Throwable => () } }
     }
     try {
-      // Valid credentials: full SQL surface works.
-      val good = new Client(";graft_user=alice;graft_token=secret1")
+      // Valid credentials: full SQL surface works. The connection's
+      // user_id must MATCH the authenticated user (identity binding —
+      // the GraftAuthz trust chain); a bare authenticated client that
+      // claims a different user_id is exercised below.
+      val good = new Client(";user_id=alice;graft_user=alice;graft_token=secret1")
       assert(good.sql("SELECT 41 + 1 AS x").head.getInt(0) == 42)
       good.close()
 
       expectUnauthenticated(";graft_user=alice;graft_token=wrong") // wrong token
       expectUnauthenticated("") // no credentials at all
       expectUnauthenticated(";graft_user=mallory;graft_token=secret1") // unknown user
+      // Authenticated but claiming someone else's identity: the
+      // request-level binding rejects it (PERMISSION_DENIED, not
+      // UNAUTHENTICATED — the credentials themselves are valid).
+      val spoof = new Client(";user_id=bob;graft_user=alice;graft_token=secret1")
+      try {
+        val e = intercept[Exception] { spoof.sql("SELECT 1 AS x") }
+        assert(chain(e).exists(_.contains("does not match")), chain(e))
+      } finally { try spoof.close() catch { case _: Throwable => () } }
     } finally {
       ConnectAuth.disable()
       org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
@@ -225,5 +244,90 @@ class ConnectGatewaySpec extends AnyFunSuite {
         .head.getLong(0) == 100L)
       c.close()
     } finally org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
+  }
+
+  test("engine-level authorization: grants isolate tenants; identities cannot be spoofed") {
+    // Authentication says WHO is calling (C22); GraftAuthz says what
+    // they may TOUCH — table/namespace grants in the same Derby store
+    // as the credential table, enforced inside the engine's catalog
+    // against the interceptor-bound identity.
+    val url = "jdbc:derby:memory:gwauthz;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE gateway_users(user_name VARCHAR(64), token VARCHAR(64))")
+      st.execute("INSERT INTO gateway_users VALUES ('alice', 's1'), ('bob', 's2')")
+    } finally conn.close()
+    ConnectAuth.enable(url,
+      "SELECT 1 FROM gateway_users WHERE user_name = ? AND token = ?")
+    // The embedded test session is the engine operator: superuser.
+    GraftAuthz.enable(url, superusers = Set(spark.sparkContext.sparkUser))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    def denied(body: => Any): Unit = {
+      val e = intercept[Exception] { body }
+      assert(chain(e).exists(_.contains("PERMISSION_DENIED")), chain(e))
+    }
+    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+    try {
+      // Operator stages per-tenant namespaces and grants.
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.gw_a")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.gw_b")
+      GraftAuthz.grant("alice", "gw_a", "ALL")
+      GraftAuthz.grant("bob", "gw_b", "ALL")
+
+      val a = new Client(";user_id=alice;graft_user=alice;graft_token=s1")
+      val b = new Client(";user_id=bob;graft_user=bob;graft_token=s2")
+
+      // Each tenant works freely inside their own namespace.
+      a.sql("DROP TABLE IF EXISTS graft_cat.gw_a.t")
+      a.sql("CREATE TABLE graft_cat.gw_a.t AS SELECT id, id % 3 AS g FROM range(30)")
+      b.sql("DROP TABLE IF EXISTS graft_cat.gw_b.t")
+      b.sql("CREATE TABLE graft_cat.gw_b.t AS SELECT id, CAST(id AS DOUBLE) AS v FROM range(50)")
+      assert(a.sql("SELECT count(*) AS n FROM graft_cat.gw_a.t").head.getLong(0) == 30L)
+
+      // Tenant A cannot SELECT, DROP, mutate, or maintain tenant B's
+      // table — and B keeps serving its own queries throughout.
+      denied { a.sql("SELECT count(*) AS n FROM graft_cat.gw_b.t") }
+      denied { a.sql("DROP TABLE graft_cat.gw_b.t") }
+      denied { a.sql("INSERT INTO graft_cat.gw_b.t SELECT 99, 99.0") }
+      denied { a.sql("CALL graft_cat.system.compact('gw_b.t', 1)") }
+      denied { a.sql("CREATE TABLE graft_cat.gw_b.evil AS SELECT 1 AS x") }
+      assert(b.sql("SELECT count(*) AS n FROM graft_cat.gw_b.t").head.getLong(0) == 50L)
+
+      // SELECT-only grant: reads open up, every write stays shut —
+      // including UPDATE/MERGE (the row-level rule path) and TRUNCATE.
+      GraftAuthz.grant("alice", "gw_b.t", "SELECT")
+      assert(a.sql("SELECT count(*) AS n FROM graft_cat.gw_b.t").head.getLong(0) == 50L)
+      denied { a.sql("INSERT INTO graft_cat.gw_b.t SELECT 99, 99.0") }
+      denied { a.sql("UPDATE graft_cat.gw_b.t SET v = 0 WHERE id = 1") }
+      denied { a.sql("DELETE FROM graft_cat.gw_b.t WHERE id = 1") }
+      denied { a.sql("TRUNCATE TABLE graft_cat.gw_b.t") }
+      GraftAuthz.revoke("alice", "gw_b.t", "SELECT")
+      denied { a.sql("SELECT count(*) AS n FROM graft_cat.gw_b.t") }
+
+      // Path-based bypass: a remote tenant may not open graft paths
+      // around the catalog's grants (DataFrame reader surface).
+      denied { a.readGraft(s"${GraftSession.catalogRoot}/gw_b/t") }
+
+      // Spoofing: presenting alice's valid credentials while claiming
+      // bob's user_id is rejected at the transport before any handler.
+      val mallory = new Client(";user_id=bob;graft_user=alice;graft_token=s1")
+      val e = intercept[Exception] { mallory.sql("SELECT 1 AS x") }
+      assert(chain(e).exists(m => m.contains("PERMISSION_DENIED") ||
+        m.contains("does not match")), chain(e))
+      try mallory.close() catch { case _: Throwable => () }
+
+      // The tenants' own service is unaffected by the denials above.
+      assert(b.sql("SELECT count(*) AS n FROM graft_cat.gw_b.t").head.getLong(0) == 50L)
+      a.close(); b.close()
+      // Operator (superuser) cleanup passes every check.
+      spark.sql("DROP TABLE IF EXISTS graft_cat.gw_a.t")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.gw_b.t")
+    } finally {
+      GraftAuthz.disable()
+      ConnectAuth.disable()
+      org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
+    }
   }
 }

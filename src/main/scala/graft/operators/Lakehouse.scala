@@ -103,7 +103,9 @@ object Lakehouse {
     // B05: bucketed tables — both sides bucketed 8 ways on the join
     // key, so the sort-merge join needs NO shuffle (spec asserts no
     // Exchange). At 100 TB this is the pre-partitioned fact-fact join.
-    Q("q_bucketed_join",
+    // Staged: the two bucketed table WRITES are input construction,
+    // the benched verb is the zero-exchange join itself.
+    Q.staged("q_bucketed_join",
       (s, d) => {
         val dir = s"$scratch/bucketed"
         s.sql("DROP TABLE IF EXISTS g_orders_buck")
@@ -116,13 +118,14 @@ object Lakehouse {
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$dir/lineitem").saveAsTable("g_lineitem_buck")
+      },
+      (s, _) =>
         s.table("g_lineitem_buck").hint("merge")
           .join(s.table("g_orders_buck").hint("merge"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
-          .orderBy("o_orderpriority")
-      },
+          .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity),2) AS qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),

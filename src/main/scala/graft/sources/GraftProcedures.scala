@@ -237,6 +237,44 @@ object GraftProcedures {
           row(java.lang.Boolean.valueOf(LakeTable.dvEnabled(spark, p)))
         }
       }
+      // ---- grant management (C24) — the Kyuubi/Hive `GRANT` surface
+      // reachable from pure SQL, so a remote ADMIN tenant manages
+      // policy over the wire. Authority to (re)grant = superuser or
+      // ALL on the securable; GraftAuthz must be enabled.
+      case "grant" => new Proc("grant",
+          Array(param("principal", StringType), param("securable", StringType),
+            param("privilege", StringType)),
+          StructType(Seq(StructField("granted", BooleanType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val sec = in.getUTF8String(1).toString
+          graft.GraftAuthz.requireGrantAuthority(spark, sec)
+          graft.GraftAuthz.grant(in.getUTF8String(0).toString, sec,
+            in.getUTF8String(2).toString)
+          row(java.lang.Boolean.TRUE)
+        }
+      }
+      case "revoke" => new Proc("revoke",
+          Array(param("principal", StringType), param("securable", StringType),
+            param("privilege", StringType)),
+          StructType(Seq(StructField("revoked", BooleanType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val sec = in.getUTF8String(1).toString
+          graft.GraftAuthz.requireGrantAuthority(spark, sec)
+          graft.GraftAuthz.revoke(in.getUTF8String(0).toString, sec,
+            in.getUTF8String(2).toString)
+          row(java.lang.Boolean.TRUE)
+        }
+      }
+      case "show_grants" => new Proc("show_grants",
+          Array(param("securable", StringType)),
+          StructType(Seq(StructField("grants", StringType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val sec = in.getUTF8String(0).toString
+          graft.GraftAuthz.requireGrantAuthority(spark, sec)
+          row(UTF8String.fromString(graft.GraftAuthz.grants(sec)
+            .map { case (pr, pv) => s"$pr:$pv" }.sorted.mkString(",")))
+        }
+      }
       case other => throw new NoSuchElementException(s"unknown procedure $other")
     }
   }
@@ -244,5 +282,6 @@ object GraftProcedures {
   val names: Array[String] =
     Array("compact", "compact_where", "vacuum", "set_sort_by", "cluster_by",
       "add_check", "drop_check", "delete_mor", "update_mor", "enable_dv",
-      "restore", "create_view", "tag", "drop_tag", "create_mv", "drop_mv")
+      "restore", "create_view", "tag", "drop_tag", "create_mv", "drop_mv",
+      "grant", "revoke", "show_grants")
 }

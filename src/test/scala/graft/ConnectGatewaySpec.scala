@@ -306,6 +306,19 @@ class ConnectGatewaySpec extends AnyFunSuite {
       GraftAuthz.revoke("alice", "gw_b.t", "SELECT")
       denied { a.sql("SELECT count(*) AS n FROM graft_cat.gw_b.t") }
 
+      // SQL-reachable grant management: ALL on a securable carries the
+      // authority to delegate it — and nothing beyond it (a tenant
+      // cannot grant themselves into someone else's namespace).
+      assert(a.sql("CALL graft_cat.system.grant('carol', 'gw_a.t', 'SELECT')")
+        .head.getBoolean(0))
+      val g = a.sql("CALL graft_cat.system.show_grants('gw_a.t')").head.getString(0)
+      assert(g.contains("carol:SELECT"), g)
+      denied { a.sql("CALL graft_cat.system.grant('alice', 'gw_b.t', 'ALL')") }
+      assert(a.sql("CALL graft_cat.system.revoke('carol', 'gw_a.t', 'SELECT')")
+        .head.getBoolean(0))
+      assert(!a.sql("CALL graft_cat.system.show_grants('gw_a.t')")
+        .head.getString(0).contains("carol"), "revoke must take effect")
+
       // Path-based bypass: a remote tenant may not open graft paths
       // around the catalog's grants (DataFrame reader surface).
       denied { a.readGraft(s"${GraftSession.catalogRoot}/gw_b/t") }

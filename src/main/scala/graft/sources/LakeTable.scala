@@ -318,22 +318,34 @@ object LakeTable {
       }
     }
     val fileList = files.result()
-    val lines: Seq[String] =
-      if (fileList.isEmpty) Seq.empty
+    // Driver memory stance: a typical commit's stat lines (files x
+    // stat columns) collect fine, but the harvest must not be the
+    // reason a 10^6-file commit OOMs the driver — past the threshold,
+    // sort DISTRIBUTED and stream the lines through toLocalIterator
+    // (the bloom build's shape: one partition in driver memory at a
+    // time). Below it, skip the extra sort stage and keep small-commit
+    // latency.
+    val StreamThreshold = 65536
+    val out = new java.io.BufferedOutputStream(
+      fs.create(new Path(dirPath, StatsFile), true))
+    try {
+      if (fileList.isEmpty) out.write("\n".getBytes(StandardCharsets.UTF_8))
       else {
         val confB = org.apache.spark.sql.graftglue.Glue
           .broadcastHadoopConf(spark.sparkContext)
-        spark.sparkContext
+        val lineRdd = spark.sparkContext
           .parallelize(fileList, math.max(1, math.min(fileList.size, 64)))
           .flatMap { case (full, rel) =>
             statsLinesOf(org.apache.spark.sql.graftglue.Glue.confOf(confB),
               new Path(full), rel)
           }
-          .collect().toSeq.sorted
+        val it: Iterator[String] =
+          if (fileList.size <= StreamThreshold) lineRdd.collect().sorted.iterator
+          else lineRdd.sortBy(identity).toLocalIterator
+        while (it.hasNext)
+          out.write((it.next() + "\n").getBytes(StandardCharsets.UTF_8))
       }
-    val out = fs.create(new Path(dirPath, StatsFile), true)
-    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    } finally out.close()
   }
 
   /** Inclusive conjunctive bounds on one column; None = unbounded. */

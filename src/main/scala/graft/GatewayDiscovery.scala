@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.DriverManager
+
+/** Gateway service discovery — the reference platform's ZooKeeper
+  * registration for Kyuubi endpoints (reference
+  * internal/controller/kyuubi.go:77-80: engines publish ephemeral
+  * znodes, clients resolve a live endpoint and fail over), rebuilt on
+  * the lease-table pattern over the SAME JDBC database the C25
+  * metastore and C24 grant/credential tables use — one external
+  * dependency serves the whole control plane.
+  *
+  * Each gateway host heartbeats one row (host, port, lease_expiry);
+  * a row whose lease has lapsed is dead by definition — the DB clock
+  * plays the ZooKeeper session timeout. Clients (or an L4 balancer's
+  * health check) take any live row; resolution opportunistically
+  * reaps lapsed rows so the table self-cleans. Writer safety needs no
+  * leader election on top of this: LakeTable commits are
+  * claim-arbitrated per table and the streaming sink is exactly-once
+  * under replay, so two hosts accidentally running the same work
+  * converge instead of corrupting (the C21/C23 guarantees).
+  */
+object GatewayDiscovery {
+
+  final case class Endpoint(host: String, port: Int)
+
+  private final case class Reg(url: String, user: Option[String], pass: Option[String],
+      endpoint: Endpoint, leaseMillis: Long, thread: Thread)
+
+  @volatile private var reg: Option[Reg] = None
+
+  private def withConn[A](url: String, u: Option[String], p: Option[String])
+      (f: java.sql.Connection => A): A = {
+    val conn = u match {
+      case Some(user) => DriverManager.getConnection(url, user, p.orNull)
+      case None => DriverManager.getConnection(url)
+    }
+    try f(conn) finally conn.close()
+  }
+
+  private def ensureTable(url: String, u: Option[String], p: Option[String]): Unit =
+    withConn(url, u, p) { conn =>
+      try conn.createStatement().execute(
+        "CREATE TABLE graft_gateways(host VARCHAR(256), port INTEGER, " +
+          "lease_expiry BIGINT, PRIMARY KEY (host, port))")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+    }
+
+  private def beat(url: String, u: Option[String], p: Option[String],
+      e: Endpoint, leaseMillis: Long): Unit =
+    withConn(url, u, p) { conn =>
+      val expiry = System.currentTimeMillis() + leaseMillis
+      val upd = conn.prepareStatement(
+        "UPDATE graft_gateways SET lease_expiry = ? WHERE host = ? AND port = ?")
+      upd.setLong(1, expiry); upd.setString(2, e.host); upd.setInt(3, e.port)
+      if (upd.executeUpdate() == 0) {
+        try {
+          val ins = conn.prepareStatement(
+            "INSERT INTO graft_gateways(host, port, lease_expiry) VALUES (?, ?, ?)")
+          ins.setString(1, e.host); ins.setInt(2, e.port); ins.setLong(3, expiry)
+          ins.executeUpdate()
+        } catch { // lost an insert race to our own previous row: retry as update
+          case ex: java.sql.SQLException if ex.getSQLState == "23505" =>
+            upd.executeUpdate()
+        }
+      }
+    }
+
+  /** Register this gateway and start the heartbeat (daemon thread, one
+    * beat every leaseMillis/3 — two missed beats still leave a live
+    * lease, the standard session-timeout margin).
+    */
+  def register(jdbcUrl: String, endpoint: Endpoint, leaseMillis: Long = 15000L,
+      jdbcUser: Option[String] = None, jdbcPassword: Option[String] = None): Unit =
+    synchronized {
+      deregister()
+      ensureTable(jdbcUrl, jdbcUser, jdbcPassword)
+      beat(jdbcUrl, jdbcUser, jdbcPassword, endpoint, leaseMillis)
+      val t = new Thread(() => {
+        try while (!Thread.interrupted()) {
+          Thread.sleep(math.max(1L, leaseMillis / 3))
+          beat(jdbcUrl, jdbcUser, jdbcPassword, endpoint, leaseMillis)
+        } catch { case _: InterruptedException => () }
+      }, s"graft-gateway-heartbeat-${endpoint.host}:${endpoint.port}")
+      t.setDaemon(true)
+      t.start()
+      reg = Some(Reg(jdbcUrl, jdbcUser, jdbcPassword, endpoint, leaseMillis, t))
+    }
+
+  /** Stop heartbeating and drop this host's row immediately — the
+    * graceful-shutdown path (a crash just lets the lease lapse).
+    */
+  def deregister(): Unit = synchronized {
+    reg.foreach { r =>
+      r.thread.interrupt()
+      try withConn(r.url, r.user, r.pass) { conn =>
+        val del = conn.prepareStatement(
+          "DELETE FROM graft_gateways WHERE host = ? AND port = ?")
+        del.setString(1, r.endpoint.host); del.setInt(2, r.endpoint.port)
+        del.executeUpdate()
+      } catch { case _: Exception => () } // lease will lapse regardless
+    }
+    reg = None
+  }
+
+  /** Every endpoint with a live lease, expiry-descending (freshest
+    * first). Lapsed rows are reaped in passing, so the table
+    * self-cleans without a janitor.
+    */
+  def live(jdbcUrl: String, jdbcUser: Option[String] = None,
+      jdbcPassword: Option[String] = None): Seq[Endpoint] = {
+    ensureTable(jdbcUrl, jdbcUser, jdbcPassword)
+    withConn(jdbcUrl, jdbcUser, jdbcPassword) { conn =>
+      val now = System.currentTimeMillis()
+      val reap = conn.prepareStatement("DELETE FROM graft_gateways WHERE lease_expiry < ?")
+      reap.setLong(1, now); reap.executeUpdate()
+      val ps = conn.prepareStatement(
+        "SELECT host, port FROM graft_gateways WHERE lease_expiry >= ? " +
+          "ORDER BY lease_expiry DESC")
+      ps.setLong(1, now)
+      val rs = ps.executeQuery()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Endpoint]
+      try while (rs.next()) out += Endpoint(rs.getString(1), rs.getInt(2))
+      finally rs.close()
+      out.toSeq
+    }
+  }
+
+  /** A client's one-call resolver: the freshest live endpoint. */
+  def resolve(jdbcUrl: String): Option[Endpoint] = live(jdbcUrl).headOption
+}

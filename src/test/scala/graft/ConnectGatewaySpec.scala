@@ -246,6 +246,49 @@ class ConnectGatewaySpec extends AnyFunSuite {
     } finally org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
   }
 
+  test("gateway discovery: lease-table registration, expiry, and client resolution") {
+    // The zookeeper.go analogue (kyuubi.go:77-80) on the control-plane
+    // JDBC DB: hosts heartbeat leases, clients resolve a live endpoint,
+    // a crashed host's row lapses and is reaped.
+    val url = "jdbc:derby:memory:gwdisc;create=true"
+    // A "crashed" host: row written directly with a short lease and no
+    // heartbeat behind it.
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE graft_gateways(host VARCHAR(256), port INTEGER, " +
+        "lease_expiry BIGINT, PRIMARY KEY (host, port))")
+      st.execute(s"INSERT INTO graft_gateways VALUES " +
+        s"('dead-host', 9999, ${System.currentTimeMillis() + 300})")
+    } finally conn.close()
+    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+    try {
+      // The live gateway registers itself (the real Connect port).
+      GatewayDiscovery.register(url, GatewayDiscovery.Endpoint("localhost", port),
+        leaseMillis = 2000L)
+      val both = GatewayDiscovery.live(url)
+      assert(both.map(_.port).toSet == Set(port, 9999), both)
+      // The dead host's lease lapses; resolution reaps it and returns
+      // the surviving gateway, which a client then actually uses.
+      Thread.sleep(400)
+      val resolved = GatewayDiscovery.resolve(url)
+      assert(resolved.contains(GatewayDiscovery.Endpoint("localhost", port)), resolved)
+      assert(GatewayDiscovery.live(url).map(_.port) == Seq(port))
+      val c = new Client() // connects to the resolved host:port
+      assert(c.sql(s"SELECT 2 + 2 AS x").head.getInt(0) == 4)
+      c.close()
+      // Heartbeats outlive one lease interval (the thread is beating).
+      Thread.sleep(2500)
+      assert(GatewayDiscovery.live(url).map(_.port) == Seq(port), "heartbeat must renew")
+      // Graceful shutdown removes the row immediately.
+      GatewayDiscovery.deregister()
+      assert(GatewayDiscovery.live(url).isEmpty)
+    } finally {
+      GatewayDiscovery.deregister()
+      org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
+    }
+  }
+
   test("engine-level authorization: grants isolate tenants; identities cannot be spoofed") {
     // Authentication says WHO is calling (C22); GraftAuthz says what
     // they may TOUCH — table/namespace grants in the same Derby store

@@ -71,6 +71,15 @@ class JdbcCatalogSpec extends AnyFunSuite {
     val e = intercept[Exception] { a.sql("SELECT * FROM jshared.db.t").collect() }
     assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") || e.getMessage.contains("t"), e.getMessage)
 
+    // The cross-host serving path is the SAME V2 parquet scan: filters
+    // push down and columns prune even when the table resolved through
+    // the DB to another host's root.
+    val q = b.sql("SELECT g FROM jshared.db.t2 WHERE k = 42")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,42)]"), plan)
+    assert(plan.contains("ReadSchema: struct<k:bigint,g:bigint>"), plan)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(42L % 5))
+
     // Views live in the DB too: created on A, served on B, inlined.
     a.sql("CALL jshared.system.create_view('db.v', 'SELECT g, count(*) AS n FROM jshared.db.t2 GROUP BY g', true)")
     assert(b.sql("SELECT sum(n) AS s FROM jshared.db.v").collect()(0).getLong(0) == 150L)

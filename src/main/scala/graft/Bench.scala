@@ -36,6 +36,12 @@ object Bench {
         return -1.0
       }
       val fn = q.verb.getOrElse(q.run)
+      // Drain the previous query's garbage OUTSIDE the timer: without
+      // this, an allocation-heavy neighbor donates a multi-second GC
+      // pause to whichever query runs next and the medians grow tails
+      // that look like regressions (observed: 0.9 s q_dedup_spans
+      // measuring 6-11 s under accumulated heap debt).
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>

@@ -125,6 +125,7 @@ final class GraftAuthInterceptor extends ServerInterceptor {
           uc.getClass.getMethod("getUserId").invoke(uc).asInstanceOf[String]
         } catch { case _: Exception => "" } // non-plan message: nothing to bind
       override def onMessage(message: ReqT): Unit = {
+        if (closed) return // already rejected: drop queued messages
         val claimed = claimedUser(message)
         if (claimed.nonEmpty && claimed != user) {
           closed = true

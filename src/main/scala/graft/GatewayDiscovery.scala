@@ -1,7 +1,5 @@
 package graft
 
-import java.sql.DriverManager
-
 /** Gateway service discovery — the reference platform's ZooKeeper
   * registration for Kyuubi endpoints (reference
   * internal/controller/kyuubi.go:77-80: engines publish ephemeral
@@ -30,21 +28,12 @@ object GatewayDiscovery {
   @volatile private var reg: Option[Reg] = None
 
   private def withConn[A](url: String, u: Option[String], p: Option[String])
-      (f: java.sql.Connection => A): A = {
-    val conn = u match {
-      case Some(user) => DriverManager.getConnection(url, user, p.orNull)
-      case None => DriverManager.getConnection(url)
-    }
-    try f(conn) finally conn.close()
-  }
+      (f: java.sql.Connection => A): A = ControlPlaneDb.withConn(url, u, p)(f)
 
   private def ensureTable(url: String, u: Option[String], p: Option[String]): Unit =
-    withConn(url, u, p) { conn =>
-      try conn.createStatement().execute(
-        "CREATE TABLE graft_gateways(host VARCHAR(256), port INTEGER, " +
-          "lease_expiry BIGINT, PRIMARY KEY (host, port))")
-      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
-    }
+    ControlPlaneDb.ensureTable(url, u, p,
+      "CREATE TABLE graft_gateways(host VARCHAR(256), port INTEGER, " +
+        "lease_expiry BIGINT, PRIMARY KEY (host, port))", "graft_gateways")
 
   private def beat(url: String, u: Option[String], p: Option[String],
       e: Endpoint, leaseMillis: Long): Unit =
@@ -60,7 +49,7 @@ object GatewayDiscovery {
           ins.setString(1, e.host); ins.setInt(2, e.port); ins.setLong(3, expiry)
           ins.executeUpdate()
         } catch { // lost an insert race to our own previous row: retry as update
-          case ex: java.sql.SQLException if ex.getSQLState == "23505" =>
+          case ex: java.sql.SQLException if ControlPlaneDb.isDuplicateKey(ex) =>
             upd.executeUpdate()
         }
       }
@@ -77,9 +66,18 @@ object GatewayDiscovery {
       ensureTable(jdbcUrl, jdbcUser, jdbcPassword)
       beat(jdbcUrl, jdbcUser, jdbcPassword, endpoint, leaseMillis)
       val t = new Thread(() => {
+        // A transient DB error (network blip, lock timeout) must NOT
+        // kill the heartbeat: skip the beat and retry next interval —
+        // the lease tolerates two misses by construction. Only
+        // interruption (deregister) ends the loop.
         try while (!Thread.interrupted()) {
           Thread.sleep(math.max(1L, leaseMillis / 3))
-          beat(jdbcUrl, jdbcUser, jdbcPassword, endpoint, leaseMillis)
+          try beat(jdbcUrl, jdbcUser, jdbcPassword, endpoint, leaseMillis)
+          catch {
+            case _: InterruptedException => throw new InterruptedException
+            case e: Exception =>
+              System.err.println(s"[graft-gateway] heartbeat skipped: ${e.toString.take(200)}")
+          }
         } catch { case _: InterruptedException => () }
       }, s"graft-gateway-heartbeat-${endpoint.host}:${endpoint.port}")
       t.setDaemon(true)

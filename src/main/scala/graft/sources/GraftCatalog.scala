@@ -74,13 +74,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** Reads only need SELECT; DML through the returned handle needs
     * MODIFY — enforced by marking the handle write-denied instead of
-    * failing the load (the same Table object serves both paths).
+    * failing the load (the same Table object serves both paths). One
+    * identity resolution + one cached grants lookup covers both
+    * decisions.
     */
   private def authorized(ident: Identifier, t: GraftTable): GraftTable = {
-    requireSelect(ident)
-    if (!graft.GraftAuthz.mayModify(spark, nsOf(ident), ident.name()))
+    val lvl = graft.GraftAuthz.accessLevel(spark, nsOf(ident), ident.name())
+    if (lvl < graft.GraftAuthz.SelectLevel)
+      throw new graft.GraftAuthz.AccessDenied(
+        s"PERMISSION_DENIED: principal '${graft.GraftAuthIdentity.current(spark)}' " +
+          s"lacks SELECT on table '${nsOf(ident)}.${ident.name()}'")
+    if (lvl < graft.GraftAuthz.ModifyLevel)
       t.denyWritesFor(graft.GraftAuthIdentity.current(spark))
     t
+  }
+
+  /** A registered location whose LakeTable never materialized (a
+    * crash between the JDBC store's name claim and the data write) is
+    * NOT a table: surface the standard not-found error everywhere
+    * instead of a low-level read failure. DROP TABLE still cleans the
+    * orphan row.
+    */
+  private def existingTable(ident: Identifier): String = {
+    val p = store.tableLocation(spark, nsOf(ident), ident.name())
+      .getOrElse(throw new NoSuchTableException(ident))
+    if (LakeTable.currentVersion(spark, p).isEmpty) throw new NoSuchTableException(ident)
+    p
   }
 
   // ---- namespaces -------------------------------------------------
@@ -143,8 +162,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val (sql, schema) = store.loadView(spark, nsOf(ident), ident.name())
       return new GraftViewTable((ident.namespace() :+ ident.name()).mkString("."), sql, schema)
     }
-    val p = store.tableLocation(spark, nsOf(ident), ident.name())
-      .getOrElse(throw new NoSuchTableException(ident))
+    val p = existingTable(ident)
     authorized(ident, new GraftTable(p, None, None))
   }
 
@@ -153,8 +171,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * through the table's named tags (`VERSION AS OF 'stable'`).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val p = store.tableLocation(spark, nsOf(ident), ident.name())
-      .getOrElse(throw new NoSuchTableException(ident))
+    val p = existingTable(ident)
     authorized(ident, new GraftTable(p,
       Some(LakeTable.resolveVersion(spark, p, version)), None))
   }
@@ -164,8 +181,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * newest commit at or before it (LakeTable.versionAt).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val p = store.tableLocation(spark, nsOf(ident), ident.name())
-      .getOrElse(throw new NoSuchTableException(ident))
+    val p = existingTable(ident)
     val v = LakeTable.versionAt(org.apache.spark.sql.graftglue.Glue.activeSession, p, timestamp / 1000L)
       .getOrElse(throw new NoSuchTableException(ident))
     authorized(ident, new GraftTable(p, Some(v), None))

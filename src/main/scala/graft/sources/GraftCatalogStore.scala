@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.sql.DriverManager
-
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.Identifier
@@ -153,24 +151,28 @@ private[sources] final class FsCatalogStore(val root: String) extends CatalogSto
 private[sources] final class JdbcCatalogStore(val root: String, url: String,
     user: Option[String], password: Option[String]) extends CatalogStore {
 
-  private def withConn[A](f: java.sql.Connection => A): A = {
-    val conn = user match {
-      case Some(u) => DriverManager.getConnection(url, u, password.orNull)
-      case None => DriverManager.getConnection(url)
-    }
-    try f(conn) finally conn.close()
-  }
+  /** Locations are REGISTRY-addressed, so a new table gets a unique
+    * directory instead of `root/ns/name`: after a rename (an O(1) row
+    * update that leaves data in place) the old NAME's default path
+    * still holds the renamed table's files, and a name-derived
+    * location would hand a later CREATE of that name a live
+    * directory. Unique suffixes make every create a fresh dir — the
+    * same reason Iceberg/Delta UUID their data locations.
+    */
+  override def defaultLocation(ns: String, name: String): String =
+    (root +: ns.split('.').toSeq :+
+      s"$name-${java.util.UUID.randomUUID().toString.take(8)}").mkString("/")
+
+  private def withConn[A](f: java.sql.Connection => A): A =
+    graft.ControlPlaneDb.withConn(url, user, password)(f)
 
   // One-time DDL per store instance; concurrent hosts race benignly.
-  withConn { conn =>
-    def ddl(sql: String): Unit =
-      try conn.createStatement().execute(sql)
-      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
-    ddl("CREATE TABLE graft_cat_ns(ns VARCHAR(128) PRIMARY KEY)")
-    ddl("CREATE TABLE graft_cat_obj(ns VARCHAR(128), name VARCHAR(128), " +
+  graft.ControlPlaneDb.ensureTable(url, user, password,
+    "CREATE TABLE graft_cat_ns(ns VARCHAR(128) PRIMARY KEY)", "graft_cat_ns")
+  graft.ControlPlaneDb.ensureTable(url, user, password,
+    "CREATE TABLE graft_cat_obj(ns VARCHAR(128), name VARCHAR(128), " +
       "kind CHAR(1), location VARCHAR(4096), view_sql CLOB, view_schema CLOB, " +
-      "PRIMARY KEY (ns, name))")
-  }
+      "PRIMARY KEY (ns, name))", "graft_cat_obj")
 
   private def query1[A](sql: String, args: Seq[String])(f: java.sql.ResultSet => A): Seq[A] =
     withConn { conn =>
@@ -196,7 +198,9 @@ private[sources] final class JdbcCatalogStore(val root: String, url: String,
 
   override def createNamespace(spark: SparkSession, ns: String): Unit =
     try update("INSERT INTO graft_cat_ns(ns) VALUES (?)", Seq(ns))
-    catch { case e: java.sql.SQLException if e.getSQLState == "23505" => () } // lost race: exists
+    catch { // lost race: the namespace exists, which is the goal
+      case e: java.sql.SQLException if graft.ControlPlaneDb.isDuplicateKey(e) => ()
+    }
 
   override def namespaceEmpty(spark: SparkSession, ns: String): Boolean =
     query1("SELECT 1 FROM graft_cat_obj WHERE ns = ?", Seq(ns))(_ => 1).isEmpty
@@ -228,7 +232,7 @@ private[sources] final class JdbcCatalogStore(val root: String, url: String,
     try update("INSERT INTO graft_cat_obj(ns, name, kind, location) VALUES (?, ?, 'T', ?)",
       Seq(ns, name, location))
     catch {
-      case e: java.sql.SQLException if e.getSQLState == "23505" =>
+      case e: java.sql.SQLException if graft.ControlPlaneDb.isDuplicateKey(e) =>
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
           (ns.split('.') :+ name).toSeq)
     }
@@ -238,11 +242,25 @@ private[sources] final class JdbcCatalogStore(val root: String, url: String,
       Seq(ns, name)) > 0
 
   override def renameTable(spark: SparkSession, ns: String, name: String,
-      toNs: String, toName: String): Unit =
+      toNs: String, toName: String): Unit = {
     // Location-addressed: the data stays put, only the NAME moves —
-    // an O(1) metadata rename regardless of table size.
-    update("UPDATE graft_cat_obj SET ns = ?, name = ? WHERE ns = ? AND name = ?",
-      Seq(toNs, toName, ns, name))
+    // an O(1) metadata rename regardless of table size. The update
+    // count catches a concurrent drop (the caller's exists pre-check
+    // raced); a duplicate key catches a concurrent create of the
+    // target name.
+    val n =
+      try update(
+        "UPDATE graft_cat_obj SET ns = ?, name = ? WHERE ns = ? AND name = ? AND kind = 'T'",
+        Seq(toNs, toName, ns, name))
+      catch {
+        case e: java.sql.SQLException if graft.ControlPlaneDb.isDuplicateKey(e) =>
+          throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+            (toNs.split('.') :+ toName).toSeq)
+      }
+    if (n == 0)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ns.split('.') :+ name).toSeq)
+  }
 
   override def listViews(spark: SparkSession, ns: String): Seq[String] =
     query1("SELECT name FROM graft_cat_obj WHERE ns = ? AND kind = 'V' ORDER BY name",
@@ -259,10 +277,31 @@ private[sources] final class JdbcCatalogStore(val root: String, url: String,
       }.headOption.getOrElse(throw new IllegalStateException(s"no view $ns.$name"))
 
   override def saveView(spark: SparkSession, ns: String, name: String,
-      sql: String, schema: StructType): Unit = {
-    update("DELETE FROM graft_cat_obj WHERE ns = ? AND name = ? AND kind = 'V'", Seq(ns, name))
-    update("INSERT INTO graft_cat_obj(ns, name, kind, view_sql, view_schema) " +
-      "VALUES (?, ?, 'V', ?, ?)", Seq(ns, name, sql, schema.json))
+      sql: String, schema: StructType): Unit = withConn { conn =>
+    // One transaction: a REPLACE never exposes a window where the
+    // view is absent, and a concurrent CREATE TABLE winning the name
+    // surfaces as a clean already-exists error, not a raw PK blast.
+    conn.setAutoCommit(false)
+    try {
+      val del = conn.prepareStatement(
+        "DELETE FROM graft_cat_obj WHERE ns = ? AND name = ? AND kind = 'V'")
+      del.setString(1, ns); del.setString(2, name)
+      del.executeUpdate()
+      val ins = conn.prepareStatement(
+        "INSERT INTO graft_cat_obj(ns, name, kind, view_sql, view_schema) " +
+          "VALUES (?, ?, 'V', ?, ?)")
+      ins.setString(1, ns); ins.setString(2, name)
+      ins.setString(3, sql); ins.setString(4, schema.json)
+      ins.executeUpdate()
+      conn.commit()
+    } catch {
+      case e: java.sql.SQLException =>
+        try conn.rollback() catch { case _: Exception => () }
+        if (graft.ControlPlaneDb.isDuplicateKey(e))
+          throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+            (ns.split('.') :+ name).toSeq)
+        else throw e
+    }
   }
 
   override def dropView(spark: SparkSession, ns: String, name: String): Boolean =

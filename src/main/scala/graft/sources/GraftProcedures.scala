@@ -63,8 +63,13 @@ object GraftProcedures {
   private def path(store: CatalogStore, table: String): String = {
     val parts = table.split('.').toSeq
     graft.GraftAuthz.requireModify(spark, parts.init.mkString("."), parts.last)
-    store.tableLocation(spark, parts.init.mkString("."), parts.last)
+    val p = store.tableLocation(spark, parts.init.mkString("."), parts.last)
       .getOrElse(throw new IllegalArgumentException(s"no graft table at $table"))
+    // A JDBC-store row whose data never materialized (crashed create)
+    // is not a table.
+    if (LakeTable.currentVersion(spark, p).isEmpty)
+      throw new IllegalArgumentException(s"no graft table at $table")
+    p
   }
 
   private val verSchema = StructType(Seq(StructField("version", LongType)))

@@ -51,20 +51,9 @@ object GraftViews {
       .map(s => Identifier.of(namespace, s.getPath.getName.stripSuffix(Suffix)))
   }
 
-  /** Validate by executing the query once (plan only — schema capture)
-    * and persist. `replace` overwrites an existing definition.
-    */
-  def create(spark: SparkSession, root: String, ident: Identifier, sql: String,
-      replace: Boolean): StructType = {
-    if (!replace && exists(spark, root, ident))
-      throw new IllegalStateException(s"view ${ident} already exists")
-    val schema = spark.sql(sql).schema // also rejects broken SQL at create
-    save(spark, root, ident, sql, schema)
-    schema
-  }
-
   /** Persist an already-validated definition (the FS catalog store's
-    * view writer).
+    * view writer; validation and the exists/replace decision live in
+    * the create_view procedure, which serves BOTH stores).
     */
   def save(spark: SparkSession, root: String, ident: Identifier, sql: String,
       schema: StructType): Unit = {

@@ -46,8 +46,12 @@ class JdbcCatalogSpec extends AnyFunSuite {
     // A's table serves B's queries; the DATA lives under A's root.
     a.sql("CREATE TABLE jshared.db.t AS SELECT id AS k, id % 5 AS g FROM range(100)")
     assert(b.sql("SELECT count(*) AS n FROM jshared.db.t").collect()(0).getLong(0) == 100L)
-    assert(new java.io.File(s"$rootA/db/t").exists())
-    assert(!new java.io.File(s"$rootB/db/t").exists())
+    def dataDirs(root: String, prefix: String): Seq[java.io.File] =
+      Option(new java.io.File(s"$root/db").listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix + "-"))
+    assert(dataDirs(rootA, "t").size == 1, "data lives under A's root")
+    assert(dataDirs(rootB, "t").isEmpty)
+    val tDir = dataDirs(rootA, "t").head
 
     // B appends INTO A's table (location-addressed; the LakeTable
     // commit claim arbitrates the write) — A sees the new rows.
@@ -57,7 +61,7 @@ class JdbcCatalogSpec extends AnyFunSuite {
     // B's own table lands under B's root; A resolves it by name.
     b.sql("CREATE TABLE jshared.db.u AS SELECT id AS k FROM range(7)")
     assert(a.sql("SELECT count(*) AS n FROM jshared.db.u").collect()(0).getLong(0) == 7L)
-    assert(new java.io.File(s"$rootB/db/u").exists())
+    assert(dataDirs(rootB, "u").size == 1)
 
     // Both hosts list both tables.
     val tablesSeenByA = a.sql("SHOW TABLES IN jshared.db").collect().map(_.getString(1)).toSet
@@ -67,7 +71,7 @@ class JdbcCatalogSpec extends AnyFunSuite {
     // directory does not.
     b.sql("ALTER TABLE jshared.db.t RENAME TO jshared.db.t2")
     assert(a.sql("SELECT count(*) AS n FROM jshared.db.t2").collect()(0).getLong(0) == 150L)
-    assert(new java.io.File(s"$rootA/db/t").exists()) // location unchanged
+    assert(tDir.exists()) // location unchanged
     val e = intercept[Exception] { a.sql("SELECT * FROM jshared.db.t").collect() }
     assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") || e.getMessage.contains("t"), e.getMessage)
 
@@ -92,7 +96,7 @@ class JdbcCatalogSpec extends AnyFunSuite {
     // Drop from B unregisters for A and deletes the data dir.
     b.sql("DROP TABLE jshared.db.v")
     b.sql("DROP TABLE jshared.db.t2")
-    assert(!new java.io.File(s"$rootA/db/t").exists())
+    assert(!tDir.exists())
     assert(intercept[Exception] {
       a.sql("SELECT * FROM jshared.db.t2").collect()
     }.getMessage.nonEmpty)

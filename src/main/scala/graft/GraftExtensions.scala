@@ -88,15 +88,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   /** `db.table` resolves under the graft_cat warehouse root; anything
-    * with a '/' is a filesystem path used as-is.
+    * with a '/' is a filesystem path used as-is. Both forms pass the
+    * authorization gate: the history/CDC surfaces expose table rows
+    * (change feeds carry full pre/post images), so they need the same
+    * SELECT a direct read needs — and raw paths stay closed to remote
+    * tenants, like every other path surface.
     */
   private def resolveTarget(spark: org.apache.spark.sql.SparkSession, s: String): String =
-    if (s.contains("/")) s
-    else {
+    if (s.contains("/")) {
+      graft.GraftAuthz.guardPathAccess(spark, s)
+      s
+    } else {
+      val parts = s.split("\\.").toSeq
+      if (parts.length >= 2)
+        graft.GraftAuthz.requireSelect(spark, parts.init.mkString("."), parts.last)
       val root = spark.conf.getOption("spark.sql.catalog.graft_cat.root")
         .getOrElse(throw new IllegalArgumentException(
           s"'$s' is not a path and no graft_cat catalog root is configured"))
-      (root +: s.split("\\.").toSeq).mkString("/")
+      (root +: parts).mkString("/")
     }
 
   private def analyzedPlan(df: org.apache.spark.sql.DataFrame)

@@ -366,6 +366,15 @@ class ConnectGatewaySpec extends AnyFunSuite {
       // around the catalog's grants (DataFrame reader surface).
       denied { a.readGraft(s"${GraftSession.catalogRoot}/gw_b/t") }
 
+      // Metadata/CDC table functions expose row data (change feeds
+      // carry full images): same SELECT gate as a direct read, and
+      // raw-path targets stay closed to remote tenants.
+      denied { a.sql("SELECT * FROM graft_history('gw_b.t')") }
+      denied { a.sql("SELECT * FROM graft_changes('gw_b.t')") }
+      denied { a.sql(s"SELECT * FROM graft_history('${GraftSession.catalogRoot}/gw_b/t')") }
+      assert(b.sql("SELECT count(*) AS n FROM graft_history('gw_b.t')")
+        .head.getLong(0) >= 1L) // the owner still reads their own history
+
       // Spoofing: presenting alice's valid credentials while claiming
       // bob's user_id is rejected at the transport before any handler.
       val mallory = new Client(";user_id=bob;graft_user=alice;graft_token=s1")

@@ -56,18 +56,24 @@ object GraftAuthz {
   // JVM clear the cache immediately.
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
 
-  /** Enable enforcement. Creates the grants table if absent. */
+  /** Enable enforcement. Creates the grants + policies tables if
+    * absent.
+    */
   def enable(jdbcUrl: String, superusers: Set[String],
       jdbcUser: Option[String] = None, jdbcPassword: Option[String] = None,
       cacheTtlMillis: Long = 60000L): Unit = {
     ControlPlaneDb.ensureTable(jdbcUrl, jdbcUser, jdbcPassword,
       "CREATE TABLE graft_grants(principal VARCHAR(128), ns VARCHAR(128), " +
         "tbl VARCHAR(128), priv VARCHAR(16))", "graft_grants")
-    cache.clear()
+    ControlPlaneDb.ensureTable(jdbcUrl, jdbcUser, jdbcPassword,
+      "CREATE TABLE graft_policies(principal VARCHAR(128), ns VARCHAR(128), " +
+        "tbl VARCHAR(128), kind CHAR(1), col VARCHAR(128), sql_text VARCHAR(4096))",
+      "graft_policies")
+    cache.clear(); policyCache.clear()
     cfg = Some(Config(jdbcUrl, superusers, jdbcUser, jdbcPassword, cacheTtlMillis))
   }
 
-  def disable(): Unit = { cfg = None; cache.clear() }
+  def disable(): Unit = { cfg = None; cache.clear(); policyCache.clear() }
 
   def required: Boolean = cfg.isDefined
 
@@ -177,6 +183,95 @@ object GraftAuthz {
 
   private[graft] val SelectLevel = Privs("SELECT")
   private[graft] val ModifyLevel = Privs("MODIFY")
+
+  // ---- row filters & column masks (fine-grained access control) ----
+  // The Databricks/Ranger capability on top of the grant model: a ROW
+  // FILTER is a boolean SQL expression over the table's columns that
+  // a principal's reads are silently restricted to; a COLUMN MASK is
+  // an expression substituted for a column's value. Policies apply at
+  // ANALYSIS time (plans/RowPolicy.scala) so they compose with every
+  // read surface; a principal with any policy on a table loses write
+  // access to it (a row they cannot see must not be updatable).
+
+  final case class Policies(rowFilter: Option[String], masks: Map[String, String]) {
+    def isEmpty: Boolean = rowFilter.isEmpty && masks.isEmpty
+  }
+  private val NoPolicies = Policies(None, Map.empty)
+  private val policyCache = new java.util.concurrent.ConcurrentHashMap[String, (Policies, Long)]()
+
+  /** Restrict `principal`'s reads of `securable` to rows satisfying
+    * `filterSql` (replaces any previous filter).
+    */
+  def setRowFilter(principal: String, securable: String, filterSql: String): Unit =
+    setPolicy(principal, securable, "F", "*", filterSql)
+
+  /** Substitute `maskSql` for column `col` in `principal`'s reads. */
+  def setColumnMask(principal: String, securable: String, col: String, maskSql: String): Unit =
+    setPolicy(principal, securable, "M", col, maskSql)
+
+  private def setPolicy(principal: String, securable: String, kind: String,
+      col: String, sqlText: String): Unit = {
+    val c = cfg.getOrElse(throw new IllegalStateException("GraftAuthz is not enabled"))
+    val (ns, tbl) = split(securable)
+    withConn(c.jdbcUrl, c.jdbcUser, c.jdbcPassword) { conn =>
+      val del = conn.prepareStatement(
+        "DELETE FROM graft_policies WHERE principal = ? AND ns = ? AND tbl = ? AND kind = ? AND col = ?")
+      del.setString(1, principal); del.setString(2, ns); del.setString(3, tbl)
+      del.setString(4, kind); del.setString(5, col)
+      del.executeUpdate()
+      val ins = conn.prepareStatement(
+        "INSERT INTO graft_policies(principal, ns, tbl, kind, col, sql_text) VALUES (?, ?, ?, ?, ?, ?)")
+      ins.setString(1, principal); ins.setString(2, ns); ins.setString(3, tbl)
+      ins.setString(4, kind); ins.setString(5, col); ins.setString(6, sqlText)
+      ins.executeUpdate()
+    }
+    policyCache.clear()
+  }
+
+  /** Drop every policy `principal` has on `securable`. */
+  def dropPolicies(principal: String, securable: String): Unit = {
+    val c = cfg.getOrElse(throw new IllegalStateException("GraftAuthz is not enabled"))
+    val (ns, tbl) = split(securable)
+    withConn(c.jdbcUrl, c.jdbcUser, c.jdbcPassword) { conn =>
+      val ps = conn.prepareStatement(
+        "DELETE FROM graft_policies WHERE principal = ? AND ns = ? AND tbl = ?")
+      ps.setString(1, principal); ps.setString(2, ns); ps.setString(3, tbl)
+      ps.executeUpdate()
+    }
+    policyCache.clear()
+  }
+
+  /** The current principal's policies on (`ns`,`tbl`). Superusers and
+    * disabled enforcement see none. TTL-cached like grants.
+    */
+  def policiesFor(spark: SparkSession, ns: String, tbl: String): Policies =
+    cfg.fold(NoPolicies) { c =>
+      val principal = GraftAuthIdentity.current(spark)
+      if (c.superusers.contains(principal)) NoPolicies
+      else {
+        val key = principal + "\u0000" + ns + "\u0000" + tbl
+        val now = System.currentTimeMillis()
+        val hit = policyCache.get(key)
+        if (hit != null && now - hit._2 < c.cacheTtlMillis) hit._1
+        else {
+          val p = withConn(c.jdbcUrl, c.jdbcUser, c.jdbcPassword) { conn =>
+            val ps = conn.prepareStatement(
+              "SELECT kind, col, sql_text FROM graft_policies WHERE principal = ? AND ns = ? AND tbl = ?")
+            ps.setString(1, principal); ps.setString(2, ns); ps.setString(3, tbl)
+            val rs = ps.executeQuery()
+            var filter: Option[String] = None
+            val masks = scala.collection.mutable.Map.empty[String, String]
+            try while (rs.next()) {
+              if (rs.getString(1) == "F") filter = Some(rs.getString(3))
+              else masks(rs.getString(2)) = rs.getString(3)
+            } finally rs.close()
+            Policies(filter, masks.toMap)
+          }
+          policyCache.put(key, (p, now))
+          p
+        }
+      }
+    }
 
   /** Authority to GRANT/REVOKE/inspect grants on `securable`:
     * superuser, or ALL on the securable (directly or via its

@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // predicates/pruning reach the base scans instead of stopping at a
     // row-RDD view boundary.
     ext.injectResolutionRule(session => graft.plans.GraftViewInline(session))
+    // Row filters / column masks rewrite policy-bearing relations at
+    // analysis time (fine-grained access control, C27).
+    ext.injectResolutionRule(session => graft.plans.GraftRowPolicy(session))
     ext.injectOptimizerRule(session => graft.plans.ApproxQuantileRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.MaterializedViewRewrite(session))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

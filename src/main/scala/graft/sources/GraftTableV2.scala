@@ -58,6 +58,9 @@ final class GraftTable(path: String, version: Option[Long],
   // on the handle — Spark resolves a fresh Table per statement, so it
   // can never leak across principals.
   @volatile private var deniedFor: Option[String] = None
+  // Row-policy rule bookkeeping: each fresh handle is policy-checked
+  // at most once per statement (plans/RowPolicy.scala).
+  @volatile private[graft] var policyChecked: Boolean = false
   private[graft] def denyWritesFor(principal: String): Unit = { deniedFor = Some(principal) }
   private[graft] def writeDenied: Option[String] = deniedFor
   private def guardWrite(): Unit = deniedFor.foreach { p =>

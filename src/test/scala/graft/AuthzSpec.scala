@@ -74,6 +74,64 @@ class AuthzSpec extends AnyFunSuite {
     } finally GraftAuthz.disable()
   }
 
+  test("row filters and column masks restrict reads per principal and freeze writes") {
+    val url = "jdbc:derby:memory:rowpol;create=true"
+    // The embedded test session is the operator: superuser, stages data.
+    GraftAuthz.enable(url, superusers = Set(spark.sparkContext.sparkUser))
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.pol")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.pol.t")
+      spark.sql("""CREATE TABLE graft_cat.pol.t AS
+        SELECT id AS k, id % 3 AS g, CAST(id * 100 AS DOUBLE) AS secret FROM range(30)""")
+      GraftAuthz.grant("u1", "pol.t", "SELECT")
+      GraftAuthz.grant("u9", "pol.t", "SELECT")
+      GraftAuthz.setRowFilter("u1", "pol.t", "g = 1")
+      GraftAuthz.setColumnMask("u1", "pol.t", "secret", "CAST(-1 AS DOUBLE)")
+
+      // u1 sees only its rows, with the masked column substituted —
+      // through plain reads, aggregates and joins alike.
+      as("u1") {
+        val rows = spark.sql("SELECT k, g, secret FROM graft_cat.pol.t").collect()
+        assert(rows.length == 10, rows.length)
+        assert(rows.forall(_.getLong(1) == 1L))
+        assert(rows.forall(_.getDouble(2) == -1.0))
+        assert(spark.sql(
+          "SELECT count(*) AS n FROM graft_cat.pol.t a JOIN graft_cat.pol.t b ON a.k = b.k")
+          .collect()(0).getLong(0) == 10L)
+        // policies freeze every write surface for the principal
+        val e1 = intercept[Exception] {
+          spark.sql("UPDATE graft_cat.pol.t SET secret = 0 WHERE k = 1")
+        }
+        assert(e1.getMessage.contains("PERMISSION_DENIED"), e1.getMessage)
+        val e2 = intercept[Exception] {
+          spark.sql("INSERT INTO graft_cat.pol.t SELECT 99, 1, 0.0")
+        }
+        assert(e2.getMessage.contains("PERMISSION_DENIED"), e2.getMessage)
+        val e3 = intercept[Exception] {
+          spark.sql("DELETE FROM graft_cat.pol.t WHERE k = 4")
+        }
+        assert(e3.getMessage.contains("PERMISSION_DENIED"), e3.getMessage)
+      }
+
+      // A policy-free principal and the superuser see raw data.
+      as("u9") {
+        val all = spark.sql("SELECT count(*) AS n, max(secret) AS m FROM graft_cat.pol.t")
+          .collect()(0)
+        assert(all.getLong(0) == 30L && all.getDouble(1) == 2900.0, all)
+      }
+      assert(spark.sql("SELECT count(*) AS n FROM graft_cat.pol.t")
+        .collect()(0).getLong(0) == 30L)
+
+      // Dropping the policies restores the full view.
+      GraftAuthz.dropPolicies("u1", "pol.t")
+      as("u1") {
+        assert(spark.sql("SELECT count(*) AS n FROM graft_cat.pol.t")
+          .collect()(0).getLong(0) == 30L)
+      }
+      spark.sql("DROP TABLE graft_cat.pol.t")
+    } finally GraftAuthz.disable()
+  }
+
   test("disabled enforcement is a no-op; enabling requires no pre-existing grants table") {
     // No config: every check passes for anyone (embedded default).
     GraftAuthz.requireSelect(spark, "anyns", "anytable")

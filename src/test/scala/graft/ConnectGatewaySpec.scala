@@ -346,6 +346,17 @@ class ConnectGatewaySpec extends AnyFunSuite {
       denied { a.sql("UPDATE graft_cat.gw_b.t SET v = 0 WHERE id = 1") }
       denied { a.sql("DELETE FROM graft_cat.gw_b.t WHERE id = 1") }
       denied { a.sql("TRUNCATE TABLE graft_cat.gw_b.t") }
+      // Row policies ride the same identity chain over the wire: with
+      // a filter and mask set for alice, her remote reads shrink and
+      // redact while bob's stay raw.
+      GraftAuthz.setRowFilter("alice", "gw_b.t", "id < 10")
+      GraftAuthz.setColumnMask("alice", "gw_b.t", "v", "CAST(0 AS DOUBLE)")
+      val masked = a.sql("SELECT count(*) AS n, max(v) AS m FROM graft_cat.gw_b.t").head
+      assert(masked.getLong(0) == 10L && masked.getDouble(1) == 0.0, masked)
+      assert(b.sql("SELECT count(*) AS n, max(v) AS m FROM graft_cat.gw_b.t")
+        .head.getLong(0) == 50L)
+      GraftAuthz.dropPolicies("alice", "gw_b.t")
+
       GraftAuthz.revoke("alice", "gw_b.t", "SELECT")
       denied { a.sql("SELECT count(*) AS n FROM graft_cat.gw_b.t") }
 

@@ -365,6 +365,18 @@ object LakeTable {
     segs.reverse.dropWhile(_.contains("=")).reverse.mkString("/")
   }
 
+  /** Filesystem-independent group identity: the group root's LAST path
+    * segment (`d3-ab12cd34`). Commit entries can be relative names or
+    * ABSOLUTE URIs (shallow clones, branches) — deletion-vector file
+    * names can only embed the bare segment, so every DV group match
+    * normalizes through this. The uuid suffix in group names makes
+    * last-segment collisions across roots negligible.
+    */
+  private[graft] def groupKey(entry: String): String = {
+    val r = groupRoot(entry)
+    r.substring(r.lastIndexOf('/') + 1)
+  }
+
   /** One data file's pruning outcome: its path, the finest commit
     * entry that could carry it (its partition leaf dir — the entry
     * itself for flat files), and whether its stats/partition values
@@ -761,7 +773,10 @@ object LakeTable {
     * ever deletes `d*` dirs under its OWN root, never shared ones.
     * Caveat shared with Delta: vacuuming the SOURCE below the cloned
     * snapshot orphans the clone's shared files — pin source retention
-    * to the clone point.
+    * to the clone point. Deletion-vector state at the cloned version
+    * PINS into the clone's own `_dv` (group identity is the dir's
+    * last path segment, [[groupKey]]), so a clone of a merge-on-read
+    * table serves the vectored state, isolated from later source DML.
     */
   def shallowClone(spark: SparkSession, sourcePath: String, targetPath: String,
       version: Option[Long] = None): Long = {
@@ -779,7 +794,14 @@ object LakeTable {
     val p = new Path(targetPath)
     val fs = fsOf(spark, p)
     if (fs.exists(p)) fs.delete(p, true)
-    writeCommit(spark, targetPath, Commit(0L, "clone", absDirs))
+    // PIN the source's deletion-vector state (B46): the clone's reads
+    // resolve DVs from its OWN `_dv`, so the resolved per-group state
+    // at the cloned version is re-serialized there under v0 — blob
+    // keys are absolute file paths and stay valid (no file moves), and
+    // later source deletes can never leak into the pinned snapshot.
+    val dvNames = dvResolve(spark, sourcePath, v, c.dirs).toSeq.sortBy(_._1)
+      .map { case (g, (_, files)) => writeDvFile(spark, targetPath, 0L, g, files) }
+    writeCommit(spark, targetPath, Commit(0L, "clone", absDirs, dvFiles = dvNames))
     0L
   }
 
@@ -1263,7 +1285,7 @@ object LakeTable {
     val d = dvDirPath(path)
     val fs = fsOf(spark, d)
     if (!fs.exists(d)) return Map.empty
-    val groups = dirs.map(groupRoot).toSet
+    val groups = dirs.map(groupKey).toSet
     // Verification: a candidate applies iff the commit of its version
     // references it. A VACUUMED commit (file gone) accepts its
     // survivors — vacuum already removed every unreferenced orphan, so
@@ -1385,7 +1407,7 @@ object LakeTable {
     require(toVersion <= cur, s"cannot restore $path to future version $toVersion (current $cur)")
     val old = readCommit(spark, path, toVersion)
     val v = cur + 1
-    val restoredGroups = old.dirs.map(groupRoot).toSet
+    val restoredGroups = old.dirs.map(groupKey).toSet
     val stateAtTo = dvResolve(spark, path, toVersion, old.dirs)
     // groups of the restored snapshot with ANY vector file ≤ cur need
     // pinning (interim MOR deletes would otherwise leak into v)
@@ -1477,7 +1499,7 @@ object LakeTable {
       dirs: Seq[String], dv0: Map[String, Map[String, Array[Byte]]],
       marks: DataFrame): Seq[String] = {
     import org.apache.spark.sql.graftglue.Glue
-    val roots = dirs.map(groupRoot).distinct
+    val roots = dirs.map(groupKey).distinct
     val confBc = Glue.broadcastConf(spark.sparkContext, Glue.sessionHadoopConf(spark))
     val dv0Bc = spark.sparkContext.broadcast(dv0)
     val pathStr = path
@@ -1983,7 +2005,7 @@ object LakeTable {
     val flatEntries = dirs.forall(d => groupRoot(d) == d)
     if (flatEntries && tablePartitioning(spark, path).isEmpty)
       finish(spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => new Path(path, d).toString): _*), dirs)
+        .parquet(dirs.map(d => new Path(path, d).toString): _*), dirs.map(groupKey))
     else {
       // Partitioned (or subdir-entry) layout: one read per GROUP ROOT
       // under its basePath — entries of the same group share a scan,
@@ -1995,7 +2017,7 @@ object LakeTable {
         if (entryPaths.isEmpty) None
         else Some(finish(spark.read.option("mergeSchema", "true")
           .option("basePath", new Path(path, root).toString)
-          .parquet(entryPaths: _*), Seq(root)))
+          .parquet(entryPaths: _*), Seq(groupKey(root))))
       }
       if (reads.nonEmpty) reads.reduce(_.unionByName(_, allowMissingColumns = true))
       else metaSchema(spark, path) match {
@@ -2040,10 +2062,10 @@ object LakeTable {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (flat)
       finish(spark.read.option("mergeSchema", "true")
-        .parquet(nonEmpty.flatMap(_.kept): _*), nonEmpty.map(p => groupRoot(p.dir)))
+        .parquet(nonEmpty.flatMap(_.kept): _*), nonEmpty.map(p => groupKey(p.dir)))
     else nonEmpty.map { pd =>
       finish(spark.read.option("mergeSchema", "true").option("basePath", pd.base)
-        .parquet(pd.kept: _*), Seq(groupRoot(pd.dir)))
+        .parquet(pd.kept: _*), Seq(groupKey(pd.dir)))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

@@ -390,6 +390,62 @@ object Clustering {
       .orderBy("qid", "rn")
   }
 
+  /** D34: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication") —
+    * CLUSTER-SCOPED embedding dedup: k-means partitions the corpus
+    * into semantic cells, and near-duplicate pairs are only searched
+    * WITHIN a cell. That is the whole scaling story: pairwise cosine
+    * is quadratic, but k grows ∝ N (SemDeDup uses k ≈ N/10⁴) so the
+    * per-cell population — and with it each cell's pair block — stays
+    * bounded while the total work stays linear in N. Complementary to
+    * q_dedup_embedding's hyperplane-LSH (recall from random
+    * projections vs recall from learned semantic locality). Plan
+    * shape: seeded codebook from a bounded sample (driver Lloyd's, the
+    * IVF rationale above), assignment is one map pass through the
+    * native NearestCentroid expression, then one cell-keyed self-join
+    * — only (cell, vec_id, vector) rows shuffle, each cell's rows
+    * co-locate in one partition, and the keep-first rule (drop a
+    * vector iff a LOWER-id cell-mate sits within cosine ≥ τ) makes
+    * survivors deterministic. Same planted-near-dup device as D05 so
+    * the operator has signal to find.
+    */
+  def semDedup(s: SparkSession, d: String, k: Int = 8, tau: Double = 0.95): DataFrame = {
+    import s.implicits._
+    val e = t(s, d, "embeddings")
+    val planted = e.where(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x.cast("double") * (lit(1.0) + pmod(i, lit(7)) * 0.001)).cast("float"))
+          .as("embedding"))
+    val corpus = e.select("vec_id", "embedding").union(planted)
+
+    val trainCap = 100000L
+    val n = corpus.count()
+    val sampled = if (n <= trainCap) corpus
+      else corpus.sample(withReplacement = false, trainCap.toDouble / n, 42L)
+    val pts: Array[Array[Float]] = sampled.select("embedding")
+      .as[Seq[Float]].collect().map(_.toArray)
+    val cents = lloyd(pts, k, iters = 10, seed = 42L)
+
+    val assigned = corpus
+      .withColumn("cell", Vectors.nearestCentroid(col("embedding"), cents))
+    val mates = assigned.select(col("cell"),
+      col("vec_id").as("vb"), col("embedding").as("eb"))
+    val dropped = assigned.join(mates, Seq("cell"))
+      .where(col("vb") < col("vec_id"))
+      .withColumn("cos", round(Vectors.cosineSim(col("embedding"), col("eb")), 4))
+      .where(col("cos") >= tau)
+      .select("vec_id").distinct()
+    val kept = assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .groupBy("cell").agg(count(lit(1)).as("n_kept"))
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("cell"), "left")
+      .select(col("cell"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy("cell")
+  }
+
   private def normalizedArr(a: Array[Float]): Array[Float] = {
     var nn = 0.0; var i = 0
     while (i < a.length) { nn += a(i).toDouble * a(i); i += 1 }
@@ -399,6 +455,7 @@ object Clustering {
 
   val qs: Seq[Q] = Seq(
     Q("q_knn_ivf", (s, d) => knnIvf(s, d), None),
+    Q("q_dedup_semantic", (s, d) => semDedup(s, d), None),
     Q("q_knn_pq", (s, d) => knnPq(s, d), None),
     Q("q_ann_persisted", (s, d) => {
       val idx = s"${Lakehouse.scratch}/pq_index"

@@ -259,5 +259,34 @@ object Events {
              |      FROM r WHERE rn <= 5 GROUP BY 1)
              |SELECT path, count(*)::BIGINT AS users
              |FROM p GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin)),
+
+    // A101: adjacency / sequence-pattern matching ("purchase directly
+    // after view, no detour") — the MATCH_RECOGNIZE-lite primitive
+    // behavioral analytics builds conversion reports from. One lead()
+    // over the per-user (ts, event_id) order: NO per-user sequence
+    // string is ever materialized (a power user's whole history as one
+    // string is unbounded state; the window pass streams it row by
+    // row), so the operator is one sort-within-user-partition pass at
+    // any scale. Deterministic tiebreak on event_id keeps both engines
+    // on the same neighbor when timestamps collide.
+    Q("q_event_adjacency",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("nxt", lead(col("event_type"), 1).over(byUser))
+          .where(col("event_type") === "view" && col("nxt") === "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_direct"))
+          .orderBy("user_id")
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |                           ORDER BY ts, event_id) AS nxt
+             |  FROM events)
+             |SELECT user_id, count(*)::BIGINT AS n_direct
+             |FROM x WHERE event_type = 'view' AND nxt = 'purchase'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

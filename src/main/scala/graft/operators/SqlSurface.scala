@@ -406,5 +406,51 @@ object SqlSurface {
              |round(sum(o_totalprice), 2) AS rev
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A102: SQL scalar UDF (CREATE FUNCTION ... RETURN expr) — users
+    // of the reference's JDBC gateway define reusable business
+    // expressions in pure SQL. Spark inlines the SQL-UDF body into the
+    // calling plan at analysis time, so the aggregate below is the
+    // same whole-stage-codegen'd expression tree as writing the
+    // formula inline — a UDF surface with ZERO execution cost at any
+    // scale (vs a black-box Scala/Python UDF that breaks codegen and
+    // pushdown). The oracle runs the inlined formula.
+    Q("q_sql_udf",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li_sqludf")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_charge(
+                |  p DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+                |RETURN p * (1.0 - disc) * (1.0 + tax)""".stripMargin)
+        s.sql("""SELECT l_returnflag,
+                |  round(sum(graft_charge(l_extendedprice, l_discount, l_tax)) + 1e-6, 2)
+                |    AS sum_charge,
+                |  count(*) AS n
+                |FROM li_sqludf GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) + 1e-6, 2)
+             |    AS sum_charge,
+             |  count(*)::BIGINT AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // A103: SQL table function (CREATE FUNCTION ... RETURNS TABLE) —
+    // a parameterized view: the body is a full query inlined at
+    // analysis time wherever the function appears in FROM, so
+    // pushdown/pruning see through it exactly as through a view.
+    Q("q_sql_udtf",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li_sqludtf")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION flag_parts(fl STRING)
+                |RETURNS TABLE(l_partkey BIGINT, qty DOUBLE)
+                |RETURN SELECT l_partkey, sum(l_quantity) AS qty
+                |  FROM li_sqludtf WHERE l_returnflag = fl
+                |  GROUP BY l_partkey ORDER BY qty DESC, l_partkey LIMIT 10""".stripMargin)
+        s.sql("SELECT l_partkey, qty FROM flag_parts('A') ORDER BY qty DESC, l_partkey")
+      },
+      Some("""SELECT l_partkey, qty FROM (
+             |  SELECT l_partkey, sum(l_quantity) AS qty
+             |  FROM lineitem WHERE l_returnflag = 'A'
+             |  GROUP BY l_partkey ORDER BY qty DESC, l_partkey LIMIT 10)
+             |ORDER BY qty DESC, l_partkey""".stripMargin)),
   )
 }

@@ -285,40 +285,83 @@ object TextOps {
     // hash-matches; the generator emits an index and the bigram is
     // built from attributes (never explode(transform(...)) — §6.5.3).
     Q("q_text_lmscore",
+      (s, d) => lmScored(s, d).orderBy("doc_id"),
+      Some(lmScoreCte +
+        """SELECT e.doc_id,
+          |       round(sum(coalesce(bf, 0))/count(*) + 1e-9, 4) AS lm_score,
+          |       count(*)::BIGINT AS n_bigrams
+          |FROM ex e LEFT JOIN model USING(bg)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CCNet-style quality bucketing (Wenzek et al. 2020): rank each
+    // document by its LM score WITHIN ITS LANGUAGE and split the
+    // ranking into head/middle/tail terciles — the partition a
+    // training-mix builder samples from at different rates. Reuses the
+    // q_text_lmscore stream (capped-broadcast model, corpus never
+    // shuffles for scoring); the only additional work is one ntile
+    // window per language over (score, doc_id) — a total order, so
+    // bucket boundaries are deterministic across engines. At 100 TB
+    // the window partitions by language; skew (one dominant language)
+    // is the known cost and the production form replaces ntile with
+    // precomputed score-quantile cutpoints (one approx-quantile pass,
+    // then a pure map) — same buckets, no global sort per language.
+    Q("q_corpus_buckets",
       (s, d) => {
-        // The model is CAPPED to the top-K most frequent bigrams
-        // (deterministic tie-break on the bigram itself): a full
-        // bigram table over an open-vocabulary web corpus is NOT
-        // broadcastable, and the cap — the standard frequency-cutoff
-        // LMs use anyway — bounds the broadcast at K rows regardless
-        // of corpus size. TakeOrdered (sort-free top-K) selects it;
-        // out-of-model bigrams score 0 via the left join's coalesce.
-        val modelK = 5000
-        val ex = t(s, d, "documents")
-          .withColumn("ws", split(col("text"), " "))
-          .where(size(col("ws")) >= 2)
-          .select(col("doc_id"), col("ws"),
-            explode(sequence(lit(0), size(col("ws")) - 2)).as("i"))
-          .select(col("doc_id"),
-            concat(col("ws")(col("i")), lit(" "), col("ws")(col("i") + 1)).as("bg"))
-        val model = ex.groupBy("bg").agg(count(lit(1)).as("bf"))
-          .orderBy(desc("bf"), col("bg")).limit(modelK)
-        ex.join(broadcast(model), Seq("bg"), "left")
-          .groupBy("doc_id")
-          .agg(round(sum(coalesce(col("bf"), lit(0L))) / count(lit(1)) + lit(1e-9), 4).as("lm_score"),
-            count(lit(1)).as("n_bigrams"))
+        val byLang = Window.partitionBy("lang")
+          .orderBy(desc("lm_score"), col("doc_id"))
+        lmScored(s, d)
+          .join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
+          .withColumn("nt", ntile(3).over(byLang))
+          .withColumn("bucket",
+            when(col("nt") === 1, "head")
+              .when(col("nt") === 2, "middle").otherwise("tail"))
+          .select("doc_id", "lang", "bucket")
           .orderBy("doc_id")
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-             |ex AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS bg
-             |       FROM w, unnest(range(0, len(ws)-1)) AS t(i) WHERE len(ws) >= 2),
-             |model AS (SELECT bg, count(*) AS bf FROM ex GROUP BY 1
-             |          ORDER BY bf DESC, bg LIMIT 5000)
-             |SELECT e.doc_id,
-             |       round(sum(coalesce(bf, 0))/count(*) + 1e-9, 4) AS lm_score,
-             |       count(*)::BIGINT AS n_bigrams
-             |FROM ex e LEFT JOIN model USING(bg)
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(lmScoreCte +
+        """, sc AS (SELECT e.doc_id,
+          |         round(sum(coalesce(bf, 0))/count(*) + 1e-9, 4) AS lm_score
+          |       FROM ex e LEFT JOIN model USING(bg) GROUP BY 1),
+          |b AS (SELECT doc_id, lang,
+          |        ntile(3) OVER (PARTITION BY lang
+          |                       ORDER BY lm_score DESC, doc_id) AS nt
+          |      FROM sc JOIN documents USING(doc_id))
+          |SELECT doc_id, lang,
+          |  CASE WHEN nt = 1 THEN 'head'
+          |       WHEN nt = 2 THEN 'middle' ELSE 'tail' END AS bucket
+          |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic training-data shuffle: the global random
+    // interleave every epoch of LLM training needs, as a reproducible
+    // engine op instead of an in-memory shuffle. Each doc hashes to a
+    // shard and an intra-shard position via a seeded Lehmer chain in
+    // exact BIGINT arithmetic (portable — the oracle runs the same
+    // formula), so shard assignment is ONE map pass + one hash
+    // exchange on the shard key, and the within-shard order is a local
+    // sort per shard: no global sort, no driver state, rerunnable
+    // byte-identically on any cluster size. Multiplications stay
+    // < 2^63 for doc_id < 3.9e9; for larger corpora the same chain
+    // runs on doc_id % 2^31 with the id folded into the first step.
+    Q("q_corpus_shuffle",
+      (s, d) => {
+        val shards = 8
+        val seed = 20260814L
+        val h1 = (col("doc_id") * lit(2654435761L) + lit(seed)) % lit(2147483647L)
+        t(s, d, "documents").select("doc_id")
+          .withColumn("h", (h1 * lit(48271L)) % lit(2147483647L))
+          .withColumn("shard", col("h") % lit(shards.toLong))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy("h", "doc_id")).cast("long"))
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    ((doc_id * 2654435761 + 20260814) % 2147483647) * 48271
+             |      % 2147483647 AS h
+             |  FROM documents)
+             |SELECT doc_id, h % 8 AS shard,
+             |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+             |FROM h ORDER BY shard, pos""".stripMargin)),
 
     // Intra-document repetition scoring (the Gopher/C4 quality rule
     // "drop docs that repeat themselves"): duplicate-token and
@@ -513,4 +556,45 @@ object TextOps {
              |      FROM documents)
              |WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
+
+  /** Shared bigram-LM scoring stream (q_text_lmscore / q_corpus_buckets):
+    * per-doc mean frequency of its bigrams under a corpus bigram model.
+    * The model is CAPPED to the top-K most frequent bigrams
+    * (deterministic tie-break on the bigram itself): a full bigram
+    * table over an open-vocabulary web corpus is NOT broadcastable,
+    * and the cap — the standard frequency-cutoff LMs use anyway —
+    * bounds the broadcast at K rows regardless of corpus size.
+    * TakeOrdered (sort-free top-K) selects it; out-of-model bigrams
+    * score 0 via the left join's coalesce. Kept integer-exact until
+    * one final division so the oracle hash-matches; the generator
+    * emits an index and the bigram is built from attributes (never
+    * explode(transform(...)) — §6.5.3).
+    */
+  private def lmScored(s: SparkSession, d: String): DataFrame = {
+    val modelK = 5000
+    val ex = t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 2)).as("i"))
+      .select(col("doc_id"),
+        concat(col("ws")(col("i")), lit(" "), col("ws")(col("i") + 1)).as("bg"))
+    val model = ex.groupBy("bg").agg(count(lit(1)).as("bf"))
+      .orderBy(desc("bf"), col("bg")).limit(modelK)
+    ex.join(broadcast(model), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(round(sum(coalesce(col("bf"), lit(0L))) / count(lit(1)) + lit(1e-9), 4).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** DuckDB mirror of lmScored's ex/model CTEs (shared by the two
+    * oracles so the engines cannot drift).
+    */
+  private def lmScoreCte: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ex AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS bg
+      |       FROM w, unnest(range(0, len(ws)-1)) AS t(i) WHERE len(ws) >= 2),
+      |model AS (SELECT bg, count(*) AS bf FROM ex GROUP BY 1
+      |          ORDER BY bf DESC, bg LIMIT 5000)
+      |""".stripMargin
 }

@@ -127,4 +127,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"LSH sim above exact max for query ${r.getLong(0)}")
     }
   }
+
+  test("SemDeDup drops exactly the 20 planted copies, keeps every original") {
+    val rows = Registry.byName("q_dedup_semantic").run(spark, sf).collect()
+    val nEmb = Tables(spark, sf, "embeddings").count()
+    // cell populations account for the whole corpus (originals + plants)
+    assert(rows.map(_.getLong(1)).sum == nEmb + 20)
+    // every planted copy sits within cos >= tau of its lower-id original
+    // in the same k-means cell, so exactly the 20 plants are dropped; the
+    // natural corpus (max pairwise cosine ~0.51) contributes none.
+    assert(rows.map(_.getLong(3)).sum == 20L, rows.mkString(";"))
+    rows.foreach(r => assert(r.getLong(2) + r.getLong(3) == r.getLong(1)))
+  }
+
+  test("q_corpus_shuffle is a seeded permutation: every doc placed once, dense positions") {
+    val rows = Registry.byName("q_corpus_shuffle").run(spark, sf).collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_.getLong(0)).distinct.length == nDocs) // each doc once
+    // positions within a shard are 1..|shard| with no gaps
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val ps = rs.map(_.getLong(2)).sorted
+      assert(ps.head == 1L && ps.last == ps.length.toLong && ps.distinct.length == ps.length)
+    }
+  }
+
+  test("q_corpus_buckets: per-language terciles are balanced within one doc") {
+    val rows = Registry.byName("q_corpus_buckets").run(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+      assert(Set("head", "middle", "tail").subsetOf(sizes.keySet) || rs.length < 3, s"$lang $sizes")
+      if (sizes.size == 3) assert(sizes.values.max - sizes.values.min <= 1, s"$lang $sizes")
+    }
+  }
 }

@@ -325,4 +325,39 @@ class PlanSpec extends AnyFunSuite {
         s"corpus text shuffled:\n$line")
     }
   }
+
+  test("q_sql_udf is inlined at analysis time: codegen'd aggregate, no UDF node") {
+    val p = planOf("q_sql_udf")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
+    // the function body's arithmetic sits INSIDE the partial aggregate —
+    // an opaque call boundary would show a UDF node feeding it instead
+    assert(p.contains("(1.0 - disc") && p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("q_sql_udtf inlines the table-function body: pushed filter reaches the scan") {
+    val p = planOf("q_sql_udtf")
+    // the WHERE l_returnflag = fl inside the function body must reach
+    // the parquet scan as a pushed filter, proving the body is a plan
+    // fragment, not an opaque call boundary
+    assert(p.contains("EqualTo(l_returnflag,A)"), p.take(3000))
+  }
+
+  test("q_dedup_semantic: native centroid assignment, no UDF, no cartesian") {
+    val p = planOf("q_dedup_semantic")
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      s"cell self-join degenerated to all-pairs:\n${p.take(2000)}")
+  }
+
+  test("q_event_adjacency streams one window pass; no per-user sequence strings") {
+    val p = planOf("q_event_adjacency")
+    assert("(?m)^.*Window".r.findAllIn(p).length == 1, p.take(2000))
+    assert(!p.contains("collect_list"), p.take(2000))
+  }
+
+  test("q_corpus_shuffle: one hash exchange on the shard key, local per-shard sort") {
+    val p = planOf("q_corpus_shuffle")
+    assert(!p.contains("rangepartitioning(h"), p.take(2000))
+    assert(p.contains("hashpartitioning(shard"), p.take(2000))
+  }
 }

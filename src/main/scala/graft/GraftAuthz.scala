@@ -71,9 +71,15 @@ object GraftAuthz {
       "graft_policies")
     cache.clear(); policyCache.clear()
     cfg = Some(Config(jdbcUrl, superusers, jdbcUser, jdbcPassword, cacheTtlMillis))
+    // Enforcement implies an audit trail (C28): decisions land in the
+    // same control-plane DB, asynchronously (GraftAudit.scala).
+    GraftAudit.enable(jdbcUrl, jdbcUser, jdbcPassword)
   }
 
-  def disable(): Unit = { cfg = None; cache.clear(); policyCache.clear() }
+  def disable(): Unit = {
+    cfg = None; cache.clear(); policyCache.clear()
+    GraftAudit.disable()
+  }
 
   def required: Boolean = cfg.isDefined
 
@@ -104,6 +110,7 @@ object GraftAuthz {
       ps.executeUpdate()
     }
     cache.clear()
+    GraftAudit.record(principal, s"GRANT ${privilege.toUpperCase}", securable, "admin")
   }
 
   /** Revoke every grant of `privilege` on `securable` from `principal`. */
@@ -118,6 +125,7 @@ object GraftAuthz {
       ps.executeUpdate()
     }
     cache.clear()
+    GraftAudit.record(principal, s"REVOKE ${privilege.toUpperCase}", securable, "admin")
   }
 
   /** Highest privilege level `principal` holds on (`ns`, `tbl`):
@@ -147,10 +155,14 @@ object GraftAuthz {
   private def check(spark: SparkSession, ns: String, tbl: String, need: Int,
       verb: String): Unit = cfg.foreach { c =>
     val principal = GraftAuthIdentity.current(spark)
-    if (!c.superusers.contains(principal) && levelFor(c, principal, ns, tbl) < need)
+    val securable = if (tbl == "*") ns else s"$ns.$tbl"
+    if (!c.superusers.contains(principal) && levelFor(c, principal, ns, tbl) < need) {
+      GraftAudit.record(principal, verb, securable, "deny")
       throw new AccessDenied(
         s"PERMISSION_DENIED: principal '$principal' lacks $verb on " +
           (if (tbl == "*") s"namespace '$ns'" else s"table '$ns.$tbl'"))
+    }
+    GraftAudit.record(principal, verb, securable, "allow")
   }
 
   /** No-ops unless enforcement is enabled. `table` = "*" checks the
@@ -282,9 +294,11 @@ object GraftAuthz {
     val c = cfg.getOrElse(throw new IllegalStateException("GraftAuthz is not enabled"))
     val principal = GraftAuthIdentity.current(spark)
     val (ns, tbl) = split(securable)
-    if (!c.superusers.contains(principal) && levelFor(c, principal, ns, tbl) < Privs("ALL"))
+    if (!c.superusers.contains(principal) && levelFor(c, principal, ns, tbl) < Privs("ALL")) {
+      GraftAudit.record(principal, "GRANT_ADMIN", securable, "deny")
       throw new AccessDenied(
         s"PERMISSION_DENIED: principal '$principal' lacks grant authority (ALL) on '$securable'")
+    }
   }
 
   /** Every (principal, privilege) granted directly on `securable`
@@ -319,6 +333,7 @@ object GraftAuthz {
     org.apache.spark.sql.connect.graftglue.ConnectGlue.connectUserOf(spark)
       .filterNot(c.superusers.contains)
       .foreach { p =>
+        GraftAudit.record(p, "PATH", path, "deny")
         throw new AccessDenied(
           s"PERMISSION_DENIED: principal '$p' may not open graft paths directly " +
             s"($path); access tables through the catalog")

@@ -280,6 +280,23 @@ object GraftProcedures {
             .map { case (pr, pv) => s"$pr:$pv" }.sorted.mkString(",")))
         }
       }
+      case "show_audit" => new Proc("show_audit",
+          Array(param("n", IntegerType)),
+          StructType(Seq(StructField("at_ms", LongType),
+            StructField("principal", StringType), StructField("verb", StringType),
+            StructField("securable", StringType), StructField("decision", StringType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          // Admin-only: the trail names every tenant's objects. Global
+          // ALL (or superuser) is the audit-reader bar.
+          graft.GraftAuthz.requireGrantAuthority(spark, "*")
+          graft.GraftAudit.flush(2000L)
+          graft.GraftAudit.tail(in.getInt(0)).map { e =>
+            InternalRow(e.atMs, UTF8String.fromString(e.principal),
+              UTF8String.fromString(e.verb), UTF8String.fromString(e.securable),
+              UTF8String.fromString(e.decision))
+          }.toArray
+        }
+      }
       case other => throw new NoSuchElementException(s"unknown procedure $other")
     }
   }
@@ -288,5 +305,5 @@ object GraftProcedures {
     Array("compact", "compact_where", "vacuum", "set_sort_by", "cluster_by",
       "add_check", "drop_check", "delete_mor", "update_mor", "enable_dv",
       "restore", "create_view", "tag", "drop_tag", "create_mv", "drop_mv",
-      "grant", "revoke", "show_grants")
+      "grant", "revoke", "show_grants", "show_audit")
 }

@@ -360,7 +360,20 @@ final class GraftDvScanBuilder(spark: SparkSession, path: String, v: Long,
     val filterCol = pushed.flatMap(toColumn(_)).reduceOption(_ && _)
     val reqCols = required.fieldNames.toIndexedSeq
     val reqSchema = required
-    new org.apache.spark.sql.connector.read.V1Scan {
+    // Kept-file bytes were listed during pruning — the stats report is
+    // free. DV-mode tables thereby keep sane join planning too: a
+    // small MOR dim still auto-broadcasts (the row-count correction
+    // for deleted rows is at most the DV cardinality, which only makes
+    // the table SMALLER — reporting pre-delete bytes is conservative).
+    val keptBytes = pruned.iterator.flatMap(_.files).filter(_.kept).map(_.len).sum
+    new org.apache.spark.sql.connector.read.V1Scan
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(keptBytes)
+          override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        }
       override def readSchema(): StructType = reqSchema
       override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
           with org.apache.spark.sql.sources.TableScan](

@@ -390,7 +390,26 @@ final class GraftKeyedFilePartition(index: Int,
 final class GraftStreamableScan(val inner: Scan, spark: SparkSession, val path: String,
     schema: StructType, options: CaseInsensitiveStringMap,
     partSchema: StructType = new StructType()) extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Planner statistics, delegated to the wrapped FileScan (post-
+    * pruning listed bytes). Without this report a DSv2 relation's
+    * size falls back to `defaultSizeInBytes` (effectively infinite),
+    * so an unhinted catalog-SQL join against even a 5-row graft dim
+    * plans a shuffle join — and in AQE-less contexts (stateful
+    * streaming) nothing ever corrects it. With it, small graft tables
+    * auto-broadcast exactly like parquet path tables.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
 
   import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 

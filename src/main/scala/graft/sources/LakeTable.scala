@@ -382,7 +382,8 @@ object LakeTable {
     * itself for flat files), and whether its stats/partition values
     * intersect the bounds.
     */
-  private[graft] final case class PrunedFile(file: String, leaf: String, kept: Boolean)
+  private[graft] final case class PrunedFile(file: String, leaf: String, kept: Boolean,
+      len: Long = 0L)
 
   /** One commit entry's pruning outcome: the entry (as named in the
     * commit), the qualified GROUP ROOT path (a valid `basePath` read
@@ -487,7 +488,7 @@ object LakeTable {
           val leaf =
             if (!rel.contains("/")) d
             else root + "/" + rel.substring(0, rel.lastIndexOf('/'))
-          acc += PrunedFile(f.getPath.toString, leaf, overlaps)
+          acc += PrunedFile(f.getPath.toString, leaf, overlaps, f.getLen)
         }
       }
       PrunedDir(d, base, acc.result())

@@ -74,6 +74,45 @@ class AuthzSpec extends AnyFunSuite {
     } finally GraftAuthz.disable()
   }
 
+  test("audit trail records allow/deny decisions and grant administration") {
+    val url = "jdbc:derby:memory:auditunit;create=true"
+    GraftAuthz.enable(url, superusers = Set("root_admin"))
+    try {
+      GraftAuthz.grant("au1", "adb.t", "SELECT")
+      as("au1") { GraftAuthz.requireSelect(spark, "adb", "t") }
+      as("au2") {
+        intercept[GraftAuthz.AccessDenied] { GraftAuthz.requireSelect(spark, "adb", "t") }
+      }
+      GraftAuthz.revoke("au1", "adb.t", "SELECT")
+      GraftAudit.flush()
+      val entries = GraftAudit.tail(100)
+      def has(p: String, verb: String, sec: String, dec: String): Boolean =
+        entries.exists(e => e.principal == p && e.verb == verb &&
+          e.securable == sec && e.decision == dec)
+      assert(has("au1", "SELECT", "adb.t", "allow"), entries.mkString(";"))
+      assert(has("au2", "SELECT", "adb.t", "deny"), entries.mkString(";"))
+      assert(has("au1", "GRANT SELECT", "adb.t", "admin"), entries.mkString(";"))
+      assert(has("au1", "REVOKE SELECT", "adb.t", "admin"), entries.mkString(";"))
+      assert(GraftAudit.dropped == 0L)
+      // newest-first ordering: the revoke is the latest adb.t admin row
+      val admins = entries.filter(_.decision == "admin")
+      assert(admins.head.verb.startsWith("REVOKE"), admins.mkString(";"))
+
+      // the audit reader bar is grant authority: a plain principal
+      // cannot read the trail through the procedure's check
+      as("au1") {
+        intercept[GraftAuthz.AccessDenied] { GraftAuthz.requireGrantAuthority(spark, "*") }
+      }
+      as("root_admin") { GraftAuthz.requireGrantAuthority(spark, "*") }
+
+      // SQL surface: CALL system.show_audit serves the trail to admins
+      as("root_admin") {
+        val rows = spark.sql("CALL graft_cat.system.show_audit(5)").collect()
+        assert(rows.nonEmpty && rows.forall(_.getString(4).nonEmpty))
+      }
+    } finally GraftAuthz.disable()
+  }
+
   test("row filters and column masks restrict reads per principal and freeze writes") {
     val url = "jdbc:derby:memory:rowpol;create=true"
     // The embedded test session is the operator: superuser, stages data.

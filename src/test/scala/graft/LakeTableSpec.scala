@@ -1156,19 +1156,26 @@ class LakeTableSpec extends AnyFunSuite {
       .createOrReplaceTempView("spj_b")
     spark.sql("INSERT INTO graft_cat.spj.a SELECT * FROM spj_a")
     spark.sql("INSERT INTO graft_cat.spj.b SELECT * FROM spj_b")
-    val joined = spark.sql("""
-      SELECT a.g, a.id, b.v
-      FROM graft_cat.spj.a a JOIN graft_cat.spj.b b ON a.g = b.g""")
-    assert(joined.count() === 4L * 10 * 5) // 4 groups × 10 × 5 rows
-    val plan = joined.queryExecution.executedPlan
-    val shuffles = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    assert(shuffles.isEmpty,
-      s"storage-partitioned join still shuffles:\n${plan.toString.take(3000)}")
-    assert(plan.toString.contains("SortMergeJoin"), plan.toString.take(2000))
-    // Values stay correct per partition.
-    assert(joined.where(col("g") === "2").count() === 50)
+    // These test tables are tiny, so since graft scans report
+    // statistics (B52) the planner rightly prefers a broadcast join;
+    // disable auto-broadcast to exercise the SPJ machinery itself
+    // (the 100 TB case: both sides too big to broadcast).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql("""
+        SELECT a.g, a.id, b.v
+        FROM graft_cat.spj.a a JOIN graft_cat.spj.b b ON a.g = b.g""")
+      assert(joined.count() === 4L * 10 * 5) // 4 groups × 10 × 5 rows
+      val plan = joined.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"storage-partitioned join still shuffles:\n${plan.toString.take(3000)}")
+      assert(plan.toString.contains("SortMergeJoin"), plan.toString.take(2000))
+      // Values stay correct per partition.
+      assert(joined.where(col("g") === "2").count() === 50)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     // The reported layout also serves aggregation: GROUP BY the
     // partition key plans with no exchange before the aggregate.
     val agg = spark.sql(

@@ -360,4 +360,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning(h"), p.take(2000))
     assert(p.contains("hashpartitioning(shard"), p.take(2000))
   }
+
+  test("graft scans report statistics: a small catalog dim auto-broadcasts unhinted") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.statdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.statdb.dim")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.statdb.fact")
+    spark.sql("CREATE TABLE graft_cat.statdb.dim AS SELECT id AS k, concat('n', id) AS nm FROM range(5)")
+    spark.sql("CREATE TABLE graft_cat.statdb.fact AS SELECT id % 5 AS k, id AS v FROM range(10000)")
+    val df = spark.sql(
+      """SELECT d.nm, sum(f.v) AS sv FROM graft_cat.statdb.fact f
+        |JOIN graft_cat.statdb.dim d ON f.k = d.k GROUP BY d.nm""".stripMargin)
+    // Without SupportsReportStatistics, a DSv2 relation's size is
+    // defaultSizeInBytes (effectively infinite) and the STATIC plan is
+    // a shuffle join — AQE can rescue batch queries at runtime, but
+    // stateful-streaming plans are frozen. With the report, the 5-row
+    // dim sits far under autoBroadcastJoinThreshold: broadcast upfront.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(df.collect().length == 5)
+
+    // DV-mode (merge-on-read) tables keep the report: delete a row via
+    // deletion vectors, the scan still sizes from kept file bytes.
+    spark.sql("CALL graft_cat.system.delete_mor('statdb.dim', 'k = 4')")
+    val df2 = spark.sql(
+      """SELECT d.nm, sum(f.v) AS sv FROM graft_cat.statdb.fact f
+        |JOIN graft_cat.statdb.dim d ON f.k = d.k GROUP BY d.nm""".stripMargin)
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"), p2.take(3000))
+    assert(df2.collect().length == 4)
+  }
 }

@@ -65,6 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         analyzedPlan(graft.sources.LakeTable.history(spark,
           resolveTarget(spark, stringArg(args.head))))
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_files"),
+      info("graft_files",
+        "graft_files('db.table' | '/table/path') - live data files of the current snapshot"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.graftglue.Glue.activeSession
+        analyzedPlan(graft.sources.LakeTable.filesDf(spark,
+          resolveTarget(spark, stringArg(args.head))))
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_changes"),
       info("graft_changes",
         "graft_changes(target[, fromExclusive[, toInclusive]]) - the CDC feed as a table"),

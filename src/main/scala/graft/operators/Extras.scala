@@ -486,6 +486,26 @@ object Extras {
              |SELECT token, count(*)::BIGINT AS cnt FROM toks
              |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 10""".stripMargin)),
 
+    // E18: MERGEABLE distinct-count sketches — the pre-aggregated
+    // sketch-MV pattern every large-scale metrics stack runs on. A
+    // per-(day, type) HLL sketch is built ONCE (map-side combinable,
+    // fixed KB per group); the rollup then UNIONS sketches instead of
+    // re-reading raw events — count-distinct over any date range in
+    // O(groups), not O(events). HLL union at equal lgK is LOSSLESS
+    // (same registers as sketching the union directly; the spec
+    // asserts estimate equality with a direct one-level sketch), which
+    // is exactly why approx_count_distinct alone is NOT enough: its
+    // results can't be combined later without the raw data.
+    Q("q_hll_rollup",
+      (s, d) => t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+          count(lit(1)).as("days"))
+        .orderBy("event_type"),
+      None),
+
     // DECIMAL(15,2) money path — real warehouse workloads carry money
     // as exact decimals, not doubles. The whole chain (cast, subtract,
     // multiply with Spark's precision/scale promotion, sum, widen)

@@ -2599,6 +2599,34 @@ object LakeTable {
     rows.toDF("version", "action", "timestamp", "n_file_groups", "has_change_data")
   }
 
+  /** Current-snapshot file inventory as a DataFrame (the Iceberg
+    * `files` metadata-table capability, served by the graft_files SQL
+    * TVF): one row per live data file with its commit entry, byte
+    * size (from the same listing pruning uses) and whether deletion
+    * vectors currently mask it. Metadata-only — never opens a data
+    * file — so ops tooling (size skew, small-file pressure, DV debt
+    * before a compaction) reads it instead of walking the store.
+    */
+  def filesDf(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val v = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val commit = readCommit(spark, path, v)
+    val (pruned, _) = pruneFilesByDir(spark, path, commit.dirs, Map.empty)
+    val dv = dvFor(spark, path, v, commit.dirs)
+    pruned.flatMap { pd =>
+      // DV maps key by the scan's `_metadata.file_path` URI; compare on
+      // the scheme-normalized path so `file:/x` and `file:///x` agree.
+      val masked = dv.getOrElse(groupKey(pd.dir), Map.empty[String, Array[Byte]])
+        .keysIterator.map(k => new Path(k).toUri.getPath).toSet
+      pd.files.map { f =>
+        val rel = f.file.stripPrefix(pd.base + "/")
+        (v, pd.dir, rel, f.len, masked.contains(new Path(f.file).toUri.getPath))
+      }
+    }.toDF("version", "file_group", "file", "bytes", "has_deletes")
+      .orderBy("file_group", "file")
+  }
+
   /** Data files of a snapshot (for compaction/catalog introspection). */
   def dataFiles(spark: SparkSession, path: String, version: Option[Long] = None): Seq[String] = {
     val v = version.orElse(currentVersion(spark, path)).get

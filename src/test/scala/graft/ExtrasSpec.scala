@@ -102,4 +102,23 @@ class ExtrasSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("orders.parquet"), "MV query must not rescan the fact table")
   }
+
+  test("HLL rollup: sketch union is lossless and tracks exact distincts") {
+    import org.apache.spark.sql.functions._
+    val rolled = Registry.byName("q_hll_rollup").run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // union-of-daily-sketches == one sketch over all events (equal lgK)
+    val direct = Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled == direct, s"rollup $rolled vs direct $direct")
+    // and the estimate is a real estimate of the exact count
+    val exact = Tables(spark, sf, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(rolled(k).toDouble - n) / n < 0.05, s"$k: ${rolled(k)} vs $n")
+    }
+  }
 }

@@ -490,6 +490,21 @@ class LakeTableSpec extends AnyFunSuite {
     // Version-range slice: (2, 3] = the UPDATE's two records only.
     assert(spark.sql("SELECT count(*) FROM graft_changes('tvf.t', 2, 3)")
       .as[Long].head() === 2L)
+
+    // graft_files: the live-file inventory, metadata-only. Every row
+    // carries real listed bytes; no file is DV-masked yet.
+    val files = spark.sql(
+      "SELECT file_group, file, bytes, has_deletes FROM graft_files('tvf.t')")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(files.nonEmpty && files.forall(_._3 > 0L), files.toString)
+    assert(files.forall(!_._4), files.toString)
+    // A MOR delete marks exactly the hit files as carrying deletes.
+    spark.sql("CALL graft_cat.system.delete_mor('tvf.t', 'k = 100')")
+    val after = spark.sql(
+      "SELECT has_deletes, count(*) FROM graft_files('tvf.t') GROUP BY 1")
+      .as[(Boolean, Long)].collect().toMap
+    assert(after.getOrElse(true, 0L) >= 1L, after.toString)
+    assert(after.getOrElse(false, 0L) >= 1L, after.toString)
   }
 
   test("appendOnce: replayed batches are no-ops, concurrent twin replays land exactly once") {

@@ -299,6 +299,46 @@ object EventPipeline {
       .orderBy("c_mktsegment")
   }
 
+  /** C29: event-time TEMPORAL (versioned-dim) join — the Flink
+    * "temporal table join". A plain stream-static enrich (C13) joins
+    * each event to the dim's LATEST value, which is silently wrong
+    * for late or replayed events; here each event joins the dim
+    * version in force AT ITS EVENT TIME. Dim versions are
+    * (key, valid_from, value) rows — exactly the shape a CDC feed of
+    * the dimension materializes; the broadcast range join proposes
+    * every version with valid_from <= ts and a per-event
+    * arg-max(valid_from) picks the one in force. The per-event
+    * aggregate groups on the watermarked event time, so in unbounded
+    * append-mode deployments state closes as the watermark passes
+    * each event — bounded by the delay window regardless of stream
+    * length. Complete mode in this bounded harness (the C04 note);
+    * versions-per-key is small and bounded by dim churn, the same
+    * assumption Flink's temporal join state makes.
+    */
+  def streamTemporal(spark: SparkSession, dir: String): DataFrame = {
+    // Versioned dim, derived deterministically: every user carries a
+    // creation-time segment and a mid-corpus (Jan 16) cutover to a
+    // rotated segment — as-of answers genuinely differ by event time.
+    val users = graft.Tables(spark, dir, "events")
+      .select(col("user_id")).distinct()
+    val dimv = users.select(col("user_id").as("k"), explode(array(
+        struct(lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("vf"),
+          concat(lit("S"), pmod(col("user_id"), lit(5))).as("seg")),
+        struct(lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")).as("vf"),
+          concat(lit("S"), pmod(col("user_id") + 1, lit(5))).as("seg")))).as("v"))
+      .select(col("k"), col("v.vf").as("vf"), col("v.seg").as("seg"))
+    val ev = eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .withWatermark("ts", "1 hour")
+    val asOf = ev.join(broadcast(dimv),
+        ev("user_id") === dimv("k") && col("vf") <= col("ts"))
+      .groupBy(col("event_id"), col("ts"))
+      .agg(max_by(col("seg"), col("vf")).as("seg"))
+    runToMemory(spark, asOf, "graft_stream_temporal", OutputMode.Complete())
+      .select("event_id", "seg")
+      .orderBy("event_id")
+  }
+
   /** C15: streaming FROM the lakehouse table — three committed
     * file groups of the orders fact arrive through the append-stream
     * source and aggregate to exactly the batch answer. The
@@ -493,6 +533,18 @@ object EventPipeline {
     Q("stream_enrich", (s, d) => streamEnrich(s, d),
       Some("""SELECT c_mktsegment, count(*) AS cnt, round(sum(value),2) AS sum_val
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("stream_temporal", (s, d) => streamTemporal(s, d),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |d AS (
+             |  SELECT user_id AS k, TIMESTAMP '2024-01-01 00:00:00' AS vf,
+             |         'S' || (user_id % 5) AS seg FROM u
+             |  UNION ALL
+             |  SELECT user_id, TIMESTAMP '2024-01-16 00:00:00',
+             |         'S' || ((user_id + 1) % 5) FROM u)
+             |SELECT e.event_id, arg_max(d.seg, d.vf) AS seg
+             |FROM events e JOIN d ON e.user_id = d.k AND d.vf <= e.ts
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("stream_tumbling", (s, d) => tumbling(s, d),

@@ -37,7 +37,7 @@ object ConnectAuth {
     */
   final case class Config(jdbcUrl: String, credentialQuery: String,
       jdbcUser: Option[String] = None, jdbcPassword: Option[String] = None,
-      cacheTtlMillis: Long = 60000L)
+      cacheTtlMillis: Long = 60000L, maxConcurrentPerUser: Int = 0)
 
   @volatile private var cfg: Option[Config] = None
   // Verified pairs skip the JDBC round trip until their TTL lapses
@@ -47,14 +47,49 @@ object ConnectAuth {
 
   def enable(jdbcUrl: String, credentialQuery: String,
       jdbcUser: Option[String] = None, jdbcPassword: Option[String] = None,
-      cacheTtlMillis: Long = 60000L): Unit = {
-    verified.clear()
-    cfg = Some(Config(jdbcUrl, credentialQuery, jdbcUser, jdbcPassword, cacheTtlMillis))
+      cacheTtlMillis: Long = 60000L, maxConcurrentPerUser: Int = 0): Unit = {
+    verified.clear(); inFlight.clear()
+    cfg = Some(Config(jdbcUrl, credentialQuery, jdbcUser, jdbcPassword,
+      cacheTtlMillis, maxConcurrentPerUser))
   }
 
-  def disable(): Unit = { cfg = None; verified.clear() }
+  def disable(): Unit = { cfg = None; verified.clear(); inFlight.clear() }
 
   def required: Boolean = cfg.isDefined
+
+  // ---- per-principal admission control (Kyuubi's operation limits) --
+  // A multi-tenant gateway without a concurrency cap lets one tenant
+  // queue the whole engine. The cap counts IN-FLIGHT ExecutePlan RPCs
+  // per authenticated principal: admission is an O(1) atomic bump at
+  // the interceptor (no lock, no DB), excess calls fail fast with
+  // RESOURCE_EXHAUSTED instead of silently queueing — the client can
+  // back off and retry, and other tenants' capacity is untouched.
+
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+
+  /** True = admitted (caller MUST release); also true when no cap is
+    * configured.
+    */
+  private[graft] def tryAcquire(user: String): Boolean = cfg match {
+    case Some(c) if c.maxConcurrentPerUser > 0 && user != null =>
+      val ctr = inFlight.computeIfAbsent(user,
+        _ => new java.util.concurrent.atomic.AtomicInteger())
+      if (ctr.incrementAndGet() > c.maxConcurrentPerUser) { ctr.decrementAndGet(); false }
+      else true
+    case _ => true
+  }
+
+  private[graft] def release(user: String): Unit = {
+    val ctr = if (user == null) null else inFlight.get(user)
+    if (ctr != null) ctr.decrementAndGet()
+  }
+
+  /** In-flight gated calls for `user` (spec observability). */
+  private[graft] def inFlightOf(user: String): Int = {
+    val ctr = inFlight.get(user)
+    if (ctr == null) 0 else ctr.get()
+  }
 
   private[graft] def check(user: String, token: String): Boolean = cfg match {
     case None => true
@@ -115,10 +150,24 @@ final class GraftAuthInterceptor extends ServerInterceptor {
         "graft gateway: missing or invalid graft_user/graft_token credentials"), new Metadata())
       return new ServerCall.Listener[ReqT] {}
     }
+    // Admission control: ExecutePlan is the RPC that consumes engine
+    // capacity; cap a principal's in-flight executions (fail fast with
+    // RESOURCE_EXHAUSTED — back off and retry — rather than letting
+    // one tenant queue the engine). Metadata/analysis RPCs stay free.
+    val gated = call.getMethodDescriptor.getFullMethodName.endsWith("ExecutePlan")
+    if (gated && !ConnectAuth.tryAcquire(user)) {
+      call.close(Status.RESOURCE_EXHAUSTED.withDescription(
+        s"graft gateway: principal '$user' exceeded its concurrent-execution limit"),
+        new Metadata())
+      return new ServerCall.Listener[ReqT] {}
+    }
     val delegate = next.startCall(call, headers)
     new org.sparkproject.connect.grpc.ForwardingServerCallListener
         .SimpleForwardingServerCallListener[ReqT](delegate) {
       @volatile private var closed = false
+      private val released = new java.util.concurrent.atomic.AtomicBoolean(!gated)
+      private def releaseOnce(): Unit =
+        if (released.compareAndSet(false, true)) ConnectAuth.release(user)
       private def claimedUser(message: ReqT): String =
         try {
           val uc = message.getClass.getMethod("getUserContext").invoke(message)
@@ -135,8 +184,8 @@ final class GraftAuthInterceptor extends ServerInterceptor {
         } else super.onMessage(message)
       }
       override def onHalfClose(): Unit = if (!closed) super.onHalfClose()
-      override def onCancel(): Unit = if (!closed) super.onCancel()
-      override def onComplete(): Unit = if (!closed) super.onComplete()
+      override def onCancel(): Unit = { releaseOnce(); if (!closed) super.onCancel() }
+      override def onComplete(): Unit = { releaseOnce(); if (!closed) super.onComplete() }
     }
   }
 }

@@ -229,11 +229,37 @@ object LakeTable {
       d.filter(assert_true(expr(s"coalesce(($sql), true)"),
         lit(s"CHECK constraint $n violated: $sql")).isNull)
     }
+    // Optimize-write (Delta's optimizeWrite): a 100 TB table dies by a
+    // thousand small files — every upstream task fragment becomes a
+    // file, and metadata/open costs dominate reads long before data
+    // does. With spark.graft.optimizeWrite.targetBytes set, the frame
+    // is re-bucketed so each task writes ~one target-sized file: the
+    // file count follows the DATA SIZE (estimated from plan statistics
+    // — the B52 report makes these real for graft sources), not the
+    // incoming task count. Partitioned writes hash on the partition
+    // columns so one hive-partition's rows collapse into few tasks
+    // instead of tasks×partitions fragments. The price is one extra
+    // shuffle of the written data — the same trade Delta makes; leave
+    // the conf unset for write paths where upstream layout is already
+    // right. Unknown/unbounded size estimates skip the rewrite.
+    val sized = spark.conf.getOption("spark.graft.optimizeWrite.targetBytes")
+      .map(_.toLong).filter(_ > 0) match {
+      case Some(t) =>
+        val est = guarded.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est <= 0 || est >= BigInt(Long.MaxValue) / 2) guarded
+        else {
+          val n = math.min(10000L, (est.toLong + t - 1) / t).toInt.max(1)
+          if (partitionBy.nonEmpty)
+            guarded.repartition(n, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+          else guarded.repartition(n)
+        }
+      case None => guarded
+    }
     // Unique suffix: concurrent writers racing for the same version
     // must stage DISTINCT dirs — only the commit rename decides the
     // winner; the loser's dir is orphaned (vacuum reclaims it).
     val dir = s"d$v-${java.util.UUID.randomUUID.toString.take(8)}"
-    val w = guarded.write.mode("overwrite")
+    val w = sized.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(path, dir).toString)
     writeStats(spark, path, dir)

@@ -163,6 +163,59 @@ class ConnectGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("admission control: one tenant's concurrency cap never touches another's capacity") {
+    // Kyuubi-parity operation limits: with maxConcurrentPerUser=1, a
+    // tenant's second in-flight ExecutePlan fails fast with
+    // RESOURCE_EXHAUSTED while a DIFFERENT tenant executes freely;
+    // once the first execution drains, the tenant is admitted again.
+    val url = "jdbc:derby:memory:gwlimit"
+    val conn = java.sql.DriverManager.getConnection(url + ";create=true")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE gateway_users(user_name VARCHAR(64), token VARCHAR(64))")
+      st.execute("INSERT INTO gateway_users VALUES ('alice', 's1'), ('bob', 's2')")
+    } finally conn.close()
+    ConnectAuth.enable(url,
+      "SELECT 1 FROM gateway_users WHERE user_name = ? AND token = ?",
+      maxConcurrentPerUser = 1)
+    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    try {
+      val alice1 = new Client(";user_id=alice;graft_user=alice;graft_token=s1")
+      val alice2 = new Client(";user_id=alice;graft_user=alice;graft_token=s1")
+      val bob = new Client(";user_id=bob;graft_user=bob;graft_token=s2")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      // a long-running execution holds alice's single slot…
+      val slow = Future {
+        alice1.sql("SELECT java_method('java.lang.Thread', 'sleep', 4000L) AS z")
+      }
+      Thread.sleep(1200) // let it reach the server and start executing
+      assert(ConnectAuth.inFlightOf("alice") >= 1)
+      // …so alice's second execution is rejected, fast
+      val e = intercept[Exception] { alice2.sql("SELECT 1 AS x") }
+      assert(chain(e).exists(_.contains("RESOURCE_EXHAUSTED")), chain(e))
+      // bob is a different principal: full capacity
+      assert(bob.sql("SELECT 2 + 2 AS x").head.getInt(0) == 4)
+      Await.result(slow, 30.seconds)
+      // slot drained: alice executes again (bounded retry — release
+      // rides the gRPC completion callback)
+      val deadline = System.currentTimeMillis() + 10000
+      var ok = false
+      while (!ok && System.currentTimeMillis() < deadline) {
+        try { alice2.sql("SELECT 3 AS x"); ok = true }
+        catch { case _: Exception => Thread.sleep(200) }
+      }
+      assert(ok, "alice never readmitted after her execution drained")
+      alice1.close(); alice2.close(); bob.close()
+    } finally {
+      ConnectAuth.disable()
+      org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
+    }
+  }
+
   test("gateway restart: clients reconnect after stop/start and committed state survives") {
     // The single-process analogue of Kyuubi's ZooKeeper failover
     // (reference kyuubi.go:77-80): the gateway process is stateless —

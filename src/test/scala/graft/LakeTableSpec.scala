@@ -1709,4 +1709,23 @@ class LakeTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_cat.db.vi_view")
     spark.sql("DROP TABLE IF EXISTS graft_cat.db.vi_fact")
   }
+
+  test("optimize-write sizes file count by data volume, not upstream task count") {
+    val p = s"$root/optwrite"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    // 32 upstream fragments of ~3 MB total
+    val frag = spark.range(200000).repartition(32).selectExpr("id", "id * 2 AS v")
+    spark.conf.set("spark.graft.optimizeWrite.targetBytes", (1L << 20).toString)
+    try {
+      LakeTable.create(spark, p, frag)
+      val nOpt = LakeTable.filesDf(spark, p).count()
+      assert(nOpt <= 8, s"optimize-write still fragmented: $nOpt files")
+      // rows survive intact
+      assert(LakeTable.read(spark, p).count() === 200000L)
+    } finally spark.conf.unset("spark.graft.optimizeWrite.targetBytes")
+    // without the conf, the upstream fragmentation passes through
+    LakeTable.append(spark, p, frag)
+    val nRaw = LakeTable.filesDf(spark, p).count()
+    assert(nRaw >= 32L, s"expected ~32 more fragment files, saw $nRaw total")
+  }
 }

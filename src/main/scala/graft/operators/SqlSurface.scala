@@ -452,5 +452,46 @@ object SqlSurface {
              |  FROM lineitem WHERE l_returnflag = 'A'
              |  GROUP BY l_partkey ORDER BY qty DESC, l_partkey LIMIT 10)
              |ORDER BY qty DESC, l_partkey""".stripMargin)),
+
+    // A104: the SQL PIVOT clause (the DataFrame pivot — A29 — reaches
+    // SQL users through the gateway as syntax). Same execution shape:
+    // one aggregate with a CASE per pivoted value, no extra pass. The
+    // oracle spells out the CASE form, pinning the rotation itself.
+    Q("q_sql_pivot",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("ord_pivot")
+        s.sql("""SELECT * FROM (
+                |  SELECT o_orderpriority, o_orderstatus, o_totalprice
+                |  FROM ord_pivot)
+                |PIVOT (round(sum(o_totalprice), 2)
+                |       FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f,
+             |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o,
+             |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A105: parameterized SQL — the injection-safe query surface every
+    // JDBC/gateway client should use: named :params bind server-side
+    // as LITERALS in the analyzed plan (never string-spliced), so the
+    // same text caches/plans identically across argument values and a
+    // malicious string argument cannot change the query's shape.
+    Q("q_sql_params",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("cust_params")
+        s.sql(
+          """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+            |FROM cust_params
+            |WHERE c_acctbal > :minBal AND c_mktsegment <> :skipSeg
+            |GROUP BY 1 ORDER BY 1""".stripMargin,
+          Map("minBal" -> 1000, "skipSeg" -> "MACHINERY"))
+      },
+      Some("""SELECT c_mktsegment, count(*)::BIGINT AS n,
+             |round(sum(c_acctbal), 2) AS bal
+             |FROM customer
+             |WHERE c_acctbal > 1000 AND c_mktsegment <> 'MACHINERY'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -832,6 +832,31 @@ object LakeTable {
     0L
   }
 
+  /** Delta DEEP CLONE: an independent PHYSICAL copy of the snapshot,
+    * vs [[shallowClone]]'s O(1) metadata pin. The copy reads through
+    * the source's deletion vectors — the clone materializes the
+    * RESOLVED state, so no DV debt travels — and re-applies the
+    * recorded partition layout, sort order and CHECK constraints;
+    * stats sidecars are rebuilt on the copied files. O(data): the
+    * backup/migration verb (survives source vacuum/drop), where
+    * shallow clone is the dev/test-against-prod verb.
+    */
+  def deepClone(spark: SparkSession, sourcePath: String, targetPath: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion(spark, sourcePath))
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $sourcePath"))
+    val p = new Path(targetPath)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) fs.delete(p, true)
+    create(spark, targetPath, read(spark, sourcePath, Some(v)),
+      partitionBy = tablePartitioning(spark, sourcePath))
+    val sort = tableSortBy(spark, sourcePath)
+    if (sort.nonEmpty) setSortBy(spark, targetPath, sort)
+    tableChecks(spark, sourcePath).foreach { case (n, sql) =>
+      addCheck(spark, targetPath, n, sql) }
+    0L
+  }
+
   // Table-level partitioning, recorded at create: every COW rewrite
   // (merge/delete/update/replace/agg-merge/compact) re-applies it, so
   // DML never silently degrades a partition-pruned layout into flat

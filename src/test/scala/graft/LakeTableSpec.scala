@@ -1710,6 +1710,32 @@ class LakeTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_cat.db.vi_fact")
   }
 
+  test("deep clone materializes the resolved snapshot, independent of the source") {
+    val src = s"$root/dclone_src"
+    val dst = s"$root/dclone_dst"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(src))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dst))
+    LakeTable.create(spark, src,
+      spark.range(100).selectExpr("id", "CAST(id % 4 AS STRING) AS g"),
+      partitionBy = Seq("g"))
+    LakeTable.addCheck(spark, src, "nonneg", "id >= 0")
+    LakeTable.deleteMor(spark, src, col("id") === 7)
+    LakeTable.deepClone(spark, src, dst)
+    // resolved state travels; DV debt does not
+    assert(LakeTable.read(spark, dst).count() === 99L)
+    assert(LakeTable.filesDf(spark, dst).collect().forall(!_.getBoolean(4)))
+    // layout + constraints carried
+    assert(LakeTable.tablePartitioning(spark, dst) === Seq("g"))
+    assert(LakeTable.tableChecks(spark, dst).map(_._1) === Seq("nonneg"))
+    intercept[Exception] {
+      LakeTable.append(spark, dst, spark.range(1).selectExpr("-id - 5 AS id", "'0' AS g"))
+        .toString
+    }
+    // fully physical: the clone survives the source's disappearance
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(src))
+    assert(LakeTable.read(spark, dst).where(col("g") === "1").count() === 25L)
+  }
+
   test("optimize-write sizes file count by data volume, not upstream task count") {
     val p = s"$root/optwrite"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))

@@ -281,6 +281,44 @@ object EventPipeline {
       .orderBy("user_id")
   }
 
+  /** C31: stream-stream LEFT OUTER join — the hard half of streaming
+    * joins: an unmatched left row can only emit (with nulls) once the
+    * watermark proves no matching right row can still arrive, so
+    * emission is driven by STATE EVICTION, not by data. Same
+    * watermark+range state bounds as C08. The p_ts cutoff (a day
+    * before corpus end) makes the bounded harness deterministic: every
+    * retained purchase sits far below the final watermark, so all of
+    * its outer results are flushed by the closing no-data batch — in
+    * an unbounded deployment the cutoff disappears and outer rows
+    * simply trail the watermark delay.
+    */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+      // cutoff BELOW the watermark node: the watermark keeps tracking
+      // the full stream's max event time, so it ends far above every
+      // retained purchase and all their outer results flush; filtering
+      // above the node would stall the watermark at the cutoff and
+      // strand the last delay-window of unmatched rows in state.
+      .where(col("p_ts") < lit(java.sql.Timestamp.valueOf("2024-01-30 00:00:00")))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    runToMemory(spark, joined, "graft_stream_join_left", OutputMode.Append())
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(col("c_id")).as("n_pairs"),
+        sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy("user_id")
+  }
+
   /** C13: stream-static enrichment join — the dimension-lookup shape
     * of most production pipelines: the static side (customer) is read
     * fresh per micro-batch and broadcast, so the stream never shuffles
@@ -601,5 +639,18 @@ object EventPipeline {
              |ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
              |AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("stream_join_left", (s, d) => streamStreamLeftJoin(s, d),
+      Some("""WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+             |           WHERE event_type = 'purchase'
+             |             AND ts < TIMESTAMP '2024-01-30 00:00:00'),
+             |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+             |      WHERE event_type = 'click'),
+             |j AS (SELECT p.user_id, p.p_id, c.c_id
+             |      FROM p LEFT JOIN c ON p.user_id = c.user_id
+             |        AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts)
+             |SELECT user_id, count(c_id)::BIGINT AS n_pairs,
+             |  sum(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unmatched
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -57,6 +57,42 @@ object SimilarityOps {
               |SELECT qid, rn, vec_id AS neighbor_id, round(sim, 4) AS sim
               |FROM r WHERE rn <= $K ORDER BY qid, rn""".stripMargin)),
 
+    // D37: FILTERED ANN — the vector-DB "metadata filter" staple
+    // (neighbors among rows satisfying a predicate; here: sharing the
+    // query's label). The filter composes BEFORE scoring — the
+    // label-equality join replaces the cross join, so each corpus row
+    // scores only against same-label queries and the top-k is EXACT
+    // among eligible rows. The classic pitfall this avoids:
+    // post-filtering an unfiltered top-k silently under-returns when
+    // the predicate is selective (k survivors of a 1% filter need a
+    // 100×k unfiltered list). At 100 TB the same composition holds
+    // inside IVF cells: probe, then score only predicate-passing rows.
+    Q("q_knn_filtered",
+      (s, d) => {
+        val q = t(s, d, "embeddings").where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("label").as("qlab"))
+        val scored = corpusDf(s, d)
+          .join(broadcast(q), col("label") === col("qlab"))
+          .withColumn("sim", Vectors.cosineSim(col("embedding"), col("qe")))
+          .select("qid", "vec_id", "sim")
+        TopK.perGroupRanked(scored, Seq("qid"), "sim", "vec_id", K)
+          .select(col("qid"), col("rn"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlab
+              |          FROM embeddings WHERE vec_id < 10),
+              |c AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+              |p AS (SELECT qid, vec_id,
+              |  list_inner_product(qe, embedding) /
+              |  (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(embedding, embedding))) AS sim
+              |  FROM q JOIN c ON c.label = q.qlab),
+              |r AS (SELECT qid, vec_id, sim,
+              |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM p)
+              |SELECT qid, rn, vec_id AS neighbor_id, round(sim, 4) AS sim
+              |FROM r WHERE rn <= $K ORDER BY qid, rn""".stripMargin)),
+
     // D07: LSH-bucketed approximate top-k (the 100 TB path): 6-bit
     // hyperplane sketches × 6 tables bucket the corpus. MULTI-PROBE on
     // the query side: each query also probes every bucket at hamming

@@ -280,6 +280,42 @@ object GraftProcedures {
             .map { case (pr, pv) => s"$pr:$pv" }.sorted.mkString(",")))
         }
       }
+      case "clone" => new Proc("clone",
+          Array(param("source", StringType), param("target", StringType),
+            param("deep", BooleanType)),
+          StructType(Seq(StructField("location", StringType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val src = in.getUTF8String(0).toString.split('.').toSeq
+          val dst = in.getUTF8String(1).toString.split('.').toSeq
+          val deep = in.getBoolean(2)
+          // Cloning READS the source snapshot (SELECT) and CREATES the
+          // target (MODIFY on its namespace) — the same bar CREATE
+          // TABLE AS SELECT would pay.
+          graft.GraftAuthz.requireSelect(spark, src.init.mkString("."), src.last)
+          val srcPath = store.tableLocation(spark, src.init.mkString("."), src.last)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no graft table at ${src.mkString(".")}"))
+          val (dns, dname) = (dst.init.mkString("."), dst.last)
+          graft.GraftAuthz.requireModify(spark, dns, "*")
+          if (!store.namespaceExists(spark, dns))
+            throw new IllegalArgumentException(s"namespace $dns does not exist")
+          if (store.tableLocation(spark, dns, dname).isDefined)
+            throw new IllegalArgumentException(
+              s"table ${dst.mkString(".")} already exists")
+          // Claim the name first (JDBC-store PK arbitrates concurrent
+          // creates), then write; a failed clone releases the claim —
+          // the createTable choreography.
+          val loc = store.defaultLocation(dns, dname)
+          store.registerTable(spark, dns, dname, loc)
+          try {
+            if (deep) LakeTable.deepClone(spark, srcPath, loc)
+            else LakeTable.shallowClone(spark, srcPath, loc)
+          } catch { case e: Throwable =>
+            store.unregisterTable(spark, dns, dname); throw e
+          }
+          row(UTF8String.fromString(loc))
+        }
+      }
       case "show_audit" => new Proc("show_audit",
           Array(param("n", IntegerType)),
           StructType(Seq(StructField("at_ms", LongType),
@@ -305,5 +341,5 @@ object GraftProcedures {
     Array("compact", "compact_where", "vacuum", "set_sort_by", "cluster_by",
       "add_check", "drop_check", "delete_mor", "update_mor", "enable_dv",
       "restore", "create_view", "tag", "drop_tag", "create_mv", "drop_mv",
-      "grant", "revoke", "show_grants", "show_audit")
+      "grant", "revoke", "show_grants", "show_audit", "clone")
 }

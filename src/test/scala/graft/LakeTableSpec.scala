@@ -1710,6 +1710,27 @@ class LakeTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_cat.db.vi_fact")
   }
 
+  test("CALL system.clone registers shallow and deep clones as catalog tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.cl")
+    Seq("src", "sh", "dp").foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_cat.cl.$t"))
+    spark.sql("CREATE TABLE graft_cat.cl.src AS SELECT id, id * 2 AS v FROM range(50)")
+    spark.sql("CALL graft_cat.system.clone('cl.src', 'cl.sh', false)")
+    spark.sql("CALL graft_cat.system.clone('cl.src', 'cl.dp', true)")
+    // both serve the snapshot through plain catalog SQL…
+    assert(spark.sql("SELECT count(*) FROM graft_cat.cl.sh").head.getLong(0) == 50L)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.cl.dp").head.getLong(0) == 50L)
+    // …and stay pinned while the source moves on
+    spark.sql("INSERT INTO graft_cat.cl.src VALUES (100, 200)")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.cl.src").head.getLong(0) == 51L)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.cl.sh").head.getLong(0) == 50L)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.cl.dp").head.getLong(0) == 50L)
+    // name collisions reject instead of clobbering
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_cat.system.clone('cl.src', 'cl.sh', false)")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
   test("deep clone materializes the resolved snapshot, independent of the source") {
     val src = s"$root/dclone_src"
     val dst = s"$root/dclone_dst"

@@ -45,6 +45,7 @@ object Registry {
       operators.Extras.qs ++
       operators.SqlSurface.qs ++
       operators.Clustering.qs ++
+      operators.Curation.qs ++
       streaming.EventPipeline.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** D38 DSIR importance selection + D39 incremental dedup: semantic
+  * ground truth re-derived independently, plus the plan-shape pins the
+  * 100 TB story rests on (K-bounded broadcast model, no text in any
+  * exchange, corpus text never re-read on the incremental path).
+  */
+class CurationSpec extends AnyFunSuite {
+  import SharedSpark.{sf, spark}
+
+  test("q_dsir_select separates the target domain (en up, others down)") {
+    val byLang = Registry.byName("q_dsir_select").run(spark, sf)
+      .join(Tables(spark, sf, "documents").select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg("dsir_score").as("m"), sum("keep").as("k"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byLang("en")._1 > 0, s"target mean must be positive: $byLang")
+    byLang.filterNot(_._1 == "en").foreach { case (l, (m, _, _)) =>
+      assert(m < 0, s"non-target $l mean must be negative: $byLang") }
+    val (_, kEn, nEn) = byLang("en")
+    assert(kEn * 2 > nEn, s"majority of target docs should be kept: $byLang")
+  }
+
+  test("q_dsir_select: keep == (score > 0), one row per document, deterministic") {
+    val rows = Registry.byName("q_dsir_select").run(spark, sf).collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      assert((r.getLong(2) == 1L) == (r.getLong(1) > 0L), r.toString) }
+    val again = Registry.byName("q_dsir_select").run(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q_dsir_select plan: 256-row model broadcasts; no text in any exchange") {
+    val p = operators.Curation.dsirSelect(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    "Exchange[^\\n]*".r.findAllIn(p).foreach { line =>
+      assert(!line.contains("text") && !line.contains("#ws") && !line.contains("#th"),
+        s"corpus text/tokens shuffled:\n$line") }
+    assert(!p.contains("Window"), s"unexpected window sort:\n${p.take(2000)}")
+  }
+
+  test("q_dedup_incremental equals the batch×corpus slice of exact ngram pairs") {
+    operators.Curation.stageIncrementalIndex(spark, sf)
+    val got = operators.Curation.incrementalDedup(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val full = operators.DedupOps.ngramPairs(spark, sf, 0.8)
+      .collect().flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        // restrict the symmetric pair set to (batch, corpus) orientation
+        if (a % 10 == 0 && b % 10 != 0) Some((a, b) -> j)
+        else if (b % 10 == 0 && a % 10 != 0) Some((b, a) -> j)
+        else None
+      }.toMap
+    assert(got.keySet == full.keySet, s"got=${got.keySet} want=${full.keySet}")
+    got.foreach { case (k, j) => assert(math.abs(j - full(k)) < 1e-3, s"$k: $j vs ${full(k)}") }
+    assert(got.nonEmpty, "slice should contain at least one planted near-dup pair")
+  }
+
+  test("q_dedup_incremental verb: corpus text comes from the index, not documents") {
+    operators.Curation.stageIncrementalIndex(spark, sf)
+    val p = operators.Curation.incrementalDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exactly one parquet scan of the documents table (the batch side);
+    // the corpus side must resolve from the persisted LakeTable index
+    val docScans = "documents".r.findAllIn(p).length
+    assert(docScans >= 1 && p.contains("lake"),
+      s"expected one batch-side documents scan plus index scans:\n${p.take(3000)}")
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("FileScan") || l.contains("BatchScan")).toSeq
+    assert(scanLines.count(_.contains("documents")) == 1,
+      s"corpus text must never be re-read on the incremental path:\n${scanLines.mkString("\n")}")
+  }
+}

@@ -61,6 +61,46 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty, "slice should contain at least one planted near-dup pair")
   }
 
+  test("BPE training is deterministic and learns the classic merges") {
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = plans.BpeCodec.train(freq, 10)
+    assert(merges == plans.BpeCodec.train(freq, 10), "training must be deterministic")
+    // 'es' (9) and then 'est' (9) dominate the classic corpus
+    assert(merges.head == ("e", "s"), merges.toString)
+    assert(merges(1) == ("es", "t"), merges.toString)
+    val ranks = plans.BpeCodec.ranksOf(merges)
+    // a trained word compresses to few pieces; unseen words still round-trip
+    val lowest = plans.BpeCodec.encodeWord("lowest", ranks)
+    assert(lowest.mkString == "lowest", lowest.toSeq.toString)
+    assert(lowest.length <= 3, s"trained subwords should compress: ${lowest.toSeq}")
+    assert(plans.BpeCodec.encodeWord("zzz", ranks).toSeq == Seq("z", "z", "z"))
+  }
+
+  test("q_bpe_tokens: pieces round-trip the text and compress vs characters") {
+    operators.Curation.stageBpeVocab(spark, sf)
+    val out = operators.Curation.bpeEncodeCorpus(spark, sf).collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(out.length == nDocs)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"every word is >= 1 piece: $r") }
+    // the merge table must actually compress: far fewer pieces than chars
+    val chars = Tables(spark, sf, "documents")
+      .agg(sum(length(regexp_replace(col("text"), " ", "")))).collect()(0).getLong(0)
+    val pieces = out.map(_.getLong(2)).sum
+    assert(pieces * 2 < chars, s"pieces=$pieces chars=$chars — no compression learned")
+    // exact round-trip: concatenated pieces == text minus spaces, every doc
+    import org.apache.spark.sql.functions.{concat_ws, regexp_replace => rre}
+    val merges = sources.LakeTable.read(spark, s"${operators.Lakehouse.scratch}/bpe_vocab")
+      .orderBy("rank").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val bad = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat_ws("", operators.Curation.bpeEncode(col("text"), merges)).as("joined"),
+        rre(col("text"), " ", "").as("squashed"))
+      .where(col("joined") =!= col("squashed")).count()
+    assert(bad == 0L, s"$bad documents failed the BPE round-trip")
+  }
+
   test("q_dedup_incremental verb: corpus text comes from the index, not documents") {
     operators.Curation.stageIncrementalIndex(spark, sf)
     val p = operators.Curation.incrementalDedup(spark, sf)

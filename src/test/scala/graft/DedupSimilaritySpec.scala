@@ -92,6 +92,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"persisted-index recall $recall")
   }
 
+  test("incremental PQ append: new vectors found, no retrain, base files untouched") {
+    val idx = s"${operators.Lakehouse.scratch}/spec_pq_inc"
+    operators.Clustering.buildPqIndex(spark, sf, idx)
+    val codesBefore = sources.LakeTable.read(spark, s"$idx/codes").count()
+    val booksV0 = sources.LakeTable.currentVersion(spark, s"$idx/codes").get
+    val booksVer = sources.LakeTable.currentVersion(spark, s"$idx/books").get
+    val baseTop = operators.Clustering.queryPqIndex(spark, sf, idx).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+    val planted = operators.Clustering.newVectorBatch(spark, sf)
+    operators.Clustering.appendToPqIndex(spark, idx, planted)
+    // append = new codes version with exactly the batch added; the
+    // codebooks (the trained artifact) must not have been touched
+    assert(sources.LakeTable.read(spark, s"$idx/codes").count()
+      == codesBefore + planted.count())
+    assert(sources.LakeTable.currentVersion(spark, s"$idx/codes").get == booksV0 + 1)
+    assert(sources.LakeTable.currentVersion(spark, s"$idx/books").get == booksVer)
+    // old snapshot still answers exactly as before (readers pin versions)
+    val oldCodes = sources.LakeTable.read(spark, s"$idx/codes", Some(booksV0)).count()
+    assert(oldCodes == codesBefore)
+
+    val after = operators.Clustering.queryPqIndex(spark, sf, idx,
+      extraCorpus = Some(planted)).collect()
+    // every query's top-1 is now its planted near-copy at cosine ~1
+    after.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) + 200000L,
+        s"query ${r.getLong(0)} top-1 should be its planted copy: $r")
+      assert(r.getDouble(3) >= 0.999, r.toString)
+    }
+    // the pre-append winners are still present, shifted one rank down
+    after.filter(_.getLong(1) == 2L).foreach { r =>
+      assert(baseTop(r.getLong(0)) == r.getLong(2),
+        s"old top-1 should now be rank 2: $r vs ${baseTop(r.getLong(0))}")
+    }
+  }
+
   test("PQ ANN with exact re-rank recalls most of the brute-force top-k") {
     val brute = Registry.byName("q_knn_brute").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -262,6 +262,36 @@ object EventPipeline {
     * is what makes this a true streaming join (state eviction), not a
     * static lookup.
     */
+  /** C29: full-outer stream-stream join (see the registry entry for
+    * the watermark/cutoff reasoning; this is [[streamStreamLeftJoin]]
+    * with the cutoff applied to BOTH sides so both sides' unmatched
+    * rows can flush).
+    */
+  def streamStreamFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-30 00:00:00")
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+      .where(col("p_ts") < lit(cutoff))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+      .where(col("c_ts") < lit(cutoff))
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "full_outer")
+    runToMemory(spark, joined, "graft_stream_join_full", OutputMode.Append())
+      .groupBy(coalesce(col("p_user"), col("c_user")).as("user_id"))
+      .agg(sum(when(col("p_id").isNotNull && col("c_id").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_p_alone"),
+        sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_c_alone"))
+      .orderBy("user_id")
+  }
+
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsStream(spark, dir)
     val purchases = ev.where(col("event_type") === "purchase")
@@ -639,6 +669,29 @@ object EventPipeline {
              |ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
              |AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C29: FULL-outer stream-stream join — unmatched rows from BOTH
+    // sides emit as state expires past the watermark. Both sides take
+    // the cutoff BELOW their watermark node (the stream_join_left
+    // device, doubled): each side's watermark keeps tracking the full
+    // stream and ends far above every retained row, so both sides'
+    // outer results flush deterministically instead of stranding the
+    // last delay-window in state.
+    Q("stream_join_full", (s, d) => streamStreamFullJoin(s, d),
+      Some("""WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+             |           WHERE event_type = 'purchase'
+             |             AND ts < TIMESTAMP '2024-01-30 00:00:00'),
+             |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+             |      WHERE event_type = 'click'
+             |        AND ts < TIMESTAMP '2024-01-30 00:00:00'),
+             |j AS (SELECT coalesce(p.user_id, c.user_id) AS user_id, p.p_id, c.c_id
+             |      FROM p FULL JOIN c ON p.user_id = c.user_id
+             |        AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts)
+             |SELECT user_id, sum(CASE WHEN p_id IS NOT NULL AND c_id IS NOT NULL
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_pairs,
+             |  sum(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_p_alone,
+             |  sum(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_c_alone
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("stream_join_left", (s, d) => streamStreamLeftJoin(s, d),
       Some("""WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events

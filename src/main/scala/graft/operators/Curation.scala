@@ -144,7 +144,7 @@ object Curation {
 
   // ---- D39: incremental dedup against a persisted index ------------
 
-  private def indexPath = s"${Lakehouse.scratch}/dedup_incr_index"
+  private[graft] def indexPath = s"${Lakehouse.scratch}/dedup_incr_index"
 
   /** Stage D39's persisted corpus-side index: the exact-Jaccard
     * shingle inverted index (doc_id, 8-byte hash) plus per-doc shingle
@@ -196,7 +196,7 @@ object Curation {
       .orderBy("batch_id", "corpus_id")
   }
 
-  private val incrementalOracle: String =
+  private[graft] val incrementalOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g

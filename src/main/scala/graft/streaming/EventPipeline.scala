@@ -292,6 +292,54 @@ object EventPipeline {
       .orderBy("user_id")
   }
 
+  /** C33: STREAMING near-dedup against the persisted shingle index —
+    * the ingest-time shape of q_dedup_incremental: new documents land
+    * as a file stream, each micro-batch shingles its docs (stateless
+    * map), probes the stored 8-byte-hash index with a stream-static
+    * join, and the per-pair intersection counts aggregate in Complete
+    * mode (state = candidate pairs, which tracks true collisions, not
+    * corpus size). Jaccard verification joins the static per-doc
+    * sizes AFTER the sink — in production the joined pairs land in a
+    * lake table and the keep/drop verdict is a downstream batch read,
+    * exactly this split. Output (and oracle) are identical to the
+    * batch verb: streaming ingest must converge to the batch answer.
+    */
+  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, DedupOps}
+    // stage the incoming docs as a landing dir (the eventsStream device)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val ingest = new org.apache.hadoop.fs.Path(
+      s"${graft.operators.Lakehouse.scratch}/stream_ingest/documents")
+    val fs = ingest.getFileSystem(conf)
+    if (fs.exists(ingest)) fs.delete(ingest, true)
+    fs.mkdirs(ingest)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new org.apache.hadoop.fs.Path(ingest, "documents.parquet"), false, conf)
+    val raw: StructType = spark.read.parquet(src.toString).schema
+    val batch = spark.readStream.schema(raw).parquet(ingest.toString)
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), DedupOps.shingleHashes(col("ws")).as("sh"))
+      .select(col("doc_id").as("batch_id"),
+        size(col("sh")).cast("long").as("sz_b"), explode(col("sh")).as("h"))
+    val idx = graft.sources.LakeTable.read(spark, s"${Curation.indexPath}/shingles")
+      .select(col("doc_id").as("corpus_id"), col("h"))
+    val counts = batch.join(idx, "h")
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("inter"), max("sz_b").as("sz_b"))
+    val pairs = runToMemory(spark, counts, "graft_stream_dedup_index",
+      OutputMode.Complete())
+    val isz = graft.sources.LakeTable.read(spark, s"${Curation.indexPath}/sizes")
+      .select(col("doc_id").as("corpus_id"), col("sz").as("sz_c"))
+    pairs.join(isz, "corpus_id")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("sz_b") + col("sz_c") - col("inter")) + lit(1e-9), 4))
+      .where(col("jaccard") >= 0.8)
+      .select("batch_id", "corpus_id", "jaccard")
+      .orderBy("batch_id", "corpus_id")
+  }
+
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsStream(spark, dir)
     val purchases = ev.where(col("event_type") === "purchase")
@@ -677,6 +725,13 @@ object EventPipeline {
     // stream and ends far above every retained row, so both sides'
     // outer results flush deterministically instead of stranding the
     // last delay-window in state.
+    // C33: streaming near-dedup against the persisted index — same
+    // output contract (and oracle) as the batch q_dedup_incremental.
+    Q.staged("stream_dedup_index",
+      setup = (s, d) => graft.operators.Curation.stageIncrementalIndex(s, d),
+      verb = (s, d) => streamIncrementalDedup(s, d),
+      oracle = Some(graft.operators.Curation.incrementalOracle)),
+
     Q("stream_join_full", (s, d) => streamStreamFullJoin(s, d),
       Some("""WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
              |           WHERE event_type = 'purchase'

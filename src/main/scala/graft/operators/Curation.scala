@@ -268,6 +268,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** D42: TOKENIZER-AWARE sequence packing — q_seq_pack's budget is
+    * whitespace words, but trainers budget in TOKENIZER PIECES; the
+    * two disagree exactly where it hurts (long words explode into
+    * many subwords). This is the composed production form: per-doc
+    * piece counts come from ONE native BPE-encode pass with the
+    * persisted D40 merge table, then docs pack into fixed 256-piece
+    * sequences by exclusive running piece count within independent
+    * (lang, doc_id % packShards) streams — shard count follows
+    * cluster parallelism, never a global-order window. Deterministic
+    * for a given vocabulary version + shard count.
+    */
+  def packBpe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val seqLen = 256
+    val merges = graft.sources.LakeTable.read(s, bpePath)
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val shards = TextOps.packShards
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(bpeEncode(col("text"), merges)).cast("long").as("pieces"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("prior", coalesce(sum("pieces").over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("prior") / seqLen))
+      .groupBy("lang", "shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("pieces").as("n_pieces"))
+      .orderBy("lang", "shard", "seq_id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q_dsir_select", (s, d) => dsirSelect(s, d), Some(dsirOracle)),
     Q.staged("q_dedup_incremental",
@@ -277,5 +309,8 @@ object Curation {
     Q.staged("q_bpe_tokens",
       setup = (s, d) => stageBpeVocab(s, d),
       verb = (s, d) => bpeEncodeCorpus(s, d)),
+    Q.staged("q_pack_bpe",
+      setup = (s, d) => stageBpeVocab(s, d),
+      verb = (s, d) => packBpe(s, d)),
   )
 }

@@ -101,6 +101,33 @@ class CurationSpec extends AnyFunSuite {
     assert(bad == 0L, s"$bad documents failed the BPE round-trip")
   }
 
+  test("q_pack_bpe packs by exclusive running piece count within each stream") {
+    operators.Curation.stageBpeVocab(spark, sf)
+    val pieces = operators.Curation.bpeEncodeCorpus(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val langs = Tables(spark, sf, "documents").select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shards = operators.TextOps.packShards
+    // model: per (lang, shard) stream in doc_id order, seq = prior/256
+    val expected = langs.toSeq.sortBy(_._1)
+      .groupBy { case (id, l) => (l, id % shards) }
+      .toSeq.flatMap { case ((l, sh), docs) =>
+        var prior = 0L
+        docs.sortBy(_._1).map { case (id, _) =>
+          val seq = prior / 256
+          prior += pieces(id)
+          ((l, sh, seq), (1L, pieces(id)))
+        }
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> (vs.size.toLong, vs.map(_._2._2).sum) }
+    val got = operators.Curation.packBpe(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == expected,
+      s"diff: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+  }
+
   test("q_dedup_incremental verb: corpus text comes from the index, not documents") {
     operators.Curation.stageIncrementalIndex(spark, sf)
     val p = operators.Curation.incrementalDedup(spark, sf)

@@ -106,6 +106,16 @@ object GraftProcedures {
           row(UTF8String.fromString(LakeTable.tableSortBy(spark, p).mkString(",")))
         }
       }
+      case "set_partitioning" => new Proc("set_partitioning",
+          Array(param("table", StringType), param("cols", StringType)),
+          StructType(Seq(StructField("partition_by", StringType)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val p = path(store, in.getUTF8String(0).toString)
+          val cols = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          LakeTable.setPartitioning(spark, p, cols)
+          row(UTF8String.fromString(LakeTable.tablePartitioning(spark, p).mkString(",")))
+        }
+      }
       case "cluster_by" => new Proc("cluster_by",
           Array(param("table", StringType), param("cols", StringType),
             param("num_files", IntegerType)), verSchema) {
@@ -338,7 +348,7 @@ object GraftProcedures {
   }
 
   val names: Array[String] =
-    Array("compact", "compact_where", "vacuum", "set_sort_by", "cluster_by",
+    Array("compact", "compact_where", "vacuum", "set_sort_by", "set_partitioning", "cluster_by",
       "add_check", "drop_check", "delete_mor", "update_mor", "enable_dv",
       "restore", "create_view", "tag", "drop_tag", "create_mv", "drop_mv",
       "grant", "revoke", "show_grants", "show_audit", "clone")

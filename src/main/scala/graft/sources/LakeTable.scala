@@ -905,6 +905,39 @@ object LakeTable {
     writeTableMeta(spark, path, tablePartitioning(spark, path),
       metaSchema(spark, path), cols, tableChecks(spark, path), dvEnabled(spark, path))
 
+  /** PARTITION EVOLUTION (the Iceberg marquee): change the table's
+    * partition spec WITHOUT rewriting a byte of data. Metadata-only —
+    * subsequent appends and COW rewrites lay their new file groups out
+    * under the new spec while existing groups keep theirs; the read
+    * path already unions per-group layouts by name (partition columns
+    * surface from paths or data files interchangeably) and the stats
+    * pruner derives each FILE's partition values from its own path, so
+    * old-spec and new-spec groups each prune under whatever layout
+    * they actually have. At 100 TB this is the difference between
+    * "repartitioning the table" being a metadata commit vs a
+    * multi-day rewrite. Old snapshots are untouched: time travel
+    * before the spec change reads exactly what it always did.
+    */
+  def setPartitioning(spark: SparkSession, path: String, cols: Seq[String]): Unit =
+    writeTableMeta(spark, path, cols, metaSchema(spark, path),
+      tableSortBy(spark, path), tableChecks(spark, path), dvEnabled(spark, path),
+      // spec changed while data exists → old and new groups may differ
+      markMixed = currentVersion(spark, path).isDefined)
+
+  /** True once a partition-spec change may have left groups with
+    * different directory layouts (see writeTableMeta).
+    */
+  private[graft] def hasMixedLayouts(spark: SparkSession, path: String): Boolean = {
+    val p = tableMetaFile(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) false
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      body.contains("\"mixedLayouts\":true")
+    }
+  }
+
   /** One writer for every `_table.json` mutation so no path drops a
     * key another recorded (updateSchemaMeta used to erase nothing only
     * because partitioning was the single other key).
@@ -913,9 +946,16 @@ object LakeTable {
       schema: Option[org.apache.spark.sql.types.StructType],
       sortBy: Seq[String],
       checks: Seq[(String, String)],
-      dvMode: Boolean): Unit = {
+      dvMode: Boolean,
+      markMixed: Boolean = false): Unit = {
     val fields = Seq.newBuilder[String]
     fields += s""""partitionBy":[${parts.map(c => "\"" + c + "\"").mkString(",")}]"""
+    // MONOTONIC mixed-layout marker (partition evolution, B53): set
+    // when a spec change leaves groups of different layouts behind,
+    // preserved by every later meta rewrite. Readers route mixed
+    // tables through the per-group-root union (always correct) and
+    // keep the single-scan fast path for never-evolved flat tables.
+    if (markMixed || hasMixedLayouts(spark, path)) fields += "\"mixedLayouts\":true"
     if (dvMode) fields += "\"dvMode\":true"
     if (sortBy.nonEmpty)
       fields += s""""sortBy":[${sortBy.map(c => "\"" + c + "\"").mkString(",")}]"""
@@ -1081,7 +1121,11 @@ object LakeTable {
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val c = readCommit(spark, path, prev)
     val v = prev + 1
-    val dir = writeGroup(spark, path, v, df, partitionBy)
+    // No explicit layout → the table's CURRENT spec (which partition
+    // evolution may have changed since create): new groups always land
+    // under the spec in force at write time.
+    val spec = if (partitionBy.nonEmpty) partitionBy else tablePartitioning(spark, path)
+    val dir = writeGroup(spark, path, v, df, spec)
     // CDC: an append's change records ARE the appended rows, so no
     // change file is written at all — the commit carries an `@dir`
     // marker and readers synthesize (change_type='insert',
@@ -1124,7 +1168,9 @@ object LakeTable {
         .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
       val c = readCommit(spark, path, prev)
       val v = prev + 1
-      val dir = writeGroup(spark, path, v, df, partitionBy)
+      val spec = if (partitionBy.nonEmpty) partitionBy
+        else tablePartitioning(spark, path)
+      val dir = writeGroup(spark, path, v, df, spec)
       val cdc = cdcKey(spark, path).map(_ => "@" + dir)
       try {
         writeCommit(spark, path,
@@ -2055,7 +2101,8 @@ object LakeTable {
       }
     }
     val flatEntries = dirs.forall(d => groupRoot(d) == d)
-    if (flatEntries && tablePartitioning(spark, path).isEmpty)
+    if (flatEntries && tablePartitioning(spark, path).isEmpty
+        && !hasMixedLayouts(spark, path))
       finish(spark.read.option("mergeSchema", "true")
         .parquet(dirs.map(d => new Path(path, d).toString): _*), dirs.map(groupKey))
     else {

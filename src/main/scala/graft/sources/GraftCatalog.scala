@@ -223,10 +223,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val updated = changes.foldLeft(LakeTable.tableSchema(spark, p)) {
       case (sch, add: TableChange.AddColumn) if add.fieldNames.length == 1 =>
         sch.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case (sch, ren: TableChange.RenameColumn) if ren.fieldNames.length == 1 =>
+        // metadata-only column rename (B58): records the mapping; the
+        // read path renames old-physical-name groups at scan assembly
+        LakeTable.renameColumn(spark, p, ren.fieldNames()(0), ren.newName())
+        org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+          if (f.name == ren.fieldNames()(0)) f.copy(name = ren.newName()) else f))
       case (_, other) => throw new UnsupportedOperationException(
-        s"only ADD COLUMNS is a metadata-only change; got $other")
+        s"only ADD COLUMNS / RENAME COLUMN are metadata-only changes; got $other")
     }
-    LakeTable.updateSchemaMeta(spark, p, updated)
+    if (!changes.forall(_.isInstanceOf[TableChange.RenameColumn]))
+      LakeTable.updateSchemaMeta(spark, p, updated)
     new GraftTable(p, None, Some(updated))
   }
 

@@ -240,7 +240,15 @@ final class GraftTable(path: String, version: Option[Long],
     // relation's own columnar parquet subplan. `CALL system.compact`
     // purges the vectors and puts the table back on the fully-V2
     // columnar scan below.
-    if (LakeTable.dvFor(spark, path, v, commit.dirs).nonEmpty)
+    // DV'd snapshots AND renamed tables serve through the V1-pushdown
+    // builder: both need per-group frame assembly (vector filters /
+    // physical→logical name mapping) that the raw columnar parquet
+    // scan below cannot express. Pushdown, pruning and stats survive
+    // (see GraftDvScanBuilder); compaction migrates groups to the
+    // current physical names and vector-free files, restoring the
+    // fully-V2 path.
+    if (LakeTable.dvFor(spark, path, v, commit.dirs).nonEmpty
+        || LakeTable.tableRenames(spark, path).nonEmpty)
       return new GraftDvScanBuilder(spark, path, v,
         LakeTable.tableSchema(spark, path, Some(v)))
     val scanOpts = new CaseInsensitiveStringMap(

@@ -451,6 +451,21 @@ object LakeTable {
     */
   private[graft] def pruneFilesByDir(spark: SparkSession, path: String, dirs: Seq[String],
       bounds: Map[String, ColumnBounds]): (Seq[PrunedDir], Boolean) = {
+    // Groups written before a RENAME COLUMN carry stats (and possibly
+    // partition dirs) under the old physical name — resolve each bound
+    // column's prior names once so those files still prune instead of
+    // degrading to must-read.
+    val renameChain = tableRenames(spark, path)
+    val priorNames: Map[String, Seq[String]] =
+      if (renameChain.isEmpty) Map.empty
+      else bounds.keys.map { c =>
+        var cur = c
+        val out = Seq.newBuilder[String]
+        renameChain.reverse.foreach { case (o, n) =>
+          if (n == cur) { out += o; cur = o }
+        }
+        c -> out.result()
+      }.toMap
     var flat = true
     val out = dirs.map { d =>
       val dirPath = new Path(path, d) // the entry (maybe a partition subdir)
@@ -501,7 +516,9 @@ object LakeTable {
                 side(b.lo, _ >= _, _ >= _) && side(b.hi, _ <= _, _ <= _)
             }
           val overlaps = bounds.forall { case (column, b) =>
-            partOverlaps(column, b).getOrElse(stats.get((rel, column)) match {
+            val names = column +: priorNames.getOrElse(column, Nil)
+            names.iterator.flatMap(nm => partOverlaps(nm, b)).nextOption()
+              .getOrElse(names.iterator.flatMap(nm => stats.get((rel, nm))).nextOption() match {
               case Some(('n', mn, mx)) =>
                 b.lo.forall { case l: Number => mx.toDouble >= l.doubleValue(); case _ => true } &&
                 b.hi.forall { case h: Number => mn.toDouble <= h.doubleValue(); case _ => true }
@@ -924,6 +941,66 @@ object LakeTable {
       // spec changed while data exists → old and new groups may differ
       markMixed = currentVersion(spark, path).isDefined)
 
+  /** Column-rename records (physical-old → logical-new) in application
+    * order — the Delta column-mapping analogue. Metadata-only: files
+    * written before a rename keep the old physical name and readers
+    * map it per GROUP at scan assembly; files written after carry the
+    * new name natively; the next COW rewrite migrates old groups.
+    */
+  def tableRenames(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val p = tableMetaFile(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"renamesB64"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+          .map { b64 =>
+            val s = new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
+            val i = s.indexOf('\t')
+            (s.substring(0, i), s.substring(i + 1))
+          })
+        .getOrElse(Nil)
+    }
+  }
+
+  /** RENAME COLUMN as a metadata-only change (ALTER TABLE ... RENAME
+    * COLUMN): no file is rewritten. The rename chain applies at read
+    * time per file group, so old-physical-name and new-name groups
+    * serve one logical schema; writes after the rename use the new
+    * name natively; pruning consults sidecar stats under BOTH names.
+    * Applies to the whole table (all snapshots) — the Delta
+    * column-mapping semantic: rename is logical, history shows the
+    * current logical names.
+    */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+      newName: String): Unit = {
+    val sch = tableSchema(spark, path)
+    require(sch.fieldNames.contains(oldName), s"no column $oldName in ${sch.fieldNames.mkString(",")}")
+    require(!sch.fieldNames.contains(newName), s"column $newName already exists")
+    val renames = tableRenames(spark, path) :+ (oldName -> newName)
+    val parts = tablePartitioning(spark, path)
+      .map(c => if (c == oldName) newName else c)
+    val meta = metaSchema(spark, path).map(m => org.apache.spark.sql.types.StructType(
+      m.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f)))
+    writeTableMeta(spark, path, parts, meta, tableSortBy(spark, path),
+      tableChecks(spark, path), dvEnabled(spark, path),
+      // old-name groups and new-name groups must read per root
+      markMixed = currentVersion(spark, path).isDefined,
+      renames = Some(renames))
+  }
+
+  /** Apply the rename chain to one file group's frame: a group written
+    * before rename k carries the old name — rename it; groups written
+    * after already carry the new one.
+    */
+  private def applyRenames(df: DataFrame, renames: Seq[(String, String)]): DataFrame =
+    renames.foldLeft(df) { case (d, (o, n)) =>
+      if (d.columns.contains(o) && !d.columns.contains(n)) d.withColumnRenamed(o, n) else d
+    }
+
   /** True once a partition-spec change may have left groups with
     * different directory layouts (see writeTableMeta).
     */
@@ -947,9 +1024,19 @@ object LakeTable {
       sortBy: Seq[String],
       checks: Seq[(String, String)],
       dvMode: Boolean,
-      markMixed: Boolean = false): Unit = {
+      markMixed: Boolean = false,
+      renames: Option[Seq[(String, String)]] = None): Unit = {
     val fields = Seq.newBuilder[String]
     fields += s""""partitionBy":[${parts.map(c => "\"" + c + "\"").mkString(",")}]"""
+    // rename chain: explicit new value, or preserved from the current meta
+    val ren = renames.getOrElse(tableRenames(spark, path))
+    if (ren.nonEmpty) {
+      val enc = ren.map { case (o, n) =>
+        "\"" + java.util.Base64.getEncoder.encodeToString(
+          s"$o\t$n".getBytes(StandardCharsets.UTF_8)) + "\""
+      }
+      fields += s""""renamesB64":[${enc.mkString(",")}]"""
+    }
     // MONOTONIC mixed-layout marker (partition evolution, B53): set
     // when a spec change leaves groups of different layouts behind,
     // preserved by every later meta rewrite. Readers route mixed
@@ -2100,23 +2187,27 @@ object LakeTable {
         if (withPos) filtered else filtered.drop("__file", "__pos")
       }
     }
+    val renames = tableRenames(spark, path)
     val flatEntries = dirs.forall(d => groupRoot(d) == d)
     if (flatEntries && tablePartitioning(spark, path).isEmpty
         && !hasMixedLayouts(spark, path))
-      finish(spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => new Path(path, d).toString): _*), dirs.map(groupKey))
+      finish(applyRenames(spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => new Path(path, d).toString): _*), renames),
+        dirs.map(groupKey))
     else {
       // Partitioned (or subdir-entry) layout: one read per GROUP ROOT
       // under its basePath — entries of the same group share a scan,
-      // partition columns come back from the paths.
+      // partition columns come back from the paths. Rename mapping
+      // applies PER ROOT (each group carries the physical names of its
+      // write time) so the union lines logical columns up by name.
       val byRoot = dirs.groupBy(groupRoot).toSeq.sortBy(_._1)
       val reads = byRoot.flatMap { case (root, entries) =>
         val entryPaths = entries.map(e => new Path(path, e).toString)
           .filter(p => hasParquet(spark, new Path(p)))
         if (entryPaths.isEmpty) None
-        else Some(finish(spark.read.option("mergeSchema", "true")
+        else Some(finish(applyRenames(spark.read.option("mergeSchema", "true")
           .option("basePath", new Path(path, root).toString)
-          .parquet(entryPaths: _*), Seq(groupKey(root))))
+          .parquet(entryPaths: _*), renames), Seq(groupKey(root))))
       }
       if (reads.nonEmpty) reads.reduce(_.unionByName(_, allowMissingColumns = true))
       else metaSchema(spark, path) match {
@@ -2156,15 +2247,16 @@ object LakeTable {
             org.apache.spark.sql.graftglue.Glue.expression(col("__pos")), dvBc)))
         .drop("__file", "__pos")
     }
+    val renames = tableRenames(spark, path)
     val nonEmpty = pruned.filter(_.kept.nonEmpty)
     if (nonEmpty.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (flat)
+    else if (flat && renames.isEmpty)
       finish(spark.read.option("mergeSchema", "true")
         .parquet(nonEmpty.flatMap(_.kept): _*), nonEmpty.map(p => groupKey(p.dir)))
     else nonEmpty.map { pd =>
-      finish(spark.read.option("mergeSchema", "true").option("basePath", pd.base)
-        .parquet(pd.kept: _*), Seq(groupKey(pd.dir)))
+      finish(applyRenames(spark.read.option("mergeSchema", "true").option("basePath", pd.base)
+        .parquet(pd.kept: _*), renames), Seq(groupKey(pd.dir)))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

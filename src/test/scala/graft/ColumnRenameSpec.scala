@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RENAME COLUMN as metadata (B58, the Delta column-mapping analogue):
+  * no file rewrite; old-physical-name groups map to the logical name
+  * at scan assembly; new writes carry the new name; sidecar-stats
+  * pruning consults both names; COW rewrites migrate.
+  */
+class ColumnRenameSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def freshPath(name: String): String = {
+    val p = s"${operators.Lakehouse.scratch}/ren_$name"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+    p
+  }
+
+  test("rename maps old groups, new writes use the new name, chain re-renames") {
+    val p = freshPath("basic")
+    sources.LakeTable.create(spark, p,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "amount"))
+    sources.LakeTable.renameColumn(spark, p, "amount", "value")
+    // logical schema shows the new name only
+    assert(sources.LakeTable.read(spark, p).columns.toSeq == Seq("k", "value"))
+    // appends after the rename write the new physical name
+    sources.LakeTable.append(spark, p, Seq((3L, 30L)).toDF("k", "value"))
+    val all = sources.LakeTable.read(spark, p)
+      .select("k", "value").as[(Long, Long)].collect().toSet
+    assert(all == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // second rename chains over both old-name generations
+    sources.LakeTable.renameColumn(spark, p, "value", "v2")
+    val again = sources.LakeTable.read(spark, p)
+      .select("k", "v2").as[(Long, Long)].collect().toSet
+    assert(again == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // old physical files untouched (no rewrite happened)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(hp).map(_.getPath.getName).count(_.startsWith("d0-")) == 1)
+  }
+
+  test("stats pruning on the renamed column still skips old-name files") {
+    val p = freshPath("prune")
+    // two well-separated files so bounds can discriminate
+    sources.LakeTable.create(spark, p,
+      spark.range(0, 100).select(col("id").as("k"), col("id").as("amount"))
+        .repartitionByRange(2, col("amount")))
+    sources.LakeTable.renameColumn(spark, p, "amount", "value")
+    val c = sources.LakeTable.readCommit(spark, p,
+      sources.LakeTable.currentVersion(spark, p).get)
+    val (pruned, _) = sources.LakeTable.pruneFilesByDir(spark, p, c.dirs,
+      Map("value" -> sources.LakeTable.ColumnBounds(Some(Long.box(90L)), None)))
+    val files = pruned.flatMap(_.files)
+    assert(files.nonEmpty)
+    assert(files.exists(!_.kept),
+      s"stats recorded under the OLD name must still prune: $files")
+    assert(files.exists(_.kept))
+  }
+
+  test("SQL ALTER TABLE RENAME COLUMN end-to-end through the catalog") {
+    val cat = "ren_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"${operators.Lakehouse.scratch}/ren_wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.rt")
+    spark.sql(s"CREATE TABLE $cat.db.rt (k BIGINT, amount BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.rt VALUES (1, 10), (2, 20)")
+    spark.sql(s"ALTER TABLE $cat.db.rt RENAME COLUMN amount TO value")
+    spark.sql(s"INSERT INTO $cat.db.rt VALUES (3, 30)")
+    // reads resolve both generations under the logical name; filters work
+    assert(spark.sql(s"SELECT sum(value) FROM $cat.db.rt").collect()(0).getLong(0) == 60L)
+    assert(spark.sql(s"SELECT k FROM $cat.db.rt WHERE value >= 20 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // DML over the logical name rewrites (and thereby migrates) groups
+    spark.sql(s"UPDATE $cat.db.rt SET value = value + 1 WHERE k = 1")
+    assert(spark.sql(s"SELECT value FROM $cat.db.rt WHERE k = 1")
+      .collect()(0).getLong(0) == 11L)
+  }
+
+  test("compaction migrates old groups to the current physical names") {
+    val p = freshPath("compact")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "amount"))
+    sources.LakeTable.renameColumn(spark, p, "amount", "value")
+    sources.LakeTable.compact(spark, p, 1)
+    // after compaction every live file carries the new physical name
+    val c = sources.LakeTable.readCommit(spark, p,
+      sources.LakeTable.currentVersion(spark, p).get)
+    val dirs = c.dirs.map(d => new org.apache.hadoop.fs.Path(p, d))
+    val fs = dirs.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirs.foreach { d =>
+      fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val cols = spark.read.parquet(f.getPath.toString).columns.toSeq
+        assert(cols == Seq("k", "value"), s"${f.getPath}: $cols")
+      }
+    }
+    assert(sources.LakeTable.read(spark, p).select("value").as[Long].collect().toSeq == Seq(10L))
+  }
+}

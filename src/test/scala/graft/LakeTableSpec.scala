@@ -1232,10 +1232,13 @@ class LakeTableSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft_cat.adb.t SELECT CAST(100 AS BIGINT) AS id, 'x' AS note")
     val all = spark.sql("SELECT id, note FROM graft_cat.adb.t")
     assert(all.count() == 6 && all.where(col("note") === "x").count() == 1)
-    // non-metadata changes still reject
+    // RENAME COLUMN is now metadata-only too (B58, ColumnRenameSpec);
+    // changes outside the metadata-only set still reject
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft_cat.adb.t RENAME COLUMN id TO id2")
+      spark.sql("ALTER TABLE graft_cat.adb.t DROP COLUMN note")
     }
+    spark.sql("ALTER TABLE graft_cat.adb.t RENAME COLUMN id TO id2")
+    assert(spark.sql("SELECT sum(id2) FROM graft_cat.adb.t").head().getLong(0) == 110L)
   }
 
   test("catalog SQL time travel: VERSION AS OF pins a snapshot") {

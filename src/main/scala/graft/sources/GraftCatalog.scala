@@ -229,10 +229,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         LakeTable.renameColumn(spark, p, ren.fieldNames()(0), ren.newName())
         org.apache.spark.sql.types.StructType(sch.fields.map(f =>
           if (f.name == ren.fieldNames()(0)) f.copy(name = ren.newName()) else f))
+      case (sch, del: TableChange.DeleteColumn) if del.fieldNames.length == 1 =>
+        // metadata-only column drop (B59): tombstone mapping on the
+        // same chain; scan assembly projects the column away
+        LakeTable.dropColumn(spark, p, del.fieldNames()(0))
+        org.apache.spark.sql.types.StructType(
+          sch.fields.filterNot(_.name == del.fieldNames()(0)))
       case (_, other) => throw new UnsupportedOperationException(
-        s"only ADD COLUMNS / RENAME COLUMN are metadata-only changes; got $other")
+        s"only ADD COLUMNS / RENAME COLUMN / DROP COLUMN are metadata-only changes; got $other")
     }
-    if (!changes.forall(_.isInstanceOf[TableChange.RenameColumn]))
+    def mappingOnly(c: TableChange) =
+      c.isInstanceOf[TableChange.RenameColumn] || c.isInstanceOf[TableChange.DeleteColumn]
+    if (!changes.forall(mappingOnly))
       LakeTable.updateSchemaMeta(spark, p, updated)
     new GraftTable(p, None, Some(updated))
   }

@@ -153,6 +153,21 @@ object LakeTable {
     Commit(ver, action, dirs, cdc, ts, txn, dv)
   }
 
+  /** A committer lost the per-version claim: some other writer
+    * published this version first. Retryable — the table simply moved;
+    * rebase on the new head and try the next version. Subtype of
+    * IllegalStateException so pre-existing handlers keep working.
+    */
+  final class CommitRaceLostException(msg: String) extends IllegalStateException(msg)
+
+  /** Optimistic-concurrency abort: the operation read table state a
+    * concurrent writer changed (or rebasing retries were exhausted),
+    * and blindly re-publishing could lose or resurrect rows. The
+    * caller should re-run the whole operation against the new
+    * snapshot — the Delta ConcurrentModificationException contract.
+    */
+  final class ConcurrentWriteException(msg: String) extends IllegalStateException(msg)
+
   private[graft] def writeCommit(spark: SparkSession, path: String, c: Commit): Unit = {
     val target = commitFile(path, c.version)
     val tmp = new Path(logDir(path), s".tmp-v${c.version}-${java.util.UUID.randomUUID.toString.take(8)}.json")
@@ -195,7 +210,7 @@ object LakeTable {
       }
     if (!claimed) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(s"commit v${c.version} lost the race for $target")
+      throw new CommitRaceLostException(s"commit v${c.version} lost the race for $target")
     }
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
@@ -461,8 +476,8 @@ object LakeTable {
       else bounds.keys.map { c =>
         var cur = c
         val out = Seq.newBuilder[String]
-        renameChain.reverse.foreach { case (o, n) =>
-          if (n == cur) { out += o; cur = o }
+        renameChain.reverse.foreach { r =>
+          if (r.to == cur) { out += r.old; cur = r.old }
         }
         c -> out.result()
       }.toMap
@@ -941,13 +956,29 @@ object LakeTable {
       // spec changed while data exists → old and new groups may differ
       markMixed = currentVersion(spark, path).isDefined)
 
-  /** Column-rename records (physical-old → logical-new) in application
+  /** One column-mapping change: a group written before `stamp` (its
+    * dir version < stamp) carries the physical name `old` for what the
+    * logical schema now calls `to`; groups at/after `stamp` wrote the
+    * new name natively (or, for drops, never had the column). The
+    * stamp is what disambiguates DROP-then-re-ADD of the same name:
+    * without it, a chain entry would capture the RE-ADDED column in
+    * groups that postdate the change.
+    */
+  private[graft] final case class RenameRec(old: String, to: String, stamp: Long) {
+    def dropped: Boolean = to.startsWith(DroppedPrefix)
+  }
+  private[graft] val DroppedPrefix = "__graft_dropped_"
+
+  /** Column-mapping records (physical-old → logical-new, stamped with
+    * the first table version they do NOT apply to) in application
     * order — the Delta column-mapping analogue. Metadata-only: files
     * written before a rename keep the old physical name and readers
     * map it per GROUP at scan assembly; files written after carry the
     * new name natively; the next COW rewrite migrates old groups.
+    * DROP COLUMN rides the same chain: the target is a reserved
+    * tombstone name that scan assembly projects away.
     */
-  def tableRenames(spark: SparkSession, path: String): Seq[(String, String)] = {
+  def tableRenames(spark: SparkSession, path: String): Seq[RenameRec] = {
     val p = tableMetaFile(path)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) Nil
@@ -959,8 +990,12 @@ object LakeTable {
           .filter(_.nonEmpty).toSeq
           .map { b64 =>
             val s = new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
-            val i = s.indexOf('\t')
-            (s.substring(0, i), s.substring(i + 1))
+            s.split("\t") match {
+              case Array(o, n)    => RenameRec(o, n, Long.MaxValue)
+              case Array(o, n, v) => RenameRec(o, n, v.toLong)
+              case other => throw new IllegalStateException(
+                s"bad rename record '${other.mkString("\\t")}' in $p")
+            }
           })
         .getOrElse(Nil)
     }
@@ -980,25 +1015,89 @@ object LakeTable {
     val sch = tableSchema(spark, path)
     require(sch.fieldNames.contains(oldName), s"no column $oldName in ${sch.fieldNames.mkString(",")}")
     require(!sch.fieldNames.contains(newName), s"column $newName already exists")
-    val renames = tableRenames(spark, path) :+ (oldName -> newName)
+    appendMapping(spark, path, oldName, newName)
+  }
+
+  /** DROP COLUMN as a metadata-only change (B59): no file is
+    * rewritten. The column maps to a reserved tombstone name on the
+    * same stamped chain renames use; scan assembly projects tombstones
+    * away, so every snapshot serves the narrowed schema while old
+    * files keep their bytes. Re-ADDing the same name later is safe:
+    * the stamp confines the tombstone mapping to pre-drop groups, so
+    * the new column's data in newer groups is never captured. The
+    * next COW rewrite / compaction physically sheds the column.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Unit = {
+    val sch = tableSchema(spark, path)
+    require(sch.fieldNames.contains(name), s"no column $name in ${sch.fieldNames.mkString(",")}")
+    require(sch.fields.length > 1, s"cannot drop the only column $name")
+    require(!tablePartitioning(spark, path).contains(name),
+      s"cannot drop partition column $name (change the partition spec first)")
+    require(!tableSortBy(spark, path).contains(name),
+      s"cannot drop sort column $name (clear write.sort.by first)")
+    val ref = ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+    tableChecks(spark, path).foreach { case (cn, expr) =>
+      require(ref.findFirstIn(expr).isEmpty,
+        s"cannot drop $name: CHECK constraint $cn references it ($expr)")
+    }
+    appendMapping(spark, path, name,
+      DroppedPrefix + java.util.UUID.randomUUID.toString.take(8))
+  }
+
+  private def appendMapping(spark: SparkSession, path: String, oldName: String,
+      newName: String): Unit = {
+    // Stamp = the next data version: every EXISTING group (dir version
+    // <= current) carries the old physical name; groups written from
+    // here on use the new logical schema natively.
+    val cur = currentVersion(spark, path)
+    val renames = tableRenames(spark, path) :+
+      RenameRec(oldName, newName, cur.map(_ + 1).getOrElse(0L))
+    val dropped = newName.startsWith(DroppedPrefix)
     val parts = tablePartitioning(spark, path)
       .map(c => if (c == oldName) newName else c)
     val meta = metaSchema(spark, path).map(m => org.apache.spark.sql.types.StructType(
-      m.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f)))
+      if (dropped) m.fields.filterNot(_.name == oldName)
+      else m.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f)))
     writeTableMeta(spark, path, parts, meta, tableSortBy(spark, path),
       tableChecks(spark, path), dvEnabled(spark, path),
       // old-name groups and new-name groups must read per root
-      markMixed = currentVersion(spark, path).isDefined,
+      markMixed = cur.isDefined,
       renames = Some(renames))
   }
 
-  /** Apply the rename chain to one file group's frame: a group written
-    * before rename k carries the old name — rename it; groups written
-    * after already carry the new one.
+  /** Apply the mapping chain to one file group's frame. Only entries
+    * stamped AFTER the group's creation version apply (the group was
+    * written under the pre-change schema); within those, the presence
+    * guards keep re-introduced names from double-mapping. Tombstone
+    * targets are projected away at the end.
     */
-  private def applyRenames(df: DataFrame, renames: Seq[(String, String)]): DataFrame =
-    renames.foldLeft(df) { case (d, (o, n)) =>
-      if (d.columns.contains(o) && !d.columns.contains(n)) d.withColumnRenamed(o, n) else d
+  private def applyRenames(df: DataFrame, renames: Seq[RenameRec],
+      groupVersion: Long): DataFrame = {
+    val mapped = renames.foldLeft(df) { case (d, r) =>
+      if (groupVersion < r.stamp && d.columns.contains(r.old)
+          && !d.columns.contains(r.to)) d.withColumnRenamed(r.old, r.to)
+      else d
+    }
+    val tombs = mapped.columns.filter(_.startsWith(DroppedPrefix))
+    if (tombs.isEmpty) mapped else mapped.drop(tombs.toIndexedSeq: _*)
+  }
+
+  /** A group dir's creation version, parsed from its `dN-uuid` name.
+    * Absolute-URI entries (shallow-clone / branch references) carry
+    * the SOURCE table's version numbers — incomparable with this
+    * table's stamps — so they conservatively take Long.MinValue:
+    * every mapping applies, restrained by the presence guards (a
+    * clone's referenced groups all predate any change made on the
+    * clone).
+    */
+  private def groupVersionOf(entry: String): Long =
+    if (entry.startsWith("/") || entry.contains("://")) Long.MinValue
+    else {
+      val k = groupKey(entry)
+      if (k.startsWith("d") && k.indexOf('-') > 1)
+        try k.substring(1, k.indexOf('-')).toLong
+        catch { case _: NumberFormatException => Long.MinValue }
+      else Long.MinValue
     }
 
   /** True once a partition-spec change may have left groups with
@@ -1025,15 +1124,15 @@ object LakeTable {
       checks: Seq[(String, String)],
       dvMode: Boolean,
       markMixed: Boolean = false,
-      renames: Option[Seq[(String, String)]] = None): Unit = {
+      renames: Option[Seq[RenameRec]] = None): Unit = {
     val fields = Seq.newBuilder[String]
     fields += s""""partitionBy":[${parts.map(c => "\"" + c + "\"").mkString(",")}]"""
     // rename chain: explicit new value, or preserved from the current meta
     val ren = renames.getOrElse(tableRenames(spark, path))
     if (ren.nonEmpty) {
-      val enc = ren.map { case (o, n) =>
+      val enc = ren.map { r =>
         "\"" + java.util.Base64.getEncoder.encodeToString(
-          s"$o\t$n".getBytes(StandardCharsets.UTF_8)) + "\""
+          s"${r.old}\t${r.to}\t${r.stamp}".getBytes(StandardCharsets.UTF_8)) + "\""
       }
       fields += s""""renamesB64":[${enc.mkString(",")}]"""
     }
@@ -1201,27 +1300,66 @@ object LakeTable {
     }
   }
 
-  /** Append a new file group; existing groups are untouched. */
+  /** Append a new file group; existing groups are untouched.
+    *
+    * BLIND-APPEND optimistic concurrency (the Delta semantic): an
+    * append reads no table data, so it conflicts with NO concurrent
+    * commit — losing the version-claim race rebases the already-staged
+    * group onto the new head and retries the METADATA commit only.
+    * N concurrent appenders each write their data exactly once and
+    * all N succeed at consecutive versions; at 100 TB this is the
+    * difference between a multi-writer ingest fleet and "retry the
+    * whole job". Data written under a since-evolved partition spec or
+    * column mapping stays correct: the group keeps its write-time
+    * layout/names and the per-group readers (B57/B58) assemble it.
+    */
   def append(spark: SparkSession, path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Long = {
     val prev = currentVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
-    val c = readCommit(spark, path, prev)
-    val v = prev + 1
     // No explicit layout → the table's CURRENT spec (which partition
     // evolution may have changed since create): new groups always land
     // under the spec in force at write time.
     val spec = if (partitionBy.nonEmpty) partitionBy else tablePartitioning(spark, path)
-    val dir = writeGroup(spark, path, v, df, spec)
-    // CDC: an append's change records ARE the appended rows, so no
-    // change file is written at all — the commit carries an `@dir`
-    // marker and readers synthesize (change_type='insert',
-    // _commit_version=v) from the data group. Appends with the feed
-    // on pay ZERO write amplification (the Delta insert-only-commit
-    // optimization); only row-mutating commits write change files.
-    val cdc = cdcKey(spark, path).map(_ => "@" + dir)
-    writeCommit(spark, path, Commit(v, "append", c.dirs :+ dir, cdc))
-    v
+    val dir = writeGroup(spark, path, prev + 1, df, spec)
+    commitBlindAppend(spark, path, prev, dir, txn = None)
+  }
+
+  /** Publish an already-staged group as an append, rebasing past
+    * concurrent winners (their commits plus this dir compose — blind
+    * appends have an empty read set). Claim losses where the winner's
+    * publish is still in flight (claim marker up, commit rename not
+    * yet visible) back off briefly and re-resolve.
+    */
+  private def commitBlindAppend(spark: SparkSession, path: String, basePrev: Long,
+      dir: String, txn: Option[(String, Long)]): Long = {
+    var prev = basePrev
+    var attempts = 0
+    while (true) {
+      val c = readCommit(spark, path, prev)
+      val v = prev + 1
+      // CDC: an append's change records ARE the appended rows, so no
+      // change file is written at all — the commit carries an `@dir`
+      // marker and readers synthesize (change_type='insert',
+      // _commit_version=v) from the data group. Appends with the feed
+      // on pay ZERO write amplification (the Delta insert-only-commit
+      // optimization); only row-mutating commits write change files.
+      val cdc = cdcKey(spark, path).map(_ => "@" + dir)
+      try {
+        writeCommit(spark, path, Commit(v, "append", c.dirs :+ dir, cdc, txn = txn))
+        return v
+      } catch {
+        case e: CommitRaceLostException =>
+          attempts += 1
+          if (attempts >= 32)
+            throw new ConcurrentWriteException(
+              s"append to $path gave up after $attempts rebases: ${e.getMessage}")
+          val head = currentVersion(spark, path).getOrElse(prev)
+          if (head < v) Thread.sleep(5L * attempts) // winner mid-publish
+          prev = math.max(head, prev)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Latest application version `appId` has committed to this table
@@ -1249,7 +1387,12 @@ object LakeTable {
   def appendOnce(spark: SparkSession, path: String, df: DataFrame,
       appId: String, appVersion: Long, partitionBy: Seq[String] = Nil): Boolean = {
     var attempts = 0
+    var staged: Option[String] = None
     while (true) {
+      // The idempotence check runs before EVERY commit attempt (not
+      // just the first): a race loss may have been to our own twin
+      // replaying the same (appId, appVersion). A staged-but-unneeded
+      // dir is an orphan vacuum reclaims — same as any race loser.
       if (txnVersion(spark, path, appId).exists(_ >= appVersion)) return false
       val prev = currentVersion(spark, path)
         .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
@@ -1257,18 +1400,27 @@ object LakeTable {
       val v = prev + 1
       val spec = if (partitionBy.nonEmpty) partitionBy
         else tablePartitioning(spark, path)
-      val dir = writeGroup(spark, path, v, df, spec)
+      // Stage the data ONCE; retries after a lost race rebase the same
+      // group dir (blind appends read nothing — only the metadata
+      // commit needs redoing).
+      val dir = staged.getOrElse {
+        val d = writeGroup(spark, path, v, df, spec); staged = Some(d); d
+      }
       val cdc = cdcKey(spark, path).map(_ => "@" + dir)
       try {
         writeCommit(spark, path,
           Commit(v, "append", c.dirs :+ dir, cdc, txn = Some(appId -> appVersion)))
         return true
       } catch {
-        case e: IllegalStateException =>
+        case e: CommitRaceLostException =>
           // Lost the version race: someone else committed v (possibly
           // OUR twin replaying the same batch) — re-check and retry.
           attempts += 1
-          if (attempts >= 5) throw e
+          if (attempts >= 8)
+            throw new ConcurrentWriteException(
+              s"appendOnce($appId, $appVersion) gave up after $attempts rebases: ${e.getMessage}")
+          if (currentVersion(spark, path).exists(_ < v))
+            Thread.sleep(5L * attempts) // winner mid-publish
       }
     }
     false // unreachable
@@ -2191,8 +2343,12 @@ object LakeTable {
     val flatEntries = dirs.forall(d => groupRoot(d) == d)
     if (flatEntries && tablePartitioning(spark, path).isEmpty
         && !hasMixedLayouts(spark, path))
+      // Single-scan fast path: a table with data at rename time is
+      // marked mixed and routed below, so any chain here predates
+      // every dir — the min version stands in for all of them.
       finish(applyRenames(spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => new Path(path, d).toString): _*), renames),
+        .parquet(dirs.map(d => new Path(path, d).toString): _*), renames,
+        dirs.map(groupVersionOf).min),
         dirs.map(groupKey))
     else {
       // Partitioned (or subdir-entry) layout: one read per GROUP ROOT
@@ -2207,7 +2363,8 @@ object LakeTable {
         if (entryPaths.isEmpty) None
         else Some(finish(applyRenames(spark.read.option("mergeSchema", "true")
           .option("basePath", new Path(path, root).toString)
-          .parquet(entryPaths: _*), renames), Seq(groupKey(root))))
+          .parquet(entryPaths: _*), renames, groupVersionOf(root)),
+          Seq(groupKey(root))))
       }
       if (reads.nonEmpty) reads.reduce(_.unionByName(_, allowMissingColumns = true))
       else metaSchema(spark, path) match {
@@ -2256,7 +2413,7 @@ object LakeTable {
         .parquet(nonEmpty.flatMap(_.kept): _*), nonEmpty.map(p => groupKey(p.dir)))
     else nonEmpty.map { pd =>
       finish(applyRenames(spark.read.option("mergeSchema", "true").option("basePath", pd.base)
-        .parquet(pd.kept: _*), renames), Seq(groupKey(pd.dir)))
+        .parquet(pd.kept: _*), renames, groupVersionOf(pd.dir)), Seq(groupKey(pd.dir)))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

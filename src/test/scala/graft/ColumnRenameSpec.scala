@@ -82,6 +82,77 @@ class ColumnRenameSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 11L)
   }
 
+  test("drop column is metadata-only; re-adding the same name never resurrects old data") {
+    val p = freshPath("drop")
+    sources.LakeTable.create(spark, p,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "x", "note"))
+    sources.LakeTable.dropColumn(spark, p, "x")
+    assert(sources.LakeTable.read(spark, p).columns.toSeq == Seq("k", "note"))
+    // no file was rewritten
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(hp).map(_.getPath.getName).count(_.startsWith("d0-")) == 1)
+    // re-ADD the same name: pre-drop groups must read NULL (the stamp
+    // confines the tombstone mapping to them), post-add groups real data
+    sources.LakeTable.updateSchemaMeta(spark, p,
+      sources.LakeTable.read(spark, p).schema.add("x", "bigint"))
+    sources.LakeTable.append(spark, p, Seq((3L, "c", 333L)).toDF("k", "note", "x"))
+    val rows = sources.LakeTable.read(spark, p)
+      .select("k", "x").collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows == Set((1L, -1L), (2L, -1L), (3L, 333L)),
+      s"stale pre-drop x values must not resurrect: $rows")
+  }
+
+  test("drop composes with rename on the chain; guards reject structural deps") {
+    val p = freshPath("dropchain")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L), (2L, 20L)).toDF("k", "amount"))
+    sources.LakeTable.renameColumn(spark, p, "amount", "value")
+    sources.LakeTable.dropColumn(spark, p, "value")
+    assert(sources.LakeTable.read(spark, p).columns.toSeq == Seq("k"))
+    intercept[IllegalArgumentException] {
+      sources.LakeTable.dropColumn(spark, p, "k") // the only column
+    }
+    // partition-column drop rejects
+    val pp = freshPath("droppart")
+    sources.LakeTable.create(spark, pp,
+      Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("k", "lang", "v"),
+      partitionBy = Seq("lang"))
+    intercept[IllegalArgumentException] {
+      sources.LakeTable.dropColumn(spark, pp, "lang")
+    }
+  }
+
+  test("SQL ALTER TABLE DROP COLUMN end-to-end; compaction sheds the bytes") {
+    val cat = "ren_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"${operators.Lakehouse.scratch}/ren_wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.dt")
+    spark.sql(s"CREATE TABLE $cat.db.dt (k BIGINT, x BIGINT, note STRING) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.dt VALUES (1, 10, 'a'), (2, 20, 'b')")
+    spark.sql(s"ALTER TABLE $cat.db.dt DROP COLUMN x")
+    assert(spark.table(s"$cat.db.dt").columns.toSeq == Seq("k", "note"))
+    spark.sql(s"INSERT INTO $cat.db.dt VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.dt WHERE note >= 'a'")
+      .head().getLong(0) == 3L)
+    // compaction physically sheds the dropped column
+    val loc = s"${operators.Lakehouse.scratch}/ren_wh/db/dt"
+    sources.LakeTable.compact(spark, loc, 1)
+    val c = sources.LakeTable.readCommit(spark, loc,
+      sources.LakeTable.currentVersion(spark, loc).get)
+    c.dirs.foreach { d =>
+      val dp = new org.apache.hadoop.fs.Path(loc, d)
+      val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dp).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val cols = spark.read.parquet(f.getPath.toString).columns.toSeq
+        assert(!cols.contains("x") && !cols.exists(_.startsWith("__graft_dropped_")),
+          s"${f.getPath}: $cols")
+      }
+    }
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.db.dt").head().getLong(0) == 6L)
+  }
+
   test("compaction migrates old groups to the current physical names") {
     val p = freshPath("compact")
     sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "amount"))

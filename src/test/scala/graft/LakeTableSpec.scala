@@ -157,7 +157,7 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.logOps.sum() <= LakeTable.CheckpointInterval + 4)
   }
 
-  test("concurrent commits to the same version: exactly one wins") {
+  test("version claim is exclusive (one publisher per version); blind appends rebase") {
     val p = s"$root/race"
     LakeTable.create(spark, p, spark.range(5).toDF("id"))
     // Two writers race to commit v1 (rename is the commit point).
@@ -168,11 +168,12 @@ class LakeTableSpec extends AnyFunSuite {
         catch { case _: IllegalStateException => results.add(false) })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
-    // At least one commit lands; if both observed v0 concurrently, the
-    // claim race rejects the loser rather than corrupting the log.
-    assert(results.size == 2 && results.contains(true))
-    assert(LakeTable.currentVersion(spark, p).exists(_ >= 1L))
-    assert(LakeTable.read(spark, p).count() >= 15) // a consistent snapshot
+    // Blind appends read nothing, so the claim-race loser REBASES its
+    // already-staged group onto the winner and lands at the next
+    // version — both succeed, no data is written twice.
+    assert(results.size == 2 && !results.contains(false))
+    assert(LakeTable.currentVersion(spark, p).contains(2L))
+    assert(LakeTable.read(spark, p).count() == 35) // 5 + 10 + 20
     // Deterministic exactly-one-winner: a second commit of an ALREADY
     // committed version must be rejected (local-FS rename would have
     // silently replaced it — the exclusive claim is what rejects it).
@@ -182,6 +183,25 @@ class LakeTableSpec extends AnyFunSuite {
       LakeTable.writeCommit(spark, p, LakeTable.Commit(cur, "append", Seq("bogus")))
     }
     assert(LakeTable.read(spark, p).count() == before) // commit intact
+  }
+
+  test("an appender fleet all lands: each rebase is metadata-only (one group per appender)") {
+    import scala.jdk.CollectionConverters._
+    val p = s"$root/race_fleet"
+    LakeTable.create(spark, p, spark.range(0).toDF("id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { i =>
+      new Thread(() =>
+        try LakeTable.append(spark, p, spark.range(i * 100L, i * 100L + i).toDF("id"))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"no appender may fail: ${errs.asScala.map(_.getMessage)}")
+    assert(LakeTable.currentVersion(spark, p).contains(6L))
+    assert(LakeTable.read(spark, p).count() == (1 to 6).sum)
+    // exactly one data group per appender — losers re-commit, never re-write
+    val c = LakeTable.readCommit(spark, p, 6L)
+    assert(c.dirs.length == 7) // d0 (empty create) + 6 appended groups
   }
 
   test("overwriteWhere swaps a predicate region in one commit; untouched groups survive; CDC records the swap") {
@@ -1232,10 +1252,10 @@ class LakeTableSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft_cat.adb.t SELECT CAST(100 AS BIGINT) AS id, 'x' AS note")
     val all = spark.sql("SELECT id, note FROM graft_cat.adb.t")
     assert(all.count() == 6 && all.where(col("note") === "x").count() == 1)
-    // RENAME COLUMN is now metadata-only too (B58, ColumnRenameSpec);
-    // changes outside the metadata-only set still reject
+    // RENAME/DROP COLUMN are metadata-only too (B58/B59 — see
+    // ColumnRenameSpec); changes outside the metadata-only set reject
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft_cat.adb.t DROP COLUMN note")
+      spark.sql("ALTER TABLE graft_cat.adb.t ALTER COLUMN id TYPE INT")
     }
     spark.sql("ALTER TABLE graft_cat.adb.t RENAME COLUMN id TO id2")
     assert(spark.sql("SELECT sum(id2) FROM graft_cat.adb.t").head().getLong(0) == 110L)

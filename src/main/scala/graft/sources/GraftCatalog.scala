@@ -235,11 +235,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         LakeTable.dropColumn(spark, p, del.fieldNames()(0))
         org.apache.spark.sql.types.StructType(
           sch.fields.filterNot(_.name == del.fieldNames()(0)))
+      case (sch, upd: TableChange.UpdateColumnType) if upd.fieldNames.length == 1 =>
+        // metadata-only LOSSLESS type widening (B61): pre-change
+        // groups cast at scan assembly; narrowing rejects inside
+        LakeTable.widenColumn(spark, p, upd.fieldNames()(0), upd.newDataType())
+        org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+          if (f.name == upd.fieldNames()(0)) f.copy(dataType = upd.newDataType()) else f))
       case (_, other) => throw new UnsupportedOperationException(
-        s"only ADD COLUMNS / RENAME COLUMN / DROP COLUMN are metadata-only changes; got $other")
+        s"only ADD COLUMNS / RENAME COLUMN / DROP COLUMN / widening ALTER COLUMN TYPE are metadata-only changes; got $other")
     }
     def mappingOnly(c: TableChange) =
-      c.isInstanceOf[TableChange.RenameColumn] || c.isInstanceOf[TableChange.DeleteColumn]
+      c.isInstanceOf[TableChange.RenameColumn] || c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType]
     if (!changes.forall(mappingOnly))
       LakeTable.updateSchemaMeta(spark, p, updated)
     new GraftTable(p, None, Some(updated))

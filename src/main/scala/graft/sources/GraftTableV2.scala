@@ -248,7 +248,7 @@ final class GraftTable(path: String, version: Option[Long],
     // current physical names and vector-free files, restoring the
     // fully-V2 path.
     if (LakeTable.dvFor(spark, path, v, commit.dirs).nonEmpty
-        || LakeTable.tableRenames(spark, path).nonEmpty)
+        || LakeTable.tableMappings(spark, path).nonEmpty)
       return new GraftDvScanBuilder(spark, path, v,
         LakeTable.tableSchema(spark, path, Some(v)))
     val scanOpts = new CaseInsensitiveStringMap(

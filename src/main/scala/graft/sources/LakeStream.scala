@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -27,11 +27,44 @@ final case class LakeVersionOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
+/** Version-bounded admission control for the graft streaming sources
+  * (C34): `maxVersionsPerTrigger` caps how many table versions one
+  * micro-batch admits, so a stream starting against a long history —
+  * a backfill, or a checkpoint that lagged a high-frequency writer —
+  * processes the backlog as bounded increments instead of one batch
+  * sized like the table. With Trigger.AvailableNow the engine drains
+  * exactly the head captured at start (in maxVersions-sized steps)
+  * and terminates — the bounded-backfill contract. Offsets stay plain
+  * versions, so checkpoints are interchangeable with the unthrottled
+  * source.
+  */
+private[sources] trait VersionAdmission extends SupportsTriggerAvailableNow {
+  protected def headVersion: Long
+  protected def admissionOptions: CaseInsensitiveStringMap
+
+  private lazy val maxVersions: Option[Long] =
+    Option(admissionOptions.get("maxVersionsPerTrigger")).map(_.toLong).filter(_ > 0)
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(headVersion)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LakeVersionOffset].version
+    val head = availableNowCap.fold(headVersion)(math.min(_, headVersion))
+    LakeVersionOffset(maxVersions.fold(head)(n => math.min(head, s + n)))
+  }
+  override def reportLatestOffset(): Offset = LakeVersionOffset(headVersion)
+}
+
 final class LakeMicroBatchStream(spark: SparkSession, path: String,
-    schema: StructType, options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    schema: StructType, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with VersionAdmission {
 
   private def current: Long = LakeTable.currentVersion(spark, path)
     .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+  override protected def headVersion: Long = current
+  override protected def admissionOptions: CaseInsensitiveStringMap = options
 
   private def innerBatch(dirPaths: Seq[String]): Batch = {
     val partCols = LakeTable.tablePartitioning(spark, path)
@@ -229,10 +262,13 @@ private[sources] final class CdcPlanning(spark: SparkSession, path: String,
 final class LakeCdcMicroBatchStream(spark: SparkSession, path: String,
     schema: StructType, options: CaseInsensitiveStringMap,
     pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
-    prunedSchema: Option[StructType] = None) extends MicroBatchStream {
+    prunedSchema: Option[StructType] = None)
+    extends MicroBatchStream with VersionAdmission {
 
   private def current: Long = LakeTable.currentVersion(spark, path)
     .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+  override protected def headVersion: Long = current
+  override protected def admissionOptions: CaseInsensitiveStringMap = options
 
   private val planning =
     new CdcPlanning(spark, path, schema, prunedSchema.getOrElse(schema), pushed, options)

@@ -956,50 +956,62 @@ object LakeTable {
       // spec changed while data exists → old and new groups may differ
       markMixed = currentVersion(spark, path).isDefined)
 
-  /** One column-mapping change: a group written before `stamp` (its
-    * dir version < stamp) carries the physical name `old` for what the
-    * logical schema now calls `to`; groups at/after `stamp` wrote the
-    * new name natively (or, for drops, never had the column). The
+  /** One column-mapping change, stamped with the first table version
+    * it does NOT apply to: a group whose dir version < stamp was
+    * written under the pre-change schema and needs the mapping at scan
+    * assembly; groups at/after wrote the current schema natively. The
     * stamp is what disambiguates DROP-then-re-ADD of the same name:
     * without it, a chain entry would capture the RE-ADDED column in
     * groups that postdate the change.
     */
-  private[graft] final case class RenameRec(old: String, to: String, stamp: Long) {
+  private[graft] sealed trait MapRec { def stamp: Long }
+  /** RENAME (and, via a tombstone target, DROP): physical `old` in
+    * pre-stamp groups is what the logical schema calls `to`.
+    */
+  private[graft] final case class RenameRec(old: String, to: String, stamp: Long)
+      extends MapRec {
     def dropped: Boolean = to.startsWith(DroppedPrefix)
   }
+  /** TYPE WIDENING: pre-stamp groups carry `col` at a narrower
+    * physical type; scan assembly casts them to `toDdl`.
+    */
+  private[graft] final case class WidenRec(col: String, toDdl: String, stamp: Long)
+      extends MapRec
   private[graft] val DroppedPrefix = "__graft_dropped_"
 
-  /** Column-mapping records (physical-old → logical-new, stamped with
-    * the first table version they do NOT apply to) in application
-    * order — the Delta column-mapping analogue. Metadata-only: files
-    * written before a rename keep the old physical name and readers
-    * map it per GROUP at scan assembly; files written after carry the
-    * new name natively; the next COW rewrite migrates old groups.
-    * DROP COLUMN rides the same chain: the target is a reserved
-    * tombstone name that scan assembly projects away.
+  /** The ordered column-mapping chain (renames, drops, type widenings)
+    * — the Delta column-mapping analogue. Metadata-only: no change on
+    * this chain ever rewrites a file; readers apply each group exactly
+    * the entries that postdate it, and the next COW rewrite migrates.
     */
-  def tableRenames(spark: SparkSession, path: String): Seq[RenameRec] = {
+  def tableMappings(spark: SparkSession, path: String): Seq[MapRec] = {
     val p = tableMetaFile(path)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) Nil
     else {
       val in = fs.open(p)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      """"renamesB64"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+      """"mappingsB64"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
         .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq
           .map { b64 =>
             val s = new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
             s.split("\t") match {
-              case Array(o, n)    => RenameRec(o, n, Long.MaxValue)
-              case Array(o, n, v) => RenameRec(o, n, v.toLong)
+              case Array("r", o, n, v) => RenameRec(o, n, v.toLong)
+              case Array("w", c, t, v) => WidenRec(c, t, v.toLong)
               case other => throw new IllegalStateException(
-                s"bad rename record '${other.mkString("\\t")}' in $p")
+                s"bad mapping record '${other.mkString("\\t")}' in $p")
             }
           })
         .getOrElse(Nil)
     }
   }
+
+  /** Rename/drop entries only — what prior-name resolution (stats
+    * pruning) consumes.
+    */
+  def tableRenames(spark: SparkSession, path: String): Seq[RenameRec] =
+    tableMappings(spark, path).collect { case r: RenameRec => r }
 
   /** RENAME COLUMN as a metadata-only change (ALTER TABLE ... RENAME
     * COLUMN): no file is rewritten. The rename chain applies at read
@@ -1044,39 +1056,91 @@ object LakeTable {
       DroppedPrefix + java.util.UUID.randomUUID.toString.take(8))
   }
 
+  /** ALTER COLUMN TYPE as a metadata-only change (B61), restricted to
+    * LOSSLESS widenings (the Delta/Iceberg type-widening sets): no
+    * file is rewritten; pre-change groups keep the narrow physical
+    * type and scan assembly casts them per group; writes after the
+    * change carry the wide type natively; the next COW rewrite
+    * migrates. Lossy conversions (narrowing, long→double past 2^53,
+    * scale truncation) reject.
+    */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val sch = tableSchema(spark, path)
+    require(sch.fieldNames.contains(name), s"no column $name in ${sch.fieldNames.mkString(",")}")
+    require(!tablePartitioning(spark, path).contains(name),
+      s"cannot change the type of partition column $name")
+    val from = sch(name).dataType
+    val ok = (from, newType) match {
+      case (f, t) if f == t => false // no-op rejects loudly below
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
+    require(ok, s"$from -> $newType is not a lossless widening for $name")
+    appendToChain(spark, path, WidenRec(name, newType.catalogString, 0L),
+      metaUpdate = m => org.apache.spark.sql.types.StructType(
+        m.fields.map(f => if (f.name == name) f.copy(dataType = newType) else f)))
+  }
+
   private def appendMapping(spark: SparkSession, path: String, oldName: String,
       newName: String): Unit = {
-    // Stamp = the next data version: every EXISTING group (dir version
-    // <= current) carries the old physical name; groups written from
-    // here on use the new logical schema natively.
-    val cur = currentVersion(spark, path)
-    val renames = tableRenames(spark, path) :+
-      RenameRec(oldName, newName, cur.map(_ + 1).getOrElse(0L))
     val dropped = newName.startsWith(DroppedPrefix)
-    val parts = tablePartitioning(spark, path)
-      .map(c => if (c == oldName) newName else c)
-    val meta = metaSchema(spark, path).map(m => org.apache.spark.sql.types.StructType(
-      if (dropped) m.fields.filterNot(_.name == oldName)
-      else m.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f)))
-    writeTableMeta(spark, path, parts, meta, tableSortBy(spark, path),
+    appendToChain(spark, path, RenameRec(oldName, newName, 0L),
+      metaUpdate = m => org.apache.spark.sql.types.StructType(
+        if (dropped) m.fields.filterNot(_.name == oldName)
+        else m.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f)),
+      partsUpdate = _.map(c => if (c == oldName) newName else c))
+  }
+
+  private def appendToChain(spark: SparkSession, path: String, rec: MapRec,
+      metaUpdate: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType,
+      partsUpdate: Seq[String] => Seq[String] = identity): Unit = {
+    // Stamp = the next data version: every EXISTING group (dir version
+    // <= current) carries the pre-change physical schema; groups
+    // written from here on use the new logical schema natively.
+    val cur = currentVersion(spark, path)
+    val stamp = cur.map(_ + 1).getOrElse(0L)
+    val stamped = rec match {
+      case r: RenameRec => r.copy(stamp = stamp)
+      case w: WidenRec  => w.copy(stamp = stamp)
+    }
+    writeTableMeta(spark, path, partsUpdate(tablePartitioning(spark, path)),
+      metaSchema(spark, path).map(metaUpdate), tableSortBy(spark, path),
       tableChecks(spark, path), dvEnabled(spark, path),
-      // old-name groups and new-name groups must read per root
+      // pre-change groups and post-change groups must read per root
       markMixed = cur.isDefined,
-      renames = Some(renames))
+      mappings = Some(tableMappings(spark, path) :+ stamped))
   }
 
   /** Apply the mapping chain to one file group's frame. Only entries
     * stamped AFTER the group's creation version apply (the group was
     * written under the pre-change schema); within those, the presence
-    * guards keep re-introduced names from double-mapping. Tombstone
-    * targets are projected away at the end.
+    * guards keep re-introduced names from double-mapping and widening
+    * casts fire only while the physical type still differs. Entries
+    * apply in chain order, so a widen recorded before a later rename
+    * sees the column under its then-current name. Tombstone targets
+    * are projected away at the end.
     */
-  private def applyRenames(df: DataFrame, renames: Seq[RenameRec],
+  private def applyMappings(df: DataFrame, mappings: Seq[MapRec],
       groupVersion: Long): DataFrame = {
-    val mapped = renames.foldLeft(df) { case (d, r) =>
-      if (groupVersion < r.stamp && d.columns.contains(r.old)
-          && !d.columns.contains(r.to)) d.withColumnRenamed(r.old, r.to)
-      else d
+    val mapped = mappings.foldLeft(df) {
+      case (d, r: RenameRec) =>
+        if (groupVersion < r.stamp && d.columns.contains(r.old)
+            && !d.columns.contains(r.to)) d.withColumnRenamed(r.old, r.to)
+        else d
+      case (d, w: WidenRec) =>
+        if (groupVersion < w.stamp && d.columns.contains(w.col)) {
+          val target = org.apache.spark.sql.types.DataType.fromDDL(w.toDdl)
+          if (d.schema(w.col).dataType != target)
+            d.withColumn(w.col, org.apache.spark.sql.functions.col(w.col).cast(target))
+          else d
+        } else d
     }
     val tombs = mapped.columns.filter(_.startsWith(DroppedPrefix))
     if (tombs.isEmpty) mapped else mapped.drop(tombs.toIndexedSeq: _*)
@@ -1124,17 +1188,21 @@ object LakeTable {
       checks: Seq[(String, String)],
       dvMode: Boolean,
       markMixed: Boolean = false,
-      renames: Option[Seq[RenameRec]] = None): Unit = {
+      mappings: Option[Seq[MapRec]] = None): Unit = {
     val fields = Seq.newBuilder[String]
     fields += s""""partitionBy":[${parts.map(c => "\"" + c + "\"").mkString(",")}]"""
-    // rename chain: explicit new value, or preserved from the current meta
-    val ren = renames.getOrElse(tableRenames(spark, path))
+    // mapping chain: explicit new value, or preserved from the current meta
+    val ren = mappings.getOrElse(tableMappings(spark, path))
     if (ren.nonEmpty) {
       val enc = ren.map { r =>
+        val line = r match {
+          case RenameRec(o, n, v) => s"r\t$o\t$n\t$v"
+          case WidenRec(c, t, v)  => s"w\t$c\t$t\t$v"
+        }
         "\"" + java.util.Base64.getEncoder.encodeToString(
-          s"${r.old}\t${r.to}\t${r.stamp}".getBytes(StandardCharsets.UTF_8)) + "\""
+          line.getBytes(StandardCharsets.UTF_8)) + "\""
       }
-      fields += s""""renamesB64":[${enc.mkString(",")}]"""
+      fields += s""""mappingsB64":[${enc.mkString(",")}]"""
     }
     // MONOTONIC mixed-layout marker (partition evolution, B53): set
     // when a spec change leaves groups of different layouts behind,
@@ -2339,15 +2407,15 @@ object LakeTable {
         if (withPos) filtered else filtered.drop("__file", "__pos")
       }
     }
-    val renames = tableRenames(spark, path)
+    val mappings = tableMappings(spark, path)
     val flatEntries = dirs.forall(d => groupRoot(d) == d)
     if (flatEntries && tablePartitioning(spark, path).isEmpty
         && !hasMixedLayouts(spark, path))
       // Single-scan fast path: a table with data at rename time is
       // marked mixed and routed below, so any chain here predates
       // every dir — the min version stands in for all of them.
-      finish(applyRenames(spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => new Path(path, d).toString): _*), renames,
+      finish(applyMappings(spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => new Path(path, d).toString): _*), mappings,
         dirs.map(groupVersionOf).min),
         dirs.map(groupKey))
     else {
@@ -2361,9 +2429,9 @@ object LakeTable {
         val entryPaths = entries.map(e => new Path(path, e).toString)
           .filter(p => hasParquet(spark, new Path(p)))
         if (entryPaths.isEmpty) None
-        else Some(finish(applyRenames(spark.read.option("mergeSchema", "true")
+        else Some(finish(applyMappings(spark.read.option("mergeSchema", "true")
           .option("basePath", new Path(path, root).toString)
-          .parquet(entryPaths: _*), renames, groupVersionOf(root)),
+          .parquet(entryPaths: _*), mappings, groupVersionOf(root)),
           Seq(groupKey(root))))
       }
       if (reads.nonEmpty) reads.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -2404,16 +2472,16 @@ object LakeTable {
             org.apache.spark.sql.graftglue.Glue.expression(col("__pos")), dvBc)))
         .drop("__file", "__pos")
     }
-    val renames = tableRenames(spark, path)
+    val mappings = tableMappings(spark, path)
     val nonEmpty = pruned.filter(_.kept.nonEmpty)
     if (nonEmpty.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (flat && renames.isEmpty)
+    else if (flat && mappings.isEmpty)
       finish(spark.read.option("mergeSchema", "true")
         .parquet(nonEmpty.flatMap(_.kept): _*), nonEmpty.map(p => groupKey(p.dir)))
     else nonEmpty.map { pd =>
-      finish(applyRenames(spark.read.option("mergeSchema", "true").option("basePath", pd.base)
-        .parquet(pd.kept: _*), renames, groupVersionOf(pd.dir)), Seq(groupKey(pd.dir)))
+      finish(applyMappings(spark.read.option("mergeSchema", "true").option("basePath", pd.base)
+        .parquet(pd.kept: _*), mappings, groupVersionOf(pd.dir)), Seq(groupKey(pd.dir)))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

@@ -153,6 +153,54 @@ class ColumnRenameSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT sum(k) FROM $cat.db.dt").head().getLong(0) == 6L)
   }
 
+  test("type widening is metadata-only: old groups cast per group, new writes are wide") {
+    val p = freshPath("widen")
+    sources.LakeTable.create(spark, p, Seq((1, 10), (2, 20)).toDF("k", "v")) // int, int
+    sources.LakeTable.widenColumn(spark, p, "v", org.apache.spark.sql.types.LongType)
+    assert(sources.LakeTable.read(spark, p).schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // no file rewritten
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(hp).map(_.getPath.getName).count(_.startsWith("d0-")) == 1)
+    // post-widen appends carry the wide type natively; values beyond
+    // int range coexist with the cast old group
+    sources.LakeTable.append(spark, p, Seq((3, 5000000000L)).toDF("k", "v"))
+    assert(sources.LakeTable.read(spark, p).agg(sum("v")).head().getLong(0) == 5000000030L)
+    // narrowing and lossy conversions reject
+    intercept[IllegalArgumentException] {
+      sources.LakeTable.widenColumn(spark, p, "v", org.apache.spark.sql.types.IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      sources.LakeTable.widenColumn(spark, p, "v", org.apache.spark.sql.types.DoubleType)
+    }
+    // widen composes with a later rename on the chain
+    sources.LakeTable.renameColumn(spark, p, "v", "amount")
+    assert(sources.LakeTable.read(spark, p)
+      .agg(sum("amount")).head().getLong(0) == 5000000030L)
+  }
+
+  test("SQL widening ALTER COLUMN TYPE end-to-end; filters stay correct across generations") {
+    val cat = "ren_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"${operators.Lakehouse.scratch}/ren_wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.wt")
+    spark.sql(s"CREATE TABLE $cat.db.wt (k BIGINT, v INT) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.wt VALUES (1, 10), (2, 20)")
+    spark.sql(s"ALTER TABLE $cat.db.wt ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"INSERT INTO $cat.db.wt VALUES (3, 5000000000)")
+    assert(spark.table(s"$cat.db.wt").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.wt").head().getLong(0) == 5000000030L)
+    assert(spark.sql(s"SELECT k FROM $cat.db.wt WHERE v >= 20 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.wt ALTER COLUMN v TYPE INT")
+    }
+  }
+
   test("compaction migrates old groups to the current physical names") {
     val p = freshPath("compact")
     sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "amount"))

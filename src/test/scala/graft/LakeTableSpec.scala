@@ -1410,6 +1410,30 @@ class LakeTableSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("non-append")), msgs(ex).mkString(" | "))
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch; AvailableNow drains the captured head in steps") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val p = s"$root/stream_throttle"
+    val out = s"$root/stream_throttle_out"
+    val ckpt = s"$root/stream_throttle_ckpt"
+    Seq(p, out, ckpt).foreach(dir =>
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir)))
+    LakeTable.create(spark, p, Seq((0L, "r0")).toDF("k", "v")) // v0
+    (1 to 4).foreach(i => LakeTable.append(spark, p, Seq((i.toLong, s"r$i")).toDF("k", "v")))
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "2").load(p)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // all 5 versions drain, two per batch: offsets -1→1→3→4 = 3 batches
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq ==
+      (0L to 4L))
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches == 3, s"expected 3 throttled batches, saw $batches")
+  }
+
   test("CDC stream: change files publish with commits, version offsets resume exactly-once, rewrites stay silent") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

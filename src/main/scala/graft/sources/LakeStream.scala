@@ -49,6 +49,33 @@ private[sources] trait VersionAdmission extends SupportsTriggerAvailableNow {
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(headVersion)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Where a FRESH checkpoint starts (the Delta startingVersion /
+    * startingTimestamp contract): by default the full history (every
+    * live version replays — a new MV/index build wants exactly that);
+    * `startingVersion` streams that version's commit onward;
+    * `startingTimestamp` resolves through the commit clock to the
+    * first version at/after the instant; `startingVersion=latest`
+    * tails only post-start changes. Ignored once a checkpoint exists —
+    * offsets are durable state, options are not.
+    */
+  protected def startOffset(): LakeVersionOffset = {
+    val sv = Option(admissionOptions.get("startingVersion"))
+    val st = Option(admissionOptions.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    sv match {
+      case Some("latest") => LakeVersionOffset(headVersion)
+      case Some(v)        => LakeVersionOffset(v.toLong - 1)
+      case None => st match {
+        case None => LakeVersionOffset(-1L)
+        case Some(ts) =>
+          val millis = java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime
+          LakeVersionOffset(firstVersionAtOrAfter(millis) - 1)
+      }
+    }
+  }
+  protected def firstVersionAtOrAfter(millis: Long): Long
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LakeVersionOffset].version
     val head = availableNowCap.fold(headVersion)(math.min(_, headVersion))
@@ -115,8 +142,13 @@ final class LakeMicroBatchStream(spark: SparkSession, path: String,
     added.result()
   }
 
-  override def initialOffset(): Offset = LakeVersionOffset(-1L)
+  override def initialOffset(): Offset = startOffset()
   override def latestOffset(): Offset = LakeVersionOffset(current)
+  override protected def firstVersionAtOrAfter(millis: Long): Long = {
+    val head = current
+    (0L to head).find(v => scala.util.Try(LakeTable.readCommit(spark, path, v).ts)
+      .toOption.exists(_ >= millis)).getOrElse(head + 1)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LakeVersionOffset].version
@@ -273,8 +305,13 @@ final class LakeCdcMicroBatchStream(spark: SparkSession, path: String,
   private val planning =
     new CdcPlanning(spark, path, schema, prunedSchema.getOrElse(schema), pushed, options)
 
-  override def initialOffset(): Offset = LakeVersionOffset(-1L)
+  override def initialOffset(): Offset = startOffset()
   override def latestOffset(): Offset = LakeVersionOffset(current)
+  override protected def firstVersionAtOrAfter(millis: Long): Long = {
+    val head = current
+    (0L to head).find(v => scala.util.Try(LakeTable.readCommit(spark, path, v).ts)
+      .toOption.exists(_ >= millis)).getOrElse(head + 1)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LakeVersionOffset].version

@@ -860,6 +860,21 @@ object LakeTable {
     // later source deletes can never leak into the pinned snapshot.
     val dvNames = dvResolve(spark, sourcePath, v, c.dirs).toSeq.sortBy(_._1)
       .map { case (g, (_, files)) => writeDvFile(spark, targetPath, 0L, g, files) }
+    // Carry the TABLE META verbatim (partition spec, sort order, CHECK
+    // constraints, DV flag, column-mapping chain): without it a clone
+    // of a partitioned table loses pruning/partition columns and a
+    // clone of a renamed/dropped/widened table would serve the OLD
+    // physical schema. Clone-side reads apply copied mappings to the
+    // source-named dirs under the presence guards (groupVersionOf
+    // treats absolute refs as predating every change).
+    val srcMeta = tableMetaFile(sourcePath)
+    if (srcFs.exists(srcMeta)) {
+      val in = srcFs.open(srcMeta)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      fs.mkdirs(logDir(targetPath))
+      val out = fs.create(tableMetaFile(targetPath), true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
     writeCommit(spark, targetPath, Commit(0L, "clone", absDirs, dvFiles = dvNames))
     0L
   }
@@ -1103,9 +1118,19 @@ object LakeTable {
       partsUpdate: Seq[String] => Seq[String] = identity): Unit = {
     // Stamp = the next data version: every EXISTING group (dir version
     // <= current) carries the pre-change physical schema; groups
-    // written from here on use the new logical schema natively.
+    // written from here on use the new logical schema natively. The
+    // stamp also clears the largest dir-NAME version in the head — a
+    // shallow clone references source dirs whose names carry the
+    // SOURCE's version numbers, and a clone-side change must still
+    // postdate all of them.
     val cur = currentVersion(spark, path)
-    val stamp = cur.map(_ + 1).getOrElse(0L)
+    val maxDirVer = cur.map(v => readCommit(spark, path, v).dirs.map { e =>
+      val k = groupKey(e)
+      if (k.startsWith("d") && k.indexOf('-') > 1)
+        try k.substring(1, k.indexOf('-')).toLong catch { case _: NumberFormatException => -1L }
+      else -1L
+    }.foldLeft(-1L)(math.max)).getOrElse(-1L)
+    val stamp = math.max(cur.getOrElse(-1L), maxDirVer) + 1
     val stamped = rec match {
       case r: RenameRec => r.copy(stamp = stamp)
       case w: WidenRec  => w.copy(stamp = stamp)

@@ -201,6 +201,25 @@ class ColumnRenameSpec extends AnyFunSuite {
     }
   }
 
+  test("shallow clone carries the mapping chain; clone-side changes map source-named dirs") {
+    val src = freshPath("clsrc")
+    val dst = freshPath("cldst")
+    sources.LakeTable.create(spark, src, Seq((1L, 10L), (2L, 20L)).toDF("k", "amount"))
+    sources.LakeTable.renameColumn(spark, src, "amount", "value")
+    sources.LakeTable.append(spark, src, Seq((3L, 30L)).toDF("k", "value"))
+    sources.LakeTable.shallowClone(spark, src, dst)
+    // the clone serves the source's LOGICAL schema, both generations
+    assert(sources.LakeTable.read(spark, dst).columns.toSeq == Seq("k", "value"))
+    assert(sources.LakeTable.read(spark, dst).agg(sum("value")).head().getLong(0) == 60L)
+    // a clone-side rename must postdate the SOURCE-named dirs it references
+    sources.LakeTable.renameColumn(spark, dst, "value", "v2")
+    assert(sources.LakeTable.read(spark, dst)
+      .select("k", "v2").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // the source never sees the clone's chain
+    assert(sources.LakeTable.read(spark, src).columns.toSeq == Seq("k", "value"))
+  }
+
   test("compaction migrates old groups to the current physical names") {
     val p = freshPath("compact")
     sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "amount"))

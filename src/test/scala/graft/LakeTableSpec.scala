@@ -1434,6 +1434,40 @@ class LakeTableSpec extends AnyFunSuite {
     assert(batches == 3, s"expected 3 throttled batches, saw $batches")
   }
 
+  test("startingVersion / startingTimestamp position a fresh checkpoint; latest tails only new commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val p = s"$root/stream_startat"
+    val base = s"$root/stream_startat_io"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
+    LakeTable.create(spark, p, Seq((0L, "r0")).toDF("k", "v")) // v0
+    LakeTable.append(spark, p, Seq((1L, "r1")).toDF("k", "v")) // v1
+    Thread.sleep(25)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(25)
+    LakeTable.append(spark, p, Seq((2L, "r2")).toDF("k", "v")) // v2
+    LakeTable.append(spark, p, Seq((3L, "r3")).toDF("k", "v")) // v3
+    def drain(name: String, opts: Map[String, String]): Seq[Long] = {
+      val out = s"$base/$name/out"; val ckpt = s"$base/$name/ckpt"
+      val r = opts.foldLeft(spark.readStream.format("graft")) {
+        case (b, (k, vv)) => b.option(k, vv)
+      }
+      val q = r.load(p).writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      if (!new java.io.File(out).exists()) Nil
+      else spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq
+    }
+    assert(drain("v2", Map("startingVersion" -> "2")) == Seq(2L, 3L))
+    assert(drain("ts", Map("startingTimestamp" ->
+      new java.sql.Timestamp(cut).toString)) == Seq(2L, 3L))
+    // latest: nothing historical; a post-start append flows
+    assert(drain("latest", Map("startingVersion" -> "latest")) == Nil)
+    LakeTable.append(spark, p, Seq((4L, "r4")).toDF("k", "v")) // v4
+    assert(drain("latest", Map("startingVersion" -> "latest")) == Seq(4L))
+  }
+
   test("CDC stream: change files publish with commits, version offsets resume exactly-once, rewrites stay silent") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

@@ -231,6 +231,45 @@ object Lakehouse {
              |SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal) + 0.000001, 2) AS bal
              |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B58-B61: column-mapping DDL in the serving path. Three physical
+    // generations — (1) original names with an INT size column,
+    // (2) written after RENAME p_retailprice->price, (3) after DROP
+    // p_brand and WIDEN p_size->BIGINT — assemble into ONE logical
+    // schema at read time; no generation was rewritten (the DDL is
+    // metadata-only). Staged: bench times the mapped READ, not the
+    // staging writes. The oracle states the same aggregate over the
+    // union of the three disjoint slices = the whole source table.
+    Q.staged("q_lake_rename",
+      setup = (s, d) => {
+        val lake = s"$scratch/part_mapped"
+        val src = t(s, d, "part")
+        def slice(r: Int) = src.where(pmod(col("p_partkey"), lit(3)) === r)
+        LakeTable.create(s, lake, slice(0)
+          .select(col("p_partkey"), col("p_retailprice"),
+            col("p_size").cast("int").as("p_size"), col("p_brand")))
+        LakeTable.renameColumn(s, lake, "p_retailprice", "price")
+        LakeTable.append(s, lake, slice(1)
+          .select(col("p_partkey"), col("p_retailprice").as("price"),
+            col("p_size").cast("int").as("p_size"), col("p_brand")))
+        LakeTable.dropColumn(s, lake, "p_brand")
+        LakeTable.widenColumn(s, lake, "p_size",
+          org.apache.spark.sql.types.LongType)
+        LakeTable.append(s, lake, slice(2)
+          .select(col("p_partkey"), col("p_retailprice").as("price"),
+            col("p_size").cast("long").as("p_size")))
+      },
+      verb = (s, d) => {
+        val lake = s"$scratch/part_mapped"
+        LakeTable.read(s, lake)
+          .where(col("price") > 950)
+          .groupBy("p_size")
+          .agg(count(lit(1)).as("cnt"), round(sum("price") + 1e-6, 2).as("rev"))
+          .orderBy("p_size")
+      },
+      oracle = Some("""SELECT CAST(p_size AS BIGINT) AS p_size, count(*) AS cnt,
+             |round(sum(p_retailprice) + 0.000001, 2) AS rev
+             |FROM part WHERE p_retailprice > 950 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // B46: merge-on-read DELETE via deletion vectors — two MOR
     // deletes mark rows in per-file roaring bitmaps (cumulative, no
     // data file rewritten; the commit re-references every dir), the

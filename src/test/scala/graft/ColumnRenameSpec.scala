@@ -220,6 +220,85 @@ class ColumnRenameSpec extends AnyFunSuite {
     assert(sources.LakeTable.read(spark, src).columns.toSeq == Seq("k", "value"))
   }
 
+  test("property: random rename/drop/widen/append/delete/compact sequences equal the model") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    for (seed <- Seq(7L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      val p = freshPath(s"fuzz$seed")
+      // model: ordered (name, kind) columns; rows as name->value maps.
+      // kinds: long / int / string; widen promotes int -> long.
+      var cols = Vector(("k", "long"), ("a", "int"), ("s", "string"))
+      var nextKey = 0L
+      var nextCol = 0
+      def freshRows(n: Int): Seq[Map[String, Any]] = (1 to n).map { _ =>
+        nextKey += 1
+        cols.map { case (c, t) => c -> (t match {
+          case "long"   => nextKey * 10
+          case "int"    => (nextKey % 100).toInt
+          case "string" => s"v$nextKey"
+        }) }.toMap
+      }
+      def toDf(rows: Seq[Map[String, Any]]) = {
+        val schema = StructType(cols.map { case (c, t) => StructField(c, t match {
+          case "long" => LongType; case "int" => IntegerType; case "string" => StringType
+        }) })
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map(m => Row(cols.map(c => m(c._1)): _*)), 2),
+          schema)
+      }
+      var model = freshRows(5)
+      sources.LakeTable.create(spark, p, toDf(model))
+      (1 to 14).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 =>
+            val r = freshRows(1 + rnd.nextInt(3))
+            model ++= r
+            sources.LakeTable.append(spark, p, toDf(r))
+          case 1 if cols.size > 1 =>
+            val i = rnd.nextInt(cols.size)
+            val (old, t) = cols(i)
+            val fresh = s"c$nextCol"; nextCol += 1
+            sources.LakeTable.renameColumn(spark, p, old, fresh)
+            model = model.map(m => m - old + (fresh -> m(old)))
+            cols = cols.updated(i, (fresh, t))
+          case 2 if cols.size > 1 =>
+            val i = rnd.nextInt(cols.size)
+            val (old, _) = cols(i)
+            sources.LakeTable.dropColumn(spark, p, old)
+            model = model.map(_ - old)
+            cols = cols.patch(i, Nil, 1)
+          case 3 =>
+            cols.zipWithIndex.find(_._1._2 == "int").foreach { case ((c, _), i) =>
+              sources.LakeTable.widenColumn(spark, p, c, LongType)
+              model = model.map(m => m + (c -> m(c).asInstanceOf[Int].toLong))
+              cols = cols.updated(i, (c, "long"))
+            }
+          case 4 =>
+            cols.find(t => t._2 == "long" || t._2 == "int").foreach { case (c, _) =>
+              sources.LakeTable.delete(spark, p,
+                org.apache.spark.sql.functions.col(c) % 3 === 0)
+              model = model.filterNot { m =>
+                val v = m(c) match { case i: Int => i.toLong; case l: Long => l }
+                v % 3 == 0
+              }
+            }
+          case _ =>
+            sources.LakeTable.compact(spark, p, 1 + rnd.nextInt(2))
+        }
+      }
+      val got = sources.LakeTable.read(spark, p)
+        .select(cols.map(c => org.apache.spark.sql.functions.col(c._1)): _*)
+        .collect().map(r => cols.indices.map(i => r.get(i)).toVector).toSeq
+        .sortBy(_.mkString("|"))
+      val want = model.map(m => cols.map { case (c, t) => (m(c), t) match {
+        case (i: Int, "long") => i.toLong // widened after this row's write
+        case (v, _) => v
+      } }.toVector).sortBy(_.mkString("|"))
+      assert(got == want, s"seed $seed: mapped table diverged from model\n got=$got\nwant=$want")
+    }
+  }
+
   test("compaction migrates old groups to the current physical names") {
     val p = freshPath("compact")
     sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "amount"))

@@ -60,6 +60,39 @@ object TextOps {
       Some("""SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
              |ORDER BY doc_id""".stripMargin)),
 
+    // D43: per-source duplication diagnostics — the "dedup debt"
+    // report an ingest pipeline publishes before spending the dedup
+    // pass: per source, how many docs, how many distinct contents,
+    // how many rows sit in duplicate groups, and the shrink factor
+    // exact dedup would deliver. Same 128-bit content identity as
+    // D01; only (source, 16-byte hash) keys and counts ever shuffle —
+    // at 100 TB this costs one hash-agg pass, not a self-join.
+    Q("q_corpus_dupstats",
+      (s, d) => {
+        val groups = t(s, d, "documents")
+          .groupBy(col("source"),
+            xxhash64(col("text")).as("h1"),
+            xxhash64(lit("graft-h2"), col("text")).as("h2"))
+          .agg(count(lit(1)).as("copies"))
+        groups.groupBy("source").agg(
+          sum("copies").cast("long").as("docs"),
+          count(lit(1)).cast("long").as("distinct_docs"),
+          sum(when(col("copies") > 1, col("copies")).otherwise(0))
+            .cast("long").as("dup_docs"),
+          round(sum(when(col("copies") > 1, col("copies") - 1).otherwise(0)) * lit(1.0)
+            / sum("copies") + lit(1e-9), 4).as("shrink"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (
+             |  SELECT source, text, count(*) AS copies
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT source, CAST(sum(copies) AS BIGINT) AS docs,
+             |  count(*) AS distinct_docs,
+             |  CAST(sum(CASE WHEN copies > 1 THEN copies ELSE 0 END) AS BIGINT) AS dup_docs,
+             |  round(sum(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END) * 1.0
+             |    / sum(copies) + 0.000000001, 4) AS shrink
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("q_text_tokens",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"),

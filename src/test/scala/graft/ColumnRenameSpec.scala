@@ -220,6 +220,25 @@ class ColumnRenameSpec extends AnyFunSuite {
     assert(sources.LakeTable.read(spark, src).columns.toSeq == Seq("k", "value"))
   }
 
+  test("renaming a PARTITION column: old col=value dirs map, pruning and new appends follow") {
+    val p = freshPath("renpart")
+    sources.LakeTable.create(spark, p,
+      Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L)).toDF("k", "lang", "v"),
+      partitionBy = Seq("lang"))
+    sources.LakeTable.renameColumn(spark, p, "lang", "language")
+    // logical schema + partition spec follow the new name
+    assert(sources.LakeTable.read(spark, p).columns.contains("language"))
+    assert(sources.LakeTable.tablePartitioning(spark, p) == Seq("language"))
+    // new appends lay out under the new name; both generations serve
+    sources.LakeTable.append(spark, p, Seq((4L, "de", 40L)).toDF("k", "language", "v"))
+    val by = sources.LakeTable.read(spark, p).groupBy("language")
+      .agg(sum("v").as("sv")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by == Map("en" -> 40L, "de" -> 60L), by.toString)
+    // filters on the renamed partition column stay correct across generations
+    assert(sources.LakeTable.read(spark, p).where(col("language") === "de")
+      .agg(sum("v")).head().getLong(0) == 60L)
+  }
+
   test("property: random rename/drop/widen/append/delete/compact sequences equal the model") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row

@@ -294,6 +294,26 @@ object LakeTable {
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
   /** Footer → sidecar lines for ONE file (runs on executors). */
+  private val StatStringCap = 64
+
+  /** Lower-bound truncation: a prefix compares ≤ the full string. */
+  private def truncStatMin(s: String): String =
+    if (s.length <= StatStringCap) s else s.substring(0, StatStringCap)
+
+  /** Upper-bound truncation: prefix with the last kept char bumped —
+    * compares > every string carrying the original prefix. If every
+    * kept char is already Char.MaxValue (degenerate), keep the full
+    * value rather than emit an unsound bound.
+    */
+  private def truncStatMax(s: String): String =
+    if (s.length <= StatStringCap) s
+    else {
+      var i = StatStringCap - 1
+      while (i >= 0 && s.charAt(i) == Char.MaxValue) i -= 1
+      if (i < 0) s
+      else s.substring(0, i) + (s.charAt(i) + 1).toChar
+    }
+
   private def statsLinesOf(conf: org.apache.hadoop.conf.Configuration,
       file: Path, rel: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
@@ -317,7 +337,17 @@ object LakeTable {
                 case Some((k, v)) if k == 'n' && v.toDouble >= hi => Some((k, v))
                 case _ => Some(('n', hi.toString)) }
             case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
-              val (lo, hi) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+              // Sidecar lines must stay METADATA-sized on document-
+              // scale string columns: a megabyte text column would
+              // otherwise put two megabytes of min/max into every
+              // file's stats line (×10⁶ files). Truncate like parquet
+              // column indexes do — min to a PREFIX (a prefix sorts ≤
+              // the value: still a sound lower bound), max to a prefix
+              // with its last kept char BUMPED (sorts > any string it
+              // prefixes: still a sound upper bound). Bounds loosen,
+              // pruning stays conservative-correct.
+              val (lo, hi) = (truncStatMin(mn.toStringUsingUTF8),
+                truncStatMax(mx.toStringUsingUTF8))
               mins.updateWith(colName) {
                 case Some((k, v)) if k == 's' && v <= lo => Some((k, v))
                 case _ => Some(('s', lo)) }

@@ -1634,6 +1634,35 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, dst).count() == 4L)
   }
 
+  test("long-string stats truncate in sidecars; truncated bounds still prune soundly") {
+    import spark.implicits._
+    val p = s"$root/longstr_stats"
+    // two range-disjoint files on a 200-char string column
+    val a = (1 to 50).map(i => (i.toLong, "a" * 200 + f"$i%03d"))
+    val b = (1 to 50).map(i => (100L + i, "z" * 200 + f"$i%03d"))
+    LakeTable.create(spark, p,
+      (a ++ b).toDF("k", "doc").repartitionByRange(2, col("doc")))
+    // sidecar lines stay metadata-sized (no 200-char bounds recorded)
+    val c = LakeTable.readCommit(spark, p, 0L)
+    val statLines = c.dirs.flatMap { d =>
+      val sp = new org.apache.hadoop.fs.Path(s"$p/$d", "_stats.tsv")
+      val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(sp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(statLines.nonEmpty)
+    statLines.foreach(l => assert(l.length < 400, s"unbounded stats line: ${l.take(120)}…"))
+    assert(!statLines.exists(_.contains("a" * 100)), "full long string leaked into sidecar")
+    // truncated bounds still separate the files: a 'z'-range query
+    // skips the all-'a' file and stays exact
+    val (pruned, _) = LakeTable.pruneFilesByDir(spark, p, c.dirs,
+      Map("doc" -> LakeTable.ColumnBounds(Some("z"), None)))
+    val files = pruned.flatMap(_.files)
+    assert(files.exists(!_.kept), s"the all-'a' file must prune: $files")
+    assert(LakeTable.readRange(spark, p, "doc", "z", "").count() == 50L)
+  }
+
   test("bloom sidecars skip files on an unclustered column where stats cannot") {
     import SharedSpark.sf
     val p = s"$root/bloom_skip"

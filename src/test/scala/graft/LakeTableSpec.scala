@@ -185,6 +185,36 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() == before) // commit intact
   }
 
+  test("racing data-reading DML: one wins, the loser aborts typed, the table stays consistent") {
+    import scala.jdk.CollectionConverters._
+    val p = s"$root/race_dml"
+    LakeTable.create(spark, p,
+      spark.range(0, 100).toDF("k").withColumn("v", lit(1L)))
+    // Two updates race from the same base snapshot. A data-reading
+    // verb must NOT blind-rebase (its rewrite could drop the winner's
+    // changes): exactly one claims the version, the other surfaces the
+    // typed race/conflict signal.
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = Seq(10L, 20L).map { bump =>
+      new Thread(() =>
+        try {
+          LakeTable.update(spark, p, col("k") < 50, Map("v" -> (col("v") + bump)))
+          outcomes.add("ok")
+        } catch {
+          case _: LakeTable.CommitRaceLostException => outcomes.add("race")
+          case _: LakeTable.ConcurrentWriteException => outcomes.add("conflict")
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val os = outcomes.asScala.toSeq.sorted
+    assert(os.count(_ == "ok") >= 1, os.toString)
+    // whichever subset landed, the table equals SOME serial application
+    val sums = LakeTable.read(spark, p).where(col("k") < 50)
+      .agg(sum("v")).head().getLong(0)
+    val serial = Set(50L * 11, 50L * 21, 50L * 31) // one, the other, or both in sequence
+    assert(serial.contains(sums), s"v-sum $sums not a serial outcome; outcomes=$os")
+  }
+
   test("an appender fleet all lands: each rebase is metadata-only (one group per appender)") {
     import scala.jdk.CollectionConverters._
     val p = s"$root/race_fleet"

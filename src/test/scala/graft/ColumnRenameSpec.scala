@@ -239,6 +239,35 @@ class ColumnRenameSpec extends AnyFunSuite {
       .agg(sum("v")).head().getLong(0) == 60L)
   }
 
+  test("deletion vectors compose with the mapping chain: MOR delete then rename, both apply") {
+    val p = freshPath("dvmap")
+    sources.LakeTable.create(spark, p,
+      spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("amount")))
+    // MOR delete marks rows in vectors (no rewrite), then a rename
+    // chains on top — the read must apply BOTH: vectors filter rows,
+    // the chain maps the physical name.
+    sources.LakeTable.deleteMor(spark, p, col("amount") >= 100)
+    sources.LakeTable.renameColumn(spark, p, "amount", "value")
+    val r = sources.LakeTable.read(spark, p)
+    assert(r.columns.toSeq == Seq("k", "value"))
+    assert(r.count() == 50L)
+    assert(r.agg(sum("value")).head().getLong(0) == (0 until 50).map(_ * 2).sum)
+    // catalog-SQL serving path (the DV/mapping V1 builder) agrees
+    val cat = "ren_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"${operators.Lakehouse.scratch}/ren_wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.dvm")
+    spark.sql(s"CREATE TABLE $cat.db.dvm (k BIGINT, amount BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.dvm SELECT id, id * 2 FROM range(100)")
+    val loc = s"${operators.Lakehouse.scratch}/ren_wh/db/dvm"
+    sources.LakeTable.deleteMor(spark, loc, col("amount") >= 100)
+    spark.sql(s"ALTER TABLE $cat.db.dvm RENAME COLUMN amount TO value")
+    assert(spark.sql(s"SELECT count(*), sum(value) FROM $cat.db.dvm WHERE value < 60")
+      .collect()(0).toSeq == Seq(30L, (0 until 30).map(_ * 2).sum.toLong))
+  }
+
   test("property: random rename/drop/widen/append/delete/compact sequences equal the model") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row

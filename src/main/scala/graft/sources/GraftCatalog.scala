@@ -36,6 +36,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var store: CatalogStore = _
 
+  /** Column DEFAULT values (the Delta/Iceberg SQL-surface parity):
+    * `CREATE TABLE (c INT DEFAULT 5)` and `ALTER COLUMN ... SET/DROP
+    * DEFAULT` persist the default expression in the meta schema's
+    * field metadata; Spark's analyzer fills omitted INSERT columns
+    * from it. ADD COLUMN with a default still rejects — existing rows
+    * would need read-side EXISTS_DEFAULT fill, which the null-filling
+    * merged read deliberately does not promise.
+    */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def spark: SparkSession = org.apache.spark.sql.graftglue.Glue.activeSession
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -203,8 +216,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // concurrent creates across hosts), then write the table; a
     // failed write releases the claim.
     store.registerTable(spark, nsOf(ident), ident.name(), loc)
-    try LakeTable.create(spark, loc, empty, partCols)
-    catch { case e: Throwable =>
+    try {
+      LakeTable.create(spark, loc, empty, partCols)
+      // Parquet drops field metadata, so defaults (and comments)
+      // survive only through the meta schema — persist it whenever
+      // the DDL carried any.
+      if (schema.fields.exists(f => f.metadata != org.apache.spark.sql.types.Metadata.empty))
+        LakeTable.updateSchemaMeta(spark, loc, schema)
+    } catch { case e: Throwable =>
       store.unregisterTable(spark, nsOf(ident), ident.name()); throw e
     }
     new GraftTable(loc, None, Option(schema))
@@ -221,8 +240,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = store.tableLocation(spark, nsOf(ident), ident.name())
       .getOrElse(throw new NoSuchTableException(ident))
     val updated = changes.foldLeft(LakeTable.tableSchema(spark, p)) {
+      case (_, add: TableChange.AddColumn) if add.defaultValue() != null =>
+        throw new UnsupportedOperationException(
+          "ADD COLUMN with DEFAULT is not metadata-only here: existing rows " +
+            "read the new column as NULL, not the default — add the column, " +
+            "then ALTER COLUMN ... SET DEFAULT for future inserts")
       case (sch, add: TableChange.AddColumn) if add.fieldNames.length == 1 =>
         sch.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case (sch, upd: TableChange.UpdateColumnDefaultValue) if upd.fieldNames.length == 1 =>
+        // SET/DROP DEFAULT: metadata-only, affects FUTURE inserts
+        // (the standard CURRENT_DEFAULT semantic — stored rows keep
+        // their values)
+        val name = upd.fieldNames()(0)
+        require(sch.fieldNames.contains(name),
+          s"no column $name in ${sch.fieldNames.mkString(",")}")
+        org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+          if (f.name != name) f
+          else {
+            val b = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            val v = upd.newDefaultValue()
+            if (v == null || v.isEmpty)
+              f.copy(metadata = b.remove("CURRENT_DEFAULT").build())
+            else f.copy(metadata = b.putString("CURRENT_DEFAULT", v).build())
+          }
+        })
       case (sch, ren: TableChange.RenameColumn) if ren.fieldNames.length == 1 =>
         // metadata-only column rename (B58): records the mapping; the
         // read path renames old-physical-name groups at scan assembly

@@ -215,8 +215,8 @@ final class GraftTable(path: String, version: Option[Long],
       else new StructType() // not-yet-created target of a first write
     }
 
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ,
       // MICRO_BATCH_READ: commit-log streaming source (LakeStream).
       TableCapability.MICRO_BATCH_READ,
       // Native DSv2 writes (GraftWrite.scala): task-level parquet
@@ -226,8 +226,17 @@ final class GraftTable(path: String, version: Option[Long],
       // V1Write fallback).
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.OVERWRITE_DYNAMIC)
+    // ACCEPT_ANY_SCHEMA disables Spark's by-name output resolution —
+    // which is ALSO what fills omitted INSERT columns from their
+    // DEFAULTs and coerces input types. A table with declared column
+    // defaults therefore takes strict resolution (defaults + casts);
+    // default-free tables keep the evolution-friendly open write.
+    val hasDefaults =
+      try schema().fields.exists(_.metadata.contains("CURRENT_DEFAULT"))
+      catch { case _: Exception => false }
+    (if (hasDefaults) base else base + TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = Option(options.get("version")).map(_.toLong).orElse(version)

@@ -1417,8 +1417,17 @@ object LakeTable {
     metaSchema(spark, path) match {
       case Some(m) =>
         val have = i.fieldNames.toSet
+        val byName = m.fields.map(f => f.name -> f).toMap
         org.apache.spark.sql.types.StructType(
-          i.fields ++ m.fields.filterNot(f => have(f.name)).map(_.copy(nullable = true)))
+          // The meta schema's field METADATA (column DEFAULTs,
+          // comments) is authoritative over whatever the files
+          // round-tripped: files pin the metadata of their write
+          // time, and ALTER COLUMN SET/DROP DEFAULT must take effect
+          // without rewriting them.
+          i.fields.map(f => byName.get(f.name) match {
+            case Some(mf) => f.copy(metadata = mf.metadata)
+            case None => f
+          }) ++ m.fields.filterNot(f => have(f.name)).map(_.copy(nullable = true)))
       case None => i
     }
   }

@@ -1291,6 +1291,33 @@ class LakeTableSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(id2) FROM graft_cat.adb.t").head().getLong(0) == 110L)
   }
 
+  test("catalog SQL: column DEFAULT values fill omitted INSERT columns; SET/DROP DEFAULT are metadata-only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.defdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.defdb.t")
+    spark.sql("CREATE TABLE graft_cat.defdb.t (k BIGINT, status STRING DEFAULT 'new', score BIGINT DEFAULT 100) USING graft")
+    spark.sql("INSERT INTO graft_cat.defdb.t (k) VALUES (1)")
+    spark.sql("INSERT INTO graft_cat.defdb.t VALUES (2, 'done', 7)")
+    spark.sql("INSERT INTO graft_cat.defdb.t (k, status) VALUES (3, DEFAULT)")
+    def rows() = spark.sql("SELECT k, status, score FROM graft_cat.defdb.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows() == Seq((1L, "new", 100L), (2L, "done", 7L), (3L, "new", 100L)))
+    // SET DEFAULT affects future inserts only; stored rows keep values
+    spark.sql("ALTER TABLE graft_cat.defdb.t ALTER COLUMN status SET DEFAULT 'queued'")
+    spark.sql("INSERT INTO graft_cat.defdb.t (k) VALUES (4)")
+    assert(rows().find(_._1 == 4L).get._2 == "queued")
+    assert(rows().find(_._1 == 1L).get._2 == "new")
+    // DROP DEFAULT: omitted column becomes NULL
+    spark.sql("ALTER TABLE graft_cat.defdb.t ALTER COLUMN status DROP DEFAULT")
+    spark.sql("INSERT INTO graft_cat.defdb.t (k) VALUES (5)")
+    assert(spark.sql("SELECT status FROM graft_cat.defdb.t WHERE k = 5")
+      .collect()(0).isNullAt(0))
+    // ADD COLUMN with DEFAULT rejects (existing rows would read NULL,
+    // not the default — the merged-read contract)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.defdb.t ADD COLUMN flag STRING DEFAULT 'x'")
+    }
+  }
+
   test("catalog SQL time travel: VERSION AS OF pins a snapshot") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ttdb")
     spark.sql("DROP TABLE IF EXISTS graft_cat.ttdb.t")

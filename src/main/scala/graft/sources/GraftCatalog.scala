@@ -283,8 +283,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         LakeTable.widenColumn(spark, p, upd.fieldNames()(0), upd.newDataType())
         org.apache.spark.sql.types.StructType(sch.fields.map(f =>
           if (f.name == upd.fieldNames()(0)) f.copy(dataType = upd.newDataType()) else f))
+      case (sch, cmt: TableChange.UpdateColumnComment) if cmt.fieldNames.length == 1 =>
+        // column comments: metadata-only, carried by the meta schema
+        val name = cmt.fieldNames()(0)
+        require(sch.fieldNames.contains(name),
+          s"no column $name in ${sch.fieldNames.mkString(",")}")
+        org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+          if (f.name == name) f.withComment(cmt.newComment()) else f))
       case (_, other) => throw new UnsupportedOperationException(
-        s"only ADD COLUMNS / RENAME COLUMN / DROP COLUMN / widening ALTER COLUMN TYPE are metadata-only changes; got $other")
+        s"only ADD COLUMNS / RENAME COLUMN / DROP COLUMN / widening ALTER COLUMN TYPE / SET-DROP DEFAULT / COMMENT are metadata-only changes; got $other")
     }
     def mappingOnly(c: TableChange) =
       c.isInstanceOf[TableChange.RenameColumn] || c.isInstanceOf[TableChange.DeleteColumn] ||

@@ -1316,6 +1316,11 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("ALTER TABLE graft_cat.defdb.t ADD COLUMN flag STRING DEFAULT 'x'")
     }
+    // column comments are metadata-only and survive the round trip
+    spark.sql("ALTER TABLE graft_cat.defdb.t ALTER COLUMN score COMMENT 'points earned'")
+    val described = spark.sql("DESCRIBE TABLE graft_cat.defdb.t")
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(described("score") == "points earned", described.toString)
   }
 
   test("catalog SQL time travel: VERSION AS OF pins a snapshot") {

@@ -239,6 +239,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     requireModify(ident)
     val p = store.tableLocation(spark, nsOf(ident), ident.name())
       .getOrElse(throw new NoSuchTableException(ident))
+    // ATOMIC multi-change DDL: the whole statement folds PURELY over
+    // the schema first — every clause validates against the state the
+    // PRECEDING clauses produced (so ADD COLUMN x + RENAME x→y in one
+    // statement works) and nothing persists until the fold survives;
+    // then the mapping records, the folded schema and the renamed-
+    // through partition/sort specs land in ONE table-meta CAS. A
+    // clause that fails leaves the table exactly as it was.
+    val parts0 = LakeTable.tablePartitioning(spark, p)
+    val sort0 = LakeTable.tableSortBy(spark, p)
+    val checks = LakeTable.tableChecks(spark, p)
+    var parts = parts0
+    var sortBy = sort0
+    val recs = Seq.newBuilder[LakeTable.MapRec]
+    val renamed = scala.collection.mutable.Map.empty[String, String]
+    def refGuard(verb: String, name: String): Unit = {
+      val ref = ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+      checks.foreach { case (cn, sql) =>
+        require(ref.findFirstIn(sql).isEmpty,
+          s"cannot $verb $name: CHECK constraint $cn references it ($sql)")
+      }
+    }
     val updated = changes.foldLeft(LakeTable.tableSchema(spark, p)) {
       case (_, add: TableChange.AddColumn) if add.defaultValue() != null =>
         throw new UnsupportedOperationException(
@@ -246,6 +267,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "read the new column as NULL, not the default — add the column, " +
             "then ALTER COLUMN ... SET DEFAULT for future inserts")
       case (sch, add: TableChange.AddColumn) if add.fieldNames.length == 1 =>
+        require(!sch.fieldNames.contains(add.fieldNames()(0)),
+          s"column ${add.fieldNames()(0)} already exists")
         sch.add(add.fieldNames()(0), add.dataType(), nullable = true)
       case (sch, upd: TableChange.UpdateColumnDefaultValue) if upd.fieldNames.length == 1 =>
         // SET/DROP DEFAULT: metadata-only, affects FUTURE inserts
@@ -268,21 +291,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (sch, ren: TableChange.RenameColumn) if ren.fieldNames.length == 1 =>
         // metadata-only column rename (B58): records the mapping; the
         // read path renames old-physical-name groups at scan assembly
-        LakeTable.renameColumn(spark, p, ren.fieldNames()(0), ren.newName())
+        val (o, n) = (ren.fieldNames()(0), ren.newName())
+        require(sch.fieldNames.contains(o), s"no column $o in ${sch.fieldNames.mkString(",")}")
+        require(!sch.fieldNames.contains(n), s"column $n already exists")
+        refGuard("rename", o)
+        recs += LakeTable.RenameRec(o, n, 0L)
+        renamed ++= renamed.collectFirst { case (k, v) if v == o => k -> n }
+        renamed += o -> n
+        parts = parts.map(c => if (c == o) n else c)
+        sortBy = sortBy.map(c => if (c == o) n else c)
         org.apache.spark.sql.types.StructType(sch.fields.map(f =>
-          if (f.name == ren.fieldNames()(0)) f.copy(name = ren.newName()) else f))
+          if (f.name == o) f.copy(name = n) else f))
       case (sch, del: TableChange.DeleteColumn) if del.fieldNames.length == 1 =>
         // metadata-only column drop (B59): tombstone mapping on the
         // same chain; scan assembly projects the column away
-        LakeTable.dropColumn(spark, p, del.fieldNames()(0))
+        val name = del.fieldNames()(0)
+        require(sch.fieldNames.contains(name),
+          s"no column $name in ${sch.fieldNames.mkString(",")}")
+        require(sch.fields.length > 1, s"cannot drop the only column $name")
+        require(!parts.contains(name),
+          s"cannot drop partition column $name (change the partition spec first)")
+        require(!sortBy.contains(name),
+          s"cannot drop sort column $name (clear write.sort.by first)")
+        refGuard("drop", name)
+        recs += LakeTable.RenameRec(name,
+          LakeTable.DroppedPrefix + java.util.UUID.randomUUID.toString.take(8), 0L)
         org.apache.spark.sql.types.StructType(
-          sch.fields.filterNot(_.name == del.fieldNames()(0)))
+          sch.fields.filterNot(_.name == name))
       case (sch, upd: TableChange.UpdateColumnType) if upd.fieldNames.length == 1 =>
         // metadata-only LOSSLESS type widening (B61): pre-change
-        // groups cast at scan assembly; narrowing rejects inside
-        LakeTable.widenColumn(spark, p, upd.fieldNames()(0), upd.newDataType())
+        // groups cast at scan assembly; narrowing rejects
+        val name = upd.fieldNames()(0)
+        require(sch.fieldNames.contains(name),
+          s"no column $name in ${sch.fieldNames.mkString(",")}")
+        require(!parts.contains(name),
+          s"cannot change the type of partition column $name")
+        require(LakeTable.losslessWidening(sch(name).dataType, upd.newDataType()),
+          s"${sch(name).dataType} -> ${upd.newDataType()} is not a lossless widening for $name")
+        recs += LakeTable.WidenRec(name, upd.newDataType().catalogString, 0L)
         org.apache.spark.sql.types.StructType(sch.fields.map(f =>
-          if (f.name == upd.fieldNames()(0)) f.copy(dataType = upd.newDataType()) else f))
+          if (f.name == name) f.copy(dataType = upd.newDataType()) else f))
       case (sch, cmt: TableChange.UpdateColumnComment) if cmt.fieldNames.length == 1 =>
         // column comments: metadata-only, carried by the meta schema
         val name = cmt.fieldNames()(0)
@@ -293,11 +341,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (_, other) => throw new UnsupportedOperationException(
         s"only ADD COLUMNS / RENAME COLUMN / DROP COLUMN / widening ALTER COLUMN TYPE / SET-DROP DEFAULT / COMMENT are metadata-only changes; got $other")
     }
-    def mappingOnly(c: TableChange) =
-      c.isInstanceOf[TableChange.RenameColumn] || c.isInstanceOf[TableChange.DeleteColumn] ||
-        c.isInstanceOf[TableChange.UpdateColumnType]
-    if (!changes.forall(mappingOnly))
-      LakeTable.updateSchemaMeta(spark, p, updated)
+    LakeTable.alterColumnsAtomic(spark, p, recs.result(), updated, renamed.toMap)
     new GraftTable(p, None, Some(updated))
   }
 

@@ -193,21 +193,7 @@ object LakeTable {
     // tmp→target rename; the "." prefix keeps markers out of the
     // version listing.
     val lock = new Path(logDir(path), f".claim-v${c.version}%05d")
-    // Hadoop's RawLocalFileSystem implements create(overwrite=false)
-    // as a non-atomic exists()-then-create, so on local FS two racers
-    // at the same version could both "claim". java.nio CREATE_NEW is a
-    // single atomic O_EXCL open — use it whenever the path is local;
-    // for a remote store, fs.create(overwrite=false) stands in for the
-    // conditional PUT (If-None-Match) the store would provide.
-    val lockUri = fs.makeQualified(lock).toUri
-    val claimed =
-      if (lockUri.getScheme == "file") {
-        try { java.nio.file.Files.createFile(java.nio.file.Paths.get(lockUri.getPath)); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      }
+    val claimed = tryExclusiveCreate(fs, lock)
     if (!claimed) {
       fs.delete(tmp, false)
       throw new CommitRaceLostException(s"commit v${c.version} lost the race for $target")
@@ -231,6 +217,26 @@ object LakeTable {
     // winner does it — losers threw above).
     if (c.version > 0 && c.version % CheckpointInterval == 0)
       writeCheckpoint(spark, path, c.version)
+  }
+
+  /** One atomic exclusive create — the claim primitive both the commit
+    * log and the table-meta CAS use. Hadoop's RawLocalFileSystem
+    * implements create(overwrite=false) as a non-atomic
+    * exists()-then-create, so two local racers could both "claim";
+    * java.nio CREATE_NEW is a single atomic O_EXCL open — used
+    * whenever the path is local. For a remote store,
+    * fs.create(overwrite=false) stands in for the conditional PUT
+    * (If-None-Match) the store would provide.
+    */
+  private def tryExclusiveCreate(fs: org.apache.hadoop.fs.FileSystem, lock: Path): Boolean = {
+    val lockUri = fs.makeQualified(lock).toUri
+    if (lockUri.getScheme == "file") {
+      try { java.nio.file.Files.createFile(java.nio.file.Paths.get(lockUri.getPath)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
   }
 
   private def writeGroup(spark: SparkSession, path: String, v: Long, df: DataFrame,
@@ -296,20 +302,34 @@ object LakeTable {
   /** Footer → sidecar lines for ONE file (runs on executors). */
   private val StatStringCap = 64
 
-  /** Lower-bound truncation: a prefix compares ≤ the full string. */
+  /** Lower-bound truncation: a prefix compares ≤ the full string. The
+    * cut lands on a CODE-POINT boundary — an unpaired high surrogate
+    * at the cut would be mangled by the sidecar's UTF-8 encoding and
+    * the persisted bound would no longer equal what was computed.
+    */
   private def truncStatMin(s: String): String =
-    if (s.length <= StatStringCap) s else s.substring(0, StatStringCap)
+    if (s.length <= StatStringCap) s
+    else s.substring(0,
+      if (Character.isHighSurrogate(s.charAt(StatStringCap - 1))) StatStringCap - 1
+      else StatStringCap)
 
   /** Upper-bound truncation: prefix with the last kept char bumped —
-    * compares > every string carrying the original prefix. If every
-    * kept char is already Char.MaxValue (degenerate), keep the full
+    * compares > every string carrying the original prefix. The bump
+    * char must survive the sidecar's UTF-8 round trip, so positions
+    * where it can't are skipped: a surrogate (either half — bumping a
+    * low one would also strand its high partner in the prefix), 0xD7FF
+    * (bumps INTO the surrogate range; URLEncoder would persist it as
+    * '?', an unsound SMALLER bound), and Char.MaxValue (no bump
+    * exists). If no position qualifies (degenerate), keep the full
     * value rather than emit an unsound bound.
     */
   private def truncStatMax(s: String): String =
     if (s.length <= StatStringCap) s
     else {
+      def bumpable(c: Char): Boolean =
+        c != Char.MaxValue && c != '\uD7FF' && !Character.isSurrogate(c)
       var i = StatStringCap - 1
-      while (i >= 0 && s.charAt(i) == Char.MaxValue) i -= 1
+      while (i >= 0 && !bumpable(s.charAt(i))) i -= 1
       if (i < 0) s
       else s.substring(0, i) + (s.charAt(i) + 1).toChar
     }
@@ -852,10 +872,12 @@ object LakeTable {
       .parquet(new Path(path, "d*").toString)
   }
 
-  /** Zero-copy SHALLOW CLONE (the Delta capability): the clone's v0
+  /** Zero-copy SHALLOW CLONE (the Delta capability): the clone's first
     * commit references the source snapshot's file groups by ABSOLUTE
     * path — no data moves, clone cost is one commit-log write
-    * regardless of table size. The clone then evolves independently:
+    * regardless of table size. The clone's version numbering continues
+    * from the source's (returned) so copied mapping-chain stamps stay
+    * comparable with both the referenced dirs and clone-side writes. The clone then evolves independently:
     * its own appends/merges/compactions write under its own root
     * (`new Path(path, dir)` resolves absolute shared dirs to the
     * source and relative new dirs to the clone), and its vacuum only
@@ -880,6 +902,16 @@ object LakeTable {
     // reader; a bare /path would silently rebind to the clone's FS.
     val absDirs = c.dirs.map(d =>
       srcFs.makeQualified(new Path(sourcePath, d)).toString)
+    // The clone's version numbering CONTINUES past everything it
+    // copies — source head, referenced dir versions, mapping-chain
+    // stamps — so the one version axis [[groupVersionOf]] compares
+    // stays totally ordered: copied stamps confine to the source-named
+    // groups they predate, and every clone-side write (dir version >
+    // base) postdates the whole copied chain. Starting the clone at 0
+    // instead would put fresh clone data "before" copied stamps and a
+    // copied DROP tombstone would capture it.
+    val base = (Seq(v) ++ c.dirs.map(groupVersionOf).filter(_ > 0) ++
+      tableMappings(spark, sourcePath).map(_.stamp)).max + 1
     val p = new Path(targetPath)
     val fs = fsOf(spark, p)
     if (fs.exists(p)) fs.delete(p, true)
@@ -889,14 +921,14 @@ object LakeTable {
     // keys are absolute file paths and stay valid (no file moves), and
     // later source deletes can never leak into the pinned snapshot.
     val dvNames = dvResolve(spark, sourcePath, v, c.dirs).toSeq.sortBy(_._1)
-      .map { case (g, (_, files)) => writeDvFile(spark, targetPath, 0L, g, files) }
+      .map { case (g, (_, files)) => writeDvFile(spark, targetPath, base, g, files) }
     // Carry the TABLE META verbatim (partition spec, sort order, CHECK
     // constraints, DV flag, column-mapping chain): without it a clone
     // of a partitioned table loses pruning/partition columns and a
     // clone of a renamed/dropped/widened table would serve the OLD
     // physical schema. Clone-side reads apply copied mappings to the
-    // source-named dirs under the presence guards (groupVersionOf
-    // treats absolute refs as predating every change).
+    // source-named dirs under the copied stamps (groupVersionOf parses
+    // source version numbers out of the absolute refs).
     val srcMeta = tableMetaFile(sourcePath)
     if (srcFs.exists(srcMeta)) {
       val in = srcFs.open(srcMeta)
@@ -905,8 +937,8 @@ object LakeTable {
       val out = fs.create(tableMetaFile(targetPath), true)
       try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
-    writeCommit(spark, targetPath, Commit(0L, "clone", absDirs, dvFiles = dvNames))
-    0L
+    writeCommit(spark, targetPath, Commit(base, "clone", absDirs, dvFiles = dvNames))
+    base
   }
 
   /** Delta DEEP CLONE: an independent PHYSICAL copy of the snapshot,
@@ -941,34 +973,20 @@ object LakeTable {
   private def tableMetaFile(path: String) = new Path(logDir(path), "_table.json")
 
   /** Partition columns the table was created with (empty = flat). */
-  def tablePartitioning(spark: SparkSession, path: String): Seq[String] = {
-    val p = tableMetaFile(path)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) Nil
-    else {
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      """"partitionBy"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+  def tablePartitioning(spark: SparkSession, path: String): Seq[String] =
+    tableMetaBody(spark, path).flatMap(
+      """"partitionBy"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(_)
         .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
-    }
-  }
+          .filter(_.nonEmpty).toSeq))
+      .getOrElse(Nil)
 
   /** Sort-order columns recorded for native writes (empty = none). */
-  def tableSortBy(spark: SparkSession, path: String): Seq[String] = {
-    val p = tableMetaFile(path)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) Nil
-    else {
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      """"sortBy"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+  def tableSortBy(spark: SparkSession, path: String): Seq[String] =
+    tableMetaBody(spark, path).flatMap(
+      """"sortBy"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(_)
         .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
-    }
-  }
+          .filter(_.nonEmpty).toSeq))
+      .getOrElse(Nil)
 
   /** Record a write sort order (the Iceberg `write.sort.by` table
     * property): subsequent NATIVE writes range-distribute flat tables
@@ -978,9 +996,12 @@ object LakeTable {
     * point/range read can match. Metadata-only — existing files are
     * untouched until rewritten.
     */
-  def setSortBy(spark: SparkSession, path: String, cols: Seq[String]): Unit =
+  def setSortBy(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    val expect = currentMetaVer(spark, path)
     writeTableMeta(spark, path, tablePartitioning(spark, path),
-      metaSchema(spark, path), cols, tableChecks(spark, path), dvEnabled(spark, path))
+      metaSchema(spark, path), cols, tableChecks(spark, path), dvEnabled(spark, path),
+      expectVer = Some(expect))
+  }
 
   /** PARTITION EVOLUTION (the Iceberg marquee): change the table's
     * partition spec WITHOUT rewriting a byte of data. Metadata-only —
@@ -995,11 +1016,14 @@ object LakeTable {
     * multi-day rewrite. Old snapshots are untouched: time travel
     * before the spec change reads exactly what it always did.
     */
-  def setPartitioning(spark: SparkSession, path: String, cols: Seq[String]): Unit =
+  def setPartitioning(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    val expect = currentMetaVer(spark, path)
     writeTableMeta(spark, path, cols, metaSchema(spark, path),
       tableSortBy(spark, path), tableChecks(spark, path), dvEnabled(spark, path),
       // spec changed while data exists → old and new groups may differ
-      markMixed = currentVersion(spark, path).isDefined)
+      markMixed = currentVersion(spark, path).isDefined,
+      expectVer = Some(expect))
+  }
 
   /** One column-mapping change, stamped with the first table version
     * it does NOT apply to: a group whose dir version < stamp was
@@ -1029,14 +1053,9 @@ object LakeTable {
     * this chain ever rewrites a file; readers apply each group exactly
     * the entries that postdate it, and the next COW rewrite migrates.
     */
-  def tableMappings(spark: SparkSession, path: String): Seq[MapRec] = {
-    val p = tableMetaFile(path)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) Nil
-    else {
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      """"mappingsB64"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+  def tableMappings(spark: SparkSession, path: String): Seq[MapRec] =
+    tableMetaBody(spark, path).flatMap(
+      """"mappingsB64"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(_)
         .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq
           .map { b64 =>
@@ -1045,12 +1064,10 @@ object LakeTable {
               case Array("r", o, n, v) => RenameRec(o, n, v.toLong)
               case Array("w", c, t, v) => WidenRec(c, t, v.toLong)
               case other => throw new IllegalStateException(
-                s"bad mapping record '${other.mkString("\\t")}' in $p")
+                s"bad mapping record '${other.mkString("\\t")}' in the $path table meta")
             }
-          })
-        .getOrElse(Nil)
-    }
-  }
+          }))
+      .getOrElse(Nil)
 
   /** Rename/drop entries only — what prior-name resolution (stats
     * pruning) consumes.
@@ -1072,6 +1089,13 @@ object LakeTable {
     val sch = tableSchema(spark, path)
     require(sch.fieldNames.contains(oldName), s"no column $oldName in ${sch.fieldNames.mkString(",")}")
     require(!sch.fieldNames.contains(newName), s"column $newName already exists")
+    // A CHECK holding the old name would silently stop resolving on
+    // the next write — reject, like dropColumn does.
+    val ref = ("""\b""" + java.util.regex.Pattern.quote(oldName) + """\b""").r
+    tableChecks(spark, path).foreach { case (cn, expr) =>
+      require(ref.findFirstIn(expr).isEmpty,
+        s"cannot rename $oldName: CHECK constraint $cn references it ($expr)")
+    }
     appendMapping(spark, path, oldName, newName)
   }
 
@@ -1109,16 +1133,12 @@ object LakeTable {
     * migrates. Lossy conversions (narrowing, long→double past 2^53,
     * scale truncation) reject.
     */
-  def widenColumn(spark: SparkSession, path: String, name: String,
-      newType: org.apache.spark.sql.types.DataType): Unit = {
+  /** The Delta/Iceberg lossless type-widening set. */
+  private[graft] def losslessWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
-    val sch = tableSchema(spark, path)
-    require(sch.fieldNames.contains(name), s"no column $name in ${sch.fieldNames.mkString(",")}")
-    require(!tablePartitioning(spark, path).contains(name),
-      s"cannot change the type of partition column $name")
-    val from = sch(name).dataType
-    val ok = (from, newType) match {
-      case (f, t) if f == t => false // no-op rejects loudly below
+    (from, to) match {
+      case (f, t) if f == t => false // no-op rejects loudly at the caller
       case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
       case (ShortType, IntegerType | LongType | DoubleType) => true
       case (IntegerType, LongType | DoubleType) => true
@@ -1127,7 +1147,17 @@ object LakeTable {
         t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
       case _ => false
     }
-    require(ok, s"$from -> $newType is not a lossless widening for $name")
+  }
+
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Unit = {
+    val sch = tableSchema(spark, path)
+    require(sch.fieldNames.contains(name), s"no column $name in ${sch.fieldNames.mkString(",")}")
+    require(!tablePartitioning(spark, path).contains(name),
+      s"cannot change the type of partition column $name")
+    val from = sch(name).dataType
+    require(losslessWidening(from, newType),
+      s"$from -> $newType is not a lossless widening for $name")
     appendToChain(spark, path, WidenRec(name, newType.catalogString, 0L),
       metaUpdate = m => org.apache.spark.sql.types.StructType(
         m.fields.map(f => if (f.name == name) f.copy(dataType = newType) else f)))
@@ -1146,6 +1176,44 @@ object LakeTable {
   private def appendToChain(spark: SparkSession, path: String, rec: MapRec,
       metaUpdate: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType,
       partsUpdate: Seq[String] => Seq[String] = identity): Unit = {
+    // CAS token FIRST: the chain/schema/spec reads below feed the new
+    // meta, so a concurrent DDL publishing after them must fail this
+    // write rather than be silently overwritten (last-writer-wins on
+    // the chain would drop its entry — column identity corruption).
+    val expect = currentMetaVer(spark, path)
+    commitColumnDdl(spark, path, expect, Seq(rec),
+      partsUpdate(tablePartitioning(spark, path)),
+      // renames follow through the write sort order too — a stale old
+      // name there would break the next native write's distribution
+      partsUpdate(tableSortBy(spark, path)),
+      metaSchema(spark, path).map(metaUpdate))
+  }
+
+  /** ONE atomic multi-change column DDL (ALTER TABLE with several
+    * clauses): all mapping records land on the chain in statement
+    * order under a single stamp and ONE meta CAS — a statement that
+    * fails validation persists nothing, and a rename of a column
+    * ADDed in the same statement works because `finalSchema` is the
+    * caller's fold over every clause. `renamed` follows old→new names
+    * through the partition spec and sort order.
+    */
+  private[graft] def alterColumnsAtomic(spark: SparkSession, path: String,
+      recs: Seq[MapRec], finalSchema: org.apache.spark.sql.types.StructType,
+      renamed: Map[String, String]): Unit = {
+    val expect = currentMetaVer(spark, path)
+    commitColumnDdl(spark, path, expect, recs,
+      tablePartitioning(spark, path).map(c => renamed.getOrElse(c, c)),
+      tableSortBy(spark, path).map(c => renamed.getOrElse(c, c)),
+      Some(finalSchema))
+  }
+
+  /** Shared stamp-and-publish tail of every column DDL: computes the
+    * confinement stamp, appends `recs` (in order, one shared stamp) to
+    * the chain, and writes the table meta once under `expect`'s CAS.
+    */
+  private def commitColumnDdl(spark: SparkSession, path: String, expect: Long,
+      recs: Seq[MapRec], parts: Seq[String], sortBy: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     // Stamp = the next data version: every EXISTING group (dir version
     // <= current) carries the pre-change physical schema; groups
     // written from here on use the new logical schema natively. The
@@ -1160,17 +1228,33 @@ object LakeTable {
         try k.substring(1, k.indexOf('-')).toLong catch { case _: NumberFormatException => -1L }
       else -1L
     }.foldLeft(-1L)(math.max)).getOrElse(-1L)
-    val stamp = math.max(cur.getOrElse(-1L), maxDirVer) + 1
-    val stamped = rec match {
+    // STAGED dirs too (on disk, not yet committed): a blind append
+    // racing this DDL has already named its dir with the pre-change
+    // data inside — the stamp must land ABOVE it or that group's
+    // version would equal the stamp and its old-name data would never
+    // map. One root listing; same cost class as the meta read.
+    val stagedMax = {
+      val root = new Path(path); val fs = fsOf(spark, root)
+      if (!fs.exists(root)) -1L
+      else fs.listStatus(root).iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith("d") && n.indexOf('-') > 1)
+        .flatMap(n => scala.util.Try(n.substring(1, n.indexOf('-')).toLong).toOption)
+        .foldLeft(-1L)(math.max)
+    }
+    val stamp = math.max(cur.getOrElse(-1L), math.max(maxDirVer, stagedMax)) + 1
+    val stamped = recs.map {
       case r: RenameRec => r.copy(stamp = stamp)
       case w: WidenRec  => w.copy(stamp = stamp)
     }
-    writeTableMeta(spark, path, partsUpdate(tablePartitioning(spark, path)),
-      metaSchema(spark, path).map(metaUpdate), tableSortBy(spark, path),
+    writeTableMeta(spark, path, parts, schema, sortBy,
       tableChecks(spark, path), dvEnabled(spark, path),
-      // pre-change groups and post-change groups must read per root
-      markMixed = cur.isDefined,
-      mappings = Some(tableMappings(spark, path) :+ stamped))
+      // pre-change groups and post-change groups must read per root —
+      // only when the chain actually grew (schema-only DDL keeps the
+      // single-scan fast path)
+      markMixed = cur.isDefined && stamped.nonEmpty,
+      mappings = if (stamped.isEmpty) None
+                 else Some(tableMappings(spark, path) ++ stamped),
+      expectVer = Some(expect))
   }
 
   /** Apply the mapping chain to one file group's frame. Only entries
@@ -1202,40 +1286,71 @@ object LakeTable {
   }
 
   /** A group dir's creation version, parsed from its `dN-uuid` name.
-    * Absolute-URI entries (shallow-clone / branch references) carry
-    * the SOURCE table's version numbers — incomparable with this
-    * table's stamps — so they conservatively take Long.MinValue:
-    * every mapping applies, restrained by the presence guards (a
-    * clone's referenced groups all predate any change made on the
-    * clone).
+    * Absolute-URI entries (shallow-clone / branch references) parse the
+    * same way: clone dirs carry the SOURCE table's version numbers, the
+    * copied chain's stamps are source-version-based (directly
+    * comparable), and [[shallowClone]] starts the clone's own
+    * numbering ABOVE everything it copied — so one version axis spans
+    * referenced and native groups. Collapsing absolute refs to
+    * MinValue instead would discard the stamp confinement: a source
+    * that dropped then re-added a column would have the re-added data
+    * tombstoned in every clone.
     */
-  private def groupVersionOf(entry: String): Long =
-    if (entry.startsWith("/") || entry.contains("://")) Long.MinValue
-    else {
-      val k = groupKey(entry)
-      if (k.startsWith("d") && k.indexOf('-') > 1)
-        try k.substring(1, k.indexOf('-')).toLong
-        catch { case _: NumberFormatException => Long.MinValue }
-      else Long.MinValue
-    }
+  private def groupVersionOf(entry: String): Long = {
+    val k = groupKey(entry)
+    if (k.startsWith("d") && k.indexOf('-') > 1)
+      try k.substring(1, k.indexOf('-')).toLong
+      catch { case _: NumberFormatException => Long.MinValue }
+    else Long.MinValue
+  }
 
   /** True once a partition-spec change may have left groups with
     * different directory layouts (see writeTableMeta).
     */
-  private[graft] def hasMixedLayouts(spark: SparkSession, path: String): Boolean = {
+  private[graft] def hasMixedLayouts(spark: SparkSession, path: String): Boolean =
+    tableMetaBody(spark, path).exists(_.contains("\"mixedLayouts\":true"))
+
+  /** The raw `_table.json` body, or None when the table has none.
+    * FAILS LOUDLY on a malformed body — the schema chain in this file
+    * now determines column identity, so "unparseable → empty chain"
+    * would silently serve wrong columns; with the tmp+rename write
+    * protocol a torn body can only mean real corruption.
+    */
+  private def tableMetaBody(spark: SparkSession, path: String): Option[String] = {
     val p = tableMetaFile(path)
     val fs = fsOf(spark, p)
-    if (!fs.exists(p)) false
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      body.contains("\"mixedLayouts\":true")
+      if (!(body.startsWith("{") && body.trim.endsWith("}")))
+        throw new IllegalStateException(
+          s"corrupt table meta at $p (${body.length} bytes): ${body.take(80)}")
+      Some(body)
     }
   }
+
+  /** Monotonic table-meta version — the CAS token every `_table.json`
+    * mutation claims. 0 = no meta yet (or a pre-versioning file).
+    */
+  private def currentMetaVer(spark: SparkSession, path: String): Long =
+    tableMetaBody(spark, path).flatMap(
+      """"metaVer"\s*:\s*(\d+)""".r.findFirstMatchIn(_).map(_.group(1).toLong))
+      .getOrElse(0L)
 
   /** One writer for every `_table.json` mutation so no path drops a
     * key another recorded (updateSchemaMeta used to erase nothing only
     * because partitioning was the single other key).
+    *
+    * Concurrency: the meta is read-modify-write state (DDL reads the
+    * chain/checks/spec it extends), so publication is a CAS — the
+    * writer claims `.claim-meta-v<expect+1>` with an atomic exclusive
+    * create and renames a tmp file in; content atomicity comes from
+    * the rename (readers never see a torn body), lost updates from the
+    * claim (two DDLs racing from the same base: one wins, the loser
+    * gets ConcurrentWriteException and must re-run against the new
+    * meta). Callers that read meta state to compute the new value pass
+    * the `expectVer` they captured BEFORE those reads.
     */
   private def writeTableMeta(spark: SparkSession, path: String, parts: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
@@ -1243,7 +1358,9 @@ object LakeTable {
       checks: Seq[(String, String)],
       dvMode: Boolean,
       markMixed: Boolean = false,
-      mappings: Option[Seq[MapRec]] = None): Unit = {
+      mappings: Option[Seq[MapRec]] = None,
+      expectVer: Option[Long] = None): Unit = {
+    val expect = expectVer.getOrElse(currentMetaVer(spark, path))
     val fields = Seq.newBuilder[String]
     fields += s""""partitionBy":[${parts.map(c => "\"" + c + "\"").mkString(",")}]"""
     // mapping chain: explicit new value, or preserved from the current meta
@@ -1282,11 +1399,32 @@ object LakeTable {
         sch.json.getBytes(StandardCharsets.UTF_8))
       fields += s""""schemaB64":"$b64""""
     }
+    fields += s""""metaVer":${expect + 1}"""
     val meta = tableMetaFile(path)
-    val out = fsOf(spark, meta).create(meta, true)
+    val fs = fsOf(spark, meta)
+    fs.mkdirs(logDir(path))
+    val lock = new Path(logDir(path), f".claim-meta-v${expect + 1}%05d")
+    if (!tryExclusiveCreate(fs, lock))
+      throw new ConcurrentWriteException(
+        s"table-meta change lost the race at $meta (expected metaVer $expect): " +
+        "a concurrent DDL published first — re-run against the new table state")
+    val tmp = new Path(logDir(path),
+      s".tmp-meta-${java.util.UUID.randomUUID.toString.take(8)}.json")
+    val out = fs.create(tmp, true)
     try out.write(("{" + fields.result().mkString(",") + "}")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, meta)) {
+      // HDFS-semantics stores refuse a rename onto an existing target
+      // (local FS replaces atomically). The claim already serialized
+      // writers, so delete+rename is race-free there; the not-found
+      // window it opens for readers is the store's own trade.
+      if (fs.exists(meta)) fs.delete(meta, false)
+      if (!fs.rename(tmp, meta)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(s"table-meta rename failed for $meta")
+      }
+    }
   }
 
   /** CHECK constraints recorded on the table as (name, boolean SQL).
@@ -1294,13 +1432,8 @@ object LakeTable {
     * guard, native DSv2 writes through a per-row bound predicate in
     * the task writer. SQL-standard semantics: NULL passes.
     */
-  def tableChecks(spark: SparkSession, path: String): Seq[(String, String)] = {
-    val p = tableMetaFile(path)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) Nil
-    else {
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  def tableChecks(spark: SparkSession, path: String): Seq[(String, String)] =
+    tableMetaBody(spark, path).flatMap { body =>
       """"checksB64"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
         .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq
@@ -1309,9 +1442,7 @@ object LakeTable {
             val i = s.indexOf('\t')
             (s.substring(0, i), s.substring(i + 1))
           })
-        .getOrElse(Nil)
-    }
-  }
+    }.getOrElse(Nil)
 
   /** Add a CHECK constraint (the Delta `ALTER TABLE ADD CONSTRAINT`
     * capability): EXISTING data is validated first — one scan; a
@@ -1320,6 +1451,7 @@ object LakeTable {
     */
   def addCheck(spark: SparkSession, path: String, name: String, sql: String): Unit = {
     import org.apache.spark.sql.functions.{expr => fexpr}
+    val expect = currentMetaVer(spark, path)
     val existing = tableChecks(spark, path)
     require(!existing.exists(_._1 == name), s"constraint $name already exists")
     val violations =
@@ -1328,32 +1460,31 @@ object LakeTable {
       s"cannot add CHECK constraint $name: existing rows violate ($sql)")
     writeTableMeta(spark, path, tablePartitioning(spark, path),
       metaSchema(spark, path), tableSortBy(spark, path), existing :+ (name -> sql),
-      dvEnabled(spark, path))
+      dvEnabled(spark, path), expectVer = Some(expect))
   }
 
-  def dropCheck(spark: SparkSession, path: String, name: String): Unit =
+  def dropCheck(spark: SparkSession, path: String, name: String): Unit = {
+    val expect = currentMetaVer(spark, path)
     writeTableMeta(spark, path, tablePartitioning(spark, path),
       metaSchema(spark, path), tableSortBy(spark, path),
-      tableChecks(spark, path).filterNot(_._1 == name), dvEnabled(spark, path))
+      tableChecks(spark, path).filterNot(_._1 == name), dvEnabled(spark, path),
+      expectVer = Some(expect))
+  }
 
   /** Delta's enableDeletionVectors table property: when ON, SQL DELETE
     * and UPDATE route through the merge-on-read verbs (deleteMor /
     * updateMor) instead of copy-on-write group rewrites.
     */
-  def dvEnabled(spark: SparkSession, path: String): Boolean = {
-    val p = tableMetaFile(path)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) false
-    else {
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      """"dvMode"\s*:\s*true""".r.findFirstIn(body).isDefined
-    }
-  }
+  def dvEnabled(spark: SparkSession, path: String): Boolean =
+    tableMetaBody(spark, path).exists(
+      """"dvMode"\s*:\s*true""".r.findFirstIn(_).isDefined)
 
-  def setDvMode(spark: SparkSession, path: String, on: Boolean): Unit =
+  def setDvMode(spark: SparkSession, path: String, on: Boolean): Unit = {
+    val expect = currentMetaVer(spark, path)
     writeTableMeta(spark, path, tablePartitioning(spark, path),
-      metaSchema(spark, path), tableSortBy(spark, path), tableChecks(spark, path), on)
+      metaSchema(spark, path), tableSortBy(spark, path), tableChecks(spark, path), on,
+      expectVer = Some(expect))
+  }
 
   /** Create (or replace) the table as version 0. */
   def create(spark: SparkSession, path: String, df: DataFrame,
@@ -1375,28 +1506,24 @@ object LakeTable {
 
   /** Schema recorded in the table meta, if any. */
   private def metaSchema(spark: SparkSession, path: String)
-      : Option[org.apache.spark.sql.types.StructType] = {
-    val p = tableMetaFile(path)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      """"schemaB64"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body)
+      : Option[org.apache.spark.sql.types.StructType] =
+    tableMetaBody(spark, path).flatMap(
+      """"schemaB64"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(_)
         .map(m => org.apache.spark.sql.types.DataType.fromJson(
           new String(java.util.Base64.getDecoder.decode(m.group(1)), StandardCharsets.UTF_8))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-    }
-  }
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
 
   /** Record `schema` (and keep the partitioning) in the table meta —
     * the ALTER TABLE ADD COLUMNS persistence: files stay untouched,
     * reads surface the new columns as NULL until data arrives.
     */
   private[graft] def updateSchemaMeta(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): Unit =
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val expect = currentMetaVer(spark, path)
     writeTableMeta(spark, path, tablePartitioning(spark, path), Some(schema),
-      tableSortBy(spark, path), tableChecks(spark, path), dvEnabled(spark, path))
+      tableSortBy(spark, path), tableChecks(spark, path), dvEnabled(spark, path),
+      expectVer = Some(expect))
+  }
 
   /** Table schema: the UNION of the snapshot's file-inferred schema
     * and the meta-recorded one (create-time for empty partitioned
@@ -2207,7 +2334,10 @@ object LakeTable {
   private[graft] def cdcSlices(spark: SparkSession, path: String,
       fromExclusive: Long, toInclusive: Long): Seq[CdcSlice] =
     ((fromExclusive + 1) to toInclusive).flatMap { v =>
-      readCommit(spark, path, v).cdcDir.map { d =>
+      // Versions below a clone's base (or vacuumed past) have no
+      // commit file — they contributed no change records here.
+      scala.util.Try(readCommit(spark, path, v)).toOption
+        .flatMap(_.cdcDir).map { d =>
         if (d.startsWith("@"))
           CdcSlice(v, new Path(path, d.stripPrefix("@")).toString, synthetic = true)
         else CdcSlice(v, new Path(new Path(path, "_cdc"), d).toString, synthetic = false)
@@ -2913,8 +3043,11 @@ object LakeTable {
     // group-granular — a group frees only when no retained commit
     // references any slice of it (conservative, like Delta's vacuum
     // over partially-rewritten files).
+    // A version in the window may have no commit file (below a clone's
+    // base, or dropped by an earlier vacuum) — nothing to pin there.
     val keepDirs = keepVersions
-      .flatMap(v => readCommit(spark, path, v).dirs.map(groupRoot)).toSet
+      .flatMap(v => scala.util.Try(readCommit(spark, path, v).dirs).getOrElse(Nil)
+        .map(groupRoot)).toSet
     val root = new Path(path)
     val fs = fsOf(spark, root)
     fs.listStatus(root).foreach { st =>
@@ -2924,7 +3057,8 @@ object LakeTable {
     }
     // Change files follow the same retention: drop cdc dirs no kept
     // commit references (includes orphaned racer dirs).
-    val keepCdc = keepVersions.flatMap(v => readCommit(spark, path, v).cdcDir).toSet
+    val keepCdc = keepVersions
+      .flatMap(v => scala.util.Try(readCommit(spark, path, v)).toOption.flatMap(_.cdcDir)).toSet
     val cdcRoot = new Path(path, "_cdc")
     if (fs.exists(cdcRoot)) fs.listStatus(cdcRoot).foreach { st =>
       if (st.isDirectory && !keepCdc.contains(st.getPath.getName))

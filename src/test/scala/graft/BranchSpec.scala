@@ -31,11 +31,11 @@ class BranchSpec extends AnyFunSuite {
     val src = s"$root/dvclone_src2"
     val dst = s"$root/dvclone_dst2"
     LakeTable.create(spark, src, spark.range(100).toDF("k"))
-    LakeTable.shallowClone(spark, src, dst)
+    val cloneV = LakeTable.shallowClone(spark, src, dst)
     LakeTable.deleteMor(spark, dst, col("k") < 10)
     assert(LakeTable.read(spark, dst).count() == 90L)
     assert(LakeTable.read(spark, src).count() == 100L, "clone MOR delete leaked into source")
-    // clone time travel still sees pre-delete state
-    assert(LakeTable.read(spark, dst, Some(0L)).count() == 100L)
+    // clone time travel (to the clone commit) still sees pre-delete state
+    assert(LakeTable.read(spark, dst, Some(cloneV)).count() == 100L)
   }
 }

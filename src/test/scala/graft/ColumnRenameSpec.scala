@@ -82,6 +82,43 @@ class ColumnRenameSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 11L)
   }
 
+  test("multi-change ALTER is atomic: all-or-nothing, later clauses see earlier ones") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val cat = "atomic_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"${operators.Lakehouse.scratch}/atomic_wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.at")
+    spark.sql(s"CREATE TABLE $cat.db.at (k BIGINT, a INT) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.at VALUES (1, 10)")
+    val tc = spark.sessionState.catalogManager.catalog(cat).asInstanceOf[TableCatalog]
+    val id = Identifier.of(Array("db"), "at")
+    // ADD COLUMN x + RENAME x→y in ONE statement: the rename validates
+    // against the fold, not the (not-yet-persisted) disk schema
+    tc.alterTable(id,
+      TableChange.addColumn(Array("x"), org.apache.spark.sql.types.LongType),
+      TableChange.renameColumn(Array("x"), "y"))
+    assert(spark.sql(s"SELECT * FROM $cat.db.at").columns.toSeq == Seq("k", "a", "y"))
+    // a failing LATER clause rolls back the whole statement: the valid
+    // rename a→a2 must NOT persist when the narrowing widen rejects
+    intercept[IllegalArgumentException] {
+      tc.alterTable(id,
+        TableChange.renameColumn(Array("a"), "a2"),
+        TableChange.updateColumnType(Array("k"), org.apache.spark.sql.types.IntegerType))
+    }
+    assert(spark.sql(s"SELECT * FROM $cat.db.at").columns.toSeq == Seq("k", "a", "y"),
+      "a partially-failed ALTER must persist nothing")
+    // rename + widen of the SAME column in one statement both land
+    tc.alterTable(id,
+      TableChange.renameColumn(Array("a"), "a2"),
+      TableChange.updateColumnType(Array("a2"), org.apache.spark.sql.types.LongType))
+    spark.sql(s"INSERT INTO $cat.db.at VALUES (2, 25, 7)")
+    val rows = spark.sql(s"SELECT k, a2, y FROM $cat.db.at ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 25L)), rows.mkString(","))
+  }
+
   test("drop column is metadata-only; re-adding the same name never resurrects old data") {
     val p = freshPath("drop")
     sources.LakeTable.create(spark, p,
@@ -218,6 +255,95 @@ class ColumnRenameSpec extends AnyFunSuite {
       Set((1L, 10L), (2L, 20L), (3L, 30L)))
     // the source never sees the clone's chain
     assert(sources.LakeTable.read(spark, src).columns.toSeq == Seq("k", "value"))
+  }
+
+  test("DROP then re-ADD then clone: the copied tombstone stamp confines to pre-drop groups") {
+    // Regression: groupVersionOf used to collapse the clone's
+    // absolute-URI dirs to MinValue, so the copied DROP tombstone
+    // (stamped after the re-add's data) captured the RE-ADDED column
+    // in every referenced group and the clone served NULL where the
+    // source serves real data.
+    val src = freshPath("dropreaddclone_src")
+    val dst = freshPath("dropreaddclone_dst")
+    sources.LakeTable.create(spark, src, Seq((1L, 10L), (2L, 20L)).toDF("k", "x"))
+    sources.LakeTable.dropColumn(spark, src, "x")
+    sources.LakeTable.updateSchemaMeta(spark, src,
+      sources.LakeTable.read(spark, src).schema.add("x", "bigint"))
+    sources.LakeTable.append(spark, src, Seq((3L, 333L)).toDF("k", "x"))
+    val want = Set((1L, -1L), (2L, -1L), (3L, 333L))
+    def got(path: String) = sources.LakeTable.read(spark, path).select("k", "x")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got(src) == want)
+    sources.LakeTable.shallowClone(spark, src, dst)
+    assert(got(dst) == want, "clone must serve the re-added column's data, not NULL")
+    // clone-side writes postdate the copied chain: appended x survives
+    sources.LakeTable.append(spark, dst, Seq((4L, 444L)).toDF("k", "x"))
+    assert(got(dst) == want + ((4L, 444L)))
+    // and a clone of the clone still composes
+    val dst2 = freshPath("dropreaddclone_dst2")
+    sources.LakeTable.shallowClone(spark, dst, dst2)
+    assert(got(dst2) == want + ((4L, 444L)))
+  }
+
+  test("table-meta CAS: a held claim rejects the DDL loudly instead of last-writer-wins") {
+    val p = freshPath("metacas")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L, 20L)).toDF("k", "a", "b"))
+    // simulate a concurrent DDL that claimed the next meta version
+    val claim = new org.apache.hadoop.fs.Path(s"$p/_graft_log", ".claim-meta-v00001")
+    val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(claim.getParent)
+    fs.create(claim, false).close()
+    intercept[sources.LakeTable.ConcurrentWriteException] {
+      sources.LakeTable.renameColumn(spark, p, "a", "a2")
+    }
+    // the chain is untouched; releasing the claim lets the DDL through
+    assert(sources.LakeTable.read(spark, p).columns.toSeq == Seq("k", "a", "b"))
+    fs.delete(claim, false)
+    sources.LakeTable.renameColumn(spark, p, "a", "a2")
+    assert(sources.LakeTable.read(spark, p).columns.toSeq == Seq("k", "a2", "b"))
+  }
+
+  test("two racing DDLs: neither chain entry is silently dropped") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val p = freshPath("metarace")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L, 20L)).toDF("k", "a", "b"))
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    def racer(from: String, to: String): java.util.concurrent.Future[Boolean] =
+      pool.submit(() => {
+        start.await(10, TimeUnit.SECONDS)
+        var done = false; var tries = 0
+        while (!done && tries < 20) {
+          tries += 1
+          try { sources.LakeTable.renameColumn(spark, p, from, to); done = true }
+          catch { case _: sources.LakeTable.ConcurrentWriteException => Thread.sleep(10) }
+        }
+        done
+      }: Boolean)
+    val (fa, fb) = (racer("a", "a2"), racer("b", "b2"))
+    start.countDown()
+    assert(fa.get(60, TimeUnit.SECONDS) && fb.get(60, TimeUnit.SECONDS),
+      "both DDLs must eventually publish")
+    pool.shutdown()
+    // BOTH renames survive on the chain — last-writer-wins would have
+    // kept only one
+    assert(sources.LakeTable.read(spark, p).columns.toSeq == Seq("k", "a2", "b2"))
+    assert(sources.LakeTable.read(spark, p).select("a2", "b2")
+      .as[(Long, Long)].head() == ((10L, 20L)))
+  }
+
+  test("corrupt table meta fails loudly instead of serving an empty chain") {
+    val p = freshPath("metacorrupt")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "a"))
+    sources.LakeTable.renameColumn(spark, p, "a", "a2")
+    val meta = new org.apache.hadoop.fs.Path(s"$p/_graft_log", "_table.json")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    try out.write("{\"partitionBy\":[".getBytes("UTF-8")) finally out.close() // torn tail
+    val e = intercept[IllegalStateException] {
+      sources.LakeTable.read(spark, p).collect()
+    }
+    assert(e.getMessage.contains("corrupt table meta"), e.getMessage)
   }
 
   test("renaming a PARTITION column: old col=value dirs map, pruning and new appends follow") {

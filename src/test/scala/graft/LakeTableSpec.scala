@@ -1725,6 +1725,26 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.readRange(spark, p, "doc", "z", "").count() == 50L)
   }
 
+  test("supplementary char straddling the stat cap keeps the max bound sound") {
+    import spark.implicits._
+    val p = s"$root/surrogate_stats"
+    // 63 chars then an emoji: the 64-char cap would split the
+    // surrogate pair; an unpaired (or bumped-into-surrogate) char
+    // persists through the UTF-8 sidecar as '?', an UNSOUND smaller
+    // max that used to prune the file containing the matching row.
+    val v = "a" * 63 + "\uD83D\uDE00\uD83D\uDE00 tail to exceed the cap"
+    LakeTable.create(spark, p, Seq((1L, v), (2L, "a" * 10)).toDF("k", "doc"))
+    val c = LakeTable.readCommit(spark, p, 0L)
+    val (pruned, _) = LakeTable.pruneFilesByDir(spark, p, c.dirs,
+      Map("doc" -> LakeTable.ColumnBounds(Some(v), None)))
+    assert(pruned.flatMap(_.files).exists(_.kept),
+      "the file holding the emoji row must survive a lo=value prune")
+    assert(LakeTable.readRange(spark, p, "doc", v, v).count() == 1L)
+    // and a lo just ABOVE the bumped bound still prunes (the bound was
+    // not degenerately loosened to the whole domain)
+    assert(LakeTable.readRange(spark, p, "doc", "b", "c").count() == 0L)
+  }
+
   test("bloom sidecars skip files on an unclustered column where stats cannot") {
     import SharedSpark.sf
     val p = s"$root/bloom_skip"

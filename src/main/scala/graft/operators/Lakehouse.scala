@@ -426,8 +426,12 @@ object Lakehouse {
     // the incoming data — untouched partitions carry forward without
     // a rewrite — in one atomic, history-preserving commit. The
     // oracle reconstructs the same partition swap relationally.
-    Q("q_lake_dynamic",
-      (s, d) => {
+    Q.staged("q_lake_dynamic",
+      setup = (s, d) => {
+        // Table build (namespace, DDL, base INSERT, replacement view)
+        // is STAGING — the benched verb below is the dynamic overwrite
+        // + the readback, nothing else (round-7 advice: the old shape
+        // timed the whole build and doubled on load).
         val tbl = "graft_cat.qdyn.orders_dynpart"
         val ord = t(s, d, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.qdyn")
@@ -440,6 +444,9 @@ object Lakehouse {
         ord.where(pmod(col("o_orderkey"), lit(3)) === 1 &&
             col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
           .createOrReplaceTempView("qdyn_repl")
+      },
+      verb = (s, _) => {
+        val tbl = "graft_cat.qdyn.orders_dynpart"
         val key = "spark.sql.sources.partitionOverwriteMode"
         val old = s.conf.getOption(key)
         s.conf.set(key, "dynamic")
@@ -453,7 +460,7 @@ object Lakehouse {
           .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice") + 1e-6, 2).as("rev"))
           .orderBy("o_orderpriority")
       },
-      Some("""WITH st AS (
+      oracle = Some("""WITH st AS (
              |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
              |  WHERE o_orderkey % 3 = 0 AND o_orderpriority NOT IN ('1-URGENT','3-MEDIUM')
              |  UNION ALL

@@ -1525,6 +1525,25 @@ object LakeTable {
       expectVer = Some(expect))
   }
 
+  /** Bounded process-wide schema cache. Schema derivation walks every
+    * group root with a mergeSchema read — one Spark inference JOB per
+    * root — and Spark's analyzer asks a table for its schema many
+    * times per statement (schema(), capabilities(), scan build, write
+    * build), so an uncached INSERT into a multi-group table was paying
+    * ~30 sequential ~100 ms inference jobs of pure re-derivation. The
+    * key is exact: (qualified path, data version, meta version) —
+    * any write moves the data version, any DDL moves the metaVer, so
+    * entries are immutable once computed. LRU-bounded; access-ordered.
+    */
+  private val schemaCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), org.apache.spark.sql.types.StructType])
+            : Boolean = size() > 256
+      })
+
   /** Table schema: the UNION of the snapshot's file-inferred schema
     * and the meta-recorded one (create-time for empty partitioned
     * tables, updated by ALTER TABLE ADD COLUMNS) — file-evolved and
@@ -1532,6 +1551,21 @@ object LakeTable {
     */
   def tableSchema(spark: SparkSession, path: String,
       version: Option[Long] = None): org.apache.spark.sql.types.StructType = {
+    val resolved = version.orElse(currentVersion(spark, path))
+    val key = resolved.map(v => (
+      fsOf(spark, new Path(path)).makeQualified(new Path(path)).toString,
+      v, currentMetaVer(spark, path)))
+    key.flatMap(k => Option(schemaCache.get(k))) match {
+      case Some(hit) => hit
+      case None =>
+        val computed = tableSchemaUncached(spark, path, resolved)
+        key.foreach(k => schemaCache.put(k, computed))
+        computed
+    }
+  }
+
+  private def tableSchemaUncached(spark: SparkSession, path: String,
+      version: Option[Long]): org.apache.spark.sql.types.StructType = {
     val inferred =
       try Some(read(spark, path, version).schema)
       catch { case e: org.apache.spark.sql.AnalysisException =>

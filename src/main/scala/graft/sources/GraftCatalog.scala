@@ -246,13 +246,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // then the mapping records, the folded schema and the renamed-
     // through partition/sort specs land in ONE table-meta CAS. A
     // clause that fails leaves the table exactly as it was.
+    // CAS token FIRST — before ANY of the meta reads this statement
+    // folds over (writeTableMeta's contract): a concurrent DDL
+    // publishing after these reads must fail this commit's CAS rather
+    // than be silently overwritten.
+    val expect = LakeTable.metaCasToken(spark, p)
     val parts0 = LakeTable.tablePartitioning(spark, p)
     val sort0 = LakeTable.tableSortBy(spark, p)
     val checks = LakeTable.tableChecks(spark, p)
     var parts = parts0
     var sortBy = sort0
     val recs = Seq.newBuilder[LakeTable.MapRec]
-    val renamed = scala.collection.mutable.Map.empty[String, String]
     def refGuard(verb: String, name: String): Unit = {
       val ref = ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
       checks.foreach { case (cn, sql) =>
@@ -296,8 +300,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!sch.fieldNames.contains(n), s"column $n already exists")
         refGuard("rename", o)
         recs += LakeTable.RenameRec(o, n, 0L)
-        renamed ++= renamed.collectFirst { case (k, v) if v == o => k -> n }
-        renamed += o -> n
         parts = parts.map(c => if (c == o) n else c)
         sortBy = sortBy.map(c => if (c == o) n else c)
         org.apache.spark.sql.types.StructType(sch.fields.map(f =>
@@ -341,7 +343,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (_, other) => throw new UnsupportedOperationException(
         s"only ADD COLUMNS / RENAME COLUMN / DROP COLUMN / widening ALTER COLUMN TYPE / SET-DROP DEFAULT / COMMENT are metadata-only changes; got $other")
     }
-    LakeTable.alterColumnsAtomic(spark, p, recs.result(), updated, renamed.toMap)
+    // The fold's OWN parts/sortBy (renamed clause by clause) publish —
+    // never a re-derivation from disk, which would mis-follow chained
+    // renames (a→b→c in one or across statements).
+    LakeTable.alterColumnsAtomic(spark, p, recs.result(), updated, parts, sortBy, expect)
     new GraftTable(p, None, Some(updated))
   }
 
@@ -353,6 +358,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case None => false
       case Some(loc) =>
         store.unregisterTable(spark, nsOf(ident), ident.name())
+        LakeTable.invalidateSchemaCache(spark, loc)
         val p = new Path(loc)
         !fs(p).exists(p) || fs(p).delete(p, true)
     }

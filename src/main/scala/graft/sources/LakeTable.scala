@@ -153,6 +153,18 @@ object LakeTable {
     Commit(ver, action, dirs, cdc, ts, txn, dv)
   }
 
+  /** Read a commit iff its file exists; a MISSING file (below a
+    * clone's base, or vacuumed past) → None. Any OTHER failure —
+    * transient IO, throttling, a torn/corrupt body — rethrows:
+    * callers that treat None as "this version references nothing"
+    * (vacuum's keep-set, the CDC slice walk) would otherwise turn a
+    * store hiccup into permanent deletion of live data.
+    */
+  private[graft] def readCommitOpt(spark: SparkSession, path: String,
+      version: Long): Option[Commit] =
+    try Some(readCommit(spark, path, version))
+    catch { case _: java.io.FileNotFoundException => None }
+
   /** A committer lost the per-version claim: some other writer
     * published this version first. Retryable — the table simply moved;
     * rebase on the new head and try the next version. Subtype of
@@ -915,6 +927,7 @@ object LakeTable {
     val p = new Path(targetPath)
     val fs = fsOf(spark, p)
     if (fs.exists(p)) fs.delete(p, true)
+    invalidateSchemaCache(spark, targetPath)
     // PIN the source's deletion-vector state (B46): the clone's reads
     // resolve DVs from its OWN `_dv`, so the resolved per-group state
     // at the cloned version is re-serialized there under v0 — blob
@@ -1194,18 +1207,25 @@ object LakeTable {
     * order under a single stamp and ONE meta CAS — a statement that
     * fails validation persists nothing, and a rename of a column
     * ADDed in the same statement works because `finalSchema` is the
-    * caller's fold over every clause. `renamed` follows old→new names
-    * through the partition spec and sort order.
+    * caller's fold over every clause. `parts`/`sortBy` are the fold's
+    * incrementally-renamed partition spec and sort order (computed
+    * clause by clause — re-deriving them here from disk via a rename
+    * map mis-follows chained renames), and `expectVer` is the CAS
+    * token the caller captured BEFORE its first meta read, per
+    * writeTableMeta's contract — a concurrent DDL publishing between
+    * those reads and this commit must fail the CAS, not be
+    * overwritten.
     */
   private[graft] def alterColumnsAtomic(spark: SparkSession, path: String,
       recs: Seq[MapRec], finalSchema: org.apache.spark.sql.types.StructType,
-      renamed: Map[String, String]): Unit = {
-    val expect = currentMetaVer(spark, path)
-    commitColumnDdl(spark, path, expect, recs,
-      tablePartitioning(spark, path).map(c => renamed.getOrElse(c, c)),
-      tableSortBy(spark, path).map(c => renamed.getOrElse(c, c)),
-      Some(finalSchema))
-  }
+      parts: Seq[String], sortBy: Seq[String], expectVer: Long): Unit =
+    commitColumnDdl(spark, path, expectVer, recs, parts, sortBy, Some(finalSchema))
+
+  /** The CAS token for a caller-composed meta mutation (the metaVer a
+    * multi-read DDL captures before its first meta read).
+    */
+  private[graft] def metaCasToken(spark: SparkSession, path: String): Long =
+    currentMetaVer(spark, path)
 
   /** Shared stamp-and-publish tail of every column DDL: computes the
     * confinement stamp, appends `recs` (in order, one shared stamp) to
@@ -1404,10 +1424,28 @@ object LakeTable {
     val fs = fsOf(spark, meta)
     fs.mkdirs(logDir(path))
     val lock = new Path(logDir(path), f".claim-meta-v${expect + 1}%05d")
-    if (!tryExclusiveCreate(fs, lock))
-      throw new ConcurrentWriteException(
-        s"table-meta change lost the race at $meta (expected metaVer $expect): " +
-        "a concurrent DDL published first — re-run against the new table state")
+    if (!tryExclusiveCreate(fs, lock)) {
+      // The claim may be an ORPHAN: a writer that crashed between
+      // claiming and publishing leaves the claim on disk with metaVer
+      // still at `expect`, which would brick every future meta
+      // mutation. Reclaimable iff the version is UNPUBLISHED (metaVer
+      // didn't move — a published v<expect+1> means this CAS genuinely
+      // lost) AND the claim is older than the lease (a younger claim
+      // is a live writer mid-publish). Lease default 15 min,
+      // tunable via spark.graft.meta.claimLeaseMs.
+      val leaseMs = spark.conf.getOption("spark.graft.meta.claimLeaseMs")
+        .map(_.toLong).getOrElse(15L * 60 * 1000)
+      val reclaimed = currentMetaVer(spark, path) == expect && {
+        val age =
+          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.FileNotFoundException => -1L } // racer mid-flight
+        age > leaseMs && { fs.delete(lock, false); tryExclusiveCreate(fs, lock) }
+      }
+      if (!reclaimed)
+        throw new ConcurrentWriteException(
+          s"table-meta change lost the race at $meta (expected metaVer $expect): " +
+          "a concurrent DDL published first — re-run against the new table state")
+    }
     val tmp = new Path(logDir(path),
       s".tmp-meta-${java.util.UUID.randomUUID.toString.take(8)}.json")
     val out = fs.create(tmp, true)
@@ -1422,6 +1460,9 @@ object LakeTable {
       if (fs.exists(meta)) fs.delete(meta, false)
       if (!fs.rename(tmp, meta)) {
         fs.delete(tmp, false)
+        // Release the claim: metaVer stays at `expect`, so keeping the
+        // claim would block every future mutation until lease expiry.
+        fs.delete(lock, false)
         throw new IllegalStateException(s"table-meta rename failed for $meta")
       }
     }
@@ -1492,6 +1533,7 @@ object LakeTable {
     val p = new Path(path)
     val fs = fsOf(spark, p)
     if (fs.exists(p)) fs.delete(p, true)
+    invalidateSchemaCache(spark, path)
     val dir = writeGroup(spark, path, 0L, df, partitionBy)
     if (partitionBy.nonEmpty) {
       // The schema rides along (base64 of its JSON, dodging escaping):
@@ -1543,6 +1585,22 @@ object LakeTable {
             e: java.util.Map.Entry[(String, Long, Long), org.apache.spark.sql.types.StructType])
             : Boolean = size() > 256
       })
+
+  /** Drop every cached schema for `path`. Needed when a table is
+    * RE-CREATED at the same path (create-replace, clone onto an
+    * existing path, catalog DROP + CREATE): the new generation starts
+    * again at data version 0 and may reuse the old metaVer, so the
+    * (path, dataVer, metaVer) key would collide and serve the DROPPED
+    * generation's schema. In-JVM only — a re-create from another host
+    * is the same caveat as any non-notifying store; the first write
+    * or DDL there moves a version component and self-heals.
+    */
+  private[graft] def invalidateSchemaCache(spark: SparkSession, path: String): Unit = {
+    val q = fsOf(spark, new Path(path)).makeQualified(new Path(path)).toString
+    schemaCache.synchronized {
+      schemaCache.keySet.removeIf(k => k._1 == q)
+    }
+  }
 
   /** Table schema: the UNION of the snapshot's file-inferred schema
     * and the meta-recorded one (create-time for empty partitioned
@@ -1922,7 +1980,7 @@ object LakeTable {
     // what remains below the horizon is exactly the resolved state.
     val commitDv = scala.collection.mutable.Map.empty[Long, Option[Set[String]]]
     def referenced(v: Long): Option[Set[String]] = commitDv.getOrElseUpdate(v,
-      scala.util.Try(readCommit(spark, path, v).dvFiles.toSet).toOption)
+      readCommitOpt(spark, path, v).map(_.dvFiles.toSet))
     fs.listStatus(d).map(_.getPath.getName)
       .flatMap(n => parseDvName(n).map { case (v, g) => (v, g, n) })
       .filter { case (v, g, _) => v <= version && groups(g) }
@@ -2369,8 +2427,10 @@ object LakeTable {
       fromExclusive: Long, toInclusive: Long): Seq[CdcSlice] =
     ((fromExclusive + 1) to toInclusive).flatMap { v =>
       // Versions below a clone's base (or vacuumed past) have no
-      // commit file — they contributed no change records here.
-      scala.util.Try(readCommit(spark, path, v)).toOption
+      // commit file — they contributed no change records here. Any
+      // OTHER read failure rethrows: silently skipping a readable-but-
+      // erroring commit would drop its changes from the feed.
+      readCommitOpt(spark, path, v)
         .flatMap(_.cdcDir).map { d =>
         if (d.startsWith("@"))
           CdcSlice(v, new Path(path, d.stripPrefix("@")).toString, synthetic = true)
@@ -3079,8 +3139,11 @@ object LakeTable {
     // over partially-rewritten files).
     // A version in the window may have no commit file (below a clone's
     // base, or dropped by an earlier vacuum) — nothing to pin there.
+    // Missing-file ONLY: any other readCommit failure aborts the
+    // vacuum — a retained commit whose dirs can't be read must never
+    // fall out of the keep-set (that would delete live data).
     val keepDirs = keepVersions
-      .flatMap(v => scala.util.Try(readCommit(spark, path, v).dirs).getOrElse(Nil)
+      .flatMap(v => readCommitOpt(spark, path, v).map(_.dirs).getOrElse(Nil)
         .map(groupRoot)).toSet
     val root = new Path(path)
     val fs = fsOf(spark, root)
@@ -3092,7 +3155,7 @@ object LakeTable {
     // Change files follow the same retention: drop cdc dirs no kept
     // commit references (includes orphaned racer dirs).
     val keepCdc = keepVersions
-      .flatMap(v => scala.util.Try(readCommit(spark, path, v)).toOption.flatMap(_.cdcDir)).toSet
+      .flatMap(v => readCommitOpt(spark, path, v).flatMap(_.cdcDir)).toSet
     val cdcRoot = new Path(path, "_cdc")
     if (fs.exists(cdcRoot)) fs.listStatus(cdcRoot).foreach { st =>
       if (st.isDirectory && !keepCdc.contains(st.getPath.getName))
@@ -3105,7 +3168,7 @@ object LakeTable {
     val dvRoot = dvDirPath(path)
     if (fs.exists(dvRoot)) {
       val referenced = keepVersions
-        .flatMap(v => scala.util.Try(readCommit(spark, path, v).dvFiles).getOrElse(Nil)).toSet
+        .flatMap(v => readCommitOpt(spark, path, v).map(_.dvFiles).getOrElse(Nil)).toSet
       val horizonState = scala.util.Try(
         dvResolve(spark, path, retainFrom, readCommit(spark, path, retainFrom).dirs)
           .values.map(_._1).toSet).getOrElse(Set.empty)

@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-integrity regressions: vacuum must fail loudly (never
+  * delete) when a RETAINED commit can't be read for any reason other
+  * than a genuinely missing file; the schema cache must not serve a
+  * dropped generation after re-create at the same path; multi-clause
+  * ALTER follows chained renames through the partition spec; the
+  * table-meta CAS token is captured before the statement's meta reads;
+  * and an orphaned meta claim is lease-reclaimable instead of bricking
+  * the table.
+  */
+class MetaIntegritySpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def freshPath(name: String): String = {
+    val p = s"${operators.Lakehouse.scratch}/meta_$name"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+    p
+  }
+
+  private def fsOf(p: String) =
+    new org.apache.hadoop.fs.Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logFile(path: String, name: String) =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path, "_graft_log"), name)
+
+  private def overwrite(p: org.apache.hadoop.fs.Path, body: String): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def slurp(p: org.apache.hadoop.fs.Path): String = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("vacuum aborts on an unreadable retained commit instead of deleting its data") {
+    val p = freshPath("vac_corrupt")
+    sources.LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "s"))
+    sources.LakeTable.append(spark, p, Seq((2L, "b")).toDF("k", "s"))
+    sources.LakeTable.append(spark, p, Seq((3L, "c")).toDF("k", "s"))
+    val v1 = logFile(p, "v00001.json")
+    val saved = slurp(v1)
+    overwrite(v1, "{ definitely not a commit }")
+    // A corrupt body inside the retention window must ABORT the vacuum
+    // — treating it as "references nothing" would drop v1's dirs from
+    // the keep-set and delete live data.
+    intercept[Exception] { sources.LakeTable.vacuum(spark, p, 0L) }
+    assert(sources.LakeTable.read(spark, p).count() == 3,
+      "no data may be deleted when a retained commit is unreadable")
+    overwrite(v1, saved)
+    sources.LakeTable.vacuum(spark, p, 0L)
+    assert(sources.LakeTable.read(spark, p).count() == 3)
+  }
+
+  test("vacuum still tolerates a genuinely missing commit file (clone base / pre-vacuumed)") {
+    val p = freshPath("vac_missing")
+    sources.LakeTable.create(spark, p, Seq((1L, "a")).toDF("k", "s"))
+    sources.LakeTable.append(spark, p, Seq((2L, "b")).toDF("k", "s"))
+    sources.LakeTable.append(spark, p, Seq((3L, "c")).toDF("k", "s"))
+    fsOf(p).delete(logFile(p, "v00001.json"), false)
+    sources.LakeTable.vacuum(spark, p, 0L)
+    // the head commit references every appended dir, so all rows live
+    assert(sources.LakeTable.read(spark, p).count() == 3)
+  }
+
+  test("re-create at the same path serves the NEW schema (cache generation)") {
+    val p = freshPath("recreate")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "a"))
+    // warm the (path, v0, metaVer) cache entry
+    assert(sources.LakeTable.tableSchema(spark, p).fieldNames.toSeq == Seq("k", "a"))
+    // replace-create: same path, data version restarts at 0, same
+    // metaVer — the old cache key would collide
+    sources.LakeTable.create(spark, p, Seq((1L, "x", true)).toDF("k", "b", "c"))
+    assert(sources.LakeTable.tableSchema(spark, p).fieldNames.toSeq == Seq("k", "b", "c"),
+      "tableSchema must not serve the dropped generation's schema")
+    assert(sources.LakeTable.read(spark, p).columns.toSeq == Seq("k", "b", "c"))
+  }
+
+  test("catalog DROP TABLE + CREATE TABLE at the same location serves the new schema") {
+    val cat = "meta_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"${operators.Lakehouse.scratch}/meta_cat_wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.rc")
+    spark.sql(s"CREATE TABLE $cat.db.rc (k BIGINT, a BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.rc VALUES (1, 10)")
+    assert(spark.sql(s"SELECT * FROM $cat.db.rc").columns.toSeq == Seq("k", "a"))
+    spark.sql(s"DROP TABLE $cat.db.rc")
+    spark.sql(s"CREATE TABLE $cat.db.rc (k BIGINT, b STRING, c BOOLEAN) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.rc VALUES (2, 'x', true)")
+    assert(spark.sql(s"SELECT * FROM $cat.db.rc").columns.toSeq == Seq("k", "b", "c"))
+  }
+
+  test("three chained renames of a partition column in ONE statement keep the spec coherent") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val cat = "chain_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"${operators.Lakehouse.scratch}/chain_wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.ch")
+    spark.sql(s"CREATE TABLE $cat.db.ch (k BIGINT, a STRING) USING graft PARTITIONED BY (a)")
+    spark.sql(s"INSERT INTO $cat.db.ch VALUES (1, 'p1'), (2, 'p2')")
+    val tc = spark.sessionState.catalogManager.catalog(cat).asInstanceOf[TableCatalog]
+    // a→b→c→d in one statement: the published partition spec must be
+    // the FOLD's result (d), never a mis-followed intermediate name
+    tc.alterTable(Identifier.of(Array("db"), "ch"),
+      TableChange.renameColumn(Array("a"), "b"),
+      TableChange.renameColumn(Array("b"), "c"),
+      TableChange.renameColumn(Array("c"), "d"))
+    val loc = s"${operators.Lakehouse.scratch}/chain_wh/db/ch"
+    assert(sources.LakeTable.tablePartitioning(spark, loc) == Seq("d"),
+      "partition spec must carry the final chained name")
+    spark.sql(s"INSERT INTO $cat.db.ch VALUES (3, 'p3')")
+    assert(spark.sql(s"SELECT k, d FROM $cat.db.ch WHERE d = 'p3'").count() == 1)
+    assert(spark.sql(s"SELECT k FROM $cat.db.ch").count() == 3)
+  }
+
+  test("a DDL publishing inside the statement's read window fails the CAS (no lost update)") {
+    val p = freshPath("cas_window")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "a"))
+    // the statement captures its token, then a concurrent DDL publishes
+    val expect = sources.LakeTable.metaCasToken(spark, p)
+    sources.LakeTable.setSortBy(spark, p, Seq("k"))
+    intercept[sources.LakeTable.ConcurrentWriteException] {
+      sources.LakeTable.alterColumnsAtomic(spark, p,
+        Seq(sources.LakeTable.RenameRec("a", "a2", 0L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("a2", org.apache.spark.sql.types.LongType))),
+        Nil, Seq("k"), expect)
+    }
+    // the concurrent DDL's state survives untouched
+    assert(sources.LakeTable.tableSortBy(spark, p) == Seq("k"))
+    assert(sources.LakeTable.read(spark, p).columns.toSeq == Seq("k", "a"))
+  }
+
+  test("an orphaned meta claim is lease-reclaimed; a live claim still blocks") {
+    val p = freshPath("claim")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "a"))
+    // simulate a writer that crashed between claim and publish
+    val claim = logFile(p, ".claim-meta-v00001")
+    overwrite(claim, "")
+    // default lease (15 min): the claim is "live" → CAS loss
+    intercept[sources.LakeTable.ConcurrentWriteException] {
+      sources.LakeTable.setSortBy(spark, p, Seq("k"))
+    }
+    // expired lease: reclaim and publish
+    spark.conf.set("spark.graft.meta.claimLeaseMs", "-1")
+    try {
+      sources.LakeTable.setSortBy(spark, p, Seq("k"))
+      assert(sources.LakeTable.tableSortBy(spark, p) == Seq("k"))
+    } finally spark.conf.unset("spark.graft.meta.claimLeaseMs")
+    // a PUBLISHED version's claim is never reclaimed: the next DDL
+    // claims the next version and succeeds normally
+    sources.LakeTable.setSortBy(spark, p, Seq("a"))
+    assert(sources.LakeTable.tableSortBy(spark, p) == Seq("a"))
+  }
+}

@@ -331,6 +331,7 @@ object GraftAuthz {
     */
   def guardPathAccess(spark: SparkSession, path: String): Unit = cfg.foreach { c =>
     org.apache.spark.sql.connect.graftglue.ConnectGlue.connectUserOf(spark)
+      .orElse(GraftThriftServer.thriftUserOf(spark))
       .filterNot(c.superusers.contains)
       .foreach { p =>
         GraftAudit.record(p, "PATH", path, "deny")
@@ -350,6 +351,12 @@ object GraftAuthIdentity {
 
   def current(spark: SparkSession): String =
     connectUser(spark)
+      // Thrift-owned sessions resolve their SASL-verified login BEFORE
+      // the conf fallback: the JDBC URL's conf segment is
+      // client-controlled, so a conf-first order would let any
+      // authenticated tenant impersonate any principal with
+      // `?spark.graft.sql.user=victim`.
+      .orElse(GraftThriftServer.thriftUserOf(spark))
       .orElse(spark.conf.getOption("spark.graft.sql.user"))
       .getOrElse(spark.sparkContext.sparkUser)
 

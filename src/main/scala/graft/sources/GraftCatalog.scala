@@ -93,10 +93,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def authorized(ident: Identifier, t: GraftTable): GraftTable = {
     val lvl = graft.GraftAuthz.accessLevel(spark, nsOf(ident), ident.name())
-    if (lvl < graft.GraftAuthz.SelectLevel)
+    if (lvl < graft.GraftAuthz.SelectLevel) {
+      // Denials are audited here (C28) — the load path deliberately
+      // skips per-load "allow" records (the analyzer loads a table
+      // several times per statement; flooding the trail with
+      // resolution-granular allows would bury the decisions that
+      // matter — DML/DDL allows still record through requireModify).
+      graft.GraftAudit.record(graft.GraftAuthIdentity.current(spark), "SELECT",
+        s"${nsOf(ident)}.${ident.name()}", "deny")
       throw new graft.GraftAuthz.AccessDenied(
         s"PERMISSION_DENIED: principal '${graft.GraftAuthIdentity.current(spark)}' " +
           s"lacks SELECT on table '${nsOf(ident)}.${ident.name()}'")
+    }
     if (lvl < graft.GraftAuthz.ModifyLevel)
       t.denyWritesFor(graft.GraftAuthIdentity.current(spark))
     t

@@ -46,7 +46,20 @@ private[sources] object GraftWriteUtil {
     if (LakeTable.currentVersion(spark, path).isEmpty) return incoming
     val t = LakeTable.tableSchema(spark, path)
     val byName = incoming.fieldNames.forall(c => t.fieldNames.exists(_.equalsIgnoreCase(c)))
-    if (byName) incoming
+    if (byName)
+      // Name-matched writes still NORMALIZE each column to the table's
+      // type when the incoming one is a lossless up-cast away (INT
+      // literal into a BIGINT column — the ACCEPT_ANY_SCHEMA table
+      // never sees Spark's TableOutputResolver casts): storing the
+      // narrower physical type would poison every later mergeSchema
+      // read with CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE.
+      StructType(incoming.fields.map { f =>
+        t.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+          case Some(tf) if tf.dataType != f.dataType &&
+              Cast.canUpCast(f.dataType, tf.dataType) => f.copy(dataType = tf.dataType)
+          case _ => f
+        }
+      })
     else if (incoming.length == t.length) StructType(t.fields.toIndexedSeq)
     else throw new IllegalArgumentException(
       s"cannot align ${incoming.length} written columns to " +

@@ -253,11 +253,31 @@ object LakeTable {
 
   private def writeGroup(spark: SparkSession, path: String, v: Long, df: DataFrame,
       partitionBy: Seq[String]): String = {
+    // Type normalization: a column arriving NARROWER than the table's
+    // recorded type (an INT literal into a BIGINT column) up-casts
+    // in-stream (codegen'd, lossless only) — storing the narrower
+    // physical type would poison later mergeSchema reads with
+    // CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE. First write (create) has
+    // no schema to align to and passes through.
+    val aligned =
+      if (currentVersion(spark, path).isEmpty) df
+      else {
+        val t = tableSchema(spark, path)
+        df.schema.fields.foldLeft(df) { case (d, f) =>
+          t.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case Some(tf) if tf.dataType != f.dataType &&
+                org.apache.spark.sql.catalyst.expressions.Cast
+                  .canUpCast(f.dataType, tf.dataType) =>
+              d.withColumn(f.name, col(f.name).cast(tf.dataType))
+            case _ => d
+          }
+        }
+      }
     // CHECK constraints guard every API-verb write in-stream: an
     // assert_true filter per constraint (codegen'd, no extra pass) —
     // the first violating row fails the job before anything commits.
     // SQL semantics: NULL passes (coalesce to true).
-    val guarded = tableChecks(spark, path).foldLeft(df) { case (d, (n, sql)) =>
+    val guarded = tableChecks(spark, path).foldLeft(aligned) { case (d, (n, sql)) =>
       import org.apache.spark.sql.functions.{assert_true, expr, lit}
       d.filter(assert_true(expr(s"coalesce(($sql), true)"),
         lit(s"CHECK constraint $n violated: $sql")).isNull)
@@ -2697,42 +2717,87 @@ object LakeTable {
     }
     val mappings = tableMappings(spark, path)
     val flatEntries = dirs.forall(d => groupRoot(d) == d)
+    // Footer merge across groups fails hard on PHYSICAL type skew (a
+    // pre-normalization group stored INT where later ones hold
+    // BIGINT); the per-root union coerces instead (unionByName widens
+    // per Spark's type coercion), so such a table stays READABLE and
+    // compaction rewrites it clean. Writes normalize types in-stream
+    // now (writeGroup / GraftWriteUtil.targetSchema), so this is the
+    // legacy-data escape hatch, not a hot path.
+    def mergeConflict(t: Throwable): Boolean = t != null && (
+      Option(t.getMessage).exists(_.contains("CANNOT_MERGE")) || mergeConflict(t.getCause))
     if (flatEntries && tablePartitioning(spark, path).isEmpty
-        && !hasMixedLayouts(spark, path))
+        && !hasMixedLayouts(spark, path)) {
       // Single-scan fast path: a table with data at rename time is
       // marked mixed and routed below, so any chain here predates
       // every dir — the min version stands in for all of them.
-      finish(applyMappings(spark.read.option("mergeSchema", "true")
+      try finish(applyMappings(spark.read.option("mergeSchema", "true")
         .parquet(dirs.map(d => new Path(path, d).toString): _*), mappings,
         dirs.map(groupVersionOf).min),
         dirs.map(groupKey))
-    else {
-      // Partitioned (or subdir-entry) layout: one read per GROUP ROOT
-      // under its basePath — entries of the same group share a scan,
-      // partition columns come back from the paths. Rename mapping
-      // applies PER ROOT (each group carries the physical names of its
-      // write time) so the union lines logical columns up by name.
-      val byRoot = dirs.groupBy(groupRoot).toSeq.sortBy(_._1)
-      val reads = byRoot.flatMap { case (root, entries) =>
-        val entryPaths = entries.map(e => new Path(path, e).toString)
-          .filter(p => hasParquet(spark, new Path(p)))
-        if (entryPaths.isEmpty) None
-        else Some(finish(applyMappings(spark.read.option("mergeSchema", "true")
-          .option("basePath", new Path(path, root).toString)
-          .parquet(entryPaths: _*), mappings, groupVersionOf(root)),
-          Seq(groupKey(root))))
+      catch { case e: Throwable if mergeConflict(e) =>
+        readDirsUnion(spark, path, dirs, mappings, finish) }
+    } else {
+      // Partitioned (or subdir-entry) layout. CLEAN snapshots (no
+      // deletion vectors, no mapping chain, no position columns) read
+      // as ONE explicit-PartitionSpec scan spanning every group — the
+      // same single-relation shape the catalog SQL path serves — so
+      // the plan does NOT grow with the number of appends between
+      // compactions (one scan node and ONE footer-merge inference job
+      // at 200 commits, where the per-root union below pays both per
+      // group root). Partition column types come from the meta-recorded
+      // schema (authoritative — the catalog path's source), never
+      // re-inferred from path strings.
+      val partCols = tablePartitioning(spark, path)
+      if (dv.isEmpty && !withPos && mappings.isEmpty && partCols.nonEmpty) {
+        val meta = metaSchema(spark, path)
+        if (meta.exists(m => partCols.forall(m.fieldNames.contains))) {
+          val m = meta.get
+          val leaves = partitionLeaves(spark,
+            dirs.map(d => new Path(path, d).toString), partCols)
+          val partSchema = org.apache.spark.sql.types.StructType(partCols.map(c => m(c)))
+          try org.apache.spark.sql.graftglue.Glue
+            .partitionedParquetDataFrame(spark, leaves, partSchema) match {
+            case Some(df) => return df
+            case None => () // no footers (empty create) — fall through
+          }
+          catch { case e: Throwable if mergeConflict(e) => () } // union coerces
+        }
       }
-      if (reads.nonEmpty) reads.reduce(_.unionByName(_, allowMissingColumns = true))
-      else metaSchema(spark, path) match {
-        // A partitioned DDL create writes NO files (partitionBy of an
-        // empty frame emits nothing) — an empty frame with the
-        // recorded schema keeps first-write DML (MERGE-as-insert,
-        // UPDATE no-op) working on the fresh table.
-        case Some(sch) => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-        case None => spark.read.option("mergeSchema", "true")
-          .parquet(dirs.map(d => new Path(path, d).toString): _*)
-      }
+      readDirsUnion(spark, path, dirs, mappings, finish)
+    }
+  }
+
+  /** Per-group-root union read: needed when rename mappings apply PER
+    * ROOT (each group carries the physical names of its write time —
+    * the union lines logical columns up by name), when DVs / position
+    * columns ride the per-scan `_metadata` struct, when no meta schema
+    * records the partition column types, or as the type-coercing
+    * fallback for physically type-skewed legacy groups. Plan size here
+    * is the ROOT count; compaction collapses it to one.
+    */
+  private def readDirsUnion(spark: SparkSession, path: String, dirs: Seq[String],
+      mappings: Seq[MapRec], finish: (DataFrame, Seq[String]) => DataFrame): DataFrame = {
+    val byRoot = dirs.groupBy(groupRoot).toSeq.sortBy(_._1)
+    val reads = byRoot.flatMap { case (root, entries) =>
+      val entryPaths = entries.map(e => new Path(path, e).toString)
+        .filter(p => hasParquet(spark, new Path(p)))
+      if (entryPaths.isEmpty) None
+      else Some(finish(applyMappings(spark.read.option("mergeSchema", "true")
+        .option("basePath", new Path(path, root).toString)
+        .parquet(entryPaths: _*), mappings, groupVersionOf(root)),
+        Seq(groupKey(root))))
+    }
+    if (reads.nonEmpty) reads.reduce(_.unionByName(_, allowMissingColumns = true))
+    else metaSchema(spark, path) match {
+      // A partitioned DDL create writes NO files (partitionBy of an
+      // empty frame emits nothing) — an empty frame with the
+      // recorded schema keeps first-write DML (MERGE-as-insert,
+      // UPDATE no-op) working on the fresh table.
+      case Some(sch) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => new Path(path, d).toString): _*)
     }
   }
 

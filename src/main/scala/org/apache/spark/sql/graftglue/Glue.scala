@@ -123,6 +123,65 @@ object Glue {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
 
+  /** ONE DataFrame over EXPLICIT partition metadata spanning MANY file
+    * groups — the API-read twin of [[partitionedParquetScanBuilder]]:
+    * the caller supplies (partition values → leaf dir) pairs it
+    * already knows from the commit log, partition discovery is
+    * skipped, and the whole multi-group snapshot reads as a SINGLE
+    * HadoopFsRelation scan (pushdown, pruning, vectorized, partition
+    * pruning against the supplied spec). The data schema is merged
+    * from the parquet footers in ONE distributed job (the same
+    * mergeSchema mechanics, but once for the table instead of once
+    * per file group). None when the leaves hold no parquet footers
+    * (an empty partitioned create) — the caller falls back.
+    */
+  def partitionedParquetDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      leaves: Seq[(Seq[Option[String]], org.apache.hadoop.fs.Path)],
+      partitionSchema: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.types.StructType
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val index = explicitPartitionIndex(classic, leaves, partitionSchema, None)
+    val fmt = new ParquetFileFormat
+    val opts = Map("mergeSchema" -> "true")
+    fmt.inferSchema(classic, opts, index.allFiles()).map { merged =>
+      val dataSchema = StructType(
+        merged.filterNot(f => partitionSchema.fieldNames.contains(f.name)))
+      classic.baseRelationToDataFrame(HadoopFsRelation(
+        index, partitionSchema, dataSchema, None, fmt, opts)(classic))
+    }
+  }
+
+  private def explicitPartitionIndex(
+      classic: org.apache.spark.sql.classic.SparkSession,
+      leaves: Seq[(Seq[Option[String]], org.apache.hadoop.fs.Path)],
+      partitionSchema: org.apache.spark.sql.types.StructType,
+      dataSchema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.execution.datasources.InMemoryFileIndex = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionPath, PartitionSpec}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val tz = classic.sessionState.conf.sessionLocalTimeZone
+    val paths = leaves.map { case (values, dir) =>
+      val row = InternalRow.fromSeq(values.zip(partitionSchema.fields).map {
+        case (None, _) => null
+        case (Some(raw), f) =>
+          Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
+            Some(tz)).eval(null)
+      })
+      PartitionPath(row, dir)
+    }
+    new InMemoryFileIndex(classic, paths.map(_.path),
+      Map("mergeSchema" -> "true"), dataSchema,
+      FileStatusCache.getOrCreate(classic),
+      Some(PartitionSpec(partitionSchema, paths)), None)
+  }
+
   /** Parquet V2 scan builder over EXPLICIT partition metadata — the
     * Hive-conversion pattern (CatalogFileIndex): Spark's own partition
     * DISCOVERY requires all partitioned files to share one base path,
@@ -145,29 +204,12 @@ object Glue {
       : org.apache.spark.sql.connector.read.ScanBuilder
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns = {
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-    import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionPath, PartitionSpec}
     import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-    import org.apache.spark.sql.types.{StringType, StructType}
-    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.StructType
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val tz = classic.sessionState.conf.sessionLocalTimeZone
     val dataSchema = StructType(
       fullSchema.filterNot(f => partitionSchema.fieldNames.contains(f.name)))
-    val paths = leaves.map { case (values, dir) =>
-      val row = InternalRow.fromSeq(values.zip(partitionSchema.fields).map {
-        case (None, _) => null
-        case (Some(raw), f) =>
-          Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
-            Some(tz)).eval(null)
-      })
-      PartitionPath(row, dir)
-    }
-    val index = new InMemoryFileIndex(classic, paths.map(_.path),
-      Map("mergeSchema" -> "true"), Some(dataSchema),
-      FileStatusCache.getOrCreate(classic),
-      Some(PartitionSpec(partitionSchema, paths)), None)
+    val index = explicitPartitionIndex(classic, leaves, partitionSchema, Some(dataSchema))
     ParquetScanBuilder(classic, index, fullSchema, dataSchema, options)
   }
 }

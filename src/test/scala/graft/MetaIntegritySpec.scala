@@ -165,4 +165,50 @@ class MetaIntegritySpec extends AnyFunSuite {
     sources.LakeTable.setSortBy(spark, p, Seq("a"))
     assert(sources.LakeTable.tableSortBy(spark, p) == Seq("a"))
   }
+
+  test("a narrower-typed INSERT up-casts to the table's column type (catalog SQL + API)") {
+    import org.apache.spark.sql.functions.col
+    // catalog SQL: INT literal into a BIGINT column — the exact shape
+    // an ACCEPT_ANY_SCHEMA table used to store as INT, poisoning every
+    // later mergeSchema read
+    val cat = "widen_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"${operators.Lakehouse.scratch}/widen_wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.w")
+    spark.sql(s"CREATE TABLE $cat.db.w AS SELECT id, id % 3 AS g FROM range(10)")
+    spark.sql(s"INSERT INTO $cat.db.w SELECT id, 9 AS g FROM range(10, 15)")
+    val out = spark.sql(s"SELECT g, count(*) AS c FROM $cat.db.w GROUP BY g")
+    assert(out.schema("g").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.collect().map(_.getLong(1)).sum == 15)
+    // API append with a narrower frame
+    val p = freshPath("widen_api")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "v"))
+    sources.LakeTable.append(spark, p,
+      Seq((2, 20)).toDF("k", "v")) // both columns INT
+    val r = sources.LakeTable.read(spark, p)
+    assert(r.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(r.as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("a legacy type-skewed table (INT group beside BIGINT) stays readable via coercion") {
+    import org.apache.spark.sql.functions.col
+    val p = freshPath("skew_legacy")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "v"))
+    // simulate a pre-normalization writer: an INT-typed group on disk
+    // referenced by a hand-written commit
+    val dir = "d1-legacy00"
+    spark.range(2, 4).select(col("id").cast("int").as("k"),
+      (col("id") * 10).cast("int").as("v"))
+      .write.parquet(s"$p/$dir")
+    val c0 = sources.LakeTable.readCommit(spark, p, 0L)
+    sources.LakeTable.writeCommit(spark, p,
+      sources.LakeTable.Commit(1L, "append", c0.dirs :+ dir))
+    val r = sources.LakeTable.read(spark, p)
+    assert(r.schema("k").dataType == org.apache.spark.sql.types.LongType,
+      "union fallback must coerce the narrow group up")
+    assert(r.as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
 }

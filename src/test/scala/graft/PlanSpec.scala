@@ -389,4 +389,45 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("BroadcastHashJoin"), p2.take(3000))
     assert(df2.collect().length == 4)
   }
+
+  test("partitioned API read is ONE scan regardless of append count; rename-chain fallback is root-bounded and compaction restores 1") {
+    import org.apache.spark.sql.functions.col
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+      "FileScan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val lake = s"${operators.Lakehouse.scratch}/spec_one_scan"
+    LakeTable.create(spark, lake,
+      spark.range(0, 40).select(col("id"), (col("id") % 4).cast("string").as("g")),
+      partitionBy = Seq("g"))
+    (1 to 7).foreach { i =>
+      LakeTable.append(spark, lake,
+        spark.range(40L * i, 40L * i + 40).select(col("id"), (col("id") % 4).cast("string").as("g")))
+    }
+    // 8 file groups, ONE scan node: the plan must not grow with the
+    // number of appends between compactions (the 100 TB property —
+    // a 200-commit table plans like a 1-commit table).
+    val df = LakeTable.read(spark, lake)
+    assert(scanCount(df) == 1, df.queryExecution.executedPlan.toString.take(2000))
+    assert(df.count() == 320)
+    assert(df.groupBy("g").count().collect().map(_.getLong(1)).toSeq == Seq.fill(4)(80L))
+    // partition pruning still lands at the (single) scan
+    val prunedPlan = LakeTable.read(spark, lake).where(col("g") === "2")
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters:") && prunedPlan.contains("g"), prunedPlan)
+    assert(LakeTable.read(spark, lake).where(col("g") === "2").count() == 80)
+    // a rename chain forces the per-root union (mappings apply per
+    // group generation) — the fallback's plan size is the ROOT count...
+    LakeTable.renameColumn(spark, lake, "id", "id2")
+    val renamed = LakeTable.read(spark, lake)
+    assert(renamed.columns.toSeq.sorted == Seq("g", "id2"))
+    assert(scanCount(renamed) == 8)
+    assert(renamed.count() == 320)
+    // ...and compaction migrates to the new physical names AND
+    // restores scan-count 1 via the union-of-one.
+    LakeTable.compact(spark, lake, 1)
+    val compacted = LakeTable.read(spark, lake)
+    assert(scanCount(compacted) == 1,
+      compacted.queryExecution.executedPlan.toString.take(2000))
+    assert(compacted.count() == 320)
+    assert(compacted.columns.toSeq.sorted == Seq("g", "id2"))
+  }
 }

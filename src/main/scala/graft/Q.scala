@@ -46,6 +46,7 @@ object Registry {
       operators.SqlSurface.qs ++
       operators.Clustering.qs ++
       operators.Curation.qs ++
+      operators.OracleBounds.qs ++
       streaming.EventPipeline.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

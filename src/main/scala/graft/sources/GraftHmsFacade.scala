@@ -1,0 +1,503 @@
+package graft.sources
+
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.hive.conf.HiveConf
+import org.apache.hadoop.hive.metastore.RawStore
+import org.apache.hadoop.hive.metastore.api.{Database, FieldSchema, MetaException, NoSuchObjectException, Partition, PrincipalType, Role, SerDeInfo, StorageDescriptor, Table, TableMeta}
+import org.apache.spark.sql.SparkSession
+
+/** Hive Metastore THRIFT facade over the graft catalog — the
+  * reference's catalog interop wire (SURVEY §7.5.1): external engines
+  * resolve the reference's tables via `hive.metastore.uris =
+  * thrift://…` (reference internal/controller/kyuubi.go:41;
+  * internal/controller/metastore.go provisions the DB-backed HMS this
+  * stands in for). Rather than running Hive's ObjectStore over its own
+  * RDBMS schema, the stock HMS Thrift SERVER (`HiveMetaStore.
+  * startMetaStore`, bundled with the Spark distribution) is pointed at
+  * a custom `RawStore` ([[GraftRawStore]]) backed directly by
+  * [[CatalogStore]] — so the SAME registry graft's own catalog serves
+  * (filesystem-implied or shared-JDBC, C25) is what HMS clients see,
+  * with zero double bookkeeping:
+  *
+  *   - databases ↔ graft namespaces;
+  *   - tables surface with their real location, columns and partition
+  *     keys, marked `spark.sql.sources.provider=graft` with Spark's
+  *     placeholder SequenceFile I/O classes — the HiveExternalCatalog
+  *     datasource-table convention, telling engines to route reads
+  *     through the connector instead of raw-scanning the directory
+  *     (a graft dir holds the FULL version history; only the commit
+  *     log says which files are live);
+  *   - views surface as VIRTUAL_VIEW with their SQL text;
+  *   - partitions enumerate from the current snapshot's leaf dirs
+  *     (values are authoritative; per-partition SD locations point at
+  *     the first holding group and are advisory for the same reason
+  *     as above);
+  *   - wire-side DDL (create_database, create_table of an external
+  *     graft table, drop_table) lands in the shared registry and is
+  *     immediately visible to graft's own catalog — and vice versa.
+  *
+  * Unsupported surface (column stats write-back, Hive ACID/txn APIs,
+  * indexes, delegation tokens) throws MetaException naming the
+  * facade, never silently misleads. The reference deployment maps
+  * `metastore.thrift://` here exactly as SURVEY §7.5.1 documents.
+  */
+object GraftHmsFacade {
+
+  @volatile private[sources] var wiring: Option[(SparkSession, CatalogStore)] = None
+  @volatile private var started = false
+
+  /** Partition names an HMS client "dropped" for a table — partitions
+    * here are snapshot-implied (no registry rows), so a drop is a
+    * VISIBILITY mark, kept so the handler's drop_table pagination
+    * (getPartitions → dropPartitions until empty) converges. Shared
+    * across the server's per-thread RawStore instances; cleared when
+    * the table name is re-registered or unregistered.
+    */
+  private[sources] val droppedParts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Start the facade on `port` over the registry at `root` —
+    * filesystem-implied by default, the shared-JDBC store when
+    * `jdbcUrl` is given (the multi-host deployment shape). Idempotent;
+    * the server runs as a daemon thread for the JVM's lifetime (the
+    * stock HMS has no stop API).
+    */
+  def start(spark: SparkSession, port: Int, root: String,
+      jdbcUrl: Option[String] = None, jdbcUser: Option[String] = None,
+      jdbcPassword: Option[String] = None): Unit = synchronized {
+    if (started) return
+    val store: CatalogStore = jdbcUrl match {
+      case Some(u) => new JdbcCatalogStore(root, u, jdbcUser, jdbcPassword)
+      case None => new FsCatalogStore(root)
+    }
+    wiring = Some((spark, store))
+    val conf = new HiveConf()
+    conf.set("hive.metastore.rawstore.impl", classOf[GraftRawStore].getName)
+    conf.set("hive.metastore.schema.verification", "false")
+    conf.set("hive.metastore.warehouse.dir", root)
+    conf.set("hive.metastore.event.listeners", "")
+    conf.set("datanucleus.schema.autoCreateAll", "false")
+    val t = new Thread(() => {
+      try org.apache.hadoop.hive.metastore.HiveMetaStore.startMetaStore(
+        port, org.apache.hadoop.hive.shims.ShimLoader.getHadoopThriftAuthBridge, conf)
+      catch { case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass).error("HMS facade died", e)
+      }
+    }, "graft-hms-facade")
+    t.setDaemon(true)
+    t.start()
+    // readiness: the thrift socket accepting connections
+    val deadline = System.currentTimeMillis() + 30000
+    var up = false
+    while (!up && System.currentTimeMillis() < deadline) {
+      try {
+        val s = new java.net.Socket("localhost", port)
+        s.close(); up = true
+      } catch { case _: java.io.IOException => Thread.sleep(200) }
+    }
+    if (!up) throw new IllegalStateException(s"HMS facade did not bind port $port")
+    started = true
+  }
+}
+
+/** The RawStore implementation the stock HMS server instantiates
+  * reflectively (`hive.metastore.rawstore.impl`); every method reads
+  * or writes [[GraftHmsFacade.wiring]]'s CatalogStore.
+  */
+final class GraftRawStore extends RawStore {
+
+  private def io[A](f: (SparkSession, CatalogStore) => A): A =
+    GraftHmsFacade.wiring match {
+      case Some((s, st)) => f(s, st)
+      case None => throw new MetaException("graft HMS facade is not started")
+    }
+
+  private def unsupported(m: String): Nothing =
+    throw new MetaException(
+      s"$m is not supported by the graft HMS facade (catalog interop surface only)")
+
+  /** Hive metastore patterns: '*' wildcards, '|' alternation. */
+  private def matches(pattern: String, name: String): Boolean =
+    pattern == null || pattern.isEmpty || pattern == "*" ||
+      pattern.split('|').exists { p =>
+        java.util.regex.Pattern.matches(
+          p.trim.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"), name)
+      }
+
+  private def hiveType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+    case t => t.catalogString
+  }
+
+  private def colsOf(spark: SparkSession, path: String,
+      partCols: Seq[String]): (java.util.List[FieldSchema], java.util.List[FieldSchema]) = {
+    val schema = LakeTable.tableSchema(spark, path)
+    val (parts, data) = schema.fields.partition(f => partCols.contains(f.name))
+    def fs(f: org.apache.spark.sql.types.StructField) =
+      new FieldSchema(f.name, hiveType(f.dataType), f.getComment().orNull)
+    (data.map(fs).toList.asJava,
+      partCols.flatMap(c => parts.find(_.name == c)).map(fs).toList.asJava)
+  }
+
+  /** Spark's HiveExternalCatalog placeholder convention for datasource
+    * tables: engines must route through the provider, not the raw SD.
+    */
+  private def placeholderSd(cols: java.util.List[FieldSchema], location: String)
+      : StorageDescriptor = {
+    val serde = new SerDeInfo("graft",
+      "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+      Collections.emptyMap[String, String]())
+    new StorageDescriptor(cols, location,
+      "org.apache.hadoop.mapred.SequenceFileInputFormat",
+      "org.apache.hadoop.hive.ql.io.HiveSequenceFileOutputFormat",
+      false, -1, serde, Collections.emptyList[String](),
+      Collections.emptyList[org.apache.hadoop.hive.metastore.api.Order](),
+      new java.util.HashMap[String, String]())
+  }
+
+  private def nowSecs: Int = (System.currentTimeMillis() / 1000L).toInt
+
+  // ---- lifecycle / conf -------------------------------------------
+
+  private var conf: Configuration = _
+  override def setConf(c: Configuration): Unit = { conf = c }
+  override def getConf(): Configuration = conf
+  override def shutdown(): Unit = ()
+  override def verifySchema(): Unit = ()
+  override def getMetaStoreSchemaVersion(): String = "graft-facade"
+  override def setMetaStoreSchemaVersion(a0: String, a1: String): Unit = ()
+  override def flushCache(): Unit = ()
+
+  // The registry's own operations are individually atomic (DB primary
+  // keys / filesystem dirs) — the handler's transaction bracketing is
+  // satisfied with no-op success.
+  override def openTransaction(): Boolean = true
+  override def openTransaction(a0: String): Boolean = true
+  override def commitTransaction(): Boolean = true
+  override def isActiveTransaction(): Boolean = false
+  override def rollbackTransaction(): Unit = ()
+
+  // ---- databases ↔ namespaces -------------------------------------
+
+  override def createDatabase(db: Database): Unit = io { (s, st) =>
+    st.createNamespace(s, db.getName)
+  }
+
+  override def getDatabase(name: String): Database = io { (s, st) =>
+    if (!st.namespaceExists(s, name))
+      throw new NoSuchObjectException(s"namespace $name")
+    new Database(name, "graft namespace",
+      (st.root +: name.split('.').toSeq).mkString("/"),
+      Collections.emptyMap[String, String]())
+  }
+
+  override def dropDatabase(name: String): Boolean = io { (s, st) =>
+    st.dropNamespace(s, name)
+  }
+
+  override def getDatabases(pattern: String): java.util.List[String] = io { (s, st) =>
+    st.listNamespaces(s).filter(matches(pattern, _)).sorted.toList.asJava
+  }
+
+  override def getAllDatabases(): java.util.List[String] = getDatabases(null)
+
+  // ---- tables ------------------------------------------------------
+
+  override def createTable(tbl: Table): Unit = io { (s, st) =>
+    if (tbl.getTableType == "VIRTUAL_VIEW") {
+      val schema = org.apache.spark.sql.types.StructType(
+        tbl.getSd.getCols.asScala.map(f =>
+          org.apache.spark.sql.types.StructField(f.getName,
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(f.getType))).toArray)
+      st.saveView(s, tbl.getDbName, tbl.getTableName, tbl.getViewOriginalText, schema)
+    } else {
+      val loc = Option(tbl.getSd).flatMap(sd => Option(sd.getLocation))
+        .getOrElse(st.defaultLocation(tbl.getDbName, tbl.getTableName))
+      st.registerTable(s, tbl.getDbName, tbl.getTableName, loc)
+      clearPartMarks(tbl.getDbName, tbl.getTableName)
+    }
+  }
+
+  private def clearPartMarks(db: String, tbl: String): Unit =
+    GraftHmsFacade.droppedParts.removeIf(_.startsWith(db + " " + tbl + " "))
+
+  /** Drops the NAME only — an HMS client must never delete graft data
+    * (the commit log, not the registry, owns the files).
+    */
+  override def dropTable(db: String, name: String): Boolean = io { (s, st) =>
+    clearPartMarks(db, name)
+    if (st.viewExists(s, db, name)) st.dropView(s, db, name)
+    else st.unregisterTable(s, db, name)
+  }
+
+  override def getTable(db: String, name: String): Table = io { (s, st) =>
+    if (st.viewExists(s, db, name)) {
+      val (sql, schema) = st.loadView(s, db, name)
+      val cols = schema.fields.map(f =>
+        new FieldSchema(f.name, hiveType(f.dataType), null)).toList.asJava
+      val t = new Table(name, db, "graft", nowSecs, 0, 0,
+        placeholderSd(cols, null), Collections.emptyList[FieldSchema](),
+        new java.util.HashMap[String, String](), sql, sql, "VIRTUAL_VIEW")
+      t
+    } else st.tableLocation(s, db, name) match {
+      case None => null // handler translates to NoSuchObjectException
+      case Some(loc) =>
+        val partCols = LakeTable.tablePartitioning(s, loc)
+        val (cols, partKeys) = colsOf(s, loc, partCols)
+        val params = new java.util.HashMap[String, String]()
+        params.put("spark.sql.sources.provider", "graft")
+        params.put("EXTERNAL", "TRUE")
+        LakeTable.currentVersion(s, loc).foreach(v =>
+          params.put("graft.version", v.toString))
+        new Table(name, db, "graft", nowSecs, 0, 0,
+          placeholderSd(cols, loc), partKeys, params, null, null, "EXTERNAL_TABLE")
+    }
+  }
+
+  override def getTables(db: String, pattern: String): java.util.List[String] =
+    io { (s, st) =>
+      (st.listTables(s, db) ++ st.listViews(s, db))
+        .filter(matches(pattern, _)).sorted.toList.asJava
+    }
+
+  override def getTables(db: String, pattern: String,
+      tt: org.apache.hadoop.hive.metastore.TableType): java.util.List[String] =
+    io { (s, st) =>
+      val names =
+        if (tt == org.apache.hadoop.hive.metastore.TableType.VIRTUAL_VIEW)
+          st.listViews(s, db)
+        else st.listTables(s, db)
+      names.filter(matches(pattern, _)).sorted.toList.asJava
+    }
+
+  override def getAllTables(db: String): java.util.List[String] = getTables(db, null)
+
+  override def getTableMeta(dbPat: String, tblPat: String,
+      types: java.util.List[String]): java.util.List[TableMeta] = io { (s, st) =>
+    st.listNamespaces(s).filter(matches(dbPat, _)).flatMap { db =>
+      val ts = st.listTables(s, db).filter(matches(tblPat, _))
+        .map(t => new TableMeta(db, t, "EXTERNAL_TABLE"))
+      val vs = st.listViews(s, db).filter(matches(tblPat, _))
+        .map(v => new TableMeta(db, v, "VIRTUAL_VIEW"))
+      (ts ++ vs).filter(m =>
+        types == null || types.isEmpty || types.contains(m.getTableType))
+    }.toList.asJava
+  }
+
+  override def getTableObjectsByName(db: String,
+      names: java.util.List[String]): java.util.List[Table] =
+    names.asScala.flatMap(n => Option(getTable(db, n))).toList.asJava
+
+  /** RENAME lands in the registry; everything else (schema, layout) is
+    * graft-DDL-owned and ignored here — the facade serves state, it
+    * does not fork it.
+    */
+  override def alterTable(db: String, name: String, t: Table): Unit = io { (s, st) =>
+    if (t.getDbName != db || t.getTableName != name)
+      st.renameTable(s, db, name, t.getDbName, t.getTableName)
+  }
+
+  // ---- partitions (read-only, from the current snapshot) ----------
+
+  private def leaves(s: SparkSession, st: CatalogStore, db: String, tbl: String)
+      : (String, Seq[String], Seq[(Seq[Option[String]], org.apache.hadoop.fs.Path)]) = {
+    val loc = st.tableLocation(s, db, tbl)
+      .getOrElse(throw new NoSuchObjectException(s"$db.$tbl"))
+    val partCols = LakeTable.tablePartitioning(s, loc)
+    if (partCols.isEmpty) return (loc, Nil, Nil)
+    val v = LakeTable.currentVersion(s, loc)
+      .getOrElse(throw new NoSuchObjectException(s"$db.$tbl"))
+    val dirs = LakeTable.readCommit(s, loc, v).dirs
+      .map(d => new org.apache.hadoop.fs.Path(loc, d).toString)
+    val all = LakeTable.partitionLeaves(s, dirs, partCols)
+    (loc, partCols,
+      all.filterNot(l => GraftHmsFacade.droppedParts.contains(
+        partKey(db, tbl, partName(partCols, l._1)))))
+  }
+
+  private def partKey(db: String, tbl: String, name: String): String =
+    db + " " + tbl + " " + name
+
+  private def partName(cols: Seq[String], values: Seq[Option[String]]): String =
+    cols.zip(values).map { case (c, v) =>
+      c + "=" + v.map(org.apache.spark.sql.graftglue.Glue.escapePathName)
+        .getOrElse("__HIVE_DEFAULT_PARTITION__")
+    }.mkString("/")
+
+  override def listPartitionNames(db: String, tbl: String,
+      max: Short): java.util.List[String] = io { (s, st) =>
+    val (_, cols, ls) = leaves(s, st, db, tbl)
+    val names = ls.map(_._1).distinct.map(partName(cols, _)).sorted
+    (if (max >= 0) names.take(max.toInt) else names).toList.asJava
+  }
+
+  private def mkPartition(db: String, tbl: String, cols: Seq[String],
+      values: Seq[Option[String]], dir: org.apache.hadoop.fs.Path): Partition =
+    new Partition(
+      values.map(_.getOrElse("__HIVE_DEFAULT_PARTITION__")).toList.asJava,
+      db, tbl, nowSecs, 0,
+      placeholderSd(Collections.emptyList[FieldSchema](), dir.toString),
+      new java.util.HashMap[String, String]())
+
+  override def getPartitions(db: String, tbl: String,
+      max: Int): java.util.List[Partition] = io { (s, st) =>
+    val (_, cols, ls) = leaves(s, st, db, tbl)
+    val distinct = ls.groupBy(_._1).map { case (vs, group) => (vs, group.head._2) }
+      .toSeq.sortBy(p => partName(cols, p._1))
+    val lim = if (max >= 0) distinct.take(max) else distinct
+    lim.map { case (vs, dir) => mkPartition(db, tbl, cols, vs, dir) }.toList.asJava
+  }
+
+  override def getPartition(db: String, tbl: String,
+      vals: java.util.List[String]): Partition = io { (s, st) =>
+    val (_, cols, ls) = leaves(s, st, db, tbl)
+    val want = vals.asScala.toSeq
+    ls.find(_._1.map(_.getOrElse("__HIVE_DEFAULT_PARTITION__")) == want)
+      .map { case (vs, dir) => mkPartition(db, tbl, cols, vs, dir) }
+      .getOrElse(throw new NoSuchObjectException(
+        s"partition ${want.mkString("/")} of $db.$tbl"))
+  }
+
+  override def getPartitionsByNames(db: String, tbl: String,
+      names: java.util.List[String]): java.util.List[Partition] = io { (s, st) =>
+    val (_, cols, ls) = leaves(s, st, db, tbl)
+    val byName = ls.groupBy(p => partName(cols, p._1))
+    names.asScala.flatMap(n => byName.get(n).map(g =>
+      mkPartition(db, tbl, cols, g.head._1, g.head._2))).toList.asJava
+  }
+
+  override def doesPartitionExist(db: String, tbl: String,
+      vals: java.util.List[String]): Boolean =
+    try { getPartition(db, tbl, vals); true }
+    catch { case _: NoSuchObjectException => false }
+
+  // ---- server bring-up surface (roles / functions / events) -------
+  // The handler's init creates default roles and grants; the facade
+  // has no role store (authorization lives in GraftAuthz at the
+  // engine), so these succeed benignly.
+
+  override def addRole(name: String, owner: String): Boolean = true
+  override def grantRole(r: Role, p: String, pt: PrincipalType,
+      grantor: String, gt: PrincipalType, opt: Boolean): Boolean = true
+  override def grantPrivileges(
+      bag: org.apache.hadoop.hive.metastore.api.PrivilegeBag): Boolean = true
+  override def getRole(name: String): Role = new Role(name, 0, "graft")
+  override def listRoleNames(): java.util.List[String] =
+    Seq("admin", "public").asJava
+  override def getAllFunctions()
+      : java.util.List[org.apache.hadoop.hive.metastore.api.Function] =
+    Collections.emptyList()
+  override def getFunctions(db: String, pattern: String): java.util.List[String] =
+    Collections.emptyList()
+  override def getCurrentNotificationEventId()
+      : org.apache.hadoop.hive.metastore.api.CurrentNotificationEventId =
+    new org.apache.hadoop.hive.metastore.api.CurrentNotificationEventId(0L)
+
+  // ---- everything else: loudly unsupported ------------------------
+
+  override def alterDatabase(a0: String, a1: org.apache.hadoop.hive.metastore.api.Database): Boolean = unsupported("alterDatabase")
+  override def createType(a0: org.apache.hadoop.hive.metastore.api.Type): Boolean = unsupported("createType")
+  override def getType(a0: String): org.apache.hadoop.hive.metastore.api.Type = unsupported("getType")
+  override def dropType(a0: String): Boolean = unsupported("dropType")
+  override def addPartition(a0: org.apache.hadoop.hive.metastore.api.Partition): Boolean = unsupported("addPartition")
+  override def addPartitions(a0: String, a1: String, a2: java.util.List[org.apache.hadoop.hive.metastore.api.Partition]): Boolean = unsupported("addPartitions")
+  override def addPartitions(a0: String, a1: String, a2: org.apache.hadoop.hive.metastore.partition.spec.PartitionSpecProxy, a3: Boolean): Boolean = unsupported("addPartitions")
+  override def dropPartition(a0: String, a1: String, a2: java.util.List[String]): Boolean = unsupported("dropPartition")
+  override def listTableNamesByFilter(a0: String, a1: String, a2: Short): java.util.List[String] = unsupported("listTableNamesByFilter")
+  override def listPartitionValues(a0: String, a1: String, a2: java.util.List[org.apache.hadoop.hive.metastore.api.FieldSchema], a3: Boolean, a4: String, a5: Boolean, a6: java.util.List[org.apache.hadoop.hive.metastore.api.FieldSchema], a7: Long): org.apache.hadoop.hive.metastore.api.PartitionValuesResponse = unsupported("listPartitionValues")
+  override def listPartitionNamesByFilter(a0: String, a1: String, a2: String, a3: Short): java.util.List[String] = unsupported("listPartitionNamesByFilter")
+  override def alterPartition(a0: String, a1: String, a2: java.util.List[String], a3: org.apache.hadoop.hive.metastore.api.Partition): Unit = unsupported("alterPartition")
+  override def alterPartitions(a0: String, a1: String, a2: java.util.List[java.util.List[String]], a3: java.util.List[org.apache.hadoop.hive.metastore.api.Partition]): Unit = unsupported("alterPartitions")
+  override def addIndex(a0: org.apache.hadoop.hive.metastore.api.Index): Boolean = unsupported("addIndex")
+  override def getIndex(a0: String, a1: String, a2: String): org.apache.hadoop.hive.metastore.api.Index = null
+  override def dropIndex(a0: String, a1: String, a2: String): Boolean = unsupported("dropIndex")
+  // the drop_table handler enumerates index tables to cascade — none exist
+  override def getIndexes(a0: String, a1: String, a2: Int): java.util.List[org.apache.hadoop.hive.metastore.api.Index] = Collections.emptyList()
+  override def listIndexNames(a0: String, a1: String, a2: Short): java.util.List[String] = Collections.emptyList()
+  override def alterIndex(a0: String, a1: String, a2: String, a3: org.apache.hadoop.hive.metastore.api.Index): Unit = unsupported("alterIndex")
+  override def getPartitionsByFilter(a0: String, a1: String, a2: String, a3: Short): java.util.List[org.apache.hadoop.hive.metastore.api.Partition] = unsupported("getPartitionsByFilter")
+  override def getPartitionsByExpr(a0: String, a1: String, a2: Array[Byte], a3: String, a4: Short, a5: java.util.List[org.apache.hadoop.hive.metastore.api.Partition]): Boolean = unsupported("getPartitionsByExpr")
+  override def getNumPartitionsByFilter(a0: String, a1: String, a2: String): Int = unsupported("getNumPartitionsByFilter")
+  override def getNumPartitionsByExpr(a0: String, a1: String, a2: Array[Byte]): Int = unsupported("getNumPartitionsByExpr")
+  override def markPartitionForEvent(a0: String, a1: String, a2: java.util.Map[String, String], a3: org.apache.hadoop.hive.metastore.api.PartitionEventType): org.apache.hadoop.hive.metastore.api.Table = unsupported("markPartitionForEvent")
+  override def isPartitionMarkedForEvent(a0: String, a1: String, a2: java.util.Map[String, String], a3: org.apache.hadoop.hive.metastore.api.PartitionEventType): Boolean = unsupported("isPartitionMarkedForEvent")
+  override def removeRole(a0: String): Boolean = unsupported("removeRole")
+  override def revokeRole(a0: org.apache.hadoop.hive.metastore.api.Role, a1: String, a2: org.apache.hadoop.hive.metastore.api.PrincipalType, a3: Boolean): Boolean = unsupported("revokeRole")
+  override def getUserPrivilegeSet(a0: String, a1: java.util.List[String]): org.apache.hadoop.hive.metastore.api.PrincipalPrivilegeSet = unsupported("getUserPrivilegeSet")
+  override def getDBPrivilegeSet(a0: String, a1: String, a2: java.util.List[String]): org.apache.hadoop.hive.metastore.api.PrincipalPrivilegeSet = unsupported("getDBPrivilegeSet")
+  override def getTablePrivilegeSet(a0: String, a1: String, a2: String, a3: java.util.List[String]): org.apache.hadoop.hive.metastore.api.PrincipalPrivilegeSet = unsupported("getTablePrivilegeSet")
+  override def getPartitionPrivilegeSet(a0: String, a1: String, a2: String, a3: String, a4: java.util.List[String]): org.apache.hadoop.hive.metastore.api.PrincipalPrivilegeSet = unsupported("getPartitionPrivilegeSet")
+  override def getColumnPrivilegeSet(a0: String, a1: String, a2: String, a3: String, a4: String, a5: java.util.List[String]): org.apache.hadoop.hive.metastore.api.PrincipalPrivilegeSet = unsupported("getColumnPrivilegeSet")
+  override def listPrincipalGlobalGrants(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalGlobalGrants")
+  override def listPrincipalDBGrants(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType, a2: String): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalDBGrants")
+  override def listAllTableGrants(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType, a2: String, a3: String): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listAllTableGrants")
+  override def listPrincipalPartitionGrants(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType, a2: String, a3: String, a4: java.util.List[String], a5: String): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalPartitionGrants")
+  override def listPrincipalTableColumnGrants(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType, a2: String, a3: String, a4: String): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalTableColumnGrants")
+  override def listPrincipalPartitionColumnGrants(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType, a2: String, a3: String, a4: java.util.List[String], a5: String, a6: String): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalPartitionColumnGrants")
+  override def revokePrivileges(a0: org.apache.hadoop.hive.metastore.api.PrivilegeBag, a1: Boolean): Boolean = unsupported("revokePrivileges")
+  override def listRoles(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.Role] = unsupported("listRoles")
+  override def listRolesWithGrants(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.RolePrincipalGrant] = unsupported("listRolesWithGrants")
+  override def listRoleMembers(a0: String): java.util.List[org.apache.hadoop.hive.metastore.api.RolePrincipalGrant] = unsupported("listRoleMembers")
+  override def getPartitionWithAuth(a0: String, a1: String, a2: java.util.List[String], a3: String, a4: java.util.List[String]): org.apache.hadoop.hive.metastore.api.Partition = unsupported("getPartitionWithAuth")
+  override def getPartitionsWithAuth(a0: String, a1: String, a2: Short, a3: String, a4: java.util.List[String]): java.util.List[org.apache.hadoop.hive.metastore.api.Partition] = unsupported("getPartitionsWithAuth")
+  override def listPartitionNamesPs(a0: String, a1: String, a2: java.util.List[String], a3: Short): java.util.List[String] = unsupported("listPartitionNamesPs")
+  override def listPartitionsPsWithAuth(a0: String, a1: String, a2: java.util.List[String], a3: Short, a4: String, a5: java.util.List[String]): java.util.List[org.apache.hadoop.hive.metastore.api.Partition] = unsupported("listPartitionsPsWithAuth")
+  override def updateTableColumnStatistics(a0: org.apache.hadoop.hive.metastore.api.ColumnStatistics): Boolean = unsupported("updateTableColumnStatistics")
+  override def updatePartitionColumnStatistics(a0: org.apache.hadoop.hive.metastore.api.ColumnStatistics, a1: java.util.List[String]): Boolean = unsupported("updatePartitionColumnStatistics")
+  override def getTableColumnStatistics(a0: String, a1: String, a2: java.util.List[String]): org.apache.hadoop.hive.metastore.api.ColumnStatistics = unsupported("getTableColumnStatistics")
+  override def getPartitionColumnStatistics(a0: String, a1: String, a2: java.util.List[String], a3: java.util.List[String]): java.util.List[org.apache.hadoop.hive.metastore.api.ColumnStatistics] = unsupported("getPartitionColumnStatistics")
+  override def deletePartitionColumnStatistics(a0: String, a1: String, a2: String, a3: java.util.List[String], a4: String): Boolean = unsupported("deletePartitionColumnStatistics")
+  override def deleteTableColumnStatistics(a0: String, a1: String, a2: String): Boolean = unsupported("deleteTableColumnStatistics")
+  override def cleanupEvents(): Long = unsupported("cleanupEvents")
+  override def addToken(a0: String, a1: String): Boolean = unsupported("addToken")
+  override def removeToken(a0: String): Boolean = unsupported("removeToken")
+  override def getToken(a0: String): String = unsupported("getToken")
+  override def getAllTokenIdentifiers(): java.util.List[String] = unsupported("getAllTokenIdentifiers")
+  override def addMasterKey(a0: String): Int = unsupported("addMasterKey")
+  override def updateMasterKey(a0: java.lang.Integer, a1: String): Unit = unsupported("updateMasterKey")
+  override def removeMasterKey(a0: java.lang.Integer): Boolean = unsupported("removeMasterKey")
+  override def getMasterKeys(): Array[String] = unsupported("getMasterKeys")
+  // partitions are snapshot-implied (no registry rows): a drop marks
+  // visibility so the handler's drop_table pagination converges
+  override def dropPartitions(a0: String, a1: String, a2: java.util.List[String]): Unit =
+    a2.asScala.foreach(n => GraftHmsFacade.droppedParts.add(partKey(a0, a1, n)))
+  override def listPrincipalDBGrantsAll(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalDBGrantsAll")
+  override def listPrincipalTableGrantsAll(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalTableGrantsAll")
+  override def listPrincipalPartitionGrantsAll(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalPartitionGrantsAll")
+  override def listPrincipalTableColumnGrantsAll(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalTableColumnGrantsAll")
+  override def listPrincipalPartitionColumnGrantsAll(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalPartitionColumnGrantsAll")
+  override def listGlobalGrantsAll(): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listGlobalGrantsAll")
+  override def listDBGrantsAll(a0: String): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listDBGrantsAll")
+  override def listPartitionColumnGrantsAll(a0: String, a1: String, a2: String, a3: String): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPartitionColumnGrantsAll")
+  override def listTableGrantsAll(a0: String, a1: String): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listTableGrantsAll")
+  override def listPartitionGrantsAll(a0: String, a1: String, a2: String): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPartitionGrantsAll")
+  override def listTableColumnGrantsAll(a0: String, a1: String, a2: String): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listTableColumnGrantsAll")
+  override def createFunction(a0: org.apache.hadoop.hive.metastore.api.Function): Unit = unsupported("createFunction")
+  override def alterFunction(a0: String, a1: String, a2: org.apache.hadoop.hive.metastore.api.Function): Unit = unsupported("alterFunction")
+  override def dropFunction(a0: String, a1: String): Unit = unsupported("dropFunction")
+  override def getFunction(a0: String, a1: String): org.apache.hadoop.hive.metastore.api.Function = unsupported("getFunction")
+  override def get_aggr_stats_for(a0: String, a1: String, a2: java.util.List[String], a3: java.util.List[String]): org.apache.hadoop.hive.metastore.api.AggrStats = unsupported("get_aggr_stats_for")
+  override def getNextNotification(a0: org.apache.hadoop.hive.metastore.api.NotificationEventRequest): org.apache.hadoop.hive.metastore.api.NotificationEventResponse = unsupported("getNextNotification")
+  override def addNotificationEvent(a0: org.apache.hadoop.hive.metastore.api.NotificationEvent): Unit = unsupported("addNotificationEvent")
+  override def cleanNotificationEvents(a0: Int): Unit = unsupported("cleanNotificationEvents")
+  override def getFileMetadata(a0: java.util.List[java.lang.Long]): Array[java.nio.ByteBuffer] = unsupported("getFileMetadata")
+  override def putFileMetadata(a0: java.util.List[java.lang.Long], a1: java.util.List[java.nio.ByteBuffer], a2: org.apache.hadoop.hive.metastore.api.FileMetadataExprType): Unit = unsupported("putFileMetadata")
+  override def isFileMetadataSupported(): Boolean = unsupported("isFileMetadataSupported")
+  override def getFileMetadataByExpr(a0: java.util.List[java.lang.Long], a1: org.apache.hadoop.hive.metastore.api.FileMetadataExprType, a2: Array[Byte], a3: Array[java.nio.ByteBuffer], a4: Array[java.nio.ByteBuffer], a5: Array[Boolean]): Unit = unsupported("getFileMetadataByExpr")
+  override def getFileMetadataHandler(a0: org.apache.hadoop.hive.metastore.api.FileMetadataExprType): org.apache.hadoop.hive.metastore.FileMetadataHandler = unsupported("getFileMetadataHandler")
+  override def getTableCount(): Int = unsupported("getTableCount")
+  override def getPartitionCount(): Int = unsupported("getPartitionCount")
+  override def getDatabaseCount(): Int = unsupported("getDatabaseCount")
+  override def getPrimaryKeys(a0: String, a1: String): java.util.List[org.apache.hadoop.hive.metastore.api.SQLPrimaryKey] = unsupported("getPrimaryKeys")
+  override def getForeignKeys(a0: String, a1: String, a2: String, a3: String): java.util.List[org.apache.hadoop.hive.metastore.api.SQLForeignKey] = unsupported("getForeignKeys")
+  override def createTableWithConstraints(a0: org.apache.hadoop.hive.metastore.api.Table, a1: java.util.List[org.apache.hadoop.hive.metastore.api.SQLPrimaryKey], a2: java.util.List[org.apache.hadoop.hive.metastore.api.SQLForeignKey]): Unit = unsupported("createTableWithConstraints")
+  override def dropConstraint(a0: String, a1: String, a2: String): Unit = unsupported("dropConstraint")
+  override def addPrimaryKeys(a0: java.util.List[org.apache.hadoop.hive.metastore.api.SQLPrimaryKey]): Unit = unsupported("addPrimaryKeys")
+  override def addForeignKeys(a0: java.util.List[org.apache.hadoop.hive.metastore.api.SQLForeignKey]): Unit = unsupported("addForeignKeys")
+  override def updateParameterWithExpectedValue(a0: org.apache.hadoop.hive.metastore.api.Table, a1: String, a2: String, a3: String): Long = unsupported("updateParameterWithExpectedValue")
+}

@@ -108,6 +108,60 @@ object OracleBounds {
       Some("""SELECT o_orderpriority, CAST(1 AS BOOLEAN) AS within_rank_bound
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // D05 partial oracle — embedding near-dup LSH recall floor: the
+    // hyperplane-sketch blocking must recover >= 80% of the TRUE
+    // cosine>=0.95 pairs, whose count BOTH engines compute exactly
+    // (brute-force pair scan — the verification-scale ground truth;
+    // the +1e-9-in-round nudge keeps the threshold boundary identical
+    // cross-engine). A blocking regression that loses pairs flips
+    // recall_ok or shifts true_pairs — either hash-mismatches.
+    Q("q_dedup_embedding_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val exact = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+          .crossJoin(broadcast(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))))
+          .where(col("vec_a") < col("vec_b"))
+          .withColumn("cos", round(
+            graft.functions.Vectors.cosineSim(col("emb_a"), col("emb_b")) + lit(1e-9), 4))
+          .where(col("cos") >= 0.95)
+          .select("vec_a", "vec_b")
+        val lsh = graft.Registry.byName("q_dedup_embedding").run(s, d)
+          .select(col("vec_a"), col("vec_b"), lit(1L).as("found"))
+        exact.join(lsh, Seq("vec_a", "vec_b"), "left")
+          .agg(count(lit(1)).as("true_pairs"),
+            // empty truth set (corpora without near-dups) → vacuously
+            // true; the count column still gates cross-engine exact
+            // cosine agreement
+            (coalesce(sum(coalesce(col("found"), lit(0L))), lit(0L))
+              >= count(lit(1)) * 0.8).as("recall_ok"))
+      },
+      Some("""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             |  round(list_inner_product(a.embedding, b.embedding) /
+             |    (sqrt(list_inner_product(a.embedding, a.embedding)) *
+             |     sqrt(list_inner_product(b.embedding, b.embedding))) + 0.000000001, 4) AS cos
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+             |SELECT count(*)::BIGINT AS true_pairs, CAST(1 AS BOOLEAN) AS recall_ok
+             |FROM p WHERE cos >= 0.95""".stripMargin)),
+
+    // E05 partial oracle — approx_count_distinct's rsd contract: the
+    // per-group HLL++ estimate (rsd 0.02) must land within 10% (5
+    // sigma) of the exact count DuckDB computes — at these
+    // cardinalities the sparse representation is typically exact, so
+    // the generous bound is deterministic in practice.
+    Q("q_approx_distinct_bound",
+      (s, d) => {
+        val est = t(s, d, "events").groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("est"))
+        val exact = t(s, d, "events").groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("ex"))
+        est.join(exact, "event_type")
+          .select(col("event_type"),
+            (abs(col("est") - col("ex")) <= col("ex") * 0.10).as("within_rsd_bound"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(1 AS BOOLEAN) AS within_rsd_bound
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // E18 partial oracle — HLL estimate-error bound: the rolled-up
     // (union-of-daily-sketches) distinct-user estimate must land
     // within 15% of the exact count (3 sigma at the default lgK —

@@ -1606,6 +1606,21 @@ object LakeTable {
             : Boolean = size() > 256
       })
 
+  /** Footer-merged FILE schema per (qualified path + sorted dir set,
+    * -, metaVer) — the single-scan partitioned read's inference
+    * result. The dir set pins the snapshot exactly (any write changes
+    * it), so entries are immutable; same LRU bound as the table-schema
+    * cache, same path-wide invalidation on create/clone/drop.
+    */
+  private val fileSchemaCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), org.apache.spark.sql.types.StructType])
+            : Boolean = size() > 256
+      })
+
   /** Drop every cached schema for `path`. Needed when a table is
     * RE-CREATED at the same path (create-replace, clone onto an
     * existing path, catalog DROP + CREATE): the new generation starts
@@ -1619,6 +1634,10 @@ object LakeTable {
     val q = fsOf(spark, new Path(path)).makeQualified(new Path(path)).toString
     schemaCache.synchronized {
       schemaCache.keySet.removeIf(k => k._1 == q)
+    }
+    fileSchemaCache.synchronized {
+      // file-schema keys prefix with the same qualified path
+      fileSchemaCache.keySet.removeIf(k => k._1.startsWith(q + " "))
     }
   }
 
@@ -2756,9 +2775,17 @@ object LakeTable {
           val leaves = partitionLeaves(spark,
             dirs.map(d => new Path(path, d).toString), partCols)
           val partSchema = org.apache.spark.sql.types.StructType(partCols.map(c => m(c)))
+          // The footer-merged schema is immutable per (path, dir set,
+          // metaVer) — cache it so repeated reads of the same snapshot
+          // skip the inference job entirely.
+          val key = (fsOf(spark, new Path(path)).makeQualified(new Path(path)).toString
+            + " " + dirs.sorted.mkString(","), -1L, currentMetaVer(spark, path))
+          val hint = Option(fileSchemaCache.get(key))
           try org.apache.spark.sql.graftglue.Glue
-            .partitionedParquetDataFrame(spark, leaves, partSchema) match {
-            case Some(df) => return df
+            .partitionedParquetDataFrame(spark, leaves, partSchema, hint) match {
+            case Some((df, merged)) =>
+              if (hint.isEmpty) fileSchemaCache.put(key, merged)
+              return df
             case None => () // no footers (empty create) — fall through
           }
           catch { case e: Throwable if mergeConflict(e) => () } // union coerces

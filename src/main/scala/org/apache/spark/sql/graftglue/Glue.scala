@@ -138,8 +138,9 @@ object Glue {
   def partitionedParquetDataFrame(
       spark: org.apache.spark.sql.SparkSession,
       leaves: Seq[(Seq[Option[String]], org.apache.hadoop.fs.Path)],
-      partitionSchema: org.apache.spark.sql.types.StructType)
-      : Option[org.apache.spark.sql.DataFrame] = {
+      partitionSchema: org.apache.spark.sql.types.StructType,
+      mergedHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.types.StructType)] = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     import org.apache.spark.sql.types.StructType
@@ -147,11 +148,13 @@ object Glue {
     val index = explicitPartitionIndex(classic, leaves, partitionSchema, None)
     val fmt = new ParquetFileFormat
     val opts = Map("mergeSchema" -> "true")
-    fmt.inferSchema(classic, opts, index.allFiles()).map { merged =>
+    // `mergedHint` (a caller-side cache of this very computation for
+    // the same immutable snapshot) skips the footer-merge job.
+    mergedHint.orElse(fmt.inferSchema(classic, opts, index.allFiles())).map { merged =>
       val dataSchema = StructType(
         merged.filterNot(f => partitionSchema.fieldNames.contains(f.name)))
-      classic.baseRelationToDataFrame(HadoopFsRelation(
-        index, partitionSchema, dataSchema, None, fmt, opts)(classic))
+      (classic.baseRelationToDataFrame(HadoopFsRelation(
+        index, partitionSchema, dataSchema, None, fmt, opts)(classic)), merged)
     }
   }
 

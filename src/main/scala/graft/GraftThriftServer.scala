@@ -62,6 +62,11 @@ object GraftThriftServer {
     System.setProperty("hive.server2.thrift.port", port.toString)
     System.setProperty("hive.server2.thrift.bind.host", bindHost)
     System.setProperty("hive.server2.enable.doAs", "false")
+    // Two operation managers exist after the ThriftGlue swap (the
+    // orphaned stock one and graft's); per-operation log capture
+    // would double-register its log appender — and it's a beeline
+    // nicety, not an engine function. Off for both.
+    System.setProperty("hive.server2.logging.operation.enabled", "false")
     if (ConnectAuth.required) {
       System.setProperty("hive.server2.authentication", "CUSTOM")
       System.setProperty("hive.server2.custom.authentication.class",

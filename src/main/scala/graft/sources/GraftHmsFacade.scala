@@ -321,7 +321,7 @@ final class GraftRawStore extends RawStore {
   }
 
   private def partKey(db: String, tbl: String, name: String): String =
-    db + " " + tbl + " " + name
+    db + "\u0000" + tbl + "\u0000" + name
 
   private def partName(cols: Seq[String], values: Seq[Option[String]]): String =
     cols.zip(values).map { case (c, v) =>

@@ -2779,7 +2779,7 @@ object LakeTable {
           // metaVer) — cache it so repeated reads of the same snapshot
           // skip the inference job entirely.
           val key = (fsOf(spark, new Path(path)).makeQualified(new Path(path)).toString
-            + " " + dirs.sorted.mkString(","), -1L, currentMetaVer(spark, path))
+            + "\u0000" + dirs.sorted.mkString(","), -1L, currentMetaVer(spark, path))
           val hint = Option(fileSchemaCache.get(key))
           try org.apache.spark.sql.graftglue.Glue
             .partitionedParquetDataFrame(spark, leaves, partSchema, hint) match {

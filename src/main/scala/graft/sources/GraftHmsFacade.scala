@@ -224,7 +224,7 @@ final class GraftRawStore extends RawStore {
   }
 
   private def clearPartMarks(db: String, tbl: String): Unit =
-    GraftHmsFacade.droppedParts.removeIf(_.startsWith(db + " " + tbl + " "))
+    GraftHmsFacade.droppedParts.removeIf(_.startsWith(db + "\u0000" + tbl + "\u0000"))
 
   /** Drops the NAME only — an HMS client must never delete graft data
     * (the commit log, not the registry, owns the files).

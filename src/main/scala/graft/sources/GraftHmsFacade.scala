@@ -449,7 +449,49 @@ final class GraftRawStore extends RawStore {
   override def listPartitionsPsWithAuth(a0: String, a1: String, a2: java.util.List[String], a3: Short, a4: String, a5: java.util.List[String]): java.util.List[org.apache.hadoop.hive.metastore.api.Partition] = unsupported("listPartitionsPsWithAuth")
   override def updateTableColumnStatistics(a0: org.apache.hadoop.hive.metastore.api.ColumnStatistics): Boolean = unsupported("updateTableColumnStatistics")
   override def updatePartitionColumnStatistics(a0: org.apache.hadoop.hive.metastore.api.ColumnStatistics, a1: java.util.List[String]): Boolean = unsupported("updatePartitionColumnStatistics")
-  override def getTableColumnStatistics(a0: String, a1: String, a2: java.util.List[String]): org.apache.hadoop.hive.metastore.api.ColumnStatistics = unsupported("getTableColumnStatistics")
+  /** Table column statistics for external optimizers, aggregated from
+    * the per-group stats sidecars: exact low/high for integral and
+    * fractional columns (what the sidecars record). Null/NDV counts
+    * are NOT served (the sidecars do not hold them) — better no number
+    * than a wrong one — and non-numeric columns are omitted for the
+    * same reason.
+    */
+  override def getTableColumnStatistics(db: String, tbl: String,
+      cols: java.util.List[String]): org.apache.hadoop.hive.metastore.api.ColumnStatistics =
+    io { (s, st) =>
+      import org.apache.hadoop.hive.metastore.api.{ColumnStatistics, ColumnStatisticsData, ColumnStatisticsDesc, ColumnStatisticsObj, DoubleColumnStatsData, LongColumnStatsData}
+      st.tableLocation(s, db, tbl) match {
+        case None => null
+        case Some(loc) =>
+          val agg = LakeTable.aggregatedColumnStats(s, loc)
+          val schema = LakeTable.tableSchema(s, loc)
+          val objs = cols.asScala.flatMap { c =>
+            for {
+              (kind, mn, mx) <- agg.get(c)
+              f <- schema.fields.find(_.name.equalsIgnoreCase(c))
+              if kind == 'n'
+              data <- f.dataType match {
+                // numNulls/numDVs are REQUIRED thrift fields; zero is
+                // the "unprovided" convention (the sidecars hold only
+                // min/max)
+                case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                     org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+                  val d = new LongColumnStatsData(0L, 0L)
+                  d.setLowValue(mn.toDouble.toLong); d.setHighValue(mx.toDouble.toLong)
+                  Some(ColumnStatisticsData.longStats(d))
+                case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+                  val d = new DoubleColumnStatsData(0L, 0L)
+                  d.setLowValue(mn.toDouble); d.setHighValue(mx.toDouble)
+                  Some(ColumnStatisticsData.doubleStats(d))
+                case _ => None
+              }
+            } yield new ColumnStatisticsObj(f.name, hiveType(f.dataType), data)
+          }
+          if (objs.isEmpty) null
+          else new ColumnStatistics(
+            new ColumnStatisticsDesc(true, db, tbl), objs.toList.asJava)
+      }
+    }
   override def getPartitionColumnStatistics(a0: String, a1: String, a2: java.util.List[String], a3: java.util.List[String]): java.util.List[org.apache.hadoop.hive.metastore.api.ColumnStatistics] = unsupported("getPartitionColumnStatistics")
   override def deletePartitionColumnStatistics(a0: String, a1: String, a2: String, a3: java.util.List[String], a4: String): Boolean = unsupported("deletePartitionColumnStatistics")
   override def deleteTableColumnStatistics(a0: String, a1: String, a2: String): Boolean = unsupported("deleteTableColumnStatistics")

@@ -474,6 +474,47 @@ object LakeTable {
   /** Inclusive conjunctive bounds on one column; None = unbounded. */
   final case class ColumnBounds(lo: Option[Any], hi: Option[Any])
 
+  /** Snapshot-wide (kind, min, max) per column, aggregated from the
+    * per-group stats sidecars — what the HMS facade serves external
+    * optimizers as table column statistics. Kind 'n' compares
+    * numerically, 's' lexicographically (truncated string bounds are
+    * sound: the stored min is ≤ the true min, the stored max ≥).
+    * O(groups) tiny sidecar reads; columns whose sidecars disagree on
+    * kind (a widened/retyped history) are dropped rather than merged
+    * unsoundly.
+    */
+  private[graft] def aggregatedColumnStats(spark: SparkSession, path: String)
+      : Map[String, (Char, String, String)] = {
+    val cur = currentVersion(spark, path).getOrElse(return Map.empty)
+    val roots = readCommit(spark, path, cur).dirs.map(groupRoot).distinct
+    val acc = scala.collection.mutable.Map.empty[String, (Char, String, String)]
+    val dropped = scala.collection.mutable.Set.empty[String]
+    roots.foreach { root =>
+      val statsPath = new Path(new Path(path, root), StatsFile)
+      val fs = fsOf(spark, statsPath)
+      if (fs.exists(statsPath)) {
+        val in = fs.open(statsPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        body.split("\n").filter(_.nonEmpty).map(_.split("\t")).filter(_.length == 5)
+          .foreach { a =>
+            val (c, kind, mn, mx) = (dec(a(1)), a(2).head, dec(a(3)), dec(a(4)))
+            if (!dropped(c)) acc.get(c) match {
+              case None => acc(c) = (kind, mn, mx)
+              case Some((k0, lo, hi)) if k0 == kind =>
+                val (nlo, nhi) =
+                  if (kind == 'n')
+                    (if (mn.toDouble < lo.toDouble) mn else lo,
+                     if (mx.toDouble > hi.toDouble) mx else hi)
+                  else (if (mn < lo) mn else lo, if (mx > hi) mx else hi)
+                acc(c) = (kind, nlo, nhi)
+              case Some(_) => dropped += c; acc.remove(c)
+            }
+          }
+      }
+    }
+    acc.toMap
+  }
+
   /** A commit entry may name a whole file-group dir (`d3-ab12`) or —
     * after a partition-granular DML — a partition SUBDIR of one
     * (`d3-ab12/g=en`). The group root is the entry minus its trailing

@@ -54,6 +54,15 @@ class HmsFacadeSpec extends AnyFunSuite {
       assert(graft.sources.LakeTable.currentVersion(spark, loc).isDefined,
         s"location $loc must be the live LakeTable")
 
+      // Column statistics for external optimizers: exact low/high from
+      // the stats sidecars (null/NDV deliberately unserved).
+      val stats = client.getTableColumnStatistics("db", "sales",
+        Seq("k", "amount").asJava).asScala.map(o => o.getColName -> o.getStatsData).toMap
+      assert(stats("k").getLongStats.getLowValue == 1L &&
+        stats("k").getLongStats.getHighValue == 2L, stats)
+      assert(stats("amount").getDoubleStats.getLowValue == 10.0 &&
+        stats("amount").getDoubleStats.getHighValue == 20.0, stats)
+
       // Partition enumeration from the current snapshot.
       val parts = client.listPartitionNames("db", "sales", -1).asScala.toSet
       assert(parts == Set("region=eu", "region=us"), parts)

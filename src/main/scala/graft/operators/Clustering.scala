@@ -449,15 +449,25 @@ object Clustering {
     * survivors deterministic. Same planted-near-dup device as D05 so
     * the operator has signal to find.
     */
-  def semDedup(s: SparkSession, d: String, k: Int = 8, tau: Double = 0.95): DataFrame = {
-    import s.implicits._
+  /** The D34 input corpus: the embeddings table plus 20 planted
+    * near-copies (vec_id+100000, cosine ≈ 0.99997 to their source) so
+    * the operator has guaranteed signal. Shared with the
+    * q_dedup_semantic_bounds property oracle, which needs the exact
+    * same universe to compute its global drop bound.
+    */
+  def semCorpus(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     val planted = e.where(col("vec_id") < 20)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"),
           (x, i) => (x.cast("double") * (lit(1.0) + pmod(i, lit(7)) * 0.001)).cast("float"))
           .as("embedding"))
-    val corpus = e.select("vec_id", "embedding").union(planted)
+    e.select("vec_id", "embedding").union(planted)
+  }
+
+  def semDedup(s: SparkSession, d: String, k: Int = 8, tau: Double = 0.95): DataFrame = {
+    import s.implicits._
+    val corpus = semCorpus(s, d)
 
     val trainCap = 100000L
     val n = corpus.count()

@@ -219,6 +219,17 @@ object Curation {
 
   private def bpePath = s"${Lakehouse.scratch}/bpe_vocab"
 
+  /** The persisted D40 merge table, rank-ordered (KBs — safe to
+    * collect; it rides into codegen as a reference constant). Shared
+    * with the round-trip/conservation property oracles.
+    */
+  def bpeMerges(s: SparkSession): Seq[(String, String)] = {
+    import s.implicits._
+    graft.sources.LakeTable.read(s, bpePath)
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+  }
+
   /** Column wrapper for the native BPE-encode expression. */
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     org.apache.spark.sql.graftglue.Glue.column(

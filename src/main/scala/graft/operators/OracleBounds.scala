@@ -187,5 +187,166 @@ object OracleBounds {
       },
       Some("""SELECT event_type, CAST(1 AS BOOLEAN) AS within_bound
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // D16 partial oracle — IVF recall floor vs the (oracled)
+    // brute-force answer: probing 4 of 16 cells measures 0.63/0.67 at
+    // sf0.001/sf0.01 (the planted query set has true neighbors spread
+    // across cells — IVF's honest probe/recall trade at tiny corpus
+    // sizes). Floor 0.5: a broken cell assignment or probe selection
+    // collapses recall toward ~topK/N (≈0.006 here), far below it.
+    Q("q_knn_ivf_recall",
+      (s, d) => {
+        val brute = graft.Registry.byName("q_knn_brute").run(s, d)
+          .select(col("qid"), col("neighbor_id"))
+        val ivf = graft.Registry.byName("q_knn_ivf").run(s, d)
+          .select(col("qid"), col("neighbor_id"), lit(1L).as("found"))
+        brute.join(ivf, Seq("qid", "neighbor_id"), "left")
+          .agg(
+            count_distinct(col("qid")).as("queries"),
+            (sum(coalesce(col("found"), lit(0L))) >= count(lit(1)) * 0.5)
+              .as("recall_ok"))
+      },
+      Some("""SELECT count(DISTINCT vec_id)::BIGINT AS queries,
+             |  CAST(1 AS BOOLEAN) AS recall_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // D19 partial oracle — PQ (ADC shortlist + exact re-rank) recall
+    // floor: measured 0.93 at both SFs; floor 0.8. Catches the
+    // classic PQ regressions — unnormalized quantization (measured
+    // 0.27 recall on this corpus, see knnPq's scaladoc), a broken
+    // distance-table lookup, or a shortlist that stopped covering
+    // the true top-k.
+    Q("q_knn_pq_recall",
+      (s, d) => {
+        val brute = graft.Registry.byName("q_knn_brute").run(s, d)
+          .select(col("qid"), col("neighbor_id"))
+        val pq = graft.Registry.byName("q_knn_pq").run(s, d)
+          .select(col("qid"), col("neighbor_id"), lit(1L).as("found"))
+        brute.join(pq, Seq("qid", "neighbor_id"), "left")
+          .agg(
+            count_distinct(col("qid")).as("queries"),
+            (sum(coalesce(col("found"), lit(0L))) >= count(lit(1)) * 0.8)
+              .as("recall_ok"))
+      },
+      Some("""SELECT count(DISTINCT vec_id)::BIGINT AS queries,
+             |  CAST(1 AS BOOLEAN) AS recall_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // D24 partial oracle — the PERSISTED index must answer as well as
+    // the in-flight PQ path (same 0.93 measured, same 0.8 floor):
+    // gates the whole store/load leg — codebook round-trip through
+    // the LakeTable artifact, stored code integrity, ADC over read
+    // codes — not just the math.
+    Q("q_ann_persisted_recall",
+      (s, d) => {
+        val brute = graft.Registry.byName("q_knn_brute").run(s, d)
+          .select(col("qid"), col("neighbor_id"))
+        val ann = graft.Registry.byName("q_ann_persisted").run(s, d)
+          .select(col("qid"), col("neighbor_id"), lit(1L).as("found"))
+        brute.join(ann, Seq("qid", "neighbor_id"), "left")
+          .agg(
+            count_distinct(col("qid")).as("queries"),
+            (sum(coalesce(col("found"), lit(0L))) >= count(lit(1)) * 0.8)
+              .as("recall_ok"))
+      },
+      Some("""SELECT count(DISTINCT vec_id)::BIGINT AS queries,
+             |  CAST(1 AS BOOLEAN) AS recall_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // D34 partial oracle — SemDeDup drop-count bounds: the corpus size
+    // is cross-engine exact (|embeddings| + 20 planted near-copies),
+    // and the cell-scoped drop count must sit between the 20 planted
+    // duplicates (each lands in its source's cell at cosine 0.99997 —
+    // missing any means broken assignment or a broken cell self-join)
+    // and the GLOBAL exact cosine>=tau drop count computed by the
+    // quadratic verification scan (cell-scoped search can only find a
+    // SUBSET of global pairs — exceeding it means phantom drops).
+    Q("q_dedup_semantic_bounds",
+      (s, d) => {
+        val sem = graft.Registry.byName("q_dedup_semantic").run(s, d)
+          .agg(sum("n_total").as("n_vectors"), sum("n_dropped").as("dropped"))
+        val corpus = Clustering.semCorpus(s, d)
+        val globalDropped = corpus
+          .select(col("vec_id").as("vb"), col("embedding").as("eb"))
+          .crossJoin(broadcast(corpus))
+          .where(col("vb") < col("vec_id"))
+          .withColumn("cos", round(
+            graft.functions.Vectors.cosineSim(col("embedding"), col("eb")), 4))
+          .where(col("cos") >= 0.95)
+          .agg(count_distinct(col("vec_id")).as("g"))
+        sem.crossJoin(globalDropped)
+          .select(col("n_vectors"),
+            (col("dropped") >= 20L && col("dropped") <= col("g"))
+              .as("dropped_in_bounds"))
+      },
+      Some("""SELECT (count(*) + 20)::BIGINT AS n_vectors,
+             |  CAST(1 AS BOOLEAN) AS dropped_in_bounds
+             |FROM embeddings""".stripMargin)),
+
+    // D11 partial oracle — fingerprint determinism: the winnowing
+    // sketch is a pure function of `text`, so every duplicated text
+    // (and the corpus has planted exact duplicates) must fingerprint
+    // identically. DuckDB computes the doc and distinct-text counts
+    // exactly; a fingerprint that picks up any per-run or per-row
+    // nondeterminism flips the verdict.
+    Q("q_text_fingerprint_det",
+      (s, d) => {
+        val f = TextOps.fingerprints(s, d)
+        val perText = f.groupBy("text")
+          .agg(count_distinct(col("fingerprint")).as("nfp"))
+          .agg(count(lit(1)).as("n_texts"),
+            (max(col("nfp")) === 1L).as("fp_deterministic"))
+        f.agg(count(lit(1)).as("n_docs")).crossJoin(perText)
+          .select("n_docs", "n_texts", "fp_deterministic")
+      },
+      Some("""SELECT count(*)::BIGINT AS n_docs,
+             |  count(DISTINCT text)::BIGINT AS n_texts,
+             |  CAST(1 AS BOOLEAN) AS fp_deterministic
+             |FROM documents""".stripMargin)),
+
+    // D40 partial oracle — BPE round-trip losslessness: pieces are
+    // whitespace-pretokenized per-word merges, so their concatenation
+    // must reproduce the document's non-space characters EXACTLY, for
+    // every document (a tokenizer that drops, reorders, or mangles a
+    // character — the classic off-by-one in the merge loop — flips
+    // the verdict). DuckDB computes the doc universe exactly.
+    Q.staged("q_bpe_roundtrip",
+      setup = (s, d) => Curation.stageBpeVocab(s, d),
+      verb = (s, d) => {
+        val merges = Curation.bpeMerges(s)
+        t(s, d, "documents")
+          .select(col("text"),
+            Curation.bpeEncode(col("text"), merges).as("pieces"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(when(array_join(col("pieces"), "")
+              === translate(col("text"), " ", ""), 0L).otherwise(1L)) === 0L)
+              .as("all_lossless"))
+      },
+      oracle = Some("""SELECT count(*)::BIGINT AS n_docs,
+             |  CAST(1 AS BOOLEAN) AS all_lossless
+             |FROM documents""".stripMargin)),
+
+    // D42 partial oracle — packing conservation: every document lands
+    // in exactly one packed sequence (the (lang, shard, seq) grouping
+    // partitions the doc set) and no tokenizer piece is lost or
+    // duplicated across packs — pack totals must equal an independent
+    // fresh-encode total. DuckDB pins the doc universe.
+    Q.staged("q_pack_conservation",
+      setup = (s, d) => Curation.stageBpeVocab(s, d),
+      verb = (s, d) => {
+        val packs = Curation.packBpe(s, d)
+          .agg(sum("n_docs").as("n_docs_packed"),
+            sum("n_pieces").as("pieces_packed"))
+        val enc = Curation.bpeEncodeCorpus(s, d)
+          .agg(count(lit(1)).as("n_docs"), sum("n_pieces").as("pieces_total"))
+        packs.crossJoin(enc)
+          .select(col("n_docs_packed"),
+            (col("n_docs_packed") === col("n_docs")
+              && col("pieces_packed") === col("pieces_total"))
+              .as("conserved"))
+      },
+      oracle = Some("""SELECT count(*)::BIGINT AS n_docs_packed,
+             |  CAST(1 AS BOOLEAN) AS conserved
+             |FROM documents""".stripMargin)),
   )
 }

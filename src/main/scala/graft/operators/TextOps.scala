@@ -15,6 +15,21 @@ object TextOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** D11's fingerprint stream (doc_id, text, fingerprint, n_grams):
+    * the winnowing-style sketch is a pure function of `text`, which
+    * the q_text_fingerprint_det property oracle pins cross-engine.
+    */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("grams", when(size(col("ws")) >= 4, expr(
+        "transform(sequence(0, size(ws)-4), i -> xxhash64(ws[i], ws[i+1], ws[i+2], ws[i+3]))"))
+        .otherwise(array(xxhash64(col("text")))))
+      .select(col("doc_id"), col("text"),
+        xxhash64(concat_ws(",", transform(slice(array_sort(col("grams")), 1, 8), _.cast("string"))))
+          .as("fingerprint"),
+        size(col("grams")).cast("long").as("n_grams"))
+
   private val stopwords = Seq("the", "a", "and", "of", "to")
 
   /** q_seq_pack shard count: pack parallelism per language. Defaults
@@ -295,15 +310,8 @@ object TextOps {
     // 4-token window, doc fingerprint = xxhash of the 8 smallest
     // window hashes (winnowing-style sketch, order-invariant).
     Q("q_text_fingerprint",
-      (s, d) => t(s, d, "documents")
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("grams", when(size(col("ws")) >= 4, expr(
-          "transform(sequence(0, size(ws)-4), i -> xxhash64(ws[i], ws[i+1], ws[i+2], ws[i+3]))"))
-          .otherwise(array(xxhash64(col("text")))))
-        .select(col("doc_id"),
-          xxhash64(concat_ws(",", transform(slice(array_sort(col("grams")), 1, 8), _.cast("string"))))
-            .as("fingerprint"),
-          size(col("grams")).cast("long").as("n_grams"))
+      (s, d) => fingerprints(s, d)
+        .select("doc_id", "fingerprint", "n_grams")
         .orderBy("doc_id"),
       None),
 

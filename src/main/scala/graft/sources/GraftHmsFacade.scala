@@ -317,11 +317,32 @@ final class GraftRawStore extends RawStore {
     val all = LakeTable.partitionLeaves(s, dirs, partCols)
     (loc, partCols,
       all.filterNot(l => GraftHmsFacade.droppedParts.contains(
-        partKey(db, tbl, partName(partCols, l._1)))))
+        partKey(s, db, tbl, loc, partName(partCols, l._1)))))
   }
 
-  private def partKey(db: String, tbl: String, name: String): String =
-    db + "\u0000" + tbl + "\u0000" + name
+  /** Visibility-mark key, scoped to the table's LOCATION and commit-log
+    * GENERATION (creation time of the table's first commit file) — not
+    * just its name. A drop + re-create under the same name through
+    * graft's own engine catalog (where the facade's createTable/
+    * dropTable clear hooks never run) restarts the commit log, so
+    * marks taken against the old generation can never hide same-named
+    * partitions of the new table. The db/tbl prefix is kept so the
+    * name-scoped best-effort clears still match.
+    */
+  private def partKey(s: SparkSession, db: String, tbl: String, loc: String,
+      name: String): String =
+    db + "\u0000" + tbl + "\u0000" + loc + "\u0000" + genStamp(s, loc) + "\u0000" + name
+
+  /** Generation stamp: mtime of `<loc>/_graft_log/v00000.json` (the
+    * file every create writes fresh); 0 when unreadable.
+    */
+  private def genStamp(s: SparkSession, loc: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc, "_graft_log"), "v00000.json")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+    } catch { case _: java.io.IOException => 0L }
 
   private def partName(cols: Seq[String], values: Seq[Option[String]]): String =
     cols.zip(values).map { case (c, v) =>
@@ -450,11 +471,16 @@ final class GraftRawStore extends RawStore {
   override def updateTableColumnStatistics(a0: org.apache.hadoop.hive.metastore.api.ColumnStatistics): Boolean = unsupported("updateTableColumnStatistics")
   override def updatePartitionColumnStatistics(a0: org.apache.hadoop.hive.metastore.api.ColumnStatistics, a1: java.util.List[String]): Boolean = unsupported("updatePartitionColumnStatistics")
   /** Table column statistics for external optimizers, aggregated from
-    * the per-group stats sidecars: exact low/high for integral and
-    * fractional columns (what the sidecars record). Null/NDV counts
-    * are NOT served (the sidecars do not hold them) — better no number
-    * than a wrong one — and non-numeric columns are omitted for the
-    * same reason.
+    * the per-group stats sidecars: exact low/high (integral bounds
+    * never detour through Double — |v| > 2^53 stays exact) and EXACT
+    * numNulls from the sidecars' footer-harvested null counts.
+    * numNulls/numDVs are required thrift fields that HMS clients (Hive,
+    * Trino, Spark CBO) treat as exact, so a column is served ONLY when
+    * its null count is known, and numDVs carries the tightest sound
+    * upper bound the metadata supports: min(non-null rows, value-range
+    * width) for integrals, non-null rows for fractionals — never a
+    * fabricated zero. Non-numeric columns are omitted (the sidecars
+    * hold no NDV sketch): better no number than a wrong one.
     */
   override def getTableColumnStatistics(db: String, tbl: String,
       cols: java.util.List[String]): org.apache.hadoop.hive.metastore.api.ColumnStatistics =
@@ -464,23 +490,29 @@ final class GraftRawStore extends RawStore {
         case None => null
         case Some(loc) =>
           val agg = LakeTable.aggregatedColumnStats(s, loc)
+          val nullsAgg = LakeTable.aggregatedColumnNulls(s, loc)
           val schema = LakeTable.tableSchema(s, loc)
+          def bd(v: String) = new java.math.BigDecimal(v)
           val objs = cols.asScala.flatMap { c =>
             for {
               (kind, mn, mx) <- agg.get(c)
               f <- schema.fields.find(_.name.equalsIgnoreCase(c))
               if kind == 'n'
+              (rows, nullMap) <- nullsAgg
+              nn <- nullMap.get(f.name)
+              nonNull = math.max(0L, rows - nn)
               data <- f.dataType match {
-                // numNulls/numDVs are REQUIRED thrift fields; zero is
-                // the "unprovided" convention (the sidecars hold only
-                // min/max)
                 case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
                      org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-                  val d = new LongColumnStatsData(0L, 0L)
-                  d.setLowValue(mn.toDouble.toLong); d.setHighValue(mx.toDouble.toLong)
+                  val (lo, hi) = (bd(mn).longValue(), bd(mx).longValue())
+                  val width = // inclusive range width, overflow-safe
+                    bd(mx).subtract(bd(mn)).add(java.math.BigDecimal.ONE)
+                      .min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue()
+                  val d = new LongColumnStatsData(nn, math.min(nonNull, width))
+                  d.setLowValue(lo); d.setHighValue(hi)
                   Some(ColumnStatisticsData.longStats(d))
                 case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
-                  val d = new DoubleColumnStatsData(0L, 0L)
+                  val d = new DoubleColumnStatsData(nn, nonNull)
                   d.setLowValue(mn.toDouble); d.setHighValue(mx.toDouble)
                   Some(ColumnStatisticsData.doubleStats(d))
                 case _ => None
@@ -507,7 +539,12 @@ final class GraftRawStore extends RawStore {
   // partitions are snapshot-implied (no registry rows): a drop marks
   // visibility so the handler's drop_table pagination converges
   override def dropPartitions(a0: String, a1: String, a2: java.util.List[String]): Unit =
-    a2.asScala.foreach(n => GraftHmsFacade.droppedParts.add(partKey(a0, a1, n)))
+    io { (s, st) =>
+      st.tableLocation(s, a0, a1).foreach { loc =>
+        a2.asScala.foreach(n =>
+          GraftHmsFacade.droppedParts.add(partKey(s, a0, a1, loc, n)))
+      }
+    }
   override def listPrincipalDBGrantsAll(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalDBGrantsAll")
   override def listPrincipalTableGrantsAll(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalTableGrantsAll")
   override def listPrincipalPartitionGrantsAll(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.HiveObjectPrivilege] = unsupported("listPrincipalPartitionGrantsAll")

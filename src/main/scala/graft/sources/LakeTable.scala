@@ -251,6 +251,53 @@ object LakeTable {
     }
   }
 
+  /** Exclusive-create a claim file CARRYING an ownership token. The
+    * token makes a non-atomic reclaim (delete-then-create) detectable:
+    * the publisher re-reads the claim immediately before the meta
+    * rename and aborts if another writer's token replaced its own.
+    * On the local scheme the existence check (createFile) is atomic
+    * and the token lands in a second write — a racer that steals the
+    * claim in that gap makes the WRITE fail (no CREATE option), which
+    * reports as not-owned: spurious loss is safe, silent double-own
+    * is not.
+    */
+  private def tryExclusiveCreateToken(
+      fs: org.apache.hadoop.fs.FileSystem, lock: Path, token: String): Boolean = {
+    val lockUri = fs.makeQualified(lock).toUri
+    if (lockUri.getScheme == "file") {
+      try {
+        val p = java.nio.file.Paths.get(lockUri.getPath)
+        java.nio.file.Files.createFile(p)
+        java.nio.file.Files.write(p, token.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException => false // claim stolen mid-write
+      }
+    } else {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** The token currently recorded in a claim file; None if unreadable
+    * (deleted, or a tokenless claim from an in-flight racer).
+    */
+  private def claimToken(
+      fs: org.apache.hadoop.fs.FileSystem, lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) None else Some(new String(buf, 0, n, StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
   private def writeGroup(spark: SparkSession, path: String, v: Long, df: DataFrame,
       partitionBy: Seq[String]): String = {
     // Type normalization: a column arriving NARROWER than the table's
@@ -366,6 +413,44 @@ object LakeTable {
       else s.substring(0, i) + (s.charAt(i) + 1).toChar
     }
 
+  /** Exact numeric comparison of two sidecar stat strings. Integral
+    * stats serialize as exact decimal strings (a double round-trip
+    * corrupts |v| > 2^53 and can round a min UP — unsound for pruning
+    * and for the bounds the HMS facade serves), so comparisons go
+    * through BigDecimal; mixed old (double-form "123.0") and new
+    * (long-form "123") lines merge losslessly. Non-finite doubles
+    * (Infinity) fall back to IEEE ordering.
+    */
+  private[graft] def numCmp(a: String, b: String): Int =
+    try new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    catch { case _: NumberFormatException =>
+      java.lang.Double.compare(a.toDouble, b.toDouble) }
+
+  /** Exact comparison of a sidecar stat string to a query-bound
+    * Number: integral bound types stay in BigDecimal (no double
+    * detour); throws NumberFormatException if `v` is not numeric —
+    * callers treat that as "unknown, keep the file".
+    */
+  private[graft] def cmpStatToNumber(v: String, n: Number): Int =
+    try {
+      val nb = n match {
+        case l: java.lang.Long    => java.math.BigDecimal.valueOf(l.longValue())
+        case i: java.lang.Integer => java.math.BigDecimal.valueOf(i.longValue())
+        case s: java.lang.Short   => java.math.BigDecimal.valueOf(s.longValue())
+        case b: java.lang.Byte    => java.math.BigDecimal.valueOf(b.longValue())
+        case bi: java.math.BigInteger => new java.math.BigDecimal(bi)
+        case bd: java.math.BigDecimal => bd
+        case _ => java.math.BigDecimal.valueOf(n.doubleValue()) // throws on NaN/Inf
+      }
+      new java.math.BigDecimal(v).compareTo(nb)
+    } catch { case _: NumberFormatException if isNumeric(v) =>
+      // non-finite on either side: IEEE ordering is still the right
+      // conservative answer (NaN sorts greatest, matches nothing real)
+      java.lang.Double.compare(v.toDouble, n.doubleValue()) }
+
+  private def isNumeric(s: String): Boolean =
+    try { s.toDouble; true } catch { case _: NumberFormatException => false }
+
   private def statsLinesOf(conf: org.apache.hadoop.conf.Configuration,
       file: Path, rel: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
@@ -374,20 +459,44 @@ object LakeTable {
       org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
     val mins = scala.collection.mutable.Map.empty[String, (Char, String)]
     val maxs = scala.collection.mutable.Map.empty[String, (Char, String)]
+    // Per-column null totals (field 6) and the file's row count
+    // (field 7): exact from the footer when every block reports them;
+    // they let the HMS facade serve real numNulls/NDV bounds instead
+    // of fabricated zeros. -1 = unknown.
+    val nulls = scala.collection.mutable.Map.empty[String, Long]
+    var fileRows = 0L
     meta.getBlocks.asScala.foreach { b =>
+      fileRows += b.getRowCount
       b.getColumns.asScala.foreach { c =>
         val st = c.getStatistics
+        if (st != null) {
+          val nm = c.getPath.toDotString
+          nulls.updateWith(nm) {
+            case Some(-1L) => Some(-1L)
+            case prev if st.isNumNullsSet =>
+              Some(prev.getOrElse(0L) + st.getNumNulls)
+            case _ => Some(-1L)
+          }
+        }
         if (st != null && st.hasNonNullValue) {
           val colName = c.getPath.toDotString
           (st.genericGetMin, st.genericGetMax) match {
             case (mn: Number, mx: Number) =>
-              val (lo, hi) = (mn.doubleValue(), mx.doubleValue())
+              // INT32/INT64 footer stats arrive as boxed integrals:
+              // keep them EXACT (see numCmp) instead of detouring
+              // through Double.
+              def encNum(n: Number): String = n match {
+                case _: java.lang.Long | _: java.lang.Integer |
+                     _: java.lang.Short | _: java.lang.Byte => n.longValue().toString
+                case _ => n.doubleValue().toString
+              }
+              val (lo, hi) = (encNum(mn), encNum(mx))
               mins.updateWith(colName) {
-                case Some((k, v)) if k == 'n' && v.toDouble <= lo => Some((k, v))
-                case _ => Some(('n', lo.toString)) }
+                case Some((k, v)) if k == 'n' && numCmp(v, lo) <= 0 => Some((k, v))
+                case _ => Some(('n', lo)) }
               maxs.updateWith(colName) {
-                case Some((k, v)) if k == 'n' && v.toDouble >= hi => Some((k, v))
-                case _ => Some(('n', hi.toString)) }
+                case Some((k, v)) if k == 'n' && numCmp(v, hi) >= 0 => Some((k, v))
+                case _ => Some(('n', hi)) }
             case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
               // Sidecar lines must stay METADATA-sized on document-
               // scale string columns: a megabyte text column would
@@ -411,16 +520,29 @@ object LakeTable {
         }
       }
     }
-    mins.keySet.intersect(maxs.keySet).toSeq.sorted.map { colName =>
+    val lines = mins.keySet.intersect(maxs.keySet).toSeq.sorted.map { colName =>
       val (k, lo) = mins(colName); val (_, hi) = maxs(colName)
-      s"${enc(rel)}\t${enc(colName)}\t$k\t${enc(lo)}\t${enc(hi)}"
+      val nn = nulls.getOrElse(colName, -1L)
+      s"${enc(rel)}\t${enc(colName)}\t$k\t${enc(lo)}\t${enc(hi)}\t$nn\t$fileRows"
     }
+    // A file with no stat-bearing column still records its row count
+    // (empty column marker) so the null/row aggregation sees EVERY
+    // file — absent-column nulls and the snapshot row count stay exact.
+    if (lines.isEmpty && fileRows > 0)
+      Seq(s"${enc(rel)}\t\t-\t\t\t-1\t$fileRows")
+    else lines
   }
 
   /** Harvest per-file per-column min/max from the parquet FOOTERS of a
     * just-written group (metadata-only — no data re-read) into
-    * `<dir>/_stats.tsv` lines `file \t column \t kind \t min \t max`
-    * (kind n=numeric, s=string). The footer reads are DISTRIBUTED
+    * `<dir>/_stats.tsv` lines
+    * `file \t column \t kind \t min \t max \t nulls \t fileRows`
+    * (kind n=numeric, s=string; nulls -1 = footer didn't report;
+    * pre-upgrade 5-field lines still parse). Integral bounds are
+    * exact decimal strings — never a double round-trip — and a file
+    * with no stat-bearing column writes a row-count marker line so
+    * the null/row aggregation sees every file. The footer reads are
+    * DISTRIBUTED
     * (one tiny task per batch of files): at 100 TB a commit can add
     * thousands of files, and a serial driver loop over footer RPCs
     * would become the commit bottleneck. Commit-log-level stats are
@@ -495,16 +617,16 @@ object LakeTable {
       if (fs.exists(statsPath)) {
         val in = fs.open(statsPath)
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        body.split("\n").filter(_.nonEmpty).map(_.split("\t")).filter(_.length == 5)
+        body.split("\n").filter(_.nonEmpty).map(_.split("\t")).filter(_.length >= 5)
           .foreach { a =>
             val (c, kind, mn, mx) = (dec(a(1)), a(2).head, dec(a(3)), dec(a(4)))
-            if (!dropped(c)) acc.get(c) match {
+            if (c.nonEmpty && !dropped(c)) acc.get(c) match {
               case None => acc(c) = (kind, mn, mx)
               case Some((k0, lo, hi)) if k0 == kind =>
                 val (nlo, nhi) =
                   if (kind == 'n')
-                    (if (mn.toDouble < lo.toDouble) mn else lo,
-                     if (mx.toDouble > hi.toDouble) mx else hi)
+                    (if (numCmp(mn, lo) < 0) mn else lo,
+                     if (numCmp(mx, hi) > 0) mx else hi)
                   else (if (mn < lo) mn else lo, if (mx > hi) mx else hi)
                 acc(c) = (kind, nlo, nhi)
               case Some(_) => dropped += c; acc.remove(c)
@@ -513,6 +635,56 @@ object LakeTable {
       }
     }
     acc.toMap
+  }
+
+  /** Exact snapshot row count and per-column null totals, aggregated
+    * from sidecar fields 6-7 (per-column nulls, per-file rows). A
+    * column with NO stat line in a file has no non-null values there
+    * (numeric/string parquet stats exist whenever a value does), so
+    * that file's whole row count is null for it. Returns None when any
+    * contributing line predates the fields (pre-upgrade sidecars):
+    * better no number than a wrong one — the same stance the HMS
+    * facade takes for the stats it cannot know. Columns whose footers
+    * didn't report null counts are absent from the map, the rest stay
+    * exact.
+    */
+  private[graft] def aggregatedColumnNulls(spark: SparkSession, path: String)
+      : Option[(Long, Map[String, Long])] = {
+    val cur = currentVersion(spark, path).getOrElse(return None)
+    val roots = readCommit(spark, path, cur).dirs.map(groupRoot).distinct
+    // file -> (rows, col -> nulls); -1 nulls = footer didn't say
+    val perFile = scala.collection.mutable.Map.empty[String, (Long, Map[String, Long])]
+    roots.foreach { root =>
+      val statsPath = new Path(new Path(path, root), StatsFile)
+      val fs = fsOf(spark, statsPath)
+      if (!fs.exists(statsPath)) return None
+      val in = fs.open(statsPath)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      body.split("\n").filter(_.nonEmpty).map(_.split("\t")).foreach { a =>
+        if (a.length < 7) return None // pre-upgrade sidecar
+        val file = root + "/" + dec(a(0))
+        val rows = a(6).toLong
+        val col = dec(a(1))
+        val (_, m) = perFile.getOrElse(file, (rows, Map.empty[String, Long]))
+        perFile(file) = (rows,
+          if (col.isEmpty) m else m + (col -> a(5).toLong))
+      }
+    }
+    val totalRows = perFile.valuesIterator.map(_._1).sum
+    val allCols = perFile.valuesIterator.flatMap(_._2.keysIterator).toSet
+    val nulls = allCols.flatMap { c =>
+      var total = 0L
+      var known = true
+      perFile.valuesIterator.foreach { case (rows, m) =>
+        m.get(c) match {
+          case Some(n) if n >= 0L => total += n
+          case Some(_)            => known = false // footer had no null count
+          case None               => total += rows // column absent: all null there
+        }
+      }
+      if (known) Some(c -> total) else None
+    }.toMap
+    Some((totalRows, nulls))
   }
 
   /** A commit entry may name a whole file-group dir (`d3-ab12`) or —
@@ -618,7 +790,7 @@ object LakeTable {
           val in = fs.open(statsPath)
           val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
           body.split("\n").filter(_.nonEmpty).map(_.split("\t"))
-            .filter(_.length == 5)
+            .filter(a => a.length >= 5 && a(1).nonEmpty)
             .map(a => (dec(a(0)), dec(a(1))) -> (a(2).head, dec(a(3)), dec(a(4)))).toMap
         }
       val base = fs.makeQualified(rootPath).toString
@@ -644,22 +816,26 @@ object LakeTable {
             partVals.get(column).map {
               case None => false // NULL partition: comparisons never match
               case Some(v) =>
-                def side(bound: Option[Any], ok: (Double, Double) => Boolean,
+                def side(bound: Option[Any], okC: Int => Boolean,
                     okS: (String, String) => Boolean): Boolean = bound.forall {
-                  case n: Number => scala.util.Try(v.toDouble).toOption
-                    .forall(ok(_, n.doubleValue()))
+                  case n: Number => scala.util.Try(cmpStatToNumber(v, n))
+                    .toOption.forall(okC)
                   case s: String => okS(v, s)
                   case _ => true
                 }
-                side(b.lo, _ >= _, _ >= _) && side(b.hi, _ <= _, _ <= _)
+                side(b.lo, _ >= 0, _ >= _) && side(b.hi, _ <= 0, _ <= _)
             }
           val overlaps = bounds.forall { case (column, b) =>
             val names = column +: priorNames.getOrElse(column, Nil)
             names.iterator.flatMap(nm => partOverlaps(nm, b)).nextOption()
               .getOrElse(names.iterator.flatMap(nm => stats.get((rel, nm))).nextOption() match {
               case Some(('n', mn, mx)) =>
-                b.lo.forall { case l: Number => mx.toDouble >= l.doubleValue(); case _ => true } &&
-                b.hi.forall { case h: Number => mn.toDouble <= h.doubleValue(); case _ => true }
+                b.lo.forall { case l: Number =>
+                  scala.util.Try(cmpStatToNumber(mx, l)).toOption.forall(_ >= 0)
+                  case _ => true } &&
+                b.hi.forall { case h: Number =>
+                  scala.util.Try(cmpStatToNumber(mn, h)).toOption.forall(_ <= 0)
+                  case _ => true }
               case Some(('s', mn, mx)) =>
                 b.lo.forall { case l: String => mx >= l; case _ => true } &&
                 b.hi.forall { case h: String => mn <= h; case _ => true }
@@ -1485,7 +1661,8 @@ object LakeTable {
     val fs = fsOf(spark, meta)
     fs.mkdirs(logDir(path))
     val lock = new Path(logDir(path), f".claim-meta-v${expect + 1}%05d")
-    if (!tryExclusiveCreate(fs, lock)) {
+    val token = java.util.UUID.randomUUID.toString
+    if (!tryExclusiveCreateToken(fs, lock, token)) {
       // The claim may be an ORPHAN: a writer that crashed between
       // claiming and publishing leaves the claim on disk with metaVer
       // still at `expect`, which would brick every future meta
@@ -1500,7 +1677,7 @@ object LakeTable {
         val age =
           try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
           catch { case _: java.io.FileNotFoundException => -1L } // racer mid-flight
-        age > leaseMs && { fs.delete(lock, false); tryExclusiveCreate(fs, lock) }
+        age > leaseMs && { fs.delete(lock, false); tryExclusiveCreateToken(fs, lock, token) }
       }
       if (!reclaimed)
         throw new ConcurrentWriteException(
@@ -1513,6 +1690,23 @@ object LakeTable {
     try out.write(("{" + fields.result().mkString(",") + "}")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // Ownership re-verify: the reclaim path's delete-then-create is
+    // NOT atomic — two reclaimers both past the lease check can
+    // interleave (A deletes+creates, B deletes A's fresh claim and
+    // creates its own) and each believes it owns the claim. The token
+    // written at create time disambiguates: whoever's token is in the
+    // claim file NOW owns the publish; the other aborts instead of
+    // silently overwriting a metaVer that already carried a DDL. The
+    // metaVer re-read closes the second ordering (B stat'd the orphan
+    // before A replaced it, A published in between): a version that
+    // already moved means the claim B holds is for a SPENT version.
+    if (!claimToken(fs, lock).contains(token)
+        || currentMetaVer(spark, path) != expect) {
+      fs.delete(tmp, false)
+      throw new ConcurrentWriteException(
+        s"table-meta claim for $meta was reclaimed by a concurrent writer " +
+        s"(expected metaVer $expect): re-run against the new table state")
+    }
     if (!fs.rename(tmp, meta)) {
       // HDFS-semantics stores refuse a rename onto an existing target
       // (local FS replaces atomically). The claim already serialized
@@ -1662,6 +1856,13 @@ object LakeTable {
             : Boolean = size() > 256
       })
 
+  /** Separator between the qualified table path and the dir-set suffix
+    * in fileSchemaCache keys. ONE constant shared by key construction
+    * and invalidation — the two sites diverging (NUL here, " " there)
+    * silently turns the re-create purge into a no-op.
+    */
+  private val FileSchemaKeySep = "\u0000"
+
   /** Drop every cached schema for `path`. Needed when a table is
     * RE-CREATED at the same path (create-replace, clone onto an
     * existing path, catalog DROP + CREATE): the new generation starts
@@ -1678,7 +1879,7 @@ object LakeTable {
     }
     fileSchemaCache.synchronized {
       // file-schema keys prefix with the same qualified path
-      fileSchemaCache.keySet.removeIf(k => k._1.startsWith(q + " "))
+      fileSchemaCache.keySet.removeIf(k => k._1.startsWith(q + FileSchemaKeySep))
     }
   }
 
@@ -2820,7 +3021,7 @@ object LakeTable {
           // metaVer) — cache it so repeated reads of the same snapshot
           // skip the inference job entirely.
           val key = (fsOf(spark, new Path(path)).makeQualified(new Path(path)).toString
-            + "\u0000" + dirs.sorted.mkString(","), -1L, currentMetaVer(spark, path))
+            + FileSchemaKeySep + dirs.sorted.mkString(","), -1L, currentMetaVer(spark, path))
           val hint = Option(fileSchemaCache.get(key))
           try org.apache.spark.sql.graftglue.Glue
             .partitionedParquetDataFrame(spark, leaves, partSchema, hint) match {

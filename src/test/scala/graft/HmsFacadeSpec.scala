@@ -54,14 +54,20 @@ class HmsFacadeSpec extends AnyFunSuite {
       assert(graft.sources.LakeTable.currentVersion(spark, loc).isDefined,
         s"location $loc must be the live LakeTable")
 
-      // Column statistics for external optimizers: exact low/high from
-      // the stats sidecars (null/NDV deliberately unserved).
+      // Column statistics for external optimizers: exact low/high and
+      // exact null counts from the stats sidecars; NDV is the sound
+      // upper bound min(non-null rows, range width) — never a
+      // fabricated zero an HMS CBO would treat as exact.
       val stats = client.getTableColumnStatistics("db", "sales",
         Seq("k", "amount").asJava).asScala.map(o => o.getColName -> o.getStatsData).toMap
       assert(stats("k").getLongStats.getLowValue == 1L &&
         stats("k").getLongStats.getHighValue == 2L, stats)
+      assert(stats("k").getLongStats.getNumNulls == 0L &&
+        stats("k").getLongStats.getNumDVs == 2L, stats)
       assert(stats("amount").getDoubleStats.getLowValue == 10.0 &&
         stats("amount").getDoubleStats.getHighValue == 20.0, stats)
+      assert(stats("amount").getDoubleStats.getNumNulls == 0L &&
+        stats("amount").getDoubleStats.getNumDVs == 2L, stats)
 
       // Partition enumeration from the current snapshot.
       val parts = client.listPartitionNames("db", "sales", -1).asScala.toSet
@@ -95,6 +101,63 @@ class HmsFacadeSpec extends AnyFunSuite {
       client.dropTable("wiredb", "sales_alias", false, false)
       assert(!client.getAllTables("wiredb").asScala.contains("sales_alias"))
       assert(spark.sql("SELECT count(*) FROM hms_cat.db.sales").collect()(0).getLong(0) == 2L)
+    } finally client.close()
+  }
+
+  test("served stats: exact nulls, huge-bigint bounds, NDV is a sound positive bound") {
+    val url = "jdbc:derby:memory:hmsmeta;create=true"
+    val root = s"${operators.Lakehouse.scratch}/hms_wh"
+    graft.sources.GraftHmsFacade.start(spark, port, root, jdbcUrl = Some(url))
+    spark.sql("DROP TABLE IF EXISTS hms_cat.db.stats_t")
+    // 2^53+1 and 2^53+3 are NOT double-representable: a double
+    // round-trip anywhere in the stats path would corrupt the bounds
+    spark.sql("CREATE TABLE hms_cat.db.stats_t (k BIGINT, v BIGINT) USING graft")
+    spark.sql("INSERT INTO hms_cat.db.stats_t VALUES " +
+      "(1, 9007199254740993), (2, NULL), (3, 9007199254740995)")
+    val conf = new org.apache.hadoop.hive.conf.HiveConf()
+    conf.set("hive.metastore.uris", s"thrift://localhost:$port")
+    val client = new org.apache.hadoop.hive.metastore.HiveMetaStoreClient(conf)
+    try {
+      val stats = client.getTableColumnStatistics("db", "stats_t",
+        Seq("k", "v").asJava).asScala.map(o => o.getColName -> o.getStatsData).toMap
+      val v = stats("v").getLongStats
+      assert(v.getLowValue == 9007199254740993L && v.getHighValue == 9007199254740995L,
+        s"bounds must survive without a double round-trip: $v")
+      assert(v.getNumNulls == 1L, s"null count is footer-exact: $v")
+      // NDV: min(non-null rows = 2, range width = 3) = 2 — an upper
+      // bound, never a fabricated zero
+      assert(v.getNumDVs == 2L, v)
+      val k = stats("k").getLongStats
+      assert(k.getNumNulls == 0L && k.getNumDVs == 3L, k)
+    } finally client.close()
+  }
+
+  test("partition-drop marks die with the table generation (engine-side re-create)") {
+    val url = "jdbc:derby:memory:hmsmeta;create=true"
+    val root = s"${operators.Lakehouse.scratch}/hms_wh"
+    graft.sources.GraftHmsFacade.start(spark, port, root, jdbcUrl = Some(url))
+    spark.sql("DROP TABLE IF EXISTS hms_cat.db.marks")
+    spark.sql("CREATE TABLE hms_cat.db.marks (k BIGINT, region STRING) " +
+      "USING graft PARTITIONED BY (region)")
+    spark.sql("INSERT INTO hms_cat.db.marks VALUES (1, 'eu'), (2, 'us')")
+    val conf = new org.apache.hadoop.hive.conf.HiveConf()
+    conf.set("hive.metastore.uris", s"thrift://localhost:$port")
+    val client = new org.apache.hadoop.hive.metastore.HiveMetaStoreClient(conf)
+    try {
+      // wire-side drop_table paginates partitions → visibility marks
+      // are taken for region=eu / region=us, then the name unregisters
+      client.dropTable("db", "marks", false, false)
+      assert(!client.getAllTables("db").asScala.contains("marks"))
+      Thread.sleep(20) // distinct mtime for the new generation's v00000
+      // engine-side re-create under the SAME name (and location): the
+      // facade's own clear hooks never run, so only generation-scoped
+      // keys keep the stale marks from hiding the new partitions
+      spark.sql("CREATE TABLE hms_cat.db.marks (k BIGINT, region STRING) " +
+        "USING graft PARTITIONED BY (region)")
+      spark.sql("INSERT INTO hms_cat.db.marks VALUES (3, 'eu'), (4, 'us')")
+      val parts = client.listPartitionNames("db", "marks", -1).asScala.toSet
+      assert(parts == Set("region=eu", "region=us"),
+        s"stale marks from the dropped generation must not hide partitions: $parts")
     } finally client.close()
   }
 }

@@ -1696,6 +1696,25 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, dst).count() == 4L)
   }
 
+  test("numeric stats pruning stays exact past 2^53 (no double round-trip)") {
+    import spark.implicits._
+    val p = s"$root/bigint_stats"
+    // 2^53+1 is not double-representable: the old double round-trip
+    // stored min=max=2^53 in the sidecar, so an equality lookup on
+    // 2^53+1 pruned the file that HOLDS the row
+    val hot = 9007199254740993L
+    LakeTable.create(spark, p, Seq((hot, "a")).toDF("k", "s"))
+    LakeTable.append(spark, p, Seq((42L, "b")).toDF("k", "s"))
+    val v = LakeTable.currentVersion(spark, p).get
+    val dirs = LakeTable.readCommit(spark, p, v).dirs
+    val (pruned, _) = LakeTable.pruneFilesByDir(spark, p, dirs,
+      Map("k" -> LakeTable.ColumnBounds(Some(hot), Some(hot))))
+    val files = pruned.flatMap(_.files)
+    assert(files.exists(_.kept), s"the file holding $hot must be kept: $files")
+    assert(files.exists(!_.kept), s"the k=42 file must prune: $files")
+    assert(LakeTable.read(spark, p).where(col("k") === hot).count() == 1L)
+  }
+
   test("long-string stats truncate in sidecars; truncated bounds still prune soundly") {
     import spark.implicits._
     val p = s"$root/longstr_stats"

@@ -84,6 +84,24 @@ class MetaIntegritySpec extends AnyFunSuite {
     assert(sources.LakeTable.read(spark, p).columns.toSeq == Seq("k", "b", "c"))
   }
 
+  test("re-create of a PARTITIONED table purges the file-schema cache too") {
+    // The partitioned single-scan read caches its footer-merged file
+    // schema under a path-prefixed key; the invalidation used a
+    // different separator than construction, so this purge was a
+    // silent no-op and only LRU eviction saved us.
+    val p = freshPath("recreate_part")
+    sources.LakeTable.create(spark, p,
+      Seq((1L, 10L, "p1"), (2L, 20L, "p2")).toDF("k", "a", "pt"), Seq("pt"))
+    // warm the fileSchemaCache entry via the single-scan read
+    assert(sources.LakeTable.read(spark, p).columns.sorted.toSeq == Seq("a", "k", "pt"))
+    sources.LakeTable.create(spark, p,
+      Seq((1L, "x", "p1")).toDF("k", "b", "pt"), Seq("pt"))
+    assert(sources.LakeTable.read(spark, p).columns.sorted.toSeq == Seq("b", "k", "pt"),
+      "a partitioned re-create must not serve the dropped generation's file schema")
+    assert(sources.LakeTable.tableSchema(spark, p).fieldNames.toSeq.sorted
+      == Seq("b", "k", "pt"))
+  }
+
   test("catalog DROP TABLE + CREATE TABLE at the same location serves the new schema") {
     val cat = "meta_cat"
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
@@ -142,6 +160,47 @@ class MetaIntegritySpec extends AnyFunSuite {
     // the concurrent DDL's state survives untouched
     assert(sources.LakeTable.tableSortBy(spark, p) == Seq("k"))
     assert(sources.LakeTable.read(spark, p).columns.toSeq == Seq("k", "a"))
+  }
+
+  test("racing lease-reclaims never silently drop a published DDL") {
+    // Two writers both past the lease check can interleave the
+    // delete-then-create reclaim (A deletes+creates, B deletes A's
+    // fresh claim and creates its own). Before the ownership token +
+    // pre-rename metaVer re-verify, BOTH would publish the same
+    // metaVer and one DDL vanished. The invariant: metaVer advances by
+    // exactly the number of DDLs that REPORTED success.
+    val p = freshPath("reclaim_race")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "a"))
+    spark.conf.set("spark.graft.meta.claimLeaseMs", "-1") // everything reclaimable
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (i <- 1 to 10) {
+        val before = sources.LakeTable.metaCasToken(spark, p)
+        // plant an orphan claim for the NEXT version so both writers
+        // take the reclaim path rather than the plain CAS
+        overwrite(logFile(p, f".claim-meta-v${before + 1}%05d"), "")
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val futs = Seq(Seq("k"), Seq("a")).map { c =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              start.await()
+              try { sources.LakeTable.setSortBy(spark, p, c); true }
+              catch { case _: sources.LakeTable.ConcurrentWriteException => false }
+            }
+          })
+        }
+        start.countDown()
+        val wins = futs.map(_.get()).count(identity)
+        val after = sources.LakeTable.metaCasToken(spark, p)
+        assert(wins >= 1, s"iteration $i: both reclaimers lost")
+        assert(after == before + wins,
+          s"iteration $i: $wins DDLs reported success but metaVer moved " +
+          s"${after - before} — a publish was silently overwritten")
+      }
+    } finally {
+      pool.shutdown()
+      spark.conf.unset("spark.graft.meta.claimLeaseMs")
+    }
   }
 
   test("an orphaned meta claim is lease-reclaimed; a live claim still blocks") {

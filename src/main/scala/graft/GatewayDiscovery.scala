@@ -20,7 +20,13 @@ package graft
   */
 object GatewayDiscovery {
 
-  final case class Endpoint(host: String, port: Int)
+  /** A gateway host's advertised wires: `port` is the gRPC (Spark
+    * Connect) endpoint, `thriftPort` the HiveServer2 Thrift endpoint
+    * when the host serves one — ONE lease row carries both, so the
+    * C23 failover story covers Thrift clients with the same heartbeat
+    * (a JDBC client re-resolves via [[resolveThrift]]).
+    */
+  final case class Endpoint(host: String, port: Int, thriftPort: Option[Int] = None)
 
   private final case class Reg(url: String, user: Option[String], pass: Option[String],
       endpoint: Endpoint, leaseMillis: Long, thread: Thread)
@@ -30,23 +36,44 @@ object GatewayDiscovery {
   private def withConn[A](url: String, u: Option[String], p: Option[String])
       (f: java.sql.Connection => A): A = ControlPlaneDb.withConn(url, u, p)(f)
 
-  private def ensureTable(url: String, u: Option[String], p: Option[String]): Unit =
+  private def ensureTable(url: String, u: Option[String], p: Option[String]): Unit = {
     ControlPlaneDb.ensureTable(url, u, p,
       "CREATE TABLE graft_gateways(host VARCHAR(256), port INTEGER, " +
-        "lease_expiry BIGINT, PRIMARY KEY (host, port))", "graft_gateways")
+        "lease_expiry BIGINT, thrift_port INTEGER, PRIMARY KEY (host, port))",
+      "graft_gateways")
+    // Upgrade path: a pre-Thrift deployment's table lacks the column;
+    // rows it wrote read back as NULL (= no Thrift wire) — correct.
+    withConn(url, u, p) { conn =>
+      try conn.createStatement()
+        .executeQuery("SELECT thrift_port FROM graft_gateways WHERE 1 = 0").close()
+      catch { case _: java.sql.SQLException =>
+        conn.createStatement()
+          .execute("ALTER TABLE graft_gateways ADD COLUMN thrift_port INTEGER")
+      }
+    }
+  }
 
   private def beat(url: String, u: Option[String], p: Option[String],
       e: Endpoint, leaseMillis: Long): Unit =
     withConn(url, u, p) { conn =>
       val expiry = System.currentTimeMillis() + leaseMillis
       val upd = conn.prepareStatement(
-        "UPDATE graft_gateways SET lease_expiry = ? WHERE host = ? AND port = ?")
-      upd.setLong(1, expiry); upd.setString(2, e.host); upd.setInt(3, e.port)
+        "UPDATE graft_gateways SET lease_expiry = ?, thrift_port = ? " +
+          "WHERE host = ? AND port = ?")
+      def bindThrift(ps: java.sql.PreparedStatement, at: Int): Unit =
+        e.thriftPort match {
+          case Some(tp) => ps.setInt(at, tp)
+          case None => ps.setNull(at, java.sql.Types.INTEGER)
+        }
+      upd.setLong(1, expiry); bindThrift(upd, 2)
+      upd.setString(3, e.host); upd.setInt(4, e.port)
       if (upd.executeUpdate() == 0) {
         try {
           val ins = conn.prepareStatement(
-            "INSERT INTO graft_gateways(host, port, lease_expiry) VALUES (?, ?, ?)")
+            "INSERT INTO graft_gateways(host, port, lease_expiry, thrift_port) " +
+              "VALUES (?, ?, ?, ?)")
           ins.setString(1, e.host); ins.setInt(2, e.port); ins.setLong(3, expiry)
+          bindThrift(ins, 4)
           ins.executeUpdate()
         } catch { // lost an insert race to our own previous row: retry as update
           case ex: java.sql.SQLException if ControlPlaneDb.isDuplicateKey(ex) =>
@@ -113,17 +140,27 @@ object GatewayDiscovery {
       val reap = conn.prepareStatement("DELETE FROM graft_gateways WHERE lease_expiry < ?")
       reap.setLong(1, now); reap.executeUpdate()
       val ps = conn.prepareStatement(
-        "SELECT host, port FROM graft_gateways WHERE lease_expiry >= ? " +
+        "SELECT host, port, thrift_port FROM graft_gateways WHERE lease_expiry >= ? " +
           "ORDER BY lease_expiry DESC")
       ps.setLong(1, now)
       val rs = ps.executeQuery()
       val out = scala.collection.mutable.ArrayBuffer.empty[Endpoint]
-      try while (rs.next()) out += Endpoint(rs.getString(1), rs.getInt(2))
-      finally rs.close()
+      try while (rs.next()) {
+        val tp = rs.getInt(3)
+        out += Endpoint(rs.getString(1), rs.getInt(2),
+          if (rs.wasNull() || tp <= 0) None else Some(tp))
+      } finally rs.close()
       out.toSeq
     }
   }
 
   /** A client's one-call resolver: the freshest live endpoint. */
   def resolve(jdbcUrl: String): Option[Endpoint] = live(jdbcUrl).headOption
+
+  /** The freshest live endpoint that serves a Thrift wire — what a
+    * hive-jdbc/beeline client re-resolves on failover (C36 + C26).
+    */
+  def resolveThrift(jdbcUrl: String, jdbcUser: Option[String] = None,
+      jdbcPassword: Option[String] = None): Option[Endpoint] =
+    live(jdbcUrl, jdbcUser, jdbcPassword).find(_.thriftPort.isDefined)
 }

@@ -397,6 +397,100 @@ final class GraftRawStore extends RawStore {
     try { getPartition(db, tbl, vals); true }
     catch { case _: NoSuchObjectException => false }
 
+  // ---- server-side partition filtering -----------------------------
+  //
+  // The ObjectStore pushes Hive's partition-filter grammar into JDO/
+  // SQL over its partition rows; the facade's partitions are
+  // snapshot-implied (no rows), so the SAME parsed ExpressionTree is
+  // evaluated directly over the enumerated leaves — an external
+  // engine's `get_partitions_by_filter` prunes server-side instead of
+  // listing every partition and filtering client-side.
+
+  import org.apache.hadoop.hive.metastore.parser.{ExpressionTree => HET}
+
+  /** Leaves surviving `filter` (Hive partition-filter grammar; null/
+    * empty = all). Unknown keys throw MetaException like the stock
+    * store; numeric-typed partition columns compare numerically via
+    * BigDecimal (the grammar yields Long literals), strings
+    * lexicographically; a NULL partition never satisfies a comparison
+    * (SQL semantics).
+    */
+  private def filteredLeaves(s: SparkSession, st: CatalogStore, db: String,
+      tbl: String, filter: String)
+      : (Seq[String], Seq[(Seq[Option[String]], org.apache.hadoop.fs.Path)]) = {
+    val (loc, cols, ls) = leaves(s, st, db, tbl)
+    if (filter == null || filter.trim.isEmpty) return (cols, ls)
+    val tree = org.apache.hadoop.hive.metastore.PartFilterExprUtil
+      .getFilterParser(filter).tree
+    val schema = LakeTable.tableSchema(s, loc)
+    val numeric = cols.filter(c => schema.fields.exists(f =>
+      f.name.equalsIgnoreCase(c) && (f.dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+        case _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      }))).map(_.toLowerCase).toSet
+    val root = Option(tree).map(_.getRoot).orNull
+    if (root == null) return (cols, ls)
+    (cols, ls.filter(l => evalFilterNode(root, cols, numeric, l._1)))
+  }
+
+  private def evalFilterNode(n: HET.TreeNode, cols: Seq[String],
+      numeric: Set[String], values: Seq[Option[String]]): Boolean = n match {
+    case leaf: HET.LeafNode =>
+      val idx = cols.indexWhere(_.equalsIgnoreCase(leaf.keyName))
+      if (idx < 0)
+        throw new MetaException(
+          s"${leaf.keyName} is not a partitioning key of this table")
+      values(idx) match {
+        case None => false // NULL partition: comparisons never match
+        case Some(pv) =>
+          import HET.{Operator => Op}
+          if (leaf.operator == Op.LIKE) {
+            // SQL LIKE → regex: quote literals, % → .*, _ → .
+            val pat = leaf.value.toString.flatMap {
+              case '%' => ".*"
+              case '_' => "."
+              case c => java.util.regex.Pattern.quote(c.toString)
+            }
+            return pv.matches(pat)
+          }
+          // cmp = compare(partitionValue, literal); None = incomparable
+          val cmp: Option[Int] = leaf.value match {
+            case num: Number if numeric(leaf.keyName.toLowerCase) =>
+              try Some(new java.math.BigDecimal(pv)
+                .compareTo(new java.math.BigDecimal(num.toString)))
+              catch { case _: NumberFormatException => None }
+            case other => Some(pv.compareTo(other.toString))
+          }
+          cmp match {
+            case None => false
+            case Some(c0) =>
+              // isReverseOrder = the filter wrote `literal op key`
+              val c = if (leaf.isReverseOrder) -c0 else c0
+              leaf.operator match {
+                case Op.EQUALS => c == 0
+                case Op.NOTEQUALS | Op.NOTEQUALS2 => c != 0
+                case Op.GREATERTHAN => c > 0
+                case Op.GREATERTHANOREQUALTO => c >= 0
+                case Op.LESSTHAN => c < 0
+                case Op.LESSTHANOREQUALTO => c <= 0
+                case other =>
+                  throw new MetaException(s"unsupported filter operator $other")
+              }
+          }
+      }
+    case t =>
+      val lhs = evalFilterNode(t.getLhs, cols, numeric, values)
+      t.getAndOr match {
+        case HET.LogicalOperator.AND =>
+          lhs && evalFilterNode(t.getRhs, cols, numeric, values)
+        case HET.LogicalOperator.OR =>
+          lhs || evalFilterNode(t.getRhs, cols, numeric, values)
+      }
+  }
+
   // ---- server bring-up surface (roles / functions / events) -------
   // The handler's init creates default roles and grants; the facade
   // has no role store (authorization lives in GraftAuthz at the
@@ -431,7 +525,12 @@ final class GraftRawStore extends RawStore {
   override def dropPartition(a0: String, a1: String, a2: java.util.List[String]): Boolean = unsupported("dropPartition")
   override def listTableNamesByFilter(a0: String, a1: String, a2: Short): java.util.List[String] = unsupported("listTableNamesByFilter")
   override def listPartitionValues(a0: String, a1: String, a2: java.util.List[org.apache.hadoop.hive.metastore.api.FieldSchema], a3: Boolean, a4: String, a5: Boolean, a6: java.util.List[org.apache.hadoop.hive.metastore.api.FieldSchema], a7: Long): org.apache.hadoop.hive.metastore.api.PartitionValuesResponse = unsupported("listPartitionValues")
-  override def listPartitionNamesByFilter(a0: String, a1: String, a2: String, a3: Short): java.util.List[String] = unsupported("listPartitionNamesByFilter")
+  override def listPartitionNamesByFilter(db: String, tbl: String, filter: String,
+      max: Short): java.util.List[String] = io { (s, st) =>
+    val (cols, ls) = filteredLeaves(s, st, db, tbl, filter)
+    val names = ls.map(_._1).distinct.map(partName(cols, _)).sorted
+    (if (max >= 0) names.take(max.toInt) else names).toList.asJava
+  }
   override def alterPartition(a0: String, a1: String, a2: java.util.List[String], a3: org.apache.hadoop.hive.metastore.api.Partition): Unit = unsupported("alterPartition")
   override def alterPartitions(a0: String, a1: String, a2: java.util.List[java.util.List[String]], a3: java.util.List[org.apache.hadoop.hive.metastore.api.Partition]): Unit = unsupported("alterPartitions")
   override def addIndex(a0: org.apache.hadoop.hive.metastore.api.Index): Boolean = unsupported("addIndex")
@@ -441,10 +540,45 @@ final class GraftRawStore extends RawStore {
   override def getIndexes(a0: String, a1: String, a2: Int): java.util.List[org.apache.hadoop.hive.metastore.api.Index] = Collections.emptyList()
   override def listIndexNames(a0: String, a1: String, a2: Short): java.util.List[String] = Collections.emptyList()
   override def alterIndex(a0: String, a1: String, a2: String, a3: org.apache.hadoop.hive.metastore.api.Index): Unit = unsupported("alterIndex")
-  override def getPartitionsByFilter(a0: String, a1: String, a2: String, a3: Short): java.util.List[org.apache.hadoop.hive.metastore.api.Partition] = unsupported("getPartitionsByFilter")
-  override def getPartitionsByExpr(a0: String, a1: String, a2: Array[Byte], a3: String, a4: Short, a5: java.util.List[org.apache.hadoop.hive.metastore.api.Partition]): Boolean = unsupported("getPartitionsByExpr")
-  override def getNumPartitionsByFilter(a0: String, a1: String, a2: String): Int = unsupported("getNumPartitionsByFilter")
-  override def getNumPartitionsByExpr(a0: String, a1: String, a2: Array[Byte]): Int = unsupported("getNumPartitionsByExpr")
+  override def getPartitionsByFilter(db: String, tbl: String, filter: String,
+      max: Short): java.util.List[Partition] = io { (s, st) =>
+    val (cols, ls) = filteredLeaves(s, st, db, tbl, filter)
+    val distinct = ls.groupBy(_._1).map { case (vs, g) => (vs, g.head._2) }
+      .toSeq.sortBy(p => partName(cols, p._1))
+    val lim = if (max >= 0) distinct.take(max.toInt) else distinct
+    lim.map { case (vs, dir) => mkPartition(db, tbl, cols, vs, dir) }.toList.asJava
+  }
+
+  /** Kryo-serialized expression pushdown (Hive/Spark clients): the
+    * configured PartitionExpressionProxy converts the expr back to
+    * the filter grammar and the exact evaluator prunes; an expr the
+    * proxy cannot express falls back to ALL partitions with
+    * hasUnknownPartitions = true — the client re-filters, correctness
+    * preserved either way.
+    */
+  override def getPartitionsByExpr(db: String, tbl: String, expr: Array[Byte],
+      defaultPartName: String, max: Short,
+      result: java.util.List[Partition]): Boolean = {
+    val filter =
+      try Option(GraftRawStore.exprProxy.convertExprToFilter(expr)).filter(_.nonEmpty)
+      catch { case _: Exception => None }
+    filter match {
+      case Some(f) => result.addAll(getPartitionsByFilter(db, tbl, f, max)); false
+      case None => result.addAll(getPartitions(db, tbl, max.toInt)); true
+    }
+  }
+
+  override def getNumPartitionsByFilter(db: String, tbl: String,
+      filter: String): Int = io { (s, st) =>
+    filteredLeaves(s, st, db, tbl, filter)._2.map(_._1).distinct.size
+  }
+
+  override def getNumPartitionsByExpr(db: String, tbl: String,
+      expr: Array[Byte]): Int = {
+    val out = new java.util.ArrayList[Partition]()
+    getPartitionsByExpr(db, tbl, expr, null, -1, out)
+    out.size()
+  }
   override def markPartitionForEvent(a0: String, a1: String, a2: java.util.Map[String, String], a3: org.apache.hadoop.hive.metastore.api.PartitionEventType): org.apache.hadoop.hive.metastore.api.Table = unsupported("markPartitionForEvent")
   override def isPartitionMarkedForEvent(a0: String, a1: String, a2: java.util.Map[String, String], a3: org.apache.hadoop.hive.metastore.api.PartitionEventType): Boolean = unsupported("isPartitionMarkedForEvent")
   override def removeRole(a0: String): Boolean = unsupported("removeRole")
@@ -579,4 +713,17 @@ final class GraftRawStore extends RawStore {
   override def addPrimaryKeys(a0: java.util.List[org.apache.hadoop.hive.metastore.api.SQLPrimaryKey]): Unit = unsupported("addPrimaryKeys")
   override def addForeignKeys(a0: java.util.List[org.apache.hadoop.hive.metastore.api.SQLForeignKey]): Unit = unsupported("addForeignKeys")
   override def updateParameterWithExpectedValue(a0: org.apache.hadoop.hive.metastore.api.Table, a1: String, a2: String, a3: String): Long = unsupported("updateParameterWithExpectedValue")
+}
+
+object GraftRawStore {
+  /** Expression proxy for serialized-expr partition pushdown
+    * (`hive.metastore.expression.proxy`, stock default
+    * PartitionExpressionForMetastore): converts a client's
+    * Kryo-serialized filter expression back into the filter grammar
+    * the facade's evaluator prunes with. One per JVM, like the stock
+    * server's.
+    */
+  private[sources] lazy val exprProxy =
+    org.apache.hadoop.hive.metastore.PartFilterExprUtil
+      .createExpressionProxy(new HiveConf())
 }

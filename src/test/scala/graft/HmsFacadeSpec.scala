@@ -132,6 +132,39 @@ class HmsFacadeSpec extends AnyFunSuite {
     } finally client.close()
   }
 
+  test("server-side partition filtering: get_partitions_by_filter prunes on the server") {
+    val url = "jdbc:derby:memory:hmsmeta;create=true"
+    val root = s"${operators.Lakehouse.scratch}/hms_wh"
+    graft.sources.GraftHmsFacade.start(spark, port, root, jdbcUrl = Some(url))
+    spark.sql("DROP TABLE IF EXISTS hms_cat.db.pf")
+    // numeric year partitions include 9 vs 10 ON PURPOSE: 'year > 9'
+    // must match 10 — a lexicographic compare ("10" < "9") would not
+    spark.sql("CREATE TABLE hms_cat.db.pf (k BIGINT, region STRING, yr BIGINT) " +
+      "USING graft PARTITIONED BY (region, yr)")
+    spark.sql("INSERT INTO hms_cat.db.pf VALUES " +
+      "(1,'eu',9), (2,'eu',10), (3,'us',9), (4,'us',10), (5,'ap',9)")
+    val conf = new org.apache.hadoop.hive.conf.HiveConf()
+    conf.set("hive.metastore.uris", s"thrift://localhost:$port")
+    val client = new org.apache.hadoop.hive.metastore.HiveMetaStoreClient(conf)
+    try {
+      def names(filter: String): Set[String] =
+        client.listPartitionsByFilter("db", "pf", filter, (-1).toShort)
+          .asScala.map(p => p.getValues.asScala.mkString("/")).toSet
+      // string equality
+      assert(names("region = \"eu\"") == Set("eu/9", "eu/10"))
+      // numeric comparison (not lexicographic)
+      assert(names("yr > 9") == Set("eu/10", "us/10"))
+      // AND / OR composition
+      assert(names("region = \"us\" and yr <= 9") == Set("us/9"))
+      assert(names("region = \"ap\" or yr = 10") == Set("ap/9", "eu/10", "us/10"))
+      // LIKE
+      assert(names("region like \"e%\"") == Set("eu/9", "eu/10"))
+      // unknown key fails loudly, like the stock store
+      val bad = intercept[Exception] { names("nope = \"x\"") }
+      assert(bad.getMessage.contains("not a partitioning key"), bad.getMessage)
+    } finally client.close()
+  }
+
   test("partition-drop marks die with the table generation (engine-side re-create)") {
     val url = "jdbc:derby:memory:hmsmeta;create=true"
     val root = s"${operators.Lakehouse.scratch}/hms_wh"

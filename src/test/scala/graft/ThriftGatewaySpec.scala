@@ -141,4 +141,43 @@ class ThriftGatewaySpec extends AnyFunSuite {
       ConnectAuth.disable()
     }
   }
+
+  test("discovery failover: a lease row carries both ports; a JDBC client re-resolves Thrift") {
+    // C26 covers the Thrift wire: the gateway's ONE lease row
+    // advertises gRPC and Thrift ports together. A "crashed" peer
+    // (direct row, short lease, Thrift port 19999, no heartbeat)
+    // lapses; re-resolution lands on this host's live Thrift endpoint
+    // and a real hive-jdbc client runs a query against it.
+    val url = "jdbc:derby:memory:thriftdisc;create=true"
+    GraftThriftServer.start(spark, port) // idempotent with the first test
+    val conn0 = DriverManager.getConnection(url)
+    try {
+      val st = conn0.createStatement()
+      st.execute("CREATE TABLE graft_gateways(host VARCHAR(256), port INTEGER, " +
+        "lease_expiry BIGINT, thrift_port INTEGER, PRIMARY KEY (host, port))")
+      st.execute("INSERT INTO graft_gateways VALUES " +
+        s"('dead-host', 9998, ${System.currentTimeMillis() + 300}, 19999)")
+    } finally conn0.close()
+    try {
+      GatewayDiscovery.register(url,
+        GatewayDiscovery.Endpoint("localhost", 15002, thriftPort = Some(port)),
+        leaseMillis = 5000L)
+      assert(GatewayDiscovery.live(url).map(_.thriftPort).toSet
+        == Set(Some(port), Some(19999)))
+      Thread.sleep(400) // the dead host's lease lapses
+      val resolved = GatewayDiscovery.resolveThrift(url)
+      assert(resolved ==
+        Some(GatewayDiscovery.Endpoint("localhost", 15002, Some(port))), resolved)
+      // the re-resolved endpoint actually serves: real hive-jdbc query
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val c = DriverManager.getConnection(
+        s"jdbc:hive2://${resolved.get.host}:${resolved.get.thriftPort.get}/default",
+        "anyone", "")
+      try {
+        val rs = c.createStatement().executeQuery("SELECT 40 + 2 AS x")
+        assert(rs.next() && rs.getInt(1) == 42)
+        rs.close()
+      } finally c.close()
+    } finally GatewayDiscovery.deregister()
+  }
 }

@@ -1,0 +1,361 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+
+/** MySQL-protocol SQL frontend — the reference's Doris serving wire
+  * (reference internal/controller/doris.go: the FE serves clients on
+  * the MySQL protocol, `NineInfraSupportedOlapList`), re-expressed as
+  * a thin wire adapter over the SAME engine session, identity, grant,
+  * audit and admission machinery the gRPC and Thrift gateways share:
+  *
+  *   - **Protocol**: server greeting v10 + HandshakeResponse41 +
+  *     text-protocol result sets (COM_QUERY / COM_PING / COM_INIT_DB /
+  *     COM_QUIT), per the public MySQL client/server protocol — no
+  *     SSL, no DEPRECATE_EOF, classic EOF-terminated result sets, the
+  *     lowest common denominator every connector still speaks.
+  *   - **Auth (C22)**: when `ConnectAuth.enable` has configured a
+  *     credential query, the server AuthSwitches the client to
+  *     `mysql_clear_text_password` and validates the cleartext token
+  *     through the SAME query that gates gRPC and Thrift logins (the
+  *     native challenge-response plugin would require storing
+  *     SHA1(SHA1(token)) server-side, which the shared credential
+  *     table deliberately does not — cleartext-over-loopback is the
+  *     Kyuubi JDBC-auth trade, documented, not hidden).
+  *   - **Identity (C24/C27/C28)**: each connection runs on its own
+  *     `newSession()` with `spark.graft.sql.user` pinned to the
+  *     authenticated login. The wire NEVER forwards SET statements to
+  *     the engine (they are acknowledged and dropped, MySQL-session-
+  *     variable style), so a client cannot re-point the identity conf
+  *     — the same non-spoofability stance as ThriftGlue's SASL
+  *     binding, reached by construction instead of reflection.
+  *   - **Admission (C30)**: each COM_QUERY passes through
+  *     ConnectAuth's per-principal in-flight gate; over-cap queries
+  *     fail fast with the MySQL "too many connections" error carrying
+  *     the RESOURCE_EXHAUSTED marker, and are audited.
+  *
+  * Rows stream through `toLocalIterator` — the wire never holds a
+  * whole result in driver memory (same stance as the Thrift leg).
+  */
+object GraftMysqlServer {
+
+  // capability bits (public protocol constants)
+  private val CLIENT_LONG_PASSWORD = 0x00000001L
+  private val CLIENT_CONNECT_WITH_DB = 0x00000008L
+  private val CLIENT_PROTOCOL_41 = 0x00000200L
+  private val CLIENT_SECURE_CONNECTION = 0x00008000L
+  private val CLIENT_PLUGIN_AUTH = 0x00080000L
+  private val CLIENT_PLUGIN_AUTH_LENENC = 0x00200000L
+
+  private val ServerCaps: Long =
+    CLIENT_LONG_PASSWORD | CLIENT_CONNECT_WITH_DB | CLIENT_PROTOCOL_41 |
+      CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+
+  @volatile private var server: Option[ServerSocket] = None
+  private val connIds = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  def started: Boolean = server.isDefined
+
+  /** Start the MySQL endpoint (default 9030 — the Doris FE query
+    * port). Idempotent; daemon accept loop for the JVM's lifetime,
+    * like the Thrift endpoint.
+    */
+  def start(spark: SparkSession, port: Int = 9030,
+      bindHost: String = "localhost"): Unit = synchronized {
+    if (server.isDefined) return
+    val ss = new ServerSocket(port, 50, java.net.InetAddress.getByName(bindHost))
+    server = Some(ss)
+    val acceptor = new Thread(() => {
+      try while (!ss.isClosed) {
+        val sock = ss.accept()
+        val t = new Thread(() => handle(spark, sock),
+          s"graft-mysql-conn-${connIds.getAndIncrement()}")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: java.io.IOException => () /* closed */ }
+    }, "graft-mysql-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+  }
+
+  /** Stop accepting (test hygiene; live connections drain on close). */
+  def stop(): Unit = synchronized {
+    server.foreach(s => try s.close() catch { case _: Exception => () })
+    server = None
+  }
+
+  // ---- packet framing ----------------------------------------------
+
+  private final class PacketIO(in: InputStream, out: OutputStream) {
+    var seq: Int = 0
+
+    def read(): Array[Byte] = {
+      val hdr = readFully(4)
+      val len = (hdr(0) & 0xFF) | ((hdr(1) & 0xFF) << 8) | ((hdr(2) & 0xFF) << 16)
+      seq = (hdr(3) & 0xFF) + 1
+      readFully(len)
+    }
+
+    private def readFully(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) throw new EOFException("client closed")
+        off += r
+      }
+      buf
+    }
+
+    def write(payload: Array[Byte]): Unit = {
+      // large payloads would need 16MB splitting; the wire adapter's
+      // per-packet units (one row, one column def) stay far below it
+      out.write(payload.length & 0xFF)
+      out.write((payload.length >> 8) & 0xFF)
+      out.write((payload.length >> 16) & 0xFF)
+      out.write(seq & 0xFF)
+      seq += 1
+      out.write(payload)
+    }
+
+    def flush(): Unit = out.flush()
+  }
+
+  private final class Packet {
+    private val b = new java.io.ByteArrayOutputStream()
+    def u1(v: Int): Packet = { b.write(v & 0xFF); this }
+    def u2(v: Int): Packet = { u1(v); u1(v >> 8) }
+    def u4(v: Long): Packet = { u2(v.toInt); u2((v >> 16).toInt) }
+    def raw(a: Array[Byte]): Packet = { b.write(a); this }
+    def str(s: String): Packet = raw(s.getBytes(UTF_8))
+    def strNul(s: String): Packet = { str(s); u1(0) }
+    def lenenc(v: Long): Packet =
+      if (v < 251) u1(v.toInt)
+      else if (v < 65536) { u1(0xFC); u2(v.toInt) }
+      else if (v < 16777216) { u1(0xFD); u1(v.toInt); u1((v >> 8).toInt); u1((v >> 16).toInt) }
+      else { u1(0xFE); u4(v); u4(v >> 32) }
+    def lenencStr(s: String): Packet = {
+      val a = s.getBytes(UTF_8); lenenc(a.length.toLong); raw(a)
+    }
+    def bytes: Array[Byte] = b.toByteArray
+  }
+
+  private def okPacket(): Array[Byte] =
+    new Packet().u1(0x00).lenenc(0).lenenc(0).u2(0x0002).u2(0).bytes
+
+  private def eofPacket(): Array[Byte] =
+    new Packet().u1(0xFE).u2(0).u2(0x0002).bytes
+
+  private def errPacket(code: Int, sqlState: String, msg: String): Array[Byte] =
+    new Packet().u1(0xFF).u2(code).u1('#').str(sqlState.take(5).padTo(5, '0'))
+      .str(msg.take(2000)).bytes
+
+  // ---- handshake ----------------------------------------------------
+
+  private def greeting(connId: Int, scramble: Array[Byte]): Array[Byte] = {
+    val p = new Packet()
+    p.u1(0x0A).strNul("8.0.33-graft").u4(connId.toLong)
+    p.raw(scramble.take(8)).u1(0)
+    p.u2((ServerCaps & 0xFFFF).toInt)
+    p.u1(33 /* utf8_general_ci */).u2(0x0002)
+    p.u2(((ServerCaps >> 16) & 0xFFFF).toInt)
+    p.u1(21).raw(new Array[Byte](10))
+    p.raw(scramble.drop(8).take(12)).u1(0)
+    p.strNul("mysql_native_password")
+    p.bytes
+  }
+
+  /** HandshakeResponse41 fields this adapter needs: capabilities and
+    * the username (the auth payload is superseded by the cleartext
+    * AuthSwitch when credentials are enforced).
+    */
+  private def parseHandshakeResponse(payload: Array[Byte]): (Long, String) = {
+    val caps = (payload(0) & 0xFFL) | ((payload(1) & 0xFFL) << 8) |
+      ((payload(2) & 0xFFL) << 16) | ((payload(3) & 0xFFL) << 24)
+    var i = 4 + 4 + 1 + 23 // max-packet, charset, reserved
+    val s = i
+    while (i < payload.length && payload(i) != 0) i += 1
+    val user = new String(payload, s, i - s, UTF_8)
+    (caps, user)
+  }
+
+  // ---- per-connection loop -----------------------------------------
+
+  private def handle(parent: SparkSession, sock: Socket): Unit = {
+    try {
+      sock.setTcpNoDelay(true)
+      val io = new PacketIO(new BufferedInputStream(sock.getInputStream),
+        new BufferedOutputStream(sock.getOutputStream))
+      val scramble = new Array[Byte](20)
+      new java.util.Random(System.nanoTime()).nextBytes(scramble)
+      scramble.indices.foreach(i => if (scramble(i) == 0) scramble(i) = 1)
+      io.write(greeting(connIds.get(), scramble)); io.flush()
+      val (_, user0) = parseHandshakeResponse(io.read())
+      val user = if (user0.isEmpty) "anonymous" else user0
+      if (ConnectAuth.required) {
+        // AuthSwitch to cleartext: validated by the shared credential
+        // query (see object doc for why not the native SHA1 dance)
+        io.write(new Packet().u1(0xFE).strNul("mysql_clear_text_password")
+          .strNul("").bytes)
+        io.flush()
+        val tokenRaw = io.read()
+        val token = new String(
+          if (tokenRaw.nonEmpty && tokenRaw.last == 0) tokenRaw.dropRight(1)
+          else tokenRaw, UTF_8)
+        if (!ConnectAuth.check(user, token)) {
+          GraftAudit.record(user, "LOGIN", "mysql-wire", "deny")
+          io.write(errPacket(1045, "28000",
+            s"Access denied for user '$user' (graft mysql endpoint)"))
+          io.flush()
+          return
+        }
+      }
+      io.write(okPacket()); io.flush()
+
+      // identity-bound engine session: runtime conf (catalog wiring)
+      // copies over best-effort, then the login is pinned — and the
+      // wire never forwards SET, so it STAYS pinned
+      val sess = parent.newSession()
+      parent.conf.getAll.foreach { case (k, v) =>
+        try sess.conf.set(k, v) catch { case _: Exception => () }
+      }
+      sess.conf.set("spark.graft.sql.user", user)
+
+      var open = true
+      while (open) {
+        io.seq = 0
+        val cmd = io.read()
+        if (cmd.isEmpty) { io.write(errPacket(1064, "42000", "empty command")); io.flush() }
+        else (cmd(0) & 0xFF) match {
+          case 0x01 => open = false // COM_QUIT
+          case 0x0E => io.write(okPacket()); io.flush() // COM_PING
+          case 0x02 => // COM_INIT_DB
+            val db = new String(cmd, 1, cmd.length - 1, UTF_8)
+            try { sess.sql(s"USE $db"); io.write(okPacket()) }
+            catch { case e: Exception =>
+              io.write(errPacket(1049, "42000", e.getMessage)) }
+            io.flush()
+          case 0x03 => // COM_QUERY
+            runQuery(sess, user, new String(cmd, 1, cmd.length - 1, UTF_8), io)
+            io.flush()
+          case other =>
+            io.write(errPacket(1047, "08S01", f"unsupported command 0x$other%02x"))
+            io.flush()
+        }
+      }
+    } catch {
+      case _: EOFException => ()
+      case _: java.net.SocketException => ()
+      case e: Exception =>
+        System.err.println(s"[graft-mysql] connection error: ${e.toString.take(200)}")
+    } finally { try sock.close() catch { case _: Exception => () } }
+  }
+
+  // ---- COM_QUERY ----------------------------------------------------
+
+  private val SwallowRe =
+    "(?is)^\\s*(SET|BEGIN|COMMIT|ROLLBACK|START\\s+TRANSACTION)\\b.*".r.pattern
+  private val SysVarRe =
+    "(?is)^\\s*SELECT\\s+(@@[\\w.]+(?:\\s*,\\s*@@[\\w.]+)*)\\s*(LIMIT\\s+\\d+)?\\s*$".r
+
+  private def runQuery(sess: SparkSession, user: String, sqlRaw: String,
+      io: PacketIO): Unit = {
+    val sql = sqlRaw.trim.stripSuffix(";").trim
+    // MySQL session chatter: acknowledged, never forwarded — this is
+    // also what makes the identity conf unspoofable over this wire
+    if (SwallowRe.matcher(sql).matches()) { io.write(okPacket()); return }
+    // connector greeting probes (SELECT @@version_comment LIMIT 1 ...)
+    sql match {
+      case SysVarRe(vars, _) =>
+        val names = vars.split(",").map(_.trim)
+        val values = names.map { n =>
+          n.stripPrefix("@@").toLowerCase match {
+            case "version" | "version_comment" => "8.0.33-graft"
+            case "max_allowed_packet" => "16777216"
+            case "sql_mode" | "character_set_client" | "collation_connection" => ""
+            case "autocommit" => "1"
+            case _ => "0"
+          }
+        }
+        writeResultHeader(io, names.map(n => (n, "string")))
+        io.write(names.indices.foldLeft(new Packet()) { (p, i) =>
+          p.lenencStr(values(i)) }.bytes)
+        io.write(eofPacket())
+        return
+      case _ => ()
+    }
+    val engineSql = sql match {
+      case s if s.matches("(?is)^SHOW\\s+DATABASES\\s*$") => "SHOW NAMESPACES"
+      case s => s
+    }
+    if (!ConnectAuth.tryAcquire(user)) {
+      GraftAudit.record(user, "EXECUTE", "mysql-wire", "deny")
+      io.write(errPacket(1040, "08004",
+        "RESOURCE_EXHAUSTED: per-principal in-flight statement cap reached"))
+      return
+    }
+    try {
+      val df = sess.sql(engineSql)
+      val schema = df.schema
+      if (schema.isEmpty) { df.collect(); io.write(okPacket()); return }
+      writeResultHeader(io, schema.fields.map(f =>
+        (f.name, f.dataType.typeName)))
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val p = new Packet()
+        schema.indices.foreach { i =>
+          if (row.isNullAt(i)) p.u1(0xFB)
+          else p.lenencStr(textOf(row.get(i)))
+        }
+        io.write(p.bytes)
+      }
+      io.write(eofPacket())
+    } catch {
+      case e: GraftAuthz.AccessDenied =>
+        io.write(errPacket(1142, "42000", e.getMessage))
+      case e: Exception =>
+        io.write(errPacket(1064, "42000",
+          Option(e.getMessage).getOrElse(e.toString).take(1500)))
+    } finally ConnectAuth.release(user)
+  }
+
+  /** Column-count packet + one column-definition packet per field +
+    * EOF — the classic (non-DEPRECATE_EOF) result-set preamble.
+    */
+  private def writeResultHeader(io: PacketIO,
+      cols: Seq[(String, String)]): Unit = {
+    io.write(new Packet().lenenc(cols.length.toLong).bytes)
+    cols.foreach { case (name, tpe) =>
+      val (mysqlType, len) = tpe match {
+        case "byte" | "boolean" => (0x01, 4L) // TINY
+        case "short" => (0x02, 6L)
+        case "integer" => (0x03, 11L)
+        case "long" | "bigint" => (0x08, 20L) // LONGLONG
+        case "float" => (0x04, 12L)
+        case "double" => (0x05, 22L)
+        case t if t.startsWith("decimal") => (0xF6, 40L)
+        case "date" => (0x0A, 10L)
+        case t if t.startsWith("timestamp") => (0x0C, 26L)
+        case _ => (0xFD, 65535L) // VAR_STRING
+      }
+      io.write(new Packet()
+        .lenencStr("def").lenencStr("").lenencStr("").lenencStr("")
+        .lenencStr(name).lenencStr(name)
+        .u1(0x0C).u2(33).u4(len).u1(mysqlType).u2(0).u1(0).u2(0)
+        .bytes)
+    }
+    io.write(eofPacket())
+  }
+
+  private def textOf(v: Any): String = v match {
+    case b: Array[Byte] => new String(b, UTF_8)
+    case s: Seq[_] => s.map(textOf).mkString("[", ",", "]")
+    case m: Map[_, _] =>
+      m.map { case (k, x) => s"${textOf(k)}:${textOf(x)}" }.mkString("{", ",", "}")
+    case other => String.valueOf(other)
+  }
+}

@@ -598,10 +598,49 @@ final class GraftRawStore extends RawStore {
   override def listRoles(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.Role] = unsupported("listRoles")
   override def listRolesWithGrants(a0: String, a1: org.apache.hadoop.hive.metastore.api.PrincipalType): java.util.List[org.apache.hadoop.hive.metastore.api.RolePrincipalGrant] = unsupported("listRolesWithGrants")
   override def listRoleMembers(a0: String): java.util.List[org.apache.hadoop.hive.metastore.api.RolePrincipalGrant] = unsupported("listRoleMembers")
-  override def getPartitionWithAuth(a0: String, a1: String, a2: java.util.List[String], a3: String, a4: java.util.List[String]): org.apache.hadoop.hive.metastore.api.Partition = unsupported("getPartitionWithAuth")
-  override def getPartitionsWithAuth(a0: String, a1: String, a2: Short, a3: String, a4: java.util.List[String]): java.util.List[org.apache.hadoop.hive.metastore.api.Partition] = unsupported("getPartitionsWithAuth")
-  override def listPartitionNamesPs(a0: String, a1: String, a2: java.util.List[String], a3: Short): java.util.List[String] = unsupported("listPartitionNamesPs")
-  override def listPartitionsPsWithAuth(a0: String, a1: String, a2: java.util.List[String], a3: Short, a4: String, a5: java.util.List[String]): java.util.List[org.apache.hadoop.hive.metastore.api.Partition] = unsupported("listPartitionsPsWithAuth")
+  // The *WithAuth variants delegate: authorization is the engine's
+  // (C24, keyed to the wire identity), not per-partition Hive grants.
+  override def getPartitionWithAuth(db: String, tbl: String,
+      vals: java.util.List[String], user: String,
+      groups: java.util.List[String]): Partition = getPartition(db, tbl, vals)
+  override def getPartitionsWithAuth(db: String, tbl: String, max: Short,
+      user: String, groups: java.util.List[String]): java.util.List[Partition] =
+    getPartitions(db, tbl, max.toInt)
+
+  /** Partial-spec matcher (`SHOW PARTITIONS t PARTITION(region='eu')`):
+    * `spec` aligns with the partition columns, empty/missing entries
+    * are wildcards.
+    */
+  private def psMatches(spec: Seq[String], values: Seq[Option[String]]): Boolean =
+    spec.zip(values).forall { case (want, v) =>
+      want == null || want.isEmpty ||
+        v.map(org.apache.spark.sql.graftglue.Glue.escapePathName)
+          .getOrElse("__HIVE_DEFAULT_PARTITION__") == want ||
+        v.contains(want) // unescaped client spec
+    }
+
+  override def listPartitionNamesPs(db: String, tbl: String,
+      spec: java.util.List[String], max: Short): java.util.List[String] =
+    io { (s, st) =>
+      val (_, cols, ls) = leaves(s, st, db, tbl)
+      val want = spec.asScala.toSeq
+      val names = ls.map(_._1).distinct.filter(psMatches(want, _))
+        .map(partName(cols, _)).sorted
+      (if (max >= 0) names.take(max.toInt) else names).toList.asJava
+    }
+
+  override def listPartitionsPsWithAuth(db: String, tbl: String,
+      spec: java.util.List[String], max: Short, user: String,
+      groups: java.util.List[String]): java.util.List[Partition] =
+    io { (s, st) =>
+      val (_, cols, ls) = leaves(s, st, db, tbl)
+      val want = spec.asScala.toSeq
+      val distinct = ls.filter(l => psMatches(want, l._1))
+        .groupBy(_._1).map { case (vs, g) => (vs, g.head._2) }
+        .toSeq.sortBy(p => partName(cols, p._1))
+      val lim = if (max >= 0) distinct.take(max.toInt) else distinct
+      lim.map { case (vs, dir) => mkPartition(db, tbl, cols, vs, dir) }.toList.asJava
+    }
   override def updateTableColumnStatistics(a0: org.apache.hadoop.hive.metastore.api.ColumnStatistics): Boolean = unsupported("updateTableColumnStatistics")
   override def updatePartitionColumnStatistics(a0: org.apache.hadoop.hive.metastore.api.ColumnStatistics, a1: java.util.List[String]): Boolean = unsupported("updatePartitionColumnStatistics")
   /** Table column statistics for external optimizers, aggregated from

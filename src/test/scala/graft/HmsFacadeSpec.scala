@@ -162,6 +162,10 @@ class HmsFacadeSpec extends AnyFunSuite {
       // unknown key fails loudly, like the stock store
       val bad = intercept[Exception] { names("nope = \"x\"") }
       assert(bad.getMessage.contains("not a partitioning key"), bad.getMessage)
+      // partial-spec listing (SHOW PARTITIONS ... PARTITION(region='eu'))
+      val ps = client.listPartitionNames("db", "pf",
+        Seq("eu").asJava, (-1).toShort).asScala.toSet
+      assert(ps == Set("region=eu/yr=9", "region=eu/yr=10"), ps)
     } finally client.close()
   }
 

@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MySQL-protocol SQL endpoint (the reference's Doris serving wire,
+  * internal/controller/doris.go). No MySQL connector library exists
+  * in this sandbox (zero egress), so the spec speaks the public
+  * client/server protocol DIRECTLY on the socket — greeting v10,
+  * HandshakeResponse41, cleartext AuthSwitch, COM_QUERY text result
+  * sets — which pins the server's wire format byte-for-byte rather
+  * than whatever a driver tolerates. Auth, grants, audit and
+  * admission ride the same control plane as the gRPC/Thrift wires.
+  */
+class MysqlGatewaySpec extends AnyFunSuite {
+  import SharedSpark.spark
+
+  private val port = 14997
+
+  // ---- minimal wire client (public protocol) -----------------------
+
+  private final class Wire(host: String, portN: Int) {
+    private val sock = new java.net.Socket(host, portN)
+    sock.setTcpNoDelay(true)
+    private val in = new java.io.BufferedInputStream(sock.getInputStream)
+    private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    private var seq = 0
+
+    private def readFully(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); var off = 0
+      while (off < n) {
+        val r = in.read(b, off, n - off)
+        assert(r >= 0, "server closed mid-packet"); off += r
+      }
+      b
+    }
+
+    def readPacket(): Array[Byte] = {
+      val h = readFully(4)
+      val len = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
+      seq = (h(3) & 0xFF) + 1
+      readFully(len)
+    }
+
+    def writePacket(p: Array[Byte]): Unit = {
+      out.write(p.length & 0xFF); out.write((p.length >> 8) & 0xFF)
+      out.write((p.length >> 16) & 0xFF); out.write(seq & 0xFF)
+      seq += 1
+      out.write(p); out.flush()
+    }
+
+    private def lenenc(a: Array[Byte], at: Int): (Long, Int) =
+      (a(at) & 0xFF) match {
+        case 0xFB => (-1L, at + 1) // NULL in row context
+        case 0xFC => (((a(at + 1) & 0xFFL)) | ((a(at + 2) & 0xFFL) << 8), at + 3)
+        case 0xFD => ((a(at + 1) & 0xFFL) | ((a(at + 2) & 0xFFL) << 8) |
+          ((a(at + 3) & 0xFFL) << 16), at + 4)
+        case 0xFE => ((0 until 8).map(i => (a(at + 1 + i) & 0xFFL) << (8 * i)).sum, at + 9)
+        case v => (v.toLong, at + 1)
+      }
+
+    private def lenencStr(a: Array[Byte], at: Int): (String, Int) = {
+      val (n, i) = lenenc(a, at)
+      (new String(a, i, n.toInt, UTF_8), i + n.toInt)
+    }
+
+    def errMsg(p: Array[Byte]): String = {
+      val code = (p(1) & 0xFF) | ((p(2) & 0xFF) << 8)
+      s"ERR $code: ${new String(p, 9, p.length - 9, UTF_8)}"
+    }
+
+    /** Greeting + HandshakeResponse41 (+ cleartext AuthSwitch). */
+    def login(user: String, token: String): Either[String, Unit] = {
+      val greet = readPacket()
+      assert((greet(0) & 0xFF) == 0x0A, "protocol v10 greeting expected")
+      assert(new String(greet).contains("graft"), "server version marker")
+      val b = new java.io.ByteArrayOutputStream()
+      def u4(v: Long): Unit =
+        (0 until 4).foreach(i => b.write(((v >> (8 * i)) & 0xFF).toInt))
+      u4(0x00000001L | 0x00000200L | 0x00008000L | 0x00080000L) // caps
+      u4(16 * 1024 * 1024) // max packet
+      b.write(33) // utf8
+      (0 until 23).foreach(_ => b.write(0))
+      b.write(user.getBytes(UTF_8)); b.write(0)
+      b.write(0) // empty auth response (1-byte length, SECURE_CONNECTION form)
+      b.write("mysql_native_password".getBytes(UTF_8)); b.write(0)
+      writePacket(b.toByteArray)
+      var p = readPacket()
+      if ((p(0) & 0xFF) == 0xFE) { // AuthSwitchRequest → cleartext token
+        writePacket(token.getBytes(UTF_8) :+ 0.toByte)
+        p = readPacket()
+      }
+      if ((p(0) & 0xFF) == 0x00) Right(()) else Left(errMsg(p))
+    }
+
+    /** COM_QUERY → Left(err) | Right((columns, rows)); OK-only
+      * responses return empty columns.
+      */
+    def query(sql: String): Either[String, (Seq[String], Seq[Seq[Option[String]]])] = {
+      seq = 0
+      writePacket(3.toByte +: sql.getBytes(UTF_8))
+      val first = readPacket()
+      (first(0) & 0xFF) match {
+        case 0x00 => Right((Nil, Nil))
+        case 0xFF => Left(errMsg(first))
+        case _ =>
+          val (ncols, _) = lenenc(first, 0)
+          val cols = (1 to ncols.toInt).map { _ =>
+            val cd = readPacket()
+            // def, schema, table, org_table, NAME
+            var at = 0
+            var name = ""
+            (0 until 5).foreach { _ =>
+              val (s, i) = lenencStr(cd, at); at = i; name = s
+            }
+            name
+          }
+          val eof1 = readPacket()
+          assert((eof1(0) & 0xFF) == 0xFE && eof1.length < 9, "column EOF")
+          val rows = Seq.newBuilder[Seq[Option[String]]]
+          var done = false
+          while (!done) {
+            val p = readPacket()
+            if ((p(0) & 0xFF) == 0xFE && p.length < 9) done = true
+            else if ((p(0) & 0xFF) == 0xFF) return Left(errMsg(p))
+            else {
+              var at = 0
+              val vals = (1 to ncols.toInt).map { _ =>
+                if ((p(at) & 0xFF) == 0xFB) { at += 1; None }
+                else { val (s, i) = lenencStr(p, at); at = i; Some(s) }
+              }
+              rows += vals
+            }
+          }
+          Right((cols, rows.result()))
+      }
+    }
+
+    def close(): Unit = {
+      try { seq = 0; writePacket(Array(1.toByte)) } catch { case _: Exception => () }
+      sock.close()
+    }
+  }
+
+  test("mysql wire: auth, grouped aggregate, connector probes, tenant isolation, no spoofing") {
+    val url = "jdbc:derby:memory:mysqlauth;create=true"
+    val conn0 = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn0.createStatement()
+      st.execute("CREATE TABLE gateway_users(user_name VARCHAR(64), token VARCHAR(64))")
+      st.execute("INSERT INTO gateway_users VALUES ('alice', 'm1'), ('bob', 'm2')")
+    } finally conn0.close()
+    ConnectAuth.enable(url,
+      "SELECT 1 FROM gateway_users WHERE user_name = ? AND token = ?",
+      maxConcurrentPerUser = 4)
+    GraftAuthz.enable(url, superusers = Set(spark.sparkContext.sparkUser))
+    GraftMysqlServer.start(spark, port)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.my_a")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.my_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.my_a.sales")
+      spark.sql("CREATE TABLE graft_cat.my_a.sales AS " +
+        "SELECT id % 3 AS g, id AS v FROM range(30)")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.my_b.secret")
+      spark.sql("CREATE TABLE graft_cat.my_b.secret AS SELECT 42 AS answer")
+      GraftAuthz.grant("alice", "my_a", "ALL")
+      GraftAuthz.grant("bob", "my_b", "ALL")
+
+      // bad token: ERR 1045, no session
+      val bad = new Wire("localhost", port)
+      assert(bad.login("alice", "wrong").left.exists(_.contains("1045")))
+      bad.close()
+
+      val c = new Wire("localhost", port)
+      assert(c.login("alice", "m1").isRight)
+
+      // connector greeting probe (what mysql CLI / connector-j send first)
+      val probe = c.query("SELECT @@version_comment LIMIT 1")
+      assert(probe.exists(_._2.head.head.exists(_.contains("graft"))), probe)
+
+      // the Done-criterion shape: a grouped aggregate over the shared
+      // catalog, ordered, typed
+      val agg = c.query(
+        "SELECT g, count(*) AS c, sum(v) AS s FROM graft_cat.my_a.sales " +
+          "GROUP BY g ORDER BY g")
+      val (cols, rows) = agg.toOption.get
+      assert(cols == Seq("g", "c", "s"), cols)
+      assert(rows == Seq(
+        Seq(Some("0"), Some("10"), Some("135")),
+        Seq(Some("1"), Some("10"), Some("145")),
+        Seq(Some("2"), Some("10"), Some("155"))), rows)
+
+      // NULLs travel as protocol NULL (0xfb), not the string "null"
+      val nulls = c.query("SELECT CAST(NULL AS BIGINT) AS n, 7 AS x")
+      assert(nulls.toOption.get._2 == Seq(Seq(None, Some("7"))), nulls)
+
+      // C24 over this wire: alice cannot read bob's table...
+      val denied = c.query("SELECT * FROM graft_cat.my_b.secret")
+      assert(denied.left.exists(_.contains("PERMISSION_DENIED")), denied)
+      // ...and cannot spoof: SET is wire-acknowledged, never forwarded
+      assert(c.query("SET spark.graft.sql.user=bob").isRight)
+      val stillDenied = c.query("SELECT * FROM graft_cat.my_b.secret")
+      assert(stillDenied.left.exists(_.contains("PERMISSION_DENIED")), stillDenied)
+      // C28: the denial is in the audit trail, attributed to the
+      // wire-authenticated principal
+      GraftAudit.flush(5000L)
+      val trail = spark.sql("CALL graft_cat.system.show_audit(200)").collect()
+      assert(trail.exists(r => r.getString(1) == "alice" &&
+        r.getString(4) == "deny" && r.getString(3).contains("my_b")),
+        "denied mysql-wire query must land in the audit trail")
+      c.close()
+    } finally {
+      GraftMysqlServer.stop()
+      GraftAuthz.disable()
+      ConnectAuth.disable()
+    }
+  }
+}

@@ -22,11 +22,13 @@ object GatewayDiscovery {
 
   /** A gateway host's advertised wires: `port` is the gRPC (Spark
     * Connect) endpoint, `thriftPort` the HiveServer2 Thrift endpoint
-    * when the host serves one — ONE lease row carries both, so the
-    * C23 failover story covers Thrift clients with the same heartbeat
-    * (a JDBC client re-resolves via [[resolveThrift]]).
+    * when the host serves one, `mysqlPort` the MySQL-protocol
+    * endpoint — ONE lease row carries all advertised wires, so the
+    * C23 failover story covers every client kind with the same
+    * heartbeat (re-resolve via [[resolveThrift]]/[[resolveMysql]]).
     */
-  final case class Endpoint(host: String, port: Int, thriftPort: Option[Int] = None)
+  final case class Endpoint(host: String, port: Int, thriftPort: Option[Int] = None,
+      mysqlPort: Option[Int] = None)
 
   private final case class Reg(url: String, user: Option[String], pass: Option[String],
       endpoint: Endpoint, leaseMillis: Long, thread: Thread)
@@ -39,16 +41,20 @@ object GatewayDiscovery {
   private def ensureTable(url: String, u: Option[String], p: Option[String]): Unit = {
     ControlPlaneDb.ensureTable(url, u, p,
       "CREATE TABLE graft_gateways(host VARCHAR(256), port INTEGER, " +
-        "lease_expiry BIGINT, thrift_port INTEGER, PRIMARY KEY (host, port))",
+        "lease_expiry BIGINT, thrift_port INTEGER, mysql_port INTEGER, " +
+        "PRIMARY KEY (host, port))",
       "graft_gateways")
-    // Upgrade path: a pre-Thrift deployment's table lacks the column;
-    // rows it wrote read back as NULL (= no Thrift wire) — correct.
+    // Upgrade path: an older deployment's table lacks the wire
+    // columns; rows it wrote read back as NULL (= wire not served) —
+    // correct either way.
     withConn(url, u, p) { conn =>
-      try conn.createStatement()
-        .executeQuery("SELECT thrift_port FROM graft_gateways WHERE 1 = 0").close()
-      catch { case _: java.sql.SQLException =>
-        conn.createStatement()
-          .execute("ALTER TABLE graft_gateways ADD COLUMN thrift_port INTEGER")
+      Seq("thrift_port", "mysql_port").foreach { c =>
+        try conn.createStatement()
+          .executeQuery(s"SELECT $c FROM graft_gateways WHERE 1 = 0").close()
+        catch { case _: java.sql.SQLException =>
+          conn.createStatement()
+            .execute(s"ALTER TABLE graft_gateways ADD COLUMN $c INTEGER")
+        }
       }
     }
   }
@@ -58,22 +64,22 @@ object GatewayDiscovery {
     withConn(url, u, p) { conn =>
       val expiry = System.currentTimeMillis() + leaseMillis
       val upd = conn.prepareStatement(
-        "UPDATE graft_gateways SET lease_expiry = ?, thrift_port = ? " +
-          "WHERE host = ? AND port = ?")
-      def bindThrift(ps: java.sql.PreparedStatement, at: Int): Unit =
-        e.thriftPort match {
-          case Some(tp) => ps.setInt(at, tp)
+        "UPDATE graft_gateways SET lease_expiry = ?, thrift_port = ?, " +
+          "mysql_port = ? WHERE host = ? AND port = ?")
+      def bindOpt(ps: java.sql.PreparedStatement, at: Int, v: Option[Int]): Unit =
+        v match {
+          case Some(n) => ps.setInt(at, n)
           case None => ps.setNull(at, java.sql.Types.INTEGER)
         }
-      upd.setLong(1, expiry); bindThrift(upd, 2)
-      upd.setString(3, e.host); upd.setInt(4, e.port)
+      upd.setLong(1, expiry); bindOpt(upd, 2, e.thriftPort); bindOpt(upd, 3, e.mysqlPort)
+      upd.setString(4, e.host); upd.setInt(5, e.port)
       if (upd.executeUpdate() == 0) {
         try {
           val ins = conn.prepareStatement(
-            "INSERT INTO graft_gateways(host, port, lease_expiry, thrift_port) " +
-              "VALUES (?, ?, ?, ?)")
+            "INSERT INTO graft_gateways(host, port, lease_expiry, thrift_port, " +
+              "mysql_port) VALUES (?, ?, ?, ?, ?)")
           ins.setString(1, e.host); ins.setInt(2, e.port); ins.setLong(3, expiry)
-          bindThrift(ins, 4)
+          bindOpt(ins, 4, e.thriftPort); bindOpt(ins, 5, e.mysqlPort)
           ins.executeUpdate()
         } catch { // lost an insert race to our own previous row: retry as update
           case ex: java.sql.SQLException if ControlPlaneDb.isDuplicateKey(ex) =>
@@ -140,15 +146,17 @@ object GatewayDiscovery {
       val reap = conn.prepareStatement("DELETE FROM graft_gateways WHERE lease_expiry < ?")
       reap.setLong(1, now); reap.executeUpdate()
       val ps = conn.prepareStatement(
-        "SELECT host, port, thrift_port FROM graft_gateways WHERE lease_expiry >= ? " +
-          "ORDER BY lease_expiry DESC")
+        "SELECT host, port, thrift_port, mysql_port FROM graft_gateways " +
+          "WHERE lease_expiry >= ? ORDER BY lease_expiry DESC")
       ps.setLong(1, now)
       val rs = ps.executeQuery()
       val out = scala.collection.mutable.ArrayBuffer.empty[Endpoint]
+      def optPort(at: Int): Option[Int] = {
+        val v = rs.getInt(at)
+        if (rs.wasNull() || v <= 0) None else Some(v)
+      }
       try while (rs.next()) {
-        val tp = rs.getInt(3)
-        out += Endpoint(rs.getString(1), rs.getInt(2),
-          if (rs.wasNull() || tp <= 0) None else Some(tp))
+        out += Endpoint(rs.getString(1), rs.getInt(2), optPort(3), optPort(4))
       } finally rs.close()
       out.toSeq
     }
@@ -163,4 +171,9 @@ object GatewayDiscovery {
   def resolveThrift(jdbcUrl: String, jdbcUser: Option[String] = None,
       jdbcPassword: Option[String] = None): Option[Endpoint] =
     live(jdbcUrl, jdbcUser, jdbcPassword).find(_.thriftPort.isDefined)
+
+  /** The freshest live endpoint serving the MySQL wire (C38). */
+  def resolveMysql(jdbcUrl: String, jdbcUser: Option[String] = None,
+      jdbcPassword: Option[String] = None): Option[Endpoint] =
+    live(jdbcUrl, jdbcUser, jdbcPassword).find(_.mysqlPort.isDefined)
 }

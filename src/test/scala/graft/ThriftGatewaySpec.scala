@@ -153,6 +153,7 @@ class ThriftGatewaySpec extends AnyFunSuite {
     val conn0 = DriverManager.getConnection(url)
     try {
       val st = conn0.createStatement()
+      // pre-mysql_port schema ON PURPOSE: exercises the ALTER upgrade
       st.execute("CREATE TABLE graft_gateways(host VARCHAR(256), port INTEGER, " +
         "lease_expiry BIGINT, thrift_port INTEGER, PRIMARY KEY (host, port))")
       st.execute("INSERT INTO graft_gateways VALUES " +
@@ -160,14 +161,18 @@ class ThriftGatewaySpec extends AnyFunSuite {
     } finally conn0.close()
     try {
       GatewayDiscovery.register(url,
-        GatewayDiscovery.Endpoint("localhost", 15002, thriftPort = Some(port)),
+        GatewayDiscovery.Endpoint("localhost", 15002, thriftPort = Some(port),
+          mysqlPort = Some(14997)),
         leaseMillis = 5000L)
       assert(GatewayDiscovery.live(url).map(_.thriftPort).toSet
         == Set(Some(port), Some(19999)))
       Thread.sleep(400) // the dead host's lease lapses
       val resolved = GatewayDiscovery.resolveThrift(url)
-      assert(resolved ==
-        Some(GatewayDiscovery.Endpoint("localhost", 15002, Some(port))), resolved)
+      assert(resolved == Some(GatewayDiscovery.Endpoint("localhost", 15002,
+        Some(port), Some(14997))), resolved)
+      // the same lease row advertises the MySQL wire (C38)
+      assert(GatewayDiscovery.resolveMysql(url).flatMap(_.mysqlPort)
+        .contains(14997))
       // the re-resolved endpoint actually serves: real hive-jdbc query
       Class.forName("org.apache.hive.jdbc.HiveDriver")
       val c = DriverManager.getConnection(

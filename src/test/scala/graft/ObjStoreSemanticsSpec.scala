@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The commit protocol under OBJECT-STORE/HDFS rename semantics.
+  *
+  * Every LakeTable test elsewhere runs on the local filesystem, whose
+  * rename REPLACES an existing target atomically — so the documented
+  * fallback paths (writeTableMeta's delete-then-rename when the store
+  * refuses rename-onto-existing; the commit publish's "target already
+  * exists" arbitration) never execute under test. [[NoReplaceFs]]
+  * (scheme `graftnr`) delegates storage to the local FS but REFUSES
+  * any rename whose target exists — the HDFS contract, and the shape
+  * of the S3 copy-object leg (reference internal/controller/minio.go:
+  * tables live on MinIO; `tryExclusiveCreate`, LakeTable.scala, is
+  * the documented conditional-PUT swap point). Running the real
+  * create/DDL/DML/maintenance surface on this scheme proves the
+  * protocol does not silently depend on rename-replace.
+  */
+class ObjStoreSemanticsSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+  import graft.sources.LakeTable
+
+  private val root: String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftnr.impl", classOf[NoReplaceFs].getName)
+    s"graftnr://${operators.Lakehouse.scratch}/objstore"
+  }
+
+  test("create / append / time travel / DDL CAS / DML / maintenance under no-replace rename") {
+    val p = s"$root/t1"
+    LakeTable.create(spark, p, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    LakeTable.append(spark, p, Seq((3L, 30L)).toDF("k", "v"))
+    assert(LakeTable.read(spark, p).count() == 3L)
+    assert(LakeTable.read(spark, p, Some(0L)).count() == 2L, "time travel")
+
+    // TWO meta DDLs: the second publishes onto an EXISTING _table.json
+    // — on this scheme that is exactly the delete-then-rename fallback
+    LakeTable.setSortBy(spark, p, Seq("k"))
+    LakeTable.setSortBy(spark, p, Seq("v"))
+    assert(LakeTable.tableSortBy(spark, p) == Seq("v"))
+
+    // copy-on-write DML (group rewrite + commit publish)
+    LakeTable.merge(spark, p, Seq((2L, 222L), (4L, 40L)).toDF("k", "v"), "k")
+    val got = LakeTable.read(spark, p).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 222L), (3L, 30L), (4L, 40L)), got)
+
+    // maintenance: compaction + vacuum keep the live snapshot intact
+    LakeTable.compact(spark, p, 1)
+    LakeTable.vacuum(spark, p, 0L)
+    assert(LakeTable.read(spark, p).as[(Long, Long)].collect().toSet == got)
+  }
+
+  test("racing DDLs under no-replace rename never lose a published meta") {
+    val p = s"$root/race"
+    LakeTable.create(spark, p, Seq((1L, 10L)).toDF("k", "a"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (i <- 1 to 6) {
+        val before = LakeTable.metaCasToken(spark, p)
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val futs = Seq(Seq("k"), Seq("a")).map { c =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              start.await()
+              try { LakeTable.setSortBy(spark, p, c); true }
+              catch { case _: LakeTable.ConcurrentWriteException => false }
+            }
+          })
+        }
+        start.countDown()
+        val wins = futs.map(_.get()).count(identity)
+        assert(wins >= 1, s"iteration $i: both DDLs lost")
+        assert(LakeTable.metaCasToken(spark, p) == before + wins,
+          s"iteration $i: lost update under no-replace semantics")
+      }
+    } finally pool.shutdown()
+  }
+}
+
+/** Local-FS storage with the HDFS/object-store rename contract: a
+  * rename whose TARGET EXISTS returns false instead of replacing it.
+  * Everything else (exclusive create — the conditional-PUT analog —
+  * listing, delete) delegates to the local implementation.
+  */
+class NoReplaceFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftnr"
+
+  // no val: the super constructor calls getUri before vals initialize
+  override def getUri: java.net.URI = java.net.URI.create("graftnr:///")
+
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (exists(dst)) false else super.rename(src, dst)
+
+  // RawLocal's DeprecatedRawLocalFileStatus loads permissions lazily
+  // via `new java.io.File(path.toUri)`, which requires a file:// URI —
+  // our statuses carry graftnr://. Return plain FileStatus copies with
+  // nothing lazy left to load.
+  private def plain(st: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory,
+      st.getReplication, st.getBlockSize, st.getModificationTime,
+      st.getAccessTime, null, null, null, st.getPath)
+
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus =
+    plain(super.getFileStatus(f))
+
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(plain)
+}

@@ -697,7 +697,62 @@ final class GraftRawStore extends RawStore {
             new ColumnStatisticsDesc(true, db, tbl), objs.toList.asJava)
       }
     }
-  override def getPartitionColumnStatistics(a0: String, a1: String, a2: java.util.List[String], a3: java.util.List[String]): java.util.List[org.apache.hadoop.hive.metastore.api.ColumnStatistics] = unsupported("getPartitionColumnStatistics")
+  /** Per-PARTITION column statistics — the partition-wise planning
+    * leg (Hive/Trino ask per-partition to cost partition-pruned
+    * scans). Each requested partition aggregates ONLY the sidecar
+    * lines of files under its leaf dirs; the same honesty rules as
+    * the table level apply (exact nulls or the column is omitted,
+    * NDV = a sound upper bound, exact integral low/high).
+    */
+  override def getPartitionColumnStatistics(db: String, tbl: String,
+      partNames: java.util.List[String], cols: java.util.List[String])
+      : java.util.List[org.apache.hadoop.hive.metastore.api.ColumnStatistics] =
+    io { (s, st) =>
+      import org.apache.hadoop.hive.metastore.api.{ColumnStatistics, ColumnStatisticsData, ColumnStatisticsDesc, ColumnStatisticsObj, DoubleColumnStatsData, LongColumnStatsData}
+      val loc = st.tableLocation(s, db, tbl)
+        .getOrElse(throw new NoSuchObjectException(s"$db.$tbl"))
+      val (_, pcols, ls) = leaves(s, st, db, tbl)
+      val byName = ls.groupBy(p => partName(pcols, p._1))
+      val schema = LakeTable.tableSchema(s, loc)
+      def bd(v: String) = new java.math.BigDecimal(v)
+      partNames.asScala.flatMap { pn =>
+        byName.get(pn).flatMap { group =>
+          val (agg, nullsAgg) =
+            LakeTable.leafColumnStats(s, loc, group.map(_._2.toString))
+          val objs = cols.asScala.flatMap { c =>
+            for {
+              (kind, mn, mx) <- agg.get(c)
+              f <- schema.fields.find(_.name.equalsIgnoreCase(c))
+              if kind == 'n'
+              (rows, nullMap) <- nullsAgg
+              nn <- nullMap.get(f.name)
+              nonNull = math.max(0L, rows - nn)
+              data <- f.dataType match {
+                case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                     org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+                  val width =
+                    bd(mx).subtract(bd(mn)).add(java.math.BigDecimal.ONE)
+                      .min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue()
+                  val d = new LongColumnStatsData(nn, math.min(nonNull, width))
+                  d.setLowValue(bd(mn).longValue()); d.setHighValue(bd(mx).longValue())
+                  Some(ColumnStatisticsData.longStats(d))
+                case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+                  val d = new DoubleColumnStatsData(nn, nonNull)
+                  d.setLowValue(mn.toDouble); d.setHighValue(mx.toDouble)
+                  Some(ColumnStatisticsData.doubleStats(d))
+                case _ => None
+              }
+            } yield new ColumnStatisticsObj(f.name, hiveType(f.dataType), data)
+          }
+          if (objs.isEmpty) None
+          else {
+            val desc = new ColumnStatisticsDesc(false, db, tbl)
+            desc.setPartName(pn)
+            Some(new ColumnStatistics(desc, objs.toList.asJava))
+          }
+        }
+      }.toList.asJava
+    }
   override def deletePartitionColumnStatistics(a0: String, a1: String, a2: String, a3: java.util.List[String], a4: String): Boolean = unsupported("deletePartitionColumnStatistics")
   override def deleteTableColumnStatistics(a0: String, a1: String, a2: String): Boolean = unsupported("deleteTableColumnStatistics")
   override def cleanupEvents(): Long = unsupported("cleanupEvents")

@@ -596,6 +596,99 @@ object LakeTable {
   /** Inclusive conjunctive bounds on one column; None = unbounded. */
   final case class ColumnBounds(lo: Option[Any], hi: Option[Any])
 
+  /** Parsed sidecar lines of one group root (raw split fields; empty
+    * when the sidecar is absent). Shared by the snapshot aggregates
+    * and the per-partition stats slice.
+    */
+  private def sidecarLines(spark: SparkSession, path: String,
+      root: String): Seq[Array[String]] = {
+    val statsPath = new Path(new Path(path, root), StatsFile)
+    val fs = fsOf(spark, statsPath)
+    if (!fs.exists(statsPath)) return Nil
+    val in = fs.open(statsPath)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    body.split("\n").filter(_.nonEmpty).map(_.split("\t")).toSeq
+  }
+
+  /** Per-PARTITION column stats: (kind, min, max) plus exact
+    * (rows, nulls) aggregated over ONLY the files under the given
+    * leaf dirs (absolute path strings under `path`) — the partition
+    * slice of the sidecar harvest, serving the HMS facade's
+    * `get_partition_column_statistics`. Returns (bounds, rows,
+    * nulls); nulls is None when any contributing line predates the
+    * null/row fields.
+    */
+  private[graft] def leafColumnStats(spark: SparkSession, path: String,
+      leafDirs: Seq[String])
+      : (Map[String, (Char, String, String)], Option[(Long, Map[String, Long])]) = {
+    val base = fsOf(spark, new Path(path)).makeQualified(new Path(path)).toString
+    // leaf -> (group root, rel prefix under the root; "" = whole group)
+    val slices = leafDirs.map { l =>
+      val q = fsOf(spark, new Path(l)).makeQualified(new Path(l)).toString
+      val entry = q.stripPrefix(base + "/")
+      val root = groupRoot(entry)
+      (root, q.stripPrefix(
+        fsOf(spark, new Path(path, root)).makeQualified(new Path(path, root)).toString)
+        .stripPrefix("/"))
+    }.distinct
+    val acc = scala.collection.mutable.Map.empty[String, (Char, String, String)]
+    val dropped = scala.collection.mutable.Set.empty[String]
+    val perFile = scala.collection.mutable.Map.empty[String, (Long, Map[String, Long])]
+    var nullsKnown = true
+    slices.groupBy(_._1).foreach { case (root, ss) =>
+      val prefixes = ss.map(_._2)
+      sidecarLines(spark, path, root)
+        .filter(a => a.length >= 5 && {
+          val rel = dec(a(0))
+          prefixes.exists(p => p.isEmpty || rel.startsWith(p + "/"))
+        })
+        .foreach { a =>
+          val c = dec(a(1))
+          if (c.nonEmpty && !dropped(c)) {
+            val (kind, mn, mx) = (a(2).head, dec(a(3)), dec(a(4)))
+            acc.get(c) match {
+              case None => acc(c) = (kind, mn, mx)
+              case Some((k0, lo, hi)) if k0 == kind =>
+                val (nlo, nhi) =
+                  if (kind == 'n')
+                    (if (numCmp(mn, lo) < 0) mn else lo,
+                     if (numCmp(mx, hi) > 0) mx else hi)
+                  else (if (mn < lo) mn else lo, if (mx > hi) mx else hi)
+                acc(c) = (kind, nlo, nhi)
+              case Some(_) => dropped += c; acc.remove(c)
+            }
+          }
+          if (a.length < 7) nullsKnown = false
+          else {
+            val file = root + "/" + dec(a(0))
+            val rows = a(6).toLong
+            val (_, m) = perFile.getOrElse(file, (rows, Map.empty[String, Long]))
+            perFile(file) = (rows,
+              if (c.isEmpty) m else m + (c -> a(5).toLong))
+          }
+        }
+    }
+    val nulls =
+      if (!nullsKnown) None
+      else {
+        val totalRows = perFile.valuesIterator.map(_._1).sum
+        val allCols = perFile.valuesIterator.flatMap(_._2.keysIterator).toSet
+        val m = allCols.flatMap { c =>
+          var total = 0L; var known = true
+          perFile.valuesIterator.foreach { case (rows, cm) =>
+            cm.get(c) match {
+              case Some(n) if n >= 0L => total += n
+              case Some(_)            => known = false
+              case None               => total += rows
+            }
+          }
+          if (known) Some(c -> total) else None
+        }.toMap
+        Some((totalRows, m))
+      }
+    (acc.toMap, nulls)
+  }
+
   /** Snapshot-wide (kind, min, max) per column, aggregated from the
     * per-group stats sidecars — what the HMS facade serves external
     * optimizers as table column statistics. Kind 'n' compares
@@ -612,27 +705,21 @@ object LakeTable {
     val acc = scala.collection.mutable.Map.empty[String, (Char, String, String)]
     val dropped = scala.collection.mutable.Set.empty[String]
     roots.foreach { root =>
-      val statsPath = new Path(new Path(path, root), StatsFile)
-      val fs = fsOf(spark, statsPath)
-      if (fs.exists(statsPath)) {
-        val in = fs.open(statsPath)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        body.split("\n").filter(_.nonEmpty).map(_.split("\t")).filter(_.length >= 5)
-          .foreach { a =>
-            val (c, kind, mn, mx) = (dec(a(1)), a(2).head, dec(a(3)), dec(a(4)))
-            if (c.nonEmpty && !dropped(c)) acc.get(c) match {
-              case None => acc(c) = (kind, mn, mx)
-              case Some((k0, lo, hi)) if k0 == kind =>
-                val (nlo, nhi) =
-                  if (kind == 'n')
-                    (if (numCmp(mn, lo) < 0) mn else lo,
-                     if (numCmp(mx, hi) > 0) mx else hi)
-                  else (if (mn < lo) mn else lo, if (mx > hi) mx else hi)
-                acc(c) = (kind, nlo, nhi)
-              case Some(_) => dropped += c; acc.remove(c)
-            }
+      sidecarLines(spark, path, root).filter(_.length >= 5)
+        .foreach { a =>
+          val (c, kind, mn, mx) = (dec(a(1)), a(2).head, dec(a(3)), dec(a(4)))
+          if (c.nonEmpty && !dropped(c)) acc.get(c) match {
+            case None => acc(c) = (kind, mn, mx)
+            case Some((k0, lo, hi)) if k0 == kind =>
+              val (nlo, nhi) =
+                if (kind == 'n')
+                  (if (numCmp(mn, lo) < 0) mn else lo,
+                   if (numCmp(mx, hi) > 0) mx else hi)
+                else (if (mn < lo) mn else lo, if (mx > hi) mx else hi)
+              acc(c) = (kind, nlo, nhi)
+            case Some(_) => dropped += c; acc.remove(c)
           }
-      }
+        }
     }
     acc.toMap
   }
@@ -655,12 +742,12 @@ object LakeTable {
     // file -> (rows, col -> nulls); -1 nulls = footer didn't say
     val perFile = scala.collection.mutable.Map.empty[String, (Long, Map[String, Long])]
     roots.foreach { root =>
-      val statsPath = new Path(new Path(path, root), StatsFile)
-      val fs = fsOf(spark, statsPath)
-      if (!fs.exists(statsPath)) return None
-      val in = fs.open(statsPath)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      body.split("\n").filter(_.nonEmpty).map(_.split("\t")).foreach { a =>
+      // a MISSING sidecar hides that group's rows entirely → unknown;
+      // an existing-but-empty one (empty create) holds zero rows and
+      // contributes nothing — correct as-is
+      if (!fsOf(spark, new Path(path, root))
+        .exists(new Path(new Path(path, root), StatsFile))) return None
+      sidecarLines(spark, path, root).foreach { a =>
         if (a.length < 7) return None // pre-upgrade sidecar
         val file = root + "/" + dec(a(0))
         val rows = a(6).toLong

@@ -166,6 +166,18 @@ class HmsFacadeSpec extends AnyFunSuite {
       val ps = client.listPartitionNames("db", "pf",
         Seq("eu").asJava, (-1).toShort).asScala.toSet
       assert(ps == Set("region=eu/yr=9", "region=eu/yr=10"), ps)
+      // per-partition column statistics: the partition's OWN file
+      // slice, not the table aggregate (k=1 in eu/9, k=2 in eu/10)
+      val pstats = client.getPartitionColumnStatistics("db", "pf",
+        Seq("region=eu/yr=9", "region=eu/yr=10").asJava, Seq("k").asJava)
+      def kOf(pn: String) = pstats.get(pn).asScala
+        .find(_.getColName == "k").get.getStatsData.getLongStats
+      assert(kOf("region=eu/yr=9").getLowValue == 1L &&
+        kOf("region=eu/yr=9").getHighValue == 1L, pstats)
+      assert(kOf("region=eu/yr=10").getLowValue == 2L &&
+        kOf("region=eu/yr=10").getHighValue == 2L, pstats)
+      assert(kOf("region=eu/yr=9").getNumNulls == 0L &&
+        kOf("region=eu/yr=9").getNumDVs == 1L, pstats)
     } finally client.close()
   }
 

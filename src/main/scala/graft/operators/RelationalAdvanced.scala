@@ -898,5 +898,80 @@ object RelationalAdvanced {
              |  GROUP BY 1 HAVING sum(l_quantity) > 80)
              |AND s_nationkey < 10
              |ORDER BY s_name""".stripMargin)),
+
+    // TPC-H Q1 (pricing summary report): the canonical wide-aggregate
+    // scan — one pass over lineitem, every predicate pushed to the
+    // scan, partial→final agg on a 6-value grouping key. At 100 TB
+    // this is the map-side-combine showcase: the shuffle carries six
+    // rows per task regardless of input size.
+    Q("q_tpch_q1",
+      (s, d) => t(s, d, "lineitem")
+        .where(col("l_shipdate") <= "1998-04-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          RelationalCore.money(sum("l_quantity")).as("sum_qty"),
+          RelationalCore.money(sum("l_extendedprice")).as("sum_base_price"),
+          RelationalCore.money(
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          RelationalCore.money(
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax")))).as("sum_charge"),
+          RelationalCore.money(avg("l_quantity")).as("avg_qty"),
+          RelationalCore.money(avg("l_extendedprice")).as("avg_price"),
+          round(avg("l_discount") + lit(1e-6), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity) + 0.000001, 2) AS sum_qty,
+             |round(sum(l_extendedprice) + 0.000001, 2) AS sum_base_price,
+             |round(sum(l_extendedprice*(1-l_discount)) + 0.000001, 2) AS sum_disc_price,
+             |round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)) + 0.000001, 2) AS sum_charge,
+             |round(avg(l_quantity) + 0.000001, 2) AS avg_qty,
+             |round(avg(l_extendedprice) + 0.000001, 2) AS avg_price,
+             |round(avg(l_discount) + 0.000001, 4) AS avg_disc,
+             |count(*)::BIGINT AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-04-01 00:00:00'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // TPC-H Q5 (local supplier volume): the 6-way star join with the
+    // customer-nation = supplier-nation co-location predicate. Region
+    // and nation broadcast; customer⋈orders and lineitem⋈supplier
+    // shuffle on their keys; the c_nationkey = s_nationkey equality
+    // rides along as a post-join filter exactly as the spec demands.
+    Q("q_tpch_q5",
+      (s, d) => {
+        val asiaNations = broadcast(
+          t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .join(broadcast(t(s, d, "region").where(col("r_name") === "ASIA")
+              .select("r_regionkey")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name"))
+        t(s, d, "customer").select("c_custkey", "c_nationkey")
+          .join(t(s, d, "orders")
+            .where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+            .select("o_orderkey", "o_custkey"),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, d, "lineitem")
+            .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(RelationalCore.money(
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)) + 0.000001, 2) AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |AND r_name = 'ASIA'
+             |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin)),
   )
 }

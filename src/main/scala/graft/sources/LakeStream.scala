@@ -464,6 +464,7 @@ final class GraftStreamableScan(val inner: Scan, spark: SparkSession, val path: 
     schema: StructType, options: CaseInsensitiveStringMap,
     partSchema: StructType = new StructType()) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** Planner statistics, delegated to the wrapped FileScan (post-
@@ -485,6 +486,100 @@ final class GraftStreamableScan(val inner: Scan, spark: SparkSession, val path: 
     }
 
   import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  // ---- Runtime filtering (dynamic partition pruning, DSv2) ---------
+  //
+  // The optimizer's PartitionPruning rule injects a DynamicPruning
+  // subquery against any SupportsRuntimeV2Filtering scan whose
+  // filterAttributes cover the join key; at execution BatchScanExec
+  // calls filter() with the build side's distinct key values as an
+  // `IN` predicate, then re-plans input partitions. We honor it by
+  // dropping every file whose PARTITION VALUES cannot match — the
+  // star-join pattern at 100 TB: a fact table partitioned on the dim
+  // key scans only the partitions the filtered dim actually selects,
+  // without the user writing any partition predicate.
+  //
+  // Only partition columns are offered (file-level stats skipping
+  // stays the job of the planning-time sidecar pruning): a column is
+  // offered only when it survives column pruning, because the
+  // optimizer resolves filterAttributes against the pruned relation
+  // output and would fail on a name that is no longer there.
+  private var runtimeIn: Map[String, Set[Any]] = Map.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partSchema.fieldNames.filter(readSchema().fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val parsed = predicates.toSeq.flatMap { p =>
+      if (p.name() != "IN") None
+      else p.children().toSeq match {
+        case (ref: org.apache.spark.sql.connector.expressions.NamedReference) +: values
+            if ref.fieldNames().length == 1 &&
+              values.forall(
+                _.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]]) =>
+          Some(ref.fieldNames()(0) ->
+            values.map(
+              _.asInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]]
+                .value().asInstanceOf[Any]).toSet)
+        case _ => None
+      }
+    }.toMap
+    // Unrecognized predicate shapes are simply not applied (sound:
+    // Spark re-applies every filter on the rows the scan returns).
+    if (parsed.nonEmpty) runtimeIn = runtimeIn ++ parsed
+  }
+
+  /** Inner FileScan's partition schema AFTER column pruning — the
+    * layout `PartitionedFile.partitionValues` rows are projected to.
+    */
+  private def readPartSchema: StructType = inner match {
+    case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+      f.readPartitionSchema
+    case _ => new StructType()
+  }
+
+  private def fileSurvives(f: PartitionedFile, rps: StructType): Boolean =
+    runtimeIn.forall { case (c, set) =>
+      val i = rps.fieldNames.indexOf(c)
+      i < 0 || set.contains(f.partitionValues.get(i, rps.fields(i).dataType))
+    }
+
+  /** Batch view with the runtime IN filters applied file-wise; falls
+    * back to the unfiltered partitions when a split shape is not
+    * file-based (never wrong, just unpruned).
+    */
+  private def runtimeFiltered(b: Batch): Batch =
+    if (runtimeIn.isEmpty) b
+    else new Batch {
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        val parts = b.planInputPartitions()
+        val rps = readPartSchema
+        if (rps.isEmpty || !parts.forall(_.isInstanceOf[FilePartition])) parts
+        else {
+          val kept = parts.iterator.flatMap {
+            case k: GraftKeyedFilePartition =>
+              // One storage partition per key tuple: test any file.
+              if (k.files.isEmpty || fileSurvives(k.files.head, rps)) Some(Left(k))
+              else None
+            case fp: FilePartition =>
+              val fs = fp.files.filter(fileSurvives(_, rps))
+              if (fs.isEmpty) None else Some(Right(fs))
+            case _ => None // unreachable: guarded by forall above
+          }.toArray
+          kept.zipWithIndex.map {
+            // Keyed groups keep their partition key (SPJ alignment).
+            case (Left(k), i) => new GraftKeyedFilePartition(i, k.files, k.partitionKey())
+              : org.apache.spark.sql.connector.read.InputPartition
+            case (Right(fs), i) => FilePartition(i, fs)
+              : org.apache.spark.sql.connector.read.InputPartition
+          }
+        }
+      }
+      override def createReaderFactory() = b.createReaderFactory()
+    }
 
   private def spjEnabled: Boolean = partSchema.nonEmpty &&
     spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
@@ -529,11 +624,11 @@ final class GraftStreamableScan(val inner: Scan, spark: SparkSession, val path: 
   override def hashCode(): Int = 31 * inner.hashCode() + path.hashCode
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch =
-    if (!spjEnabled) inner.toBatch
-    else new Batch {
+    if (!spjEnabled) runtimeFiltered(inner.toBatch)
+    else runtimeFiltered(new Batch {
       override def planInputPartitions() = keyedPartitions
       override def createReaderFactory() = inner.toBatch.createReaderFactory()
-    }
+    })
   override def description(): String = inner.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =

@@ -15,6 +15,14 @@ object Glue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Connector literal over a Catalyst-internal value (UTF8String,
+    * Int, …) — the shape BatchScanExec hands to runtime-filterable
+    * scans; the case class is private[sql], hence this shim.
+    */
+  def connectorLiteral(v: Any, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Expression =
+    org.apache.spark.sql.connector.expressions.LiteralValue(v, dt)
+
   /** Wrap a LogicalPlan into a DataFrame (classic Dataset.ofRows). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =

@@ -103,6 +103,71 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a filtered dim join prunes graft fact files at runtime") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.{GraftStreamableScan, GraftTable}
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.pdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.pdb.dppf")
+    spark.sql("CREATE TABLE graft_cat.pdb.dppf (id BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.range(400).selectExpr("id", "CAST(id % 8 AS STRING) AS g")
+      .createOrReplaceTempView("dpp_src")
+    spark.sql("INSERT INTO graft_cat.pdb.dppf SELECT id, g FROM dpp_src")
+
+    // Unit level: a runtime IN('3') must drop every other partition's files.
+    val path = s"${GraftSession.catalogRoot}/pdb/dppf"
+    def files(scan: GraftStreamableScan): Int =
+      scan.toBatch.planInputPartitions().map {
+        case f: FilePartition => f.files.length
+        case _ => 0
+      }.sum
+    val scan = new GraftTable(path, None, None)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build().asInstanceOf[GraftStreamableScan]
+    val before = files(scan)
+    assert(scan.filterAttributes().map(_.fieldNames().head).toSeq == Seq("g"))
+    scan.filter(Array(new Predicate("IN", Array(Expressions.column("g"),
+      org.apache.spark.sql.graftglue.Glue.connectorLiteral(
+        UTF8String.fromString("3"), StringType)))))
+    val after = files(scan)
+    assert(after >= 1 && after < before, s"runtime filter kept $after of $before files")
+
+    // End to end: the optimizer injects the DPP subquery against the
+    // graft scan (build side broadcast, filter on a non-join column)
+    // and the joined result stays correct.
+    spark.range(8).selectExpr("CAST(id AS STRING) AS dg", "id AS attr")
+      .createOrReplaceTempView("dpp_dim")
+    val q = spark.sql("""SELECT count(*) AS c FROM graft_cat.pdb.dppf f
+      JOIN dpp_dim d ON f.g = d.dg WHERE d.attr = 3""")
+    assert(q.head().getLong(0) == 50L)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), s"no DPP subquery injected:\n${p.take(3000)}")
+  }
+
+  test("q_tpch_q1 pushes the shipdate filter and combines map-side") {
+    val p = planOf("q_tpch_q1")
+    assert(p.contains("PushedFilters: [") && p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    // One shuffle for the 6-group agg, one for the output sort.
+    val n = "Exchange".r.findAllIn(p).size - "BroadcastExchange".r.findAllIn(p).size
+    assert(n <= 2, s"q_tpch_q1 shuffles $n > 2:\n${p.take(2000)}")
+    val rows = Registry.byName("q_tpch_q1").run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 9, rows.length) // |returnflag| x |linestatus|
+  }
+
+  test("q_tpch_q5 broadcasts region+nation and returns one row per nation") {
+    val p = planOf("q_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    val rows = Registry.byName("q_tpch_q5").run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25, rows.length)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.sameElements(revs.sorted.reverse), "revenue must be desc-sorted")
+  }
+
   test("shuffle budgets: key operators stay within their exchange counts") {
     // Each entry: query -> max allowed "Exchange" occurrences in the
     // physical plan (a regression here means a new unplanned shuffle —

@@ -3676,10 +3676,18 @@ object LakeTable {
     * range predicates — the Iceberg/Doris data-layout optimization.
     */
   def clusterBy(spark: SparkSession, path: String, cols: Seq[String], numFiles: Int): Long = {
-    import org.apache.spark.sql.functions._
     val prev = currentVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
-    val df = read(spark, path, Some(prev))
+    val zed = zOrdered(read(spark, path, Some(prev)), cols, numFiles)
+    val v = prev + 1
+    val dir = writeGroup(spark, path, v, zed, Nil)
+    writeCommit(spark, path, Commit(v, "cluster", Seq(dir)))
+    v
+  }
+
+  /** The Z-value rewrite shared by full and incremental clustering. */
+  private def zOrdered(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
     // Distributed rank proxy: 2^bits approx-quantile boundaries per
     // column (one tiny aggregate, broadcast back); bucket = #
     // boundaries ≤ value. No global sort, no single-partition window.
@@ -3701,14 +3709,56 @@ object LakeTable {
           b * cols.length + i)
       }
     }.reduce[org.apache.spark.sql.Column](_ + _)
-    val zed = ranked.withColumn("__z", interleaved)
+    ranked.withColumn("__z", interleaved)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop((cols.indices.map(i => s"__r$i") :+ "__z"): _*)
-    val v = prev + 1
-    val dir = writeGroup(spark, path, v, zed, Nil)
-    writeCommit(spark, path, Commit(v, "cluster", Seq(dir)))
-    v
+  }
+
+  /** Incremental clustering (the Delta liquid-clustering / Iceberg
+    * rewrite-where-needed shape): Z-order-rewrite ONLY the file groups
+    * committed SINCE the last `cluster` rewrite; groups that commit
+    * already clustered ride forward untouched, keeping their deletion
+    * vectors ([[dvResolve]] is per-group, so a carried dir's DVs keep
+    * applying). A full re-cluster of a 100 TB table is a 100 TB write —
+    * the steady-state maintenance op must cost ∝ newly-ingested data,
+    * not table size, or it can never keep up with ingest. Falls back to
+    * a full [[clusterBy]] when no prior cluster commit is retained.
+    */
+  def clusterByIncremental(spark: SparkSession, path: String, cols: Seq[String],
+      numFiles: Int): Long = {
+    val prev = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    // Newest retained `cluster` commit; a vacuumed hole below ends the
+    // walk (nothing older is retained either).
+    var probe = prev
+    var lastCluster: Option[Commit] = None
+    while (lastCluster.isEmpty && probe >= 0) {
+      readCommitOpt(spark, path, probe) match {
+        case Some(c) if c.action == "cluster" => lastCluster = Some(c)
+        case Some(_) => probe -= 1
+        case None => probe = -1
+      }
+    }
+    lastCluster match {
+      case None => clusterBy(spark, path, cols, numFiles)
+      case Some(cl) =>
+        val head = readCommit(spark, path, prev)
+        val clustered = cl.dirs.toSet
+        val kept = head.dirs.filter(clustered)
+        val delta = head.dirs.filterNot(clustered)
+        val v = prev + 1
+        if (delta.isEmpty) {
+          // Nothing new since the last rewrite: publish a marker commit
+          // so the next incremental run's walk stays O(1).
+          writeCommit(spark, path, Commit(v, "cluster", kept))
+        } else {
+          val dir = writeGroup(spark, path, v,
+            zOrdered(readDirsLive(spark, path, delta, prev), cols, numFiles), Nil)
+          writeCommit(spark, path, Commit(v, "cluster", kept :+ dir))
+        }
+        v
+    }
   }
 
   /** DESCRIBE HISTORY (the Delta audit-log surface): one row per

@@ -110,6 +110,33 @@ object EventPipeline {
       .orderBy("user_id", "event_type")
   }
 
+  /** C39: offline state introspection (Spark 4's State Data Source).
+    * Run the C05 dedup graph to a DURABLE checkpoint, then read its
+    * state store back with `spark.read.format("statestore")` — the ops
+    * surface that matters at scale: inspecting (or repairing) the keys
+    * a 1000-executor stateful job holds WITHOUT replaying the stream.
+    * A dedup operator's state IS its key set, so the offline read-back
+    * is gateable against exact batch DISTINCT — a genuine cross-engine
+    * check that the checkpoint holds exactly the right state.
+    */
+  def stateReader(spark: SparkSession, dir: String): DataFrame = withStreamPartitions(spark) {
+    val ckpt = s"${graft.operators.Lakehouse.scratch}/stream_state_reader_ckpt"
+    val p = new org.apache.hadoop.fs.Path(ckpt)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val dd = eventsStream(spark, dir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    val q = dd.writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.format("statestore").load(ckpt)
+      .select(col("key.user_id").as("user_id"),
+        col("key.event_type").as("event_type"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** C19: BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark,
     * Spark 3.5+): plain dropDuplicates keeps every key seen FOREVER —
     * state grows with the key domain and eventually kills an unbounded
@@ -673,6 +700,10 @@ object EventPipeline {
              |ORDER BY user_id, event_type""".stripMargin)),
 
     Q("stream_dedup_wm", (s, d) => dedupWithinWatermark(s, d),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    Q("stream_state_reader", (s, d) => stateReader(s, d),
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY user_id, event_type""".stripMargin)),
 

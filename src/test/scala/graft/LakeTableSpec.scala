@@ -1361,6 +1361,45 @@ class LakeTableSpec extends AnyFunSuite {
       LakeTable.read(spark, p, Some(0L)).agg(sum("l_quantity")).head().getDouble(0))
   }
 
+  test("incremental clustering rewrites only post-cluster file groups") {
+    import SharedSpark.sf
+    val p = s"$root/zorder_inc"
+    val li = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    LakeTable.create(spark, p, li.where(col("l_orderkey") % 2 === 0).repartition(4))
+    LakeTable.clusterBy(spark, p, Seq("l_orderkey", "l_partkey"), 4)
+    val v1 = LakeTable.currentVersion(spark, p).get
+    val clusteredDirs = LakeTable.readCommit(spark, p, v1).dirs
+    def mtimes(files: Seq[String]): Map[String, Long] = files.map { f =>
+      val hp = new org.apache.hadoop.fs.Path(f)
+      f -> hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp).getModificationTime
+    }.toMap
+    val clusteredFiles = mtimes(LakeTable.dataFiles(spark, p, Some(v1)))
+    LakeTable.append(spark, p, li.where(col("l_orderkey") % 2 === 1).repartition(4))
+    val v3 = LakeTable.clusterByIncremental(spark, p, Seq("l_orderkey", "l_partkey"), 4)
+    val head = LakeTable.readCommit(spark, p, v3)
+    // The first rewrite's group rides forward VERBATIM (same dir entry,
+    // same physical files, untouched mtimes): cost ∝ new data only.
+    assert(head.action == "cluster")
+    assert(clusteredDirs.forall(head.dirs.contains), s"${head.dirs} vs $clusteredDirs")
+    assert(head.dirs.size == clusteredDirs.size + 1, head.dirs)
+    val after = mtimes(LakeTable.dataFiles(spark, p, Some(v3)))
+    clusteredFiles.foreach { case (f, mt) =>
+      assert(after.get(f).contains(mt), s"clustered file rewritten: $f")
+    }
+    // Contents stay exact across the incremental rewrite.
+    val got = LakeTable.read(spark, p)
+      .agg(count(lit(1)).cast("long"), round(sum("l_quantity"), 2)).head()
+    val want = li.agg(count(lit(1)).cast("long"), round(sum("l_quantity"), 2)).head()
+    assert(got == want, s"$got vs $want")
+    // No new data since: the follow-up publishes a marker commit (the
+    // next incremental walk finds it in O(1)) and rewrites nothing.
+    val v4 = LakeTable.clusterByIncremental(spark, p, Seq("l_orderkey", "l_partkey"), 4)
+    assert(LakeTable.readCommit(spark, p, v4).dirs.toSet == head.dirs.toSet)
+    assert(mtimes(LakeTable.dataFiles(spark, p, Some(v4))) == after)
+  }
+
   test("readRange skips files by footer stats and stays exact") {
     import SharedSpark.sf
     val p = s"$root/stats_skip"

@@ -91,6 +91,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("state data source reads a dedup checkpoint's exact key set") {
+    val got = EventPipeline.stateReader(spark, sf)
+    // The offline state read equals batch DISTINCT — the checkpoint
+    // holds exactly the keys it should, no more, no fewer.
+    val want = Tables(spark, sf, "events")
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // The raw source also surfaces the state SHARDING (partition_id):
+    // state for a multi-partition operator spans >1 store instance —
+    // what an operator-repair tool must see to rewrite shards in place.
+    val ckpt = s"${graft.operators.Lakehouse.scratch}/stream_state_reader_ckpt"
+    val raw = spark.read.format("statestore").load(ckpt)
+    assert(raw.columns.contains("partition_id"))
+    assert(raw.select("partition_id").distinct().count() > 1)
+  }
+
   test("registry streaming queries match their batch equivalents") {
     val streamRes = EventPipeline.tumbling(spark, sf).collect()
     val batchRes = Registry.byName("q_events_tumbling").run(spark, sf)

@@ -89,14 +89,30 @@ object GraftMysqlServer {
 
   // ---- packet framing ----------------------------------------------
 
+  /** Max packet payload (3-byte length field): the protocol's split
+    * threshold for both directions.
+    */
+  private val MaxChunk = 0xFFFFFF
+
   private final class PacketIO(in: InputStream, out: OutputStream) {
     var seq: Int = 0
 
     def read(): Array[Byte] = {
-      val hdr = readFully(4)
-      val len = (hdr(0) & 0xFF) | ((hdr(1) & 0xFF) << 8) | ((hdr(2) & 0xFF) << 16)
-      seq = (hdr(3) & 0xFF) + 1
-      readFully(len)
+      // A payload of exactly 0xFFFFFF announces a continuation packet
+      // (possibly empty) — the public >16MB framing rule. Merge here so
+      // a multi-megabyte COM_QUERY (bulk INSERT text) arrives whole.
+      var merged: java.io.ByteArrayOutputStream = null
+      while (true) {
+        val hdr = readFully(4)
+        val len = (hdr(0) & 0xFF) | ((hdr(1) & 0xFF) << 8) | ((hdr(2) & 0xFF) << 16)
+        seq = (hdr(3) & 0xFF) + 1
+        val chunk = readFully(len)
+        if (merged == null && len < MaxChunk) return chunk
+        if (merged == null) merged = new java.io.ByteArrayOutputStream()
+        merged.write(chunk)
+        if (len < MaxChunk) return merged.toByteArray
+      }
+      throw new IllegalStateException("unreachable")
     }
 
     private def readFully(n: Int): Array[Byte] = {
@@ -111,14 +127,24 @@ object GraftMysqlServer {
     }
 
     def write(payload: Array[Byte]): Unit = {
-      // large payloads would need 16MB splitting; the wire adapter's
-      // per-packet units (one row, one column def) stay far below it
-      out.write(payload.length & 0xFF)
-      out.write((payload.length >> 8) & 0xFF)
-      out.write((payload.length >> 16) & 0xFF)
-      out.write(seq & 0xFF)
-      seq += 1
-      out.write(payload)
+      // Payloads cap at 0xFFFFFF bytes per packet; a longer one (a
+      // document-scale text cell in one row packet) splits into
+      // max-size chunks, and an exactly-max chunk MUST be followed by
+      // the next (possibly empty) one — without the empty terminator a
+      // 16MB-aligned row deadlocks every conforming client.
+      var off = 0
+      var done = false
+      while (!done) {
+        val n = math.min(payload.length - off, MaxChunk)
+        out.write(n & 0xFF)
+        out.write((n >> 8) & 0xFF)
+        out.write((n >> 16) & 0xFF)
+        out.write(seq & 0xFF)
+        seq += 1
+        out.write(payload, off, n)
+        off += n
+        done = n < MaxChunk
+      }
     }
 
     def flush(): Unit = out.flush()
@@ -193,7 +219,16 @@ object GraftMysqlServer {
       new java.util.Random(System.nanoTime()).nextBytes(scramble)
       scramble.indices.foreach(i => if (scramble(i) == 0) scramble(i) = 1)
       io.write(greeting(connIds.get(), scramble)); io.flush()
-      val (_, user0) = parseHandshakeResponse(io.read())
+      val (clientCaps, user0) = parseHandshakeResponse(io.read())
+      if ((clientCaps & CLIENT_PROTOCOL_41) == 0) {
+        // The pre-4.1 HandshakeResponse320 has a DIFFERENT layout —
+        // parsing it as 41 would yield a garbage username. Refuse
+        // cleanly instead (every maintained connector speaks 4.1+).
+        io.write(errPacket(1043, "08S01",
+          "graft mysql endpoint requires CLIENT_PROTOCOL_41"))
+        io.flush()
+        return
+      }
       val user = if (user0.isEmpty) "anonymous" else user0
       if (ConnectAuth.required) {
         // AuthSwitch to cleartext: validated by the shared credential

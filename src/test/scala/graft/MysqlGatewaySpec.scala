@@ -37,10 +37,20 @@ class MysqlGatewaySpec extends AnyFunSuite {
     }
 
     def readPacket(): Array[Byte] = {
-      val h = readFully(4)
-      val len = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
-      seq = (h(3) & 0xFF) + 1
-      readFully(len)
+      // Conforming merge of the >16MB continuation rule: an
+      // exactly-0xFFFFFF payload is followed by the next chunk.
+      var merged: java.io.ByteArrayOutputStream = null
+      while (true) {
+        val h = readFully(4)
+        val len = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
+        seq = (h(3) & 0xFF) + 1
+        val chunk = readFully(len)
+        if (merged == null && len < 0xFFFFFF) return chunk
+        if (merged == null) merged = new java.io.ByteArrayOutputStream()
+        merged.write(chunk)
+        if (len < 0xFFFFFF) return merged.toByteArray
+      }
+      throw new IllegalStateException("unreachable")
     }
 
     def writePacket(p: Array[Byte]): Unit = {
@@ -194,6 +204,19 @@ class MysqlGatewaySpec extends AnyFunSuite {
       // NULLs travel as protocol NULL (0xfb), not the string "null"
       val nulls = c.query("SELECT CAST(NULL AS BIGINT) AS n, 7 AS x")
       assert(nulls.toOption.get._2 == Seq(Seq(None, Some("7"))), nulls)
+
+      // >16MB row packet: the protocol's 0xFFFFFF split/continuation
+      // rule (a document-scale text cell must arrive whole — without
+      // the split a 16MB+ row corrupts the framing for every client)
+      val bigN = 17 * 1000 * 1000
+      val big = c.query(s"SELECT repeat('x', $bigN) AS s, 'tail' AS t")
+      val bigRow = big.toOption.get._2.head
+      assert(bigRow(0).exists(s => s.length == bigN && s.forall(_ == 'x')),
+        s"big cell length ${bigRow(0).map(_.length)}")
+      assert(bigRow(1).contains("tail"))
+      // ...and the NEXT query on the same connection still works (the
+      // sequence/framing state survived the split)
+      assert(c.query("SELECT 1 AS ok").toOption.get._2 == Seq(Seq(Some("1"))))
 
       // C24 over this wire: alice cannot read bob's table...
       val denied = c.query("SELECT * FROM graft_cat.my_b.secret")

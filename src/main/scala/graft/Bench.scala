@@ -41,6 +41,12 @@ object Bench {
       // pause to whichever query runs next and the medians grow tails
       // that look like regressions (observed: 0.9 s q_dedup_spans
       // measuring 6-11 s under accumulated heap debt).
+      // Also unload state-store providers left by earlier stateful
+      // stream rows (Spark's own suites do this between tests):
+      // accumulated providers inflated stream rows 3-8x in-suite vs
+      // their 5-run standalone medians (stream_tumbling 10.5 s
+      // in-suite vs 1.2 s standalone, same build).
+      org.apache.spark.sql.graftglue.Glue.unloadStateStores()
       System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()

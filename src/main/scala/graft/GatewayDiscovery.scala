@@ -23,12 +23,13 @@ object GatewayDiscovery {
   /** A gateway host's advertised wires: `port` is the gRPC (Spark
     * Connect) endpoint, `thriftPort` the HiveServer2 Thrift endpoint
     * when the host serves one, `mysqlPort` the MySQL-protocol
-    * endpoint — ONE lease row carries all advertised wires, so the
-    * C23 failover story covers every client kind with the same
-    * heartbeat (re-resolve via [[resolveThrift]]/[[resolveMysql]]).
+    * endpoint, `restPort` the Kyuubi-REST HTTP endpoint — ONE lease
+    * row carries all advertised wires, so the C23 failover story
+    * covers every client kind with the same heartbeat (re-resolve via
+    * [[resolveThrift]]/[[resolveMysql]]/[[resolveRest]]).
     */
   final case class Endpoint(host: String, port: Int, thriftPort: Option[Int] = None,
-      mysqlPort: Option[Int] = None)
+      mysqlPort: Option[Int] = None, restPort: Option[Int] = None)
 
   private final case class Reg(url: String, user: Option[String], pass: Option[String],
       endpoint: Endpoint, leaseMillis: Long, thread: Thread)
@@ -42,13 +43,13 @@ object GatewayDiscovery {
     ControlPlaneDb.ensureTable(url, u, p,
       "CREATE TABLE graft_gateways(host VARCHAR(256), port INTEGER, " +
         "lease_expiry BIGINT, thrift_port INTEGER, mysql_port INTEGER, " +
-        "PRIMARY KEY (host, port))",
+        "rest_port INTEGER, PRIMARY KEY (host, port))",
       "graft_gateways")
     // Upgrade path: an older deployment's table lacks the wire
     // columns; rows it wrote read back as NULL (= wire not served) —
     // correct either way.
     withConn(url, u, p) { conn =>
-      Seq("thrift_port", "mysql_port").foreach { c =>
+      Seq("thrift_port", "mysql_port", "rest_port").foreach { c =>
         try conn.createStatement()
           .executeQuery(s"SELECT $c FROM graft_gateways WHERE 1 = 0").close()
         catch { case _: java.sql.SQLException =>
@@ -65,21 +66,23 @@ object GatewayDiscovery {
       val expiry = System.currentTimeMillis() + leaseMillis
       val upd = conn.prepareStatement(
         "UPDATE graft_gateways SET lease_expiry = ?, thrift_port = ?, " +
-          "mysql_port = ? WHERE host = ? AND port = ?")
+          "mysql_port = ?, rest_port = ? WHERE host = ? AND port = ?")
       def bindOpt(ps: java.sql.PreparedStatement, at: Int, v: Option[Int]): Unit =
         v match {
           case Some(n) => ps.setInt(at, n)
           case None => ps.setNull(at, java.sql.Types.INTEGER)
         }
       upd.setLong(1, expiry); bindOpt(upd, 2, e.thriftPort); bindOpt(upd, 3, e.mysqlPort)
-      upd.setString(4, e.host); upd.setInt(5, e.port)
+      bindOpt(upd, 4, e.restPort)
+      upd.setString(5, e.host); upd.setInt(6, e.port)
       if (upd.executeUpdate() == 0) {
         try {
           val ins = conn.prepareStatement(
             "INSERT INTO graft_gateways(host, port, lease_expiry, thrift_port, " +
-              "mysql_port) VALUES (?, ?, ?, ?, ?)")
+              "mysql_port, rest_port) VALUES (?, ?, ?, ?, ?, ?)")
           ins.setString(1, e.host); ins.setInt(2, e.port); ins.setLong(3, expiry)
           bindOpt(ins, 4, e.thriftPort); bindOpt(ins, 5, e.mysqlPort)
+          bindOpt(ins, 6, e.restPort)
           ins.executeUpdate()
         } catch { // lost an insert race to our own previous row: retry as update
           case ex: java.sql.SQLException if ControlPlaneDb.isDuplicateKey(ex) =>
@@ -146,7 +149,7 @@ object GatewayDiscovery {
       val reap = conn.prepareStatement("DELETE FROM graft_gateways WHERE lease_expiry < ?")
       reap.setLong(1, now); reap.executeUpdate()
       val ps = conn.prepareStatement(
-        "SELECT host, port, thrift_port, mysql_port FROM graft_gateways " +
+        "SELECT host, port, thrift_port, mysql_port, rest_port FROM graft_gateways " +
           "WHERE lease_expiry >= ? ORDER BY lease_expiry DESC")
       ps.setLong(1, now)
       val rs = ps.executeQuery()
@@ -156,7 +159,8 @@ object GatewayDiscovery {
         if (rs.wasNull() || v <= 0) None else Some(v)
       }
       try while (rs.next()) {
-        out += Endpoint(rs.getString(1), rs.getInt(2), optPort(3), optPort(4))
+        out += Endpoint(rs.getString(1), rs.getInt(2), optPort(3), optPort(4),
+          optPort(5))
       } finally rs.close()
       out.toSeq
     }
@@ -176,4 +180,9 @@ object GatewayDiscovery {
   def resolveMysql(jdbcUrl: String, jdbcUser: Option[String] = None,
       jdbcPassword: Option[String] = None): Option[Endpoint] =
     live(jdbcUrl, jdbcUser, jdbcPassword).find(_.mysqlPort.isDefined)
+
+  /** The freshest live endpoint serving the REST wire (C40). */
+  def resolveRest(jdbcUrl: String, jdbcUser: Option[String] = None,
+      jdbcPassword: Option[String] = None): Option[Endpoint] =
+    live(jdbcUrl, jdbcUser, jdbcPassword).find(_.restPort.isDefined)
 }

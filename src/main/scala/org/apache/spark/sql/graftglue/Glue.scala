@@ -15,6 +15,19 @@ object Glue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unload every cached state-store provider and stop the
+    * maintenance task (they reload lazily on the next stateful
+    * query). Spark's own streaming test suites do exactly this
+    * between tests: in a long-lived single JVM, each stateful query
+    * run leaves per-partition providers (and their on-heap map /
+    * RocksDB caches) loaded until maintenance lazily evicts them —
+    * accumulated across a 240-query bench they inflate later stream
+    * rows' measurements with other queries' state. `StateStore` is
+    * private[sql], hence this shim.
+    */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   /** Connector literal over a Catalyst-internal value (UTF8String,
     * Int, …) — the shape BatchScanExec hands to runtime-filterable
     * scans; the case class is private[sql], hence this shim.

@@ -1,0 +1,208 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.json4s.{JArray, JBool, JNull, JObject, JString, JValue}
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** REST SQL endpoint (the reference's Kyuubi REST frontend — enabled
+  * in its default deployment alongside Thrift,
+  * api/v1alpha1/ninecluster_metadata.go `kyuubi.frontend.protocols =
+  * "REST,THRIFT_BINARY"`). Driven with the JDK HTTP client: Basic
+  * auth through the shared credential table, session/statement
+  * lifecycle, paged rowsets, JSON NULLs, cross-tenant denial + audit,
+  * identity pinning, handle ownership, and the per-principal
+  * admission gate.
+  */
+class RestGatewaySpec extends AnyFunSuite {
+  import SharedSpark.spark
+
+  private val port = 14998
+  private val base = s"http://localhost:$port/api/v1"
+  private val http = HttpClient.newHttpClient()
+
+  private def basic(user: String, tok: String): String =
+    "Basic " + java.util.Base64.getEncoder.encodeToString(s"$user:$tok".getBytes(UTF_8))
+
+  private def call(method: String, path: String, auth: String,
+      body: Option[String] = None): (Int, JValue) = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+      .header("Authorization", auth)
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(),
+      if (resp.body().trim.isEmpty) JNull else JsonMethods.parse(resp.body()))
+  }
+
+  private def str(v: JValue, name: String): String = v match {
+    case JObject(fs) => fs.collectFirst { case (`name`, JString(s)) => s }.getOrElse(
+      fail(s"no string field $name in $v"))
+    case _ => fail(s"not an object: $v")
+  }
+
+  private def rows(v: JValue): Seq[Seq[Option[String]]] = v match {
+    case JObject(fs) => fs.collectFirst { case ("rows", JArray(rs)) =>
+      rs.map {
+        case JArray(cells) => cells.map {
+          case JString(s) => Some(s)
+          case JNull => None
+          case other => fail(s"unexpected cell $other")
+        }
+        case other => fail(s"unexpected row $other")
+      }
+    }.getOrElse(fail(s"no rows in $v"))
+    case _ => fail(s"not an object: $v")
+  }
+
+  private def hasMore(v: JValue): Boolean = v match {
+    case JObject(fs) => fs.collectFirst { case ("hasMoreRows", JBool(b)) => b }
+      .getOrElse(fail(s"no hasMoreRows in $v"))
+    case _ => fail(s"not an object: $v")
+  }
+
+  test("rest wire: auth, statement lifecycle, paging, tenant isolation, admission") {
+    val url = "jdbc:derby:memory:restauth;create=true"
+    val conn0 = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn0.createStatement()
+      st.execute("CREATE TABLE gateway_users(user_name VARCHAR(64), token VARCHAR(64))")
+      st.execute("INSERT INTO gateway_users VALUES ('alice', 'r1'), ('bob', 'r2')")
+    } finally conn0.close()
+    ConnectAuth.enable(url,
+      "SELECT 1 FROM gateway_users WHERE user_name = ? AND token = ?",
+      maxConcurrentPerUser = 2)
+    GraftAuthz.enable(url, superusers = Set(spark.sparkContext.sparkUser))
+    GraftRestServer.start(spark, port)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rest_a")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rest_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.rest_a.sales")
+      spark.sql("CREATE TABLE graft_cat.rest_a.sales AS " +
+        "SELECT id % 3 AS g, id AS v FROM range(30)")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.rest_b.secret")
+      spark.sql("CREATE TABLE graft_cat.rest_b.secret AS SELECT 42 AS answer")
+      GraftAuthz.grant("alice", "rest_a", "ALL")
+      GraftAuthz.grant("bob", "rest_b", "ALL")
+
+      // bad token → 401 + WWW-Authenticate, LOGIN denial audited
+      val (badCode, _) = call("POST", "/sessions", basic("alice", "wrong"))
+      assert(badCode == 401)
+
+      // open a session; the identity-override attempt in configs is
+      // ignored (the wire owns the principal, C24)
+      val (sc, sessJ) = call("POST", "/sessions", basic("alice", "r1"),
+        Some("""{"configs":{"spark.graft.sql.user":"bob"}}"""))
+      assert(sc == 200, sessJ)
+      val sid = str(sessJ, "identifier")
+
+      // grouped aggregate through the engine catalog
+      val (oc, opJ) = call("POST", s"/sessions/$sid/operations/statement",
+        basic("alice", "r1"),
+        Some("""{"statement":"SELECT g, count(*) AS c, sum(v) AS s FROM graft_cat.rest_a.sales GROUP BY g ORDER BY g"}"""))
+      assert(oc == 200, opJ)
+      val op1 = str(opJ, "identifier")
+      val (_, ev) = call("GET", s"/operations/$op1/event", basic("alice", "r1"))
+      assert(str(ev, "state") == "FINISHED", ev)
+      val (_, meta) = call("GET", s"/operations/$op1/resultsetmetadata",
+        basic("alice", "r1"))
+      val colNames = meta match {
+        case JObject(fs) => fs.collectFirst { case ("columns", JArray(cs)) =>
+          cs.map(c => str(c, "name")) }.get
+        case _ => fail(s"bad meta $meta")
+      }
+      assert(colNames == Seq("g", "c", "s"), colNames)
+      // paged fetch: 2 + rest
+      val (_, page1) = call("GET", s"/operations/$op1/rowset?maxrows=2",
+        basic("alice", "r1"))
+      assert(rows(page1).size == 2 && hasMore(page1), page1)
+      val (_, page2) = call("GET", s"/operations/$op1/rowset?maxrows=100",
+        basic("alice", "r1"))
+      assert(!hasMore(page2), page2)
+      assert((rows(page1) ++ rows(page2)) == Seq(
+        Seq(Some("0"), Some("10"), Some("135")),
+        Seq(Some("1"), Some("10"), Some("145")),
+        Seq(Some("2"), Some("10"), Some("155"))))
+
+      // bob cannot touch alice's handles — a handle is not a capability
+      val (fc, _) = call("GET", s"/operations/$op1/event", basic("bob", "r2"))
+      assert(fc == 403)
+
+      // NULL travels as JSON null
+      val (_, nOp) = call("POST", s"/sessions/$sid/operations/statement",
+        basic("alice", "r1"),
+        Some("""{"statement":"SELECT CAST(NULL AS BIGINT) AS n, 7 AS x"}"""))
+      val opN = str(nOp, "identifier")
+      val (_, nRows) = call("GET", s"/operations/$opN/rowset", basic("alice", "r1"))
+      assert(rows(nRows) == Seq(Seq(None, Some("7"))), nRows)
+
+      // identity stayed pinned: alice cannot read bob's table, the
+      // denial lands in the op state AND the audit trail
+      val (_, dOp) = call("POST", s"/sessions/$sid/operations/statement",
+        basic("alice", "r1"),
+        Some("""{"statement":"SELECT * FROM graft_cat.rest_b.secret"}"""))
+      val opD = str(dOp, "identifier")
+      val (_, dEv) = call("GET", s"/operations/$opD/event", basic("alice", "r1"))
+      assert(str(dEv, "state") == "ERROR", dEv)
+      assert(str(dEv, "exception").contains("PERMISSION_DENIED"), dEv)
+      GraftAudit.flush(5000L)
+      val trail = spark.sql("CALL graft_cat.system.show_audit(200)").collect()
+      assert(trail.exists(r => r.getString(1) == "alice" &&
+        r.getString(4) == "deny" && r.getString(3).contains("rest_b")),
+        "denied rest-wire query must land in the audit trail")
+
+      // admission (C30): op1/opN are drained (permits released), opD
+      // errored (released) — open TWO fresh undrained statements to
+      // fill the cap, a third is refused, closing one readmits
+      def openStmt(): (Int, JValue) =
+        call("POST", s"/sessions/$sid/operations/statement", basic("alice", "r1"),
+          Some("""{"statement":"SELECT v FROM graft_cat.rest_a.sales"}"""))
+      val (a1, h1) = openStmt(); assert(a1 == 200)
+      val (a2, _) = openStmt(); assert(a2 == 200)
+      val (a3, deniedJ) = openStmt()
+      assert(a3 == 429, deniedJ)
+      assert(str(deniedJ, "message").contains("RESOURCE_EXHAUSTED"), deniedJ)
+      val (cc, _) = call("DELETE", s"/operations/${str(h1, "identifier")}",
+        basic("alice", "r1"))
+      assert(cc == 200)
+      val (a4, _) = openStmt(); assert(a4 == 200)
+
+      // session close releases everything still open
+      val (dc, _) = call("DELETE", s"/sessions/$sid", basic("alice", "r1"))
+      assert(dc == 200)
+      val (a5, s5) = call("POST", s"/sessions/$sid/operations/statement",
+        basic("alice", "r1"), Some("""{"statement":"SELECT 1"}"""))
+      assert(a5 == 404, s5)
+    } finally {
+      GraftRestServer.stop()
+      GraftAuthz.disable()
+      ConnectAuth.disable()
+    }
+  }
+
+  test("rest wire registers in gateway discovery and resolves on failover") {
+    val url = "jdbc:derby:memory:restdisc;create=true"
+    import GatewayDiscovery.Endpoint
+    // a dead host's lapsed lease is ignored; the live REST host resolves
+    GatewayDiscovery.register(url, Endpoint("hostA", 15002,
+      restPort = Some(10099)), leaseMillis = 60000L)
+    GatewayDiscovery.deregister()
+    ControlPlaneDb.withConn(url, None, None) { conn =>
+      conn.createStatement().execute(
+        "INSERT INTO graft_gateways(host, port, lease_expiry, rest_port) " +
+          s"VALUES ('deadhost', 15003, ${System.currentTimeMillis() - 1000}, 10099)")
+    }
+    GatewayDiscovery.register(url, Endpoint("hostB", 15004,
+      restPort = Some(20099)), leaseMillis = 60000L)
+    try {
+      val r = GatewayDiscovery.resolveRest(url)
+      assert(r.exists(e => e.host == "hostB" && e.restPort.contains(20099)), r)
+    } finally GatewayDiscovery.deregister()
+  }
+}

@@ -99,8 +99,14 @@ object GraftRestServer {
 
   def started: Boolean = server.isDefined
 
+  /** The actually-bound port (differs from the requested one when
+    * started with port 0 — the pick-a-free-port test/ops mode).
+    */
+  def boundPort: Option[Int] = server.map(_.getAddress.getPort)
+
   /** Start the REST endpoint (default 10099 — the reference's
-    * `kyuubi.frontend.rest.bind.port`). Idempotent; daemon threads.
+    * `kyuubi.frontend.rest.bind.port`; 0 = any free port, see
+    * [[boundPort]]). Idempotent; daemon threads.
     */
   def start(spark: SparkSession, port: Int = 10099,
       bindHost: String = "localhost",

@@ -654,6 +654,10 @@ final class GraftRawStore extends RawStore {
     * width) for integrals, non-null rows for fractionals — never a
     * fabricated zero. Non-numeric columns are omitted (the sidecars
     * hold no NDV sketch): better no number than a wrong one.
+    * One scoped caveat: sidecar stats describe FILES, so rows hidden
+    * by merge-on-read deletion vectors still count until compaction
+    * purges them — the Delta/Iceberg stats stance (bounds stay sound;
+    * row/null counts are upper bounds on a DV'd table).
     */
   override def getTableColumnStatistics(db: String, tbl: String,
       cols: java.util.List[String]): org.apache.hadoop.hive.metastore.api.ColumnStatistics =

@@ -124,6 +124,17 @@ object GraftProcedures {
             in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
             in.getInt(2)))
       }
+      case "cluster_incremental" => new Proc("cluster_incremental",
+          Array(param("table", StringType), param("cols", StringType),
+            param("num_files", IntegerType)), verSchema) {
+        // B64 for SQL-only users: Z-order only the file groups
+        // committed since the last cluster rewrite (cost ∝ new data).
+        override def run(in: InternalRow): Array[InternalRow] =
+          row(LakeTable.clusterByIncremental(spark,
+            path(store, in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+            in.getInt(2)))
+      }
       case "add_check" => new Proc("add_check",
           Array(param("table", StringType), param("name", StringType),
             param("expr", StringType)),
@@ -349,7 +360,7 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "compact_where", "vacuum", "set_sort_by", "set_partitioning", "cluster_by",
-      "add_check", "drop_check", "delete_mor", "update_mor", "enable_dv",
+      "cluster_incremental", "add_check", "drop_check", "delete_mor", "update_mor", "enable_dv",
       "restore", "create_view", "tag", "drop_tag", "create_mv", "drop_mv",
       "grant", "revoke", "show_grants", "show_audit", "clone")
 }

@@ -20,8 +20,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class RestGatewaySpec extends AnyFunSuite {
   import SharedSpark.spark
 
-  private val port = 14998
-  private val base = s"http://localhost:$port/api/v1"
+  // Ephemeral ports: a fixed port collides with TIME_WAIT conns left
+  // by an earlier run of this same spec (observed in-suite).
+  private def base = s"http://localhost:${GraftRestServer.boundPort.get}/api/v1"
   private val http = HttpClient.newHttpClient()
 
   private def basic(user: String, tok: String): String =
@@ -79,7 +80,7 @@ class RestGatewaySpec extends AnyFunSuite {
       "SELECT 1 FROM gateway_users WHERE user_name = ? AND token = ?",
       maxConcurrentPerUser = 2)
     GraftAuthz.enable(url, superusers = Set(spark.sparkContext.sparkUser))
-    GraftRestServer.start(spark, port)
+    GraftRestServer.start(spark, 0)
     try {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rest_a")
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rest_b")
@@ -184,6 +185,27 @@ class RestGatewaySpec extends AnyFunSuite {
       GraftAuthz.disable()
       ConnectAuth.disable()
     }
+  }
+
+  test("rest wire reaps idle sessions: abandoned clients leak nothing") {
+    GraftRestServer.stop()
+    GraftRestServer.start(spark, 0, sessionIdleTimeoutMs = 300L)
+    try {
+      val auth = basic("anyone", "x") // auth not enforced in this test
+      val (sc, sessJ) = call("POST", "/sessions", auth)
+      assert(sc == 200)
+      val sid = str(sessJ, "identifier")
+      // active use keeps it alive...
+      val (oc, _) = call("POST", s"/sessions/$sid/operations/statement", auth,
+        Some("""{"statement":"SELECT 1 AS one"}"""))
+      assert(oc == 200)
+      // ...but an abandoned session is reaped once idle past the
+      // timeout (janitor ticks every ~1s at this timeout)
+      Thread.sleep(2500L)
+      val (gone, _) = call("POST", s"/sessions/$sid/operations/statement", auth,
+        Some("""{"statement":"SELECT 1"}"""))
+      assert(gone == 404, s"idle session should be reaped, got $gone")
+    } finally GraftRestServer.stop()
   }
 
   test("rest wire registers in gateway discovery and resolves on failover") {

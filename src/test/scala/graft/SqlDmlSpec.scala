@@ -181,11 +181,21 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(zv === compacted + 1)
     assert(spark.table(t).count() === 1999)
 
+    // cluster_incremental: append new data, only the delta is rewritten
+    spark.range(2000, 2500).selectExpr("id AS k", "cast(id AS DOUBLE) AS v").writeTo(t).append()
+    val clusteredDirs = LakeTable.readCommit(spark, root, zv).dirs
+    val iv = spark.sql(s"CALL graft_cat.system.cluster_incremental('dml.proc', 'k,v', 2)")
+      .as[Long].head()
+    val ic = LakeTable.readCommit(spark, root, iv)
+    assert(clusteredDirs.forall(ic.dirs.contains), s"${ic.dirs} vs $clusteredDirs")
+    assert(ic.dirs.length === clusteredDirs.length + 1)
+    assert(spark.table(t).count() === 2499)
+
     // vacuum retains only recent versions; time travel to dropped fails
-    val kept = spark.sql(s"CALL graft_cat.system.vacuum('dml.proc', $zv)").as[Long].head()
+    val kept = spark.sql(s"CALL graft_cat.system.vacuum('dml.proc', $iv)").as[Long].head()
     assert(kept >= 1)
     intercept[Exception] { LakeTable.read(spark, root, Some(0L)).count() }
-    assert(spark.table(t).count() === 1999)
+    assert(spark.table(t).count() === 2499)
 
     // discoverable + misuse rejected
     val procs = spark.sql("SHOW PROCEDURES IN graft_cat.system")

@@ -216,6 +216,32 @@ object Lakehouse {
       oracle = Some("""SELECT count(*) AS cnt, round(sum(l_quantity),2) AS qty FROM lineitem
              |WHERE l_orderkey < 1000 AND l_partkey < 500""".stripMargin)),
 
+    // B65: ANALYZE TABLE — one aggregate pass records per-column NDV
+    // (+ string length stats) in the table meta; the HMS facade serves
+    // them to external cost-based optimizers. Gate: HLL is EXACT below
+    // its sparse threshold, so low-cardinality NDVs hash-match DuckDB's
+    // exact COUNT(DISTINCT) — a true cross-engine equality, not a
+    // bound. Staged: bench times the analyze pass alone.
+    Q.staged("q_analyze",
+      setup = (s, d) => LakeTable.create(s, s"$scratch/orders_analyze",
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_orderstatus")),
+      verb = (s, _) => {
+        val lake = s"$scratch/orders_analyze"
+        LakeTable.analyze(s, lake,
+          Seq("o_orderkey", "o_orderpriority", "o_orderstatus"))
+        import s.implicits._
+        val ndv = LakeTable.tableNdv(s, lake)
+        Seq(("o_orderpriority", ndv("o_orderpriority").ndv),
+            ("o_orderstatus", ndv("o_orderstatus").ndv))
+          .toDF("col_name", "ndv").orderBy("col_name")
+      },
+      oracle = Some("""SELECT * FROM (
+             |  SELECT 'o_orderpriority' AS col_name,
+             |         count(DISTINCT o_orderpriority)::BIGINT AS ndv FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', count(DISTINCT o_orderstatus)::BIGINT FROM orders
+             |) ORDER BY col_name""".stripMargin)),
+
     // B14: incremental MV refresh — the algebraic (sum/count) rollup
     // absorbs a delta WITHOUT rescanning old facts: combine stored
     // partials with the delta's partials and merge by key.

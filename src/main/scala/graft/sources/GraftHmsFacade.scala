@@ -668,16 +668,33 @@ final class GraftRawStore extends RawStore {
         case Some(loc) =>
           val agg = LakeTable.aggregatedColumnStats(s, loc)
           val nullsAgg = LakeTable.aggregatedColumnNulls(s, loc)
+          val ndvMap = LakeTable.tableNdv(s, loc)
           val schema = LakeTable.tableSchema(s, loc)
           def bd(v: String) = new java.math.BigDecimal(v)
           val objs = cols.asScala.flatMap { c =>
-            for {
+            val stringData = // ANALYZE-backed string stats (lengths + NDV)
+              for {
+                f <- schema.fields.find(_.name.equalsIgnoreCase(c))
+                if f.dataType == org.apache.spark.sql.types.StringType
+                r <- ndvMap.get(f.name)
+                if r.maxLen >= 0
+                (rows, nullMap) <- nullsAgg
+                nn <- nullMap.get(f.name)
+              } yield new ColumnStatisticsObj(f.name, hiveType(f.dataType),
+                ColumnStatisticsData.stringStats(
+                  new org.apache.hadoop.hive.metastore.api.StringColumnStatsData(
+                    r.maxLen, r.avgLen, nn, r.ndv)))
+            val numericData = for {
               (kind, mn, mx) <- agg.get(c)
               f <- schema.fields.find(_.name.equalsIgnoreCase(c))
               if kind == 'n'
               (rows, nullMap) <- nullsAgg
               nn <- nullMap.get(f.name)
               nonNull = math.max(0L, rows - nn)
+              // ANALYZE result (as-of its snapshot, the Hive staleness
+              // trade) beats the metadata-derived sound upper bound
+              ndvOf = (bound: Long) =>
+                ndvMap.get(f.name).map(_.ndv).getOrElse(bound)
               data <- f.dataType match {
                 case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
                      org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
@@ -685,16 +702,17 @@ final class GraftRawStore extends RawStore {
                   val width = // inclusive range width, overflow-safe
                     bd(mx).subtract(bd(mn)).add(java.math.BigDecimal.ONE)
                       .min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue()
-                  val d = new LongColumnStatsData(nn, math.min(nonNull, width))
+                  val d = new LongColumnStatsData(nn, ndvOf(math.min(nonNull, width)))
                   d.setLowValue(lo); d.setHighValue(hi)
                   Some(ColumnStatisticsData.longStats(d))
                 case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
-                  val d = new DoubleColumnStatsData(nn, nonNull)
+                  val d = new DoubleColumnStatsData(nn, ndvOf(nonNull))
                   d.setLowValue(mn.toDouble); d.setHighValue(mx.toDouble)
                   Some(ColumnStatisticsData.doubleStats(d))
                 case _ => None
               }
             } yield new ColumnStatisticsObj(f.name, hiveType(f.dataType), data)
+            numericData.orElse(stringData)
           }
           if (objs.isEmpty) null
           else new ColumnStatistics(

@@ -135,6 +135,23 @@ object GraftProcedures {
             in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
             in.getInt(2)))
       }
+      case "analyze" => new Proc("analyze",
+          Array(param("table", StringType), param("cols", StringType)),
+          StructType(Seq(StructField("col_name", StringType),
+            StructField("ndv", LongType)))) {
+        // B65: ANALYZE TABLE — one aggregate pass records per-column
+        // NDV (+ string lengths) in the table meta; the HMS facade
+        // serves them to external CBOs. Empty cols = all atomic.
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val p = path(store, in.getUTF8String(0).toString)
+          val cols = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          LakeTable.analyze(spark, p, cols).toSeq.sortBy(_._1).map {
+            case (c, r) => new GenericInternalRow(
+              Array[Any](UTF8String.fromString(c), r.ndv))
+          }.toArray
+        }
+      }
       case "add_check" => new Proc("add_check",
           Array(param("table", StringType), param("name", StringType),
             param("expr", StringType)),
@@ -360,7 +377,7 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "compact_where", "vacuum", "set_sort_by", "set_partitioning", "cluster_by",
-      "cluster_incremental", "add_check", "drop_check", "delete_mor", "update_mor", "enable_dv",
+      "cluster_incremental", "analyze", "add_check", "drop_check", "delete_mor", "update_mor", "enable_dv",
       "restore", "create_view", "tag", "drop_tag", "create_mv", "drop_mv",
       "grant", "revoke", "show_grants", "show_audit", "clone")
 }

@@ -1340,6 +1340,89 @@ object LakeTable {
       expectVer = Some(expect))
   }
 
+  /** One column's stored ANALYZE result: approximate distinct count,
+    * string length stats (-1 when not a string column), and the
+    * snapshot version it measured — Hive/Delta ANALYZE semantics:
+    * stats are as-of their collection, staleness is the caller's
+    * trade, and a planner treats them as estimates.
+    */
+  final case class ColumnNdv(ndv: Long, maxLen: Long, avgLen: Double, asOf: Long)
+
+  /** Stored ANALYZE results by column (empty until [[analyze]] runs). */
+  def tableNdv(spark: SparkSession, path: String): Map[String, ColumnNdv] =
+    tableMetaBody(spark, path).flatMap(
+      """"ndvB64"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(_)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+          .map { b64 =>
+            val s = new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
+            val a = s.split("\t")
+            a(0) -> ColumnNdv(a(1).toLong, a(2).toLong, a(3).toDouble, a(4).toLong)
+          }.toMap))
+      .getOrElse(Map.empty)
+
+  /** ANALYZE TABLE: one distributed aggregate pass collecting
+    * approx_count_distinct per column (HLL — exact below its sparse
+    * threshold, ~2-5% beyond) plus max/avg byte length for strings,
+    * recorded in the table meta via the CAS (so concurrent DDL can't
+    * be lost) and stamped with the snapshot version measured. This is
+    * what upgrades the HMS facade's served numDVs from a sound bound
+    * to a real estimate — the statistic CBOs (Hive/Trino/Spark) key
+    * join-order decisions on — and makes string columns servable
+    * (StringColumnStatsData needs lengths). Unlike the footer
+    * sidecars, the scan applies deletion vectors: DV'd rows don't
+    * count. O(data) but single-pass and column-pruned to the targets;
+    * at 100 TB you run it per-partition-load or sampled, same as
+    * every warehouse. Empty `cols` = all atomic columns.
+    */
+  def analyze(spark: SparkSession, path: String,
+      cols: Seq[String] = Nil): Map[String, ColumnNdv] = {
+    import org.apache.spark.sql.functions._
+    val v = currentVersion(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
+    val df = read(spark, path, Some(v))
+    val atomic: org.apache.spark.sql.types.DataType => Boolean = {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    val targets =
+      (if (cols.isEmpty) df.schema.fields.toSeq
+       else cols.flatMap(c => df.schema.fields.find(_.name.equalsIgnoreCase(c))))
+        .filter(f => atomic(f.dataType))
+    if (targets.isEmpty) return tableNdv(spark, path)
+    val aggs = targets.zipWithIndex.flatMap { case (f, i) =>
+      val base = approx_count_distinct(col(f.name)).as(s"__ndv$i")
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          Seq(base, max(octet_length(col(f.name))).cast("long").as(s"__max$i"),
+            avg(octet_length(col(f.name))).as(s"__avg$i"))
+        case _ => Seq(base)
+      }
+    }
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val fresh = targets.zipWithIndex.map { case (f, i) =>
+      val ndv = row.getAs[Long](s"__ndv$i")
+      val (mx, av) = f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          (if (row.isNullAt(row.fieldIndex(s"__max$i"))) -1L
+           else row.getAs[Long](s"__max$i"),
+           if (row.isNullAt(row.fieldIndex(s"__avg$i"))) -1.0
+           else row.getAs[Double](s"__avg$i"))
+        case _ => (-1L, -1.0)
+      }
+      f.name -> ColumnNdv(ndv, mx, av, v)
+    }.toMap
+    val merged = tableNdv(spark, path) ++ fresh
+    writeTableMeta(spark, path, tablePartitioning(spark, path),
+      metaSchema(spark, path), tableSortBy(spark, path), tableChecks(spark, path),
+      dvEnabled(spark, path), ndv = Some(merged),
+      expectVer = Some(currentMetaVer(spark, path)))
+    merged
+  }
+
   /** PARTITION EVOLUTION (the Iceberg marquee): change the table's
     * partition spec WITHOUT rewriting a byte of data. Metadata-only —
     * subsequent appends and COW rewrites lay their new file groups out
@@ -1703,10 +1786,21 @@ object LakeTable {
       dvMode: Boolean,
       markMixed: Boolean = false,
       mappings: Option[Seq[MapRec]] = None,
+      ndv: Option[Map[String, ColumnNdv]] = None,
       expectVer: Option[Long] = None): Unit = {
     val expect = expectVer.getOrElse(currentMetaVer(spark, path))
     val fields = Seq.newBuilder[String]
     fields += s""""partitionBy":[${parts.map(c => "\"" + c + "\"").mkString(",")}]"""
+    // ANALYZE results: explicit new map, or preserved from current meta
+    val nd = ndv.getOrElse(tableNdv(spark, path))
+    if (nd.nonEmpty) {
+      val enc = nd.toSeq.sortBy(_._1).map { case (c, r) =>
+        "\"" + java.util.Base64.getEncoder.encodeToString(
+          s"$c\t${r.ndv}\t${r.maxLen}\t${r.avgLen}\t${r.asOf}"
+            .getBytes(StandardCharsets.UTF_8)) + "\""
+      }
+      fields += s""""ndvB64":[${enc.mkString(",")}]"""
+    }
     // mapping chain: explicit new value, or preserved from the current meta
     val ren = mappings.getOrElse(tableMappings(spark, path))
     if (ren.nonEmpty) {

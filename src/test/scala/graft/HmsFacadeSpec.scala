@@ -132,6 +132,39 @@ class HmsFacadeSpec extends AnyFunSuite {
     } finally client.close()
   }
 
+  test("ANALYZE upgrades served NDV to a real estimate and makes strings servable") {
+    val url = "jdbc:derby:memory:hmsmeta;create=true"
+    val root = s"${operators.Lakehouse.scratch}/hms_wh"
+    graft.sources.GraftHmsFacade.start(spark, port, root, jdbcUrl = Some(url))
+    spark.sql("DROP TABLE IF EXISTS hms_cat.db.an_t")
+    spark.sql("CREATE TABLE hms_cat.db.an_t (k BIGINT, s STRING) USING graft")
+    spark.sql("INSERT INTO hms_cat.db.an_t SELECT id, " +
+      "CASE WHEN id % 10 = 0 THEN NULL ELSE 'grp' || (id % 7) END FROM range(1000)")
+    // before ANALYZE: k's NDV is the width/row bound, s is unserved
+    // (no length stats exist)
+    val conf = new org.apache.hadoop.hive.conf.HiveConf()
+    conf.set("hive.metastore.uris", s"thrift://localhost:$port")
+    val client = new org.apache.hadoop.hive.metastore.HiveMetaStoreClient(conf)
+    try {
+      val before = client.getTableColumnStatistics("db", "an_t",
+        Seq("k", "s").asJava).asScala.map(o => o.getColName -> o.getStatsData).toMap
+      assert(before.contains("k") && !before.contains("s"), before.keySet)
+      spark.sql("CALL hms_cat.system.analyze('db.an_t', '')").collect()
+      val after = client.getTableColumnStatistics("db", "an_t",
+        Seq("k", "s").asJava).asScala.map(o => o.getColName -> o.getStatsData).toMap
+      // k (1000 distinct) is an HLL ESTIMATE — assert the honest
+      // band, not equality; s (7 distinct) sits in linear-counting
+      // territory where the estimate IS exact; NULLs stay footer-exact
+      val kNdv = after("k").getLongStats.getNumDVs
+      assert(kNdv > 900L && kNdv < 1100L, s"k NDV estimate off: $kNdv")
+      val s = after("s").getStringStats
+      assert(s.getNumDVs == 7L, s)
+      assert(s.getNumNulls == 100L, s)
+      assert(s.getMaxColLen == 4L, s) // 'grpN'
+      assert(s.getAvgColLen > 3.9 && s.getAvgColLen < 4.1, s)
+    } finally client.close()
+  }
+
   test("server-side partition filtering: get_partitions_by_filter prunes on the server") {
     val url = "jdbc:derby:memory:hmsmeta;create=true"
     val root = s"${operators.Lakehouse.scratch}/hms_wh"

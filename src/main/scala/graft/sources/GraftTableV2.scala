@@ -383,13 +383,35 @@ final class GraftDvScanBuilder(spark: SparkSession, path: String, v: Long,
     // for deleted rows is at most the DV cardinality, which only makes
     // the table SMALLER — reporting pre-delete bytes is conservative).
     val keptBytes = pruned.iterator.flatMap(_.files).filter(_.kept).map(_.len).sum
+    // Row count + per-column stats for Spark's OWN cost-based
+    // optimizer (join reorder keys on rowCount × NDV): exact snapshot
+    // rows from the v2 sidecars when the scan is UNPRUNED (a pruned
+    // subset's rows aren't knowable from dir-level aggregates), NDV /
+    // lengths from the stored ANALYZE results, null counts footer-
+    // exact. DV'd rows overcount both — conservative (larger inputs),
+    // same stance as sizeInBytes above.
+    val unpruned = kept == total
+    val statRows: java.util.OptionalLong =
+      if (unpruned)
+        LakeTable.aggregatedColumnNulls(spark, path)
+          .fold(java.util.OptionalLong.empty())(t => java.util.OptionalLong.of(t._1))
+      else java.util.OptionalLong.empty()
+    val colStatsMap =
+      if (unpruned) LakeTable.v2ColumnStats(spark, path, required.fieldNames.toSeq)
+      else new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     new org.apache.spark.sql.connector.read.V1Scan
         with org.apache.spark.sql.connector.read.SupportsReportStatistics {
       override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
         new org.apache.spark.sql.connector.read.Statistics {
           override def sizeInBytes(): java.util.OptionalLong =
             java.util.OptionalLong.of(keptBytes)
-          override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+          override def numRows(): java.util.OptionalLong = statRows
+          override def columnStats(): java.util.Map[
+              org.apache.spark.sql.connector.expressions.NamedReference,
+              org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+            colStatsMap
         }
       override def readSchema(): StructType = reqSchema
       override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
@@ -572,10 +594,10 @@ final class GraftScanBuilder(spark: SparkSession, path: String, dirs: Seq[String
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val bounds = boundsOf(pushed)
+    val all = dirs.map(d => new Path(path, d).toString)
     val paths =
-      if (bounds.isEmpty) dirs.map(d => new Path(path, d).toString)
-      else LakeTable.pruneFiles(spark, path, dirs, bounds)
-        .getOrElse(dirs.map(d => new Path(path, d).toString))
+      if (bounds.isEmpty) all
+      else LakeTable.pruneFiles(spark, path, dirs, bounds).getOrElse(all)
     val inner = mkInner(paths)
     if (pushed.nonEmpty) inner.pushFilters(pushed)
     prunedSchema.foreach(inner.pruneColumns)
@@ -583,6 +605,7 @@ final class GraftScanBuilder(spark: SparkSession, path: String, dirs: Seq[String
     // delegated untouched; toMicroBatchStream resolves to the
     // commit-log source (LakeStream.scala).
     new GraftStreamableScan(inner.build(), spark, path, schema, options,
-      org.apache.spark.sql.types.StructType(partCols.map(c => schema(c))))
+      org.apache.spark.sql.types.StructType(partCols.map(c => schema(c))),
+      snapshotStats = paths eq all)
   }
 }

@@ -462,28 +462,52 @@ final class GraftKeyedFilePartition(index: Int,
   */
 final class GraftStreamableScan(val inner: Scan, spark: SparkSession, val path: String,
     schema: StructType, options: CaseInsensitiveStringMap,
-    partSchema: StructType = new StructType()) extends Scan
+    partSchema: StructType = new StructType(),
+    snapshotStats: Boolean = false) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  /** Planner statistics, delegated to the wrapped FileScan (post-
-    * pruning listed bytes). Without this report a DSv2 relation's
-    * size falls back to `defaultSizeInBytes` (effectively infinite),
-    * so an unhinted catalog-SQL join against even a 5-row graft dim
-    * plans a shuffle join — and in AQE-less contexts (stateful
-    * streaming) nothing ever corrects it. With it, small graft tables
-    * auto-broadcast exactly like parquet path tables.
+  /** Planner statistics: bytes delegated to the wrapped FileScan
+    * (post-pruning listed sizes). Without this report a DSv2
+    * relation's size falls back to `defaultSizeInBytes` (effectively
+    * infinite), so an unhinted catalog-SQL join against even a 5-row
+    * graft dim plans a shuffle join — and in AQE-less contexts
+    * (stateful streaming) nothing ever corrects it. With it, small
+    * graft tables auto-broadcast exactly like parquet path tables.
+    * When the scan covers the WHOLE snapshot (`snapshotStats`), the
+    * report adds exact sidecar row counts and the stored ANALYZE
+    * column statistics (NDV, lengths, footer-exact nulls) — what
+    * Spark's own CBO keys join-order decisions on.
     */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    inner match {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val base = inner match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
-      }
+        Some(s.estimateStatistics())
+      case _ => None
     }
+    val rows: java.util.OptionalLong =
+      if (snapshotStats)
+        graft.sources.LakeTable.aggregatedColumnNulls(spark, path)
+          .fold(base.fold(java.util.OptionalLong.empty())(_.numRows()))(t =>
+            java.util.OptionalLong.of(t._1))
+      else base.fold(java.util.OptionalLong.empty())(_.numRows())
+    val cstats =
+      if (snapshotStats)
+        graft.sources.LakeTable.v2ColumnStats(spark, path,
+          inner.readSchema().fieldNames.toSeq)
+      else new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        base.fold(java.util.OptionalLong.empty())(_.sizeInBytes())
+      override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cstats
+    }
+  }
 
   import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 

@@ -1340,6 +1340,45 @@ object LakeTable {
       expectVer = Some(expect))
   }
 
+  /** DSv2 per-column statistics for SupportsReportStatistics scans —
+    * what Spark's OWN cost-based optimizer (join reorder keys on
+    * rowCount × NDV) consumes: NDV and string lengths from the stored
+    * ANALYZE results, null counts footer-exact from the sidecars.
+    * Snapshot-level, so callers must only attach it to UNPRUNED scans.
+    */
+  private[graft] def v2ColumnStats(spark: SparkSession, path: String,
+      cols: Seq[String]): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    val ndv = tableNdv(spark, path)
+    val nulls = aggregatedColumnNulls(spark, path)
+      .map(_._2).getOrElse(Map.empty[String, Long])
+    cols.foreach { c =>
+      val nd = ndv.get(c)
+      val nn = nulls.get(c)
+      if (nd.isDefined || nn.isDefined) {
+        m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              nd.fold(java.util.OptionalLong.empty())(r =>
+                java.util.OptionalLong.of(r.ndv))
+            override def nullCount(): java.util.OptionalLong =
+              nn.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+            override def maxLen(): java.util.OptionalLong =
+              nd.filter(_.maxLen >= 0).fold(java.util.OptionalLong.empty())(r =>
+                java.util.OptionalLong.of(r.maxLen))
+            override def avgLen(): java.util.OptionalLong =
+              nd.filter(_.avgLen >= 0).fold(java.util.OptionalLong.empty())(r =>
+                java.util.OptionalLong.of(math.round(r.avgLen)))
+          })
+      }
+    }
+    m
+  }
+
   /** One column's stored ANALYZE result: approximate distinct count,
     * string length stats (-1 when not a string column), and the
     * snapshot version it measured — Hive/Delta ANALYZE semantics:

@@ -455,6 +455,32 @@ class PlanSpec extends AnyFunSuite {
     assert(df2.collect().length == 4)
   }
 
+  test("ANALYZE feeds Spark's own CBO: relation stats carry exact rows, NDV, lengths") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.statdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.statdb.cbo_t")
+    spark.sql("CREATE TABLE graft_cat.statdb.cbo_t AS " +
+      "SELECT id AS k, 'g' || (id % 7) AS s FROM range(1000)")
+    spark.sql("CALL graft_cat.system.analyze('statdb.cbo_t', '')").collect()
+    val old = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = spark.table("graft_cat.statdb.cbo_t")
+        .where(org.apache.spark.sql.functions.lit(true))
+        .queryExecution.optimizedPlan.stats
+      // exact sidecar row count; ANALYZE NDV (exact for s's 7 values,
+      // an HLL estimate for k's 1000); string byte lengths ('gN' = 2)
+      assert(st.rowCount.contains(BigInt(1000)), st.rowCount)
+      val attrs = st.attributeStats.map { case (a, cs) => a.name -> cs }
+      assert(attrs("s").distinctCount.contains(BigInt(7)), attrs.get("s"))
+      assert(attrs("s").maxLen.contains(2L) && attrs("s").avgLen.contains(2L),
+        attrs.get("s"))
+      val kNdv = attrs("k").distinctCount.get
+      assert(kNdv > BigInt(900) && kNdv < BigInt(1100), kNdv)
+      assert(attrs("k").nullCount.contains(BigInt(0)), attrs.get("k"))
+    } finally old.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+  }
+
   test("partitioned API read is ONE scan regardless of append count; rename-chain fallback is root-bounded and compaction restores 1") {
     import org.apache.spark.sql.functions.col
     def scanCount(df: org.apache.spark.sql.DataFrame): Int =

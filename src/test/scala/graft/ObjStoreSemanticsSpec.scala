@@ -46,10 +46,21 @@ class ObjStoreSemanticsSpec extends AnyFunSuite {
     val got = LakeTable.read(spark, p).as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 10L), (2L, 222L), (3L, 30L), (4L, 40L)), got)
 
+    // ANALYZE rides the same meta CAS onto an existing _table.json
+    val ndv = LakeTable.analyze(spark, p)
+    assert(ndv("k").ndv == 4L, ndv)
+
+    // incremental clustering publishes onto a fresh commit file
+    LakeTable.clusterBy(spark, p, Seq("k"), 1)
+    LakeTable.append(spark, p, Seq((5L, 50L)).toDF("k", "v"))
+    LakeTable.clusterByIncremental(spark, p, Seq("k"), 1)
+    val got2 = got + ((5L, 50L))
+    assert(LakeTable.read(spark, p).as[(Long, Long)].collect().toSet == got2)
+
     // maintenance: compaction + vacuum keep the live snapshot intact
     LakeTable.compact(spark, p, 1)
     LakeTable.vacuum(spark, p, 0L)
-    assert(LakeTable.read(spark, p).as[(Long, Long)].collect().toSet == got)
+    assert(LakeTable.read(spark, p).as[(Long, Long)].collect().toSet == got2)
   }
 
   test("racing DDLs under no-replace rename never lose a published meta") {

@@ -204,6 +204,12 @@ final class GraftTable(path: String, version: Option[Long],
         m.put("tags", tags.toSeq.sortBy(_._1)
           .map { case (n, v) => s"$n=$v" }.mkString(","))
       LakeTable.cdcKey(spark, path).foreach(k => m.put("cdc.key", k))
+      // ANALYZE results at a glance: which columns carry stats and the
+      // snapshot they measured (staleness is visible, not hidden)
+      val ndv = LakeTable.tableNdv(spark, path)
+      if (ndv.nonEmpty)
+        m.put("stats.analyzed", ndv.toSeq.sortBy(_._1)
+          .map { case (c, r) => s"$c=${r.ndv}@v${r.asOf}" }.mkString(","))
     } catch { case _: Exception => () } // a fresh CTAS target has no state yet
     m
   }

@@ -212,6 +212,7 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("CALL graft_cat.system.add_check('dml.props', 'v_pos', 'v > 0')")
     spark.sql("CALL graft_cat.system.enable_dv('dml.props', true)")
     spark.sql("CALL graft_cat.system.tag('dml.props', 'init', 0)")
+    spark.sql("CALL graft_cat.system.analyze('dml.props', 'k')").collect()
     val props = spark.sql(s"SHOW TBLPROPERTIES $t")
       .as[(String, String)].collect().toMap
     assert(props.contains("current-version")) // "provider" is display-reserved
@@ -219,6 +220,8 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(props.get("check.v_pos").contains("v > 0"))
     assert(props.get("deletion-vectors").contains("enabled"))
     assert(props.get("tags").contains("init=0"))
+    assert(props.get("stats.analyzed").exists(_.matches("k=1@v\\d+")),
+      props.get("stats.analyzed"))
     assert(spark.sql(s"DESCRIBE TABLE EXTENDED $t").count() > 0)
   }
 

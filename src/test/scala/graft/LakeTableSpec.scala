@@ -1400,6 +1400,57 @@ class LakeTableSpec extends AnyFunSuite {
     assert(mtimes(LakeTable.dataFiles(spark, p, Some(v4))) == after)
   }
 
+  test("incremental clustering interleaves with DML and compaction losslessly") {
+    import spark.implicits._
+    val p = s"$root/zinc_interleave"
+    val rnd = new scala.util.Random(42)
+    val model = scala.collection.mutable.Map.empty[Long, Long]
+    def df(m: Iterable[(Long, Long)]) = m.toSeq.toDF("k", "v")
+    val init = (0L until 200L).map(k => k -> k * 10)
+    model ++= init
+    LakeTable.create(spark, p, df(init).repartition(4))
+    var nextK = 200L
+    def check(tag: String): Unit = {
+      val rows = LakeTable.read(spark, p).as[(Long, Long)].collect()
+      assert(rows.length == model.size, s"$tag: duplicate or lost rows " +
+        s"(${rows.length} rows vs ${model.size} keys)")
+      val got = rows.toMap
+      assert(got == model.toMap,
+        s"$tag: missing=${(model.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- model.keySet).take(5)}")
+    }
+    for (i <- 1 to 18) {
+      rnd.nextInt(5) match {
+        case 0 => // append a fresh batch
+          val batch = (nextK until nextK + 37L).map(k => k -> k * 10)
+          nextK += 37L
+          model ++= batch
+          LakeTable.append(spark, p, df(batch).repartition(2))
+        case 1 => // predicate delete
+          val r = rnd.nextInt(7)
+          LakeTable.delete(spark, p, pmod(col("k"), lit(7)) === r)
+          model.filterInPlace((k, _) => k % 7 != r)
+        case 2 => // keyed upsert over the EXISTING key domain (an
+          // insert above nextK would later collide with a blind
+          // append, which by design does not dedup)
+          val ups = (0 until 23).map { _ =>
+            val k = rnd.nextLong(nextK); k -> (k * 10 + 1)
+          }.toMap
+          model ++= ups
+          LakeTable.merge(spark, p, df(ups), "k")
+        case 3 =>
+          LakeTable.clusterByIncremental(spark, p, Seq("k"), 2)
+        case 4 =>
+          LakeTable.compact(spark, p, 2)
+      }
+      if (i % 3 == 0) check(s"after op $i")
+    }
+    LakeTable.clusterByIncremental(spark, p, Seq("k"), 2)
+    check("final")
+    // and the clustered table still time-travels to the create
+    assert(LakeTable.read(spark, p, Some(0L)).count() == 200L)
+  }
+
   test("readRange skips files by footer stats and stays exact") {
     import SharedSpark.sf
     val p = s"$root/stats_skip"

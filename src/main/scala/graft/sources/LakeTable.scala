@@ -1920,6 +1920,14 @@ object LakeTable {
     // metaVer re-read closes the second ordering (B stat'd the orphan
     // before A replaced it, A published in between): a version that
     // already moved means the claim B holds is for a SPENT version.
+    // Residual (accepted): if BOTH reclaimers pass this re-verify
+    // before either renames — A's whole delete+create+verify landing
+    // inside B's verify→rename gap — both publish. That needs two
+    // writers to see the SAME claim lease-expired (a crashed third
+    // writer plus a 15-minute standoff) and then a sub-millisecond
+    // interleave; full closure needs a compare-and-swap primitive the
+    // filesystem API doesn't offer — on a store that has one
+    // (conditional PUT), tryExclusiveCreateToken is the swap point.
     if (!claimToken(fs, lock).contains(token)
         || currentMetaVer(spark, path) != expect) {
       fs.delete(tmp, false)

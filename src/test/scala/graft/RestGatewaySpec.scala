@@ -187,6 +187,34 @@ class RestGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("rest sessions are isolated: one tenant's temp view is invisible to another") {
+    GraftRestServer.stop()
+    GraftRestServer.start(spark, 0)
+    try {
+      val auth = basic("anyone", "x") // auth not enforced in this test
+      val (c1, s1J) = call("POST", "/sessions", auth); assert(c1 == 200)
+      val (c2, s2J) = call("POST", "/sessions", auth); assert(c2 == 200)
+      val sid1 = str(s1J, "identifier"); val sid2 = str(s2J, "identifier")
+      // session 1 creates a temp view...
+      val (v1, _) = call("POST", s"/sessions/$sid1/operations/statement", auth,
+        Some("""{"statement":"CREATE OR REPLACE TEMP VIEW rest_tmp AS SELECT 41 AS x"}"""))
+      assert(v1 == 200)
+      val (q1, o1) = call("POST", s"/sessions/$sid1/operations/statement", auth,
+        Some("""{"statement":"SELECT x FROM rest_tmp"}"""))
+      assert(q1 == 200)
+      val (_, r1) = call("GET", s"/operations/${str(o1, "identifier")}/rowset", auth)
+      assert(rows(r1) == Seq(Seq(Some("41"))), r1)
+      // ...which session 2 cannot see (newSession per REST session)
+      val (q2, o2) = call("POST", s"/sessions/$sid2/operations/statement", auth,
+        Some("""{"statement":"SELECT x FROM rest_tmp"}"""))
+      assert(q2 == 200)
+      val (_, ev2) = call("GET", s"/operations/${str(o2, "identifier")}/event", auth)
+      assert(str(ev2, "state") == "ERROR", ev2)
+      call("DELETE", s"/sessions/$sid1", auth)
+      call("DELETE", s"/sessions/$sid2", auth)
+    } finally GraftRestServer.stop()
+  }
+
   test("rest wire reaps idle sessions: abandoned clients leak nothing") {
     GraftRestServer.stop()
     GraftRestServer.start(spark, 0, sessionIdleTimeoutMs = 300L)

@@ -1712,6 +1712,17 @@ object LakeTable {
       case r: RenameRec => r.copy(stamp = stamp)
       case w: WidenRec  => w.copy(stamp = stamp)
     }
+    // ANALYZE entries follow the DDL: a renamed column keeps its stats
+    // under the new name, a dropped one sheds them (a later re-ADD of
+    // the same name must NOT inherit the dead column's NDV — stats for
+    // a different column under a reused name are worse than none),
+    // widening keeps them (lossless, same value set).
+    val ndvFollowed = stamped.foldLeft(tableNdv(spark, path)) {
+      case (m, r: RenameRec) if r.dropped => m - r.old
+      case (m, r: RenameRec) =>
+        m.get(r.old).fold(m)(v => (m - r.old) + (r.to -> v))
+      case (m, _) => m
+    }
     writeTableMeta(spark, path, parts, schema, sortBy,
       tableChecks(spark, path), dvEnabled(spark, path),
       // pre-change groups and post-change groups must read per root —
@@ -1720,6 +1731,7 @@ object LakeTable {
       markMixed = cur.isDefined && stamped.nonEmpty,
       mappings = if (stamped.isEmpty) None
                  else Some(tableMappings(spark, path) ++ stamped),
+      ndv = Some(ndvFollowed),
       expectVer = Some(expect))
   }
 

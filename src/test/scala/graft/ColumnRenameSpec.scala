@@ -43,6 +43,29 @@ class ColumnRenameSpec extends AnyFunSuite {
     assert(fs.listStatus(hp).map(_.getPath.getName).count(_.startsWith("d0-")) == 1)
   }
 
+  test("ANALYZE stats follow renames and die with drops (no stale NDV on re-add)") {
+    val p = freshPath("ndv")
+    sources.LakeTable.create(spark, p,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 20L, "c")).toDF("k", "amount", "tag"))
+    sources.LakeTable.analyze(spark, p)
+    assert(sources.LakeTable.tableNdv(spark, p)("amount").ndv == 2L)
+    // rename: the stats ride to the new name, nothing under the old
+    sources.LakeTable.renameColumn(spark, p, "amount", "value")
+    val afterRename = sources.LakeTable.tableNdv(spark, p)
+    assert(afterRename("value").ndv == 2L, afterRename)
+    assert(!afterRename.contains("amount"), afterRename)
+    // drop then re-ADD the same name: the dead column's NDV must NOT
+    // be inherited by the new column (stats for a different column
+    // under a reused name are worse than none)
+    sources.LakeTable.dropColumn(spark, p, "value")
+    assert(!sources.LakeTable.tableNdv(spark, p).contains("value"))
+    sources.LakeTable.append(spark, p,
+      Seq((4L, 99L, "d")).toDF("k", "value", "tag"))
+    assert(!sources.LakeTable.tableNdv(spark, p).contains("value"))
+    // untouched columns keep their entries throughout
+    assert(sources.LakeTable.tableNdv(spark, p)("tag").ndv == 3L)
+  }
+
   test("stats pruning on the renamed column still skips old-name files") {
     val p = freshPath("prune")
     // two well-separated files so bounds can discriminate

@@ -1300,6 +1300,15 @@ object LakeTable {
     if (sort.nonEmpty) setSortBy(spark, targetPath, sort)
     tableChecks(spark, sourcePath).foreach { case (n, sql) =>
       addCheck(spark, targetPath, n, sql) }
+    // ANALYZE results stay valid (identical data, logical names) —
+    // re-stamped to the clone's own create version.
+    val ndv = tableNdv(spark, sourcePath)
+    if (ndv.nonEmpty)
+      writeTableMeta(spark, targetPath, tablePartitioning(spark, targetPath),
+        metaSchema(spark, targetPath), tableSortBy(spark, targetPath),
+        tableChecks(spark, targetPath), dvEnabled(spark, targetPath),
+        ndv = Some(ndv.map { case (c, r) => c -> r.copy(asOf = 0L) }),
+        expectVer = Some(currentMetaVer(spark, targetPath)))
     0L
   }
 

@@ -2041,8 +2041,11 @@ class LakeTableSpec extends AnyFunSuite {
       spark.range(100).selectExpr("id", "CAST(id % 4 AS STRING) AS g"),
       partitionBy = Seq("g"))
     LakeTable.addCheck(spark, src, "nonneg", "id >= 0")
+    LakeTable.analyze(spark, src, Seq("g"))
     LakeTable.deleteMor(spark, src, col("id") === 7)
     LakeTable.deepClone(spark, src, dst)
+    // ANALYZE results travel (identical data), re-stamped to the clone
+    assert(LakeTable.tableNdv(spark, dst).get("g").exists(r => r.ndv == 4L && r.asOf == 0L))
     // resolved state travels; DV debt does not
     assert(LakeTable.read(spark, dst).count() === 99L)
     assert(LakeTable.filesDf(spark, dst).collect().forall(!_.getBoolean(4)))

@@ -1426,6 +1426,13 @@ object LakeTable {
   def analyze(spark: SparkSession, path: String,
       cols: Seq[String] = Nil): Map[String, ColumnNdv] = {
     import org.apache.spark.sql.functions._
+    // CAS token BEFORE the first read (writeTableMeta's contract): the
+    // stats are keyed by the column names read HERE, so a concurrent
+    // rename publishing during the aggregate must fail this publish
+    // (retryable) — capturing the token at the end would let the stale
+    // pre-rename names overwrite the renamed meta (caught by the
+    // MetaIntegritySpec analyze-vs-rename race).
+    val expect = currentMetaVer(spark, path)
     val v = currentVersion(spark, path)
       .getOrElse(throw new IllegalArgumentException(s"no LakeTable at $path"))
     val df = read(spark, path, Some(v))
@@ -1467,7 +1474,7 @@ object LakeTable {
     writeTableMeta(spark, path, tablePartitioning(spark, path),
       metaSchema(spark, path), tableSortBy(spark, path), tableChecks(spark, path),
       dvEnabled(spark, path), ndv = Some(merged),
-      expectVer = Some(currentMetaVer(spark, path)))
+      expectVer = Some(expect))
     merged
   }
 

@@ -162,6 +162,46 @@ class MetaIntegritySpec extends AnyFunSuite {
     assert(sources.LakeTable.read(spark, p).columns.toSeq == Seq("k", "a"))
   }
 
+  test("ANALYZE vs column rename: the meta CAS arbitrates, no stats/DDL lost") {
+    val p = freshPath("anrace")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L), (2L, 20L)).toDF("k", "amount"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (i <- 1 to 4) {
+        // re-resolve the current spelling before each round
+        val cur = sources.LakeTable.tableSchema(spark, p).fieldNames
+          .find(_.startsWith("amount")).get
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val analyzeF = pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            start.await()
+            try { sources.LakeTable.analyze(spark, p); true }
+            catch { case _: sources.LakeTable.ConcurrentWriteException => false }
+          }
+        })
+        val renameF = pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            start.await()
+            try { sources.LakeTable.renameColumn(spark, p, cur, s"amount${i + 1}x"); true }
+            catch { case _: sources.LakeTable.ConcurrentWriteException => false }
+          }
+        })
+        start.countDown()
+        val (aOk, rOk) = (analyzeF.get(), renameF.get())
+        assert(aOk || rOk, s"round $i: both losers")
+        // Whatever landed is coherent: the schema has exactly one
+        // amount-column, and any stored stats entry is keyed by a
+        // CURRENT column name (a rename that lost to analyze left the
+        // old name; one that won carried/kept the entries consistent).
+        val names = sources.LakeTable.tableSchema(spark, p).fieldNames.toSet
+        assert(names.count(_.startsWith("amount")) == 1, names)
+        val ndvKeys = sources.LakeTable.tableNdv(spark, p).keySet
+        assert(ndvKeys.subsetOf(names), s"round $i: stale stats keys " +
+          s"${ndvKeys -- names} not in schema $names")
+      }
+    } finally pool.shutdown()
+  }
+
   test("racing lease-reclaims never silently drop a published DDL") {
     // Two writers both past the lease check can interleave the
     // delete-then-create reclaim (A deletes+creates, B deletes A's

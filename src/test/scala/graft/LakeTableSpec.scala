@@ -1451,6 +1451,45 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p, Some(0L)).count() == 200L)
   }
 
+  test("incremental clustering racing a blind append never loses rows") {
+    import spark.implicits._
+    val p = s"$root/zinc_race"
+    val base = (0L until 100L).map(k => k -> k)
+    LakeTable.create(spark, p, base.toDF("k", "v").repartition(2))
+    LakeTable.clusterBy(spark, p, Seq("k"), 2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      var appended = Vector.empty[(Long, Long)]
+      for (i <- 1 to 3) {
+        val batch = (1000L * i until 1000L * i + 50L).map(k => k -> k)
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val appendF = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { start.await()
+            // blind appends REBASE past claim losses (B60) — must land
+            LakeTable.append(spark, p, batch.toDF("k", "v"))
+          }
+        })
+        val clusterF = pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = { start.await()
+            try { LakeTable.clusterByIncremental(spark, p, Seq("k"), 2); true }
+            catch { // optimistic loser: typed, retryable — never silent
+              case _: LakeTable.CommitRaceLostException => false
+              case _: LakeTable.ConcurrentWriteException => false
+            }
+          }
+        })
+        start.countDown()
+        appendF.get(); val clusteredOk = clusterF.get()
+        appended ++= batch
+        if (!clusteredOk) LakeTable.clusterByIncremental(spark, p, Seq("k"), 2)
+        val want = (base ++ appended).toMap
+        val got = LakeTable.read(spark, p).as[(Long, Long)].collect()
+        assert(got.length == want.size, s"round $i: ${got.length} vs ${want.size}")
+        assert(got.toMap == want, s"round $i: content diverged")
+      }
+    } finally pool.shutdown()
+  }
+
   test("readRange skips files by footer stats and stays exact") {
     import SharedSpark.sf
     val p = s"$root/stats_skip"

@@ -215,6 +215,44 @@ class RestGatewaySpec extends AnyFunSuite {
     } finally GraftRestServer.stop()
   }
 
+  test("concurrent rowset fetches on one operation partition rows exactly") {
+    GraftRestServer.stop()
+    GraftRestServer.start(spark, 0)
+    try {
+      val auth = basic("anyone", "x")
+      val (_, sJ) = call("POST", "/sessions", auth)
+      val sid = str(sJ, "identifier")
+      val (_, oJ) = call("POST", s"/sessions/$sid/operations/statement", auth,
+        Some("""{"statement":"SELECT id FROM range(500) ORDER BY id"}"""))
+      val op = str(oJ, "identifier")
+      // 4 clients page the same operation concurrently: pages may
+      // interleave in any order, but every row arrives exactly once
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val all = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val futs = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            var more = true
+            while (more) {
+              val (_, page) = RestGatewaySpec.this.call("GET",
+                s"/operations/$op/rowset?maxrows=17", auth)
+              rows(page).foreach(r => all.add(r.head.get))
+              more = hasMore(page)
+            }
+          }
+        })
+      }
+      futs.foreach(_.get())
+      pool.shutdown()
+      import scala.jdk.CollectionConverters._
+      val got = all.asScala.map(_.toLong).sorted.toSeq
+      assert(got == (0L until 500L), s"${got.size} rows, " +
+        s"dups=${got.groupBy(identity).count(_._2.size > 1)}")
+      call("DELETE", s"/sessions/$sid", auth)
+    } finally GraftRestServer.stop()
+  }
+
   test("rest wire reaps idle sessions: abandoned clients leak nothing") {
     GraftRestServer.stop()
     GraftRestServer.start(spark, 0, sessionIdleTimeoutMs = 300L)

@@ -223,6 +223,10 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(props.get("stats.analyzed").exists(_.matches("k=1@v\\d+")),
       props.get("stats.analyzed"))
     assert(spark.sql(s"DESCRIBE TABLE EXTENDED $t").count() > 0)
+    // SHOW CREATE TABLE (the BI-tool introspection path) renders the
+    // schema and the graft provider from the V2 surface
+    val ct = spark.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+    assert(ct.contains("USING graft") && ct.contains("k BIGINT"), ct)
   }
 
   test("persistent MV: SQL aggregates over a CATALOG table route to the rollup durably") {

@@ -94,6 +94,17 @@ object GraftMysqlServer {
     */
   private val MaxChunk = 0xFFFFFF
 
+  /** Upper bound on a merged multi-chunk command payload — MySQL's own
+    * max_allowed_packet stance (server default 64MB). The merge loop
+    * runs PRE-AUTH (the handshake response is framed the same way), so
+    * without a cap a client could stream max-size continuation chunks
+    * forever and OOM the driver heap.
+    */
+  private[graft] val MaxAllowedPacket = 64 * 1024 * 1024
+
+  private[graft] final class PacketTooLarge
+    extends java.io.IOException("packet exceeds max_allowed_packet")
+
   private final class PacketIO(in: InputStream, out: OutputStream) {
     var seq: Int = 0
 
@@ -109,6 +120,7 @@ object GraftMysqlServer {
         val chunk = readFully(len)
         if (merged == null && len < MaxChunk) return chunk
         if (merged == null) merged = new java.io.ByteArrayOutputStream()
+        if (merged.size().toLong + len > MaxAllowedPacket) throw new PacketTooLarge
         merged.write(chunk)
         if (len < MaxChunk) return merged.toByteArray
       }
@@ -211,9 +223,10 @@ object GraftMysqlServer {
   // ---- per-connection loop -----------------------------------------
 
   private def handle(parent: SparkSession, sock: Socket): Unit = {
+    var io: PacketIO = null
     try {
       sock.setTcpNoDelay(true)
-      val io = new PacketIO(new BufferedInputStream(sock.getInputStream),
+      io = new PacketIO(new BufferedInputStream(sock.getInputStream),
         new BufferedOutputStream(sock.getOutputStream))
       val scramble = new Array[Byte](20)
       new java.util.Random(System.nanoTime()).nextBytes(scramble)
@@ -282,6 +295,14 @@ object GraftMysqlServer {
         }
       }
     } catch {
+      case _: PacketTooLarge =>
+        // MySQL's own stance (ER_NET_PACKET_TOO_LARGE): best-effort ERR,
+        // then drop the connection — never buffer past the cap.
+        if (io != null) {
+          try { io.write(errPacket(1153, "08S01",
+            "Got a packet bigger than 'max_allowed_packet' bytes")); io.flush() }
+          catch { case _: Exception => () }
+        }
       case _: EOFException => ()
       case _: java.net.SocketException => ()
       case e: Exception =>
@@ -309,7 +330,7 @@ object GraftMysqlServer {
         val values = names.map { n =>
           n.stripPrefix("@@").toLowerCase match {
             case "version" | "version_comment" => "8.0.33-graft"
-            case "max_allowed_packet" => "16777216"
+            case "max_allowed_packet" => MaxAllowedPacket.toString
             case "sql_mode" | "character_set_client" | "collation_connection" => ""
             case "autocommit" => "1"
             case _ => "0"

@@ -65,10 +65,26 @@ object GraftRestServer {
     @volatile var error: Option[String] = None
     @volatile var schema: Seq[(String, String)] = Nil
     @volatile var it: Iterator[Row] = Iterator.empty
+    /** Set by reap/close while the statement is still executing; the
+      * executing thread honors it at completion (see [[closeOrDefer]]).
+      */
+    @volatile var closeRequested: Boolean = false
     private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     /** Admission permits release exactly once per operation. */
     def releasePermit(): Unit =
       if (released.compareAndSet(false, true)) ConnectAuth.release(user)
+  }
+
+  /** Close an operation — or, if its statement is still executing,
+    * defer: releasing the permit mid-flight would let the principal
+    * exceed maxConcurrentPerUser during the in-flight window, and
+    * removing the op would 404 the identifier the client just
+    * received. The RUNNING→terminal transition and this check are both
+    * under op's monitor, so exactly one side performs the close.
+    */
+  private def closeOrDefer(opId: String, op: OpState): Unit = op.synchronized {
+    if (op.state == "RUNNING") op.closeRequested = true
+    else { op.releasePermit(); ops.remove(opId) }
   }
 
   private final class Sess(val spark: SparkSession, val user: String) {
@@ -91,7 +107,7 @@ object GraftRestServer {
     sessions.forEach { (id, s) =>
       if (s.lastAccess < cutoff && sessions.remove(id, s)) {
         ops.forEach { (opId, op) =>
-          if (op.sessionId == id) { op.releasePermit(); ops.remove(opId) }
+          if (op.sessionId == id) closeOrDefer(opId, op)
         }
       }
     }
@@ -280,9 +296,10 @@ object GraftRestServer {
       case None => err(ex, 404, "no such session")
       case Some(s) => owned(ex, user, s.user) {
         sessions.remove(id)
-        // closing the session closes (and releases) its operations
+        // closing the session closes (and releases) its operations;
+        // in-flight statements close at completion (closeOrDefer)
         ops.forEach { (opId, op) =>
-          if (op.sessionId == id) { op.releasePermit(); ops.remove(opId) }
+          if (op.sessionId == id) closeOrDefer(opId, op)
         }
         respond(ex, 200, "{}")
       }
@@ -318,13 +335,16 @@ object GraftRestServer {
           }
           sit.hasNext // force the first partition: runtime errors land here
           op.it = sit
-          op.state = "FINISHED"
+          op.synchronized { op.state = "FINISHED" }
         } catch {
           case e: Exception =>
-            op.state = "ERROR"
+            op.synchronized { op.state = "ERROR" }
             op.error = Some(Option(e.getMessage).getOrElse(e.toString).take(2000))
             op.releasePermit() // a failed statement holds no permit
         }
+        // A reap/close that hit this op mid-execution deferred to us
+        // (closeOrDefer): honor it now that the state is terminal.
+        if (op.closeRequested) { op.releasePermit(); ops.remove(opId) }
         respond(ex, 200, s"""{"identifier":${jstr(opId)}}""")
       }
     }
@@ -355,11 +375,21 @@ object GraftRestServer {
       case Some(op) => owned(ex, user, op.user) {
         touch(op.sessionId)
         if (op.state == "ERROR") { err(ex, 400, op.error.getOrElse("ERROR")); return }
-        val max = Option(ex.getRequestURI.getQuery).flatMap(q =>
+        // maxrows: malformed → 400 (not a 500 from a bare toInt), and
+        // clamped to >= 1 — a 0/negative page would return an empty
+        // rowset with hasMoreRows=true forever, so a conforming
+        // pagination loop would never terminate.
+        val maxRaw = Option(ex.getRequestURI.getQuery).flatMap(q =>
           q.split("&").collectFirst {
-            case kv if kv.startsWith("maxrows=") =>
-              kv.stripPrefix("maxrows=").toInt
-          }).getOrElse(1000)
+            case kv if kv.startsWith("maxrows=") => kv.stripPrefix("maxrows=")
+          })
+        val max = maxRaw match {
+          case None => 1000
+          case Some(s0) => s0.toIntOption match {
+            case None => err(ex, 400, s"invalid maxrows: '$s0'"); return
+            case Some(v) => math.max(1, v)
+          }
+        }
         val ncols = op.schema.size
         val sb = new StringBuilder("""{"rows":[""")
         var n = 0
@@ -393,8 +423,7 @@ object GraftRestServer {
     Option(ops.get(id)) match {
       case None => err(ex, 404, "no such operation")
       case Some(op) => owned(ex, user, op.user) {
-        op.releasePermit()
-        ops.remove(id)
+        closeOrDefer(id, op)
         respond(ex, 200, "{}")
       }
     }

@@ -209,10 +209,23 @@ object Clustering {
     * real dedup pipelines run between verification and the keep-rule.
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    clusterLabels(s, d).groupBy("label")
-      .agg(count(lit(1)).cast("long").as("cluster_size"),
-        sort_array(collect_list("id")).as("members"))
+    // The members column is a bounded SAMPLE (the 16 smallest ids): a
+    // boilerplate mega-cluster at 100 TB can hold 10⁶+ members, and an
+    // unbounded collect_list would make one reducer assemble a multi-MB
+    // array for a report cell. cluster_size stays exact (plain count);
+    // the sample rides the bounded-heap TopK (k=16 per label), so no
+    // operator anywhere holds more than 16 member ids per cluster —
+    // slice(collect_list(...)) would still aggregate the full array
+    // before slicing.
+    val labels = clusterLabels(s, d)
+    val sizes = labels.groupBy("label")
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
       .where(col("cluster_size") >= 2)
+    val sample = TopK.perGroup(
+        labels.withColumn("nid", negate(col("id"))), Seq("label"), "nid", "id", 16)
+      .groupBy("label")
+      .agg(sort_array(collect_list("id")).as("members"))
+    sizes.join(sample, "label")
       .select(col("label").as("cluster_rep"), col("cluster_size"),
         concat_ws(",", transform(col("members"), _.cast("string"))).as("members"))
       .orderBy("cluster_rep")
@@ -221,7 +234,7 @@ object Clustering {
   /** Min-label propagation to fixpoint: (id, label) for every doc that
     * appears in a verified near-dup pair (label = min reachable id).
     */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val edges0 = DedupOps.ngramPairs(s, d, 0.8).select("doc_a", "doc_b")
     // Symmetric edge list including self-loops so isolated members keep labels.
     // localCheckpoint: materialize the (tiny) edge/label sets and cut
@@ -551,7 +564,7 @@ object Clustering {
           |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
           |lab AS (SELECT a AS id, min(b) AS label FROM reach GROUP BY 1)
           |SELECT label AS cluster_rep, count(*)::BIGINT AS cluster_size,
-          |  array_to_string(list_sort(list(id)), ',') AS members
+          |  array_to_string(list_sort(list(id))[1:16], ',') AS members
           |FROM lab GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin)),
 
     // D31: canonical-copy selection (see dedupCanonical) — same

@@ -269,7 +269,8 @@ final class GraftTable(path: String, version: Option[Long],
     val scanOpts = new CaseInsensitiveStringMap(
       (options.asCaseSensitiveMap().asScala.toMap ++ Map("mergeSchema" -> "true")).asJava)
     new GraftScanBuilder(spark, path, commit.dirs,
-      LakeTable.tableSchema(spark, path, Some(v)), scanOpts)
+      LakeTable.tableSchema(spark, path, Some(v)), scanOpts,
+      atHead = LakeTable.currentVersion(spark, path).contains(v))
   }
 
   /** Native DSv2 write path (GraftWrite.scala): task-level parquet
@@ -396,7 +397,12 @@ final class GraftDvScanBuilder(spark: SparkSession, path: String, v: Long,
     // lengths from the stored ANALYZE results, null counts footer-
     // exact. DV'd rows overcount both — conservative (larger inputs),
     // same stance as sizeInBytes above.
-    val unpruned = kept == total
+    // ... and only for a scan of the CURRENT head: the sidecar/ANALYZE
+    // aggregates describe currentVersion, so a VERSION AS OF scan of an
+    // older snapshot must not report them as its own row count / NDV
+    // (CBO would plan the old snapshot with the new table's shape).
+    val unpruned = kept == total &&
+      LakeTable.currentVersion(spark, path).contains(v)
     val statRows: java.util.OptionalLong =
       if (unpruned)
         LakeTable.aggregatedColumnNulls(spark, path)
@@ -519,7 +525,7 @@ final class GraftCdcTable(path: String) extends Table with SupportsRead {
   * it via pruneFilesByDir).
   */
 final class GraftScanBuilder(spark: SparkSession, path: String, dirs: Seq[String],
-    schema: StructType, options: CaseInsensitiveStringMap)
+    schema: StructType, options: CaseInsensitiveStringMap, atHead: Boolean = true)
     extends org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -610,8 +616,12 @@ final class GraftScanBuilder(spark: SparkSession, path: String, dirs: Seq[String
     // Wrapped so the same Scan serves readStream: batch behavior is
     // delegated untouched; toMicroBatchStream resolves to the
     // commit-log source (LakeStream.scala).
+    // snapshotStats only when the scan is the CURRENT head: the sidecar
+    // row-count/NDV aggregates always describe currentVersion, so a
+    // VERSION/TIMESTAMP AS OF scan must not claim them as its own
+    // (plans only — results were always version-correct).
     new GraftStreamableScan(inner.build(), spark, path, schema, options,
       org.apache.spark.sql.types.StructType(partCols.map(c => schema(c))),
-      snapshotStats = paths eq all)
+      snapshotStats = (paths eq all) && atHead)
   }
 }

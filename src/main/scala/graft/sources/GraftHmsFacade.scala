@@ -40,10 +40,15 @@ import org.apache.spark.sql.SparkSession
   *     graft table, drop_table) lands in the shared registry and is
   *     immediately visible to graft's own catalog — and vice versa.
   *
-  * Unsupported surface (column stats write-back, Hive ACID/txn APIs,
-  * indexes, delegation tokens) throws MetaException naming the
-  * facade, never silently misleads. The reference deployment maps
-  * `metastore.thrift://` here exactly as SURVEY §7.5.1 documents.
+  * Column statistics flow BOTH ways: reads aggregate the stats
+  * sidecars + stored ANALYZE results (see getTableColumnStatistics's
+  * honesty rules), and an external engine's ANALYZE writes back via
+  * update/delete_table_column_statistics into the same store graft's
+  * own ANALYZE (B65) fills. Remaining unsupported surface (partition
+  * stats write-back, Hive ACID/txn APIs, indexes, delegation tokens)
+  * throws MetaException naming the facade, never silently misleads.
+  * The reference deployment maps `metastore.thrift://` here exactly
+  * as SURVEY §7.5.1 documents.
   */
 object GraftHmsFacade {
 
@@ -641,7 +646,50 @@ final class GraftRawStore extends RawStore {
       val lim = if (max >= 0) distinct.take(max.toInt) else distinct
       lim.map { case (vs, dir) => mkPartition(db, tbl, cols, vs, dir) }.toList.asJava
     }
-  override def updateTableColumnStatistics(a0: org.apache.hadoop.hive.metastore.api.ColumnStatistics): Boolean = unsupported("updateTableColumnStatistics")
+  /** Stats WRITE-BACK (an external engine's `ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS` lands here): NDV and string-length stats
+    * are recorded into the SAME table-meta store graft's own ANALYZE
+    * (B65) fills — so Hive/Trino-computed statistics round-trip
+    * through [[getTableColumnStatistics]] and feed Spark's CBO
+    * identically. What is NOT taken from the wire: null counts and
+    * min/max bounds — those the facade serves footer-exact from the
+    * stats sidecars, and a client's (possibly sampled) numbers must
+    * not overwrite exact ones; NDV/lengths are estimates on both sides
+    * (the documented honesty rule), so the freshest estimate wins.
+    */
+  override def updateTableColumnStatistics(
+      cs: org.apache.hadoop.hive.metastore.api.ColumnStatistics): Boolean =
+    io { (s, st) =>
+      val desc = cs.getStatsDesc
+      val loc = st.tableLocation(s, desc.getDbName, desc.getTableName)
+        .getOrElse(throw new NoSuchObjectException(
+          s"${desc.getDbName}.${desc.getTableName}"))
+      val v = LakeTable.currentVersion(s, loc).getOrElse(0L)
+      val schema = LakeTable.tableSchema(s, loc)
+      val fresh = cs.getStatsObj.asScala.flatMap { o =>
+        // canonical schema-cased column name; unknown columns ignored
+        // (Hive stores them; graft has nowhere sound to hang them)
+        schema.fields.find(_.name.equalsIgnoreCase(o.getColName)).flatMap { f =>
+          val d = o.getStatsData
+          val rec: Option[LakeTable.ColumnNdv] =
+            if (d.isSetLongStats)
+              Some(LakeTable.ColumnNdv(d.getLongStats.getNumDVs, -1L, -1.0, v))
+            else if (d.isSetDoubleStats)
+              Some(LakeTable.ColumnNdv(d.getDoubleStats.getNumDVs, -1L, -1.0, v))
+            else if (d.isSetStringStats) {
+              val ss = d.getStringStats
+              Some(LakeTable.ColumnNdv(ss.getNumDVs, ss.getMaxColLen, ss.getAvgColLen, v))
+            } else if (d.isSetDecimalStats)
+              Some(LakeTable.ColumnNdv(d.getDecimalStats.getNumDVs, -1L, -1.0, v))
+            else if (d.isSetDateStats)
+              Some(LakeTable.ColumnNdv(d.getDateStats.getNumDVs, -1L, -1.0, v))
+            else None
+          rec.map(f.name -> _)
+        }
+      }.toMap
+      if (fresh.nonEmpty) LakeTable.recordNdv(s, loc, fresh)
+      true
+    }
   override def updatePartitionColumnStatistics(a0: org.apache.hadoop.hive.metastore.api.ColumnStatistics, a1: java.util.List[String]): Boolean = unsupported("updatePartitionColumnStatistics")
   /** Table column statistics for external optimizers, aggregated from
     * the per-group stats sidecars: exact low/high (integral bounds
@@ -776,7 +824,21 @@ final class GraftRawStore extends RawStore {
       }.toList.asJava
     }
   override def deletePartitionColumnStatistics(a0: String, a1: String, a2: String, a3: java.util.List[String], a4: String): Boolean = unsupported("deletePartitionColumnStatistics")
-  override def deleteTableColumnStatistics(a0: String, a1: String, a2: String): Boolean = unsupported("deleteTableColumnStatistics")
+  /** Drops the stored ANALYZE/write-back record for one column (the
+    * wire passes null for "all columns" — then every record goes).
+    * Sidecar-derived exact stats (nulls, bounds) are unaffected: they
+    * describe files, not an ANALYZE run.
+    */
+  override def deleteTableColumnStatistics(db: String, tbl: String,
+      colName: String): Boolean =
+    io { (s, st) =>
+      val loc = st.tableLocation(s, db, tbl)
+        .getOrElse(throw new NoSuchObjectException(s"$db.$tbl"))
+      if (colName == null)
+        LakeTable.tableNdv(s, loc).keys.foreach(LakeTable.dropNdv(s, loc, _))
+      else LakeTable.dropNdv(s, loc, colName)
+      true
+    }
   override def cleanupEvents(): Long = unsupported("cleanupEvents")
   override def addToken(a0: String, a1: String): Boolean = unsupported("addToken")
   override def removeToken(a0: String): Boolean = unsupported("removeToken")

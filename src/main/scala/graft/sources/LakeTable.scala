@@ -1478,6 +1478,38 @@ object LakeTable {
     merged
   }
 
+  /** Stats WRITE-BACK: record externally-computed column statistics
+    * (an HMS client's ANALYZE — Hive's `update_table_column_statistics`
+    * verb) into the same store [[analyze]] fills, so an external
+    * engine's stats round-trip through the facade and feed Spark's own
+    * CBO identically. Same CAS discipline as analyze: the token is
+    * captured BEFORE the merge read, so a concurrent DDL (rename)
+    * publishing mid-verb fails this publish instead of being
+    * overwritten with stale column names.
+    */
+  def recordNdv(spark: SparkSession, path: String,
+      fresh: Map[String, ColumnNdv]): Map[String, ColumnNdv] = {
+    val expect = currentMetaVer(spark, path)
+    val merged = tableNdv(spark, path) ++ fresh
+    writeTableMeta(spark, path, tablePartitioning(spark, path),
+      metaSchema(spark, path), tableSortBy(spark, path), tableChecks(spark, path),
+      dvEnabled(spark, path), ndv = Some(merged), expectVer = Some(expect))
+    merged
+  }
+
+  /** Drop one column's stored ANALYZE/write-back record (Hive's
+    * `delete_table_column_statistics`). No-op when absent.
+    */
+  def dropNdv(spark: SparkSession, path: String, colName: String): Unit = {
+    val expect = currentMetaVer(spark, path)
+    val cur = tableNdv(spark, path)
+    val remaining = cur.filterNot(_._1.equalsIgnoreCase(colName))
+    if (remaining.size == cur.size) return
+    writeTableMeta(spark, path, tablePartitioning(spark, path),
+      metaSchema(spark, path), tableSortBy(spark, path), tableChecks(spark, path),
+      dvEnabled(spark, path), ndv = Some(remaining), expectVer = Some(expect))
+  }
+
   /** PARTITION EVOLUTION (the Iceberg marquee): change the table's
     * partition spec WITHOUT rewriting a byte of data. Metadata-only —
     * subsequent appends and COW rewrites lay their new file groups out

@@ -165,6 +165,63 @@ class HmsFacadeSpec extends AnyFunSuite {
     } finally client.close()
   }
 
+  test("external ANALYZE write-back round-trips; exact sidecar stats stay authoritative") {
+    import org.apache.hadoop.hive.metastore.api.{ColumnStatistics, ColumnStatisticsData, ColumnStatisticsDesc, ColumnStatisticsObj, LongColumnStatsData, StringColumnStatsData}
+    val url = "jdbc:derby:memory:hmsmeta;create=true"
+    val root = s"${operators.Lakehouse.scratch}/hms_wh"
+    graft.sources.GraftHmsFacade.start(spark, port, root, jdbcUrl = Some(url))
+    spark.sql("DROP TABLE IF EXISTS hms_cat.db.wb_t")
+    spark.sql("CREATE TABLE hms_cat.db.wb_t (k BIGINT, s STRING) USING graft")
+    spark.sql("INSERT INTO hms_cat.db.wb_t SELECT id, 'x' || (id % 5) FROM range(100)")
+    val conf = new org.apache.hadoop.hive.conf.HiveConf()
+    conf.set("hive.metastore.uris", s"thrift://localhost:$port")
+    val client = new org.apache.hadoop.hive.metastore.HiveMetaStoreClient(conf)
+    try {
+      // before: k's NDV is the metadata bound (100 non-null, width 100);
+      // s is unserved (no ANALYZE, no length stats)
+      val before = client.getTableColumnStatistics("db", "wb_t",
+        Seq("k", "s").asJava).asScala.map(o => o.getColName -> o.getStatsData).toMap
+      assert(before("k").getLongStats.getNumDVs == 100L, before("k"))
+      assert(!before.contains("s"), before.keySet)
+
+      // an external engine's ANALYZE lands over the wire: NDV for k,
+      // NDV + lengths for s. The wire's numNulls (deliberately WRONG:
+      // 77) must NOT displace the footer-exact sidecar null count.
+      val kData = new LongColumnStatsData(77L, 42L)
+      kData.setLowValue(0L); kData.setHighValue(99L)
+      val sData = new StringColumnStatsData(9L, 4.5, 77L, 5L)
+      val desc = new ColumnStatisticsDesc(true, "db", "wb_t")
+      val cs = new ColumnStatistics(desc, Seq(
+        new ColumnStatisticsObj("k", "bigint", ColumnStatisticsData.longStats(kData)),
+        new ColumnStatisticsObj("s", "string", ColumnStatisticsData.stringStats(sData))
+      ).asJava)
+      client.updateTableColumnStatistics(cs)
+
+      val after = client.getTableColumnStatistics("db", "wb_t",
+        Seq("k", "s").asJava).asScala.map(o => o.getColName -> o.getStatsData).toMap
+      val k = after("k").getLongStats
+      assert(k.getNumDVs == 42L, s"written-back NDV must be served: $k")
+      assert(k.getNumNulls == 0L, s"nulls stay footer-exact, wire's 77 ignored: $k")
+      assert(k.getLowValue == 0L && k.getHighValue == 99L,
+        s"bounds stay sidecar-exact: $k")
+      val sStats = after("s").getStringStats
+      assert(sStats.getNumDVs == 5L && sStats.getMaxColLen == 9L, sStats)
+      assert(sStats.getNumNulls == 0L, s"string nulls stay footer-exact: $sStats")
+
+      // engine-side visibility: the written-back stats are the SAME
+      // store graft's ANALYZE fills, so the engine's catalog sees them
+      val loc = client.getTable("db", "wb_t").getSd.getLocation
+      assert(graft.sources.LakeTable.tableNdv(spark, loc)("k").ndv == 42L)
+
+      // delete one column's record: k reverts to the bound, s stays
+      client.deleteTableColumnStatistics("db", "wb_t", "k")
+      val reverted = client.getTableColumnStatistics("db", "wb_t",
+        Seq("k", "s").asJava).asScala.map(o => o.getColName -> o.getStatsData).toMap
+      assert(reverted("k").getLongStats.getNumDVs == 100L, reverted("k"))
+      assert(reverted("s").getStringStats.getNumDVs == 5L, reverted("s"))
+    } finally client.close()
+  }
+
   test("server-side partition filtering: get_partitions_by_filter prunes on the server") {
     val url = "jdbc:derby:memory:hmsmeta;create=true"
     val root = s"${operators.Lakehouse.scratch}/hms_wh"

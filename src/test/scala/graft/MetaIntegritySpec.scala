@@ -202,6 +202,48 @@ class MetaIntegritySpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("HMS stats write-back vs column rename: the meta CAS arbitrates") {
+    // Same shape as the ANALYZE race: recordNdv (the HMS facade's
+    // update_table_column_statistics leg) captures its token BEFORE
+    // reading the merge base, so a rename publishing mid-verb fails
+    // the write-back rather than resurrecting pre-rename stat keys.
+    val p = freshPath("wbrace")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L), (2L, 20L)).toDF("k", "amount"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (i <- 1 to 4) {
+        val cur = sources.LakeTable.tableSchema(spark, p).fieldNames
+          .find(_.startsWith("amount")).get
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val writeF = pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            start.await()
+            try {
+              sources.LakeTable.recordNdv(spark, p,
+                Map(cur -> sources.LakeTable.ColumnNdv(2L + i, -1L, -1.0, 0L)))
+              true
+            } catch { case _: sources.LakeTable.ConcurrentWriteException => false }
+          }
+        })
+        val renameF = pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            start.await()
+            try { sources.LakeTable.renameColumn(spark, p, cur, s"amount${i + 1}w"); true }
+            catch { case _: sources.LakeTable.ConcurrentWriteException => false }
+          }
+        })
+        start.countDown()
+        val (wOk, rOk) = (writeF.get(), renameF.get())
+        assert(wOk || rOk, s"round $i: both losers")
+        val names = sources.LakeTable.tableSchema(spark, p).fieldNames.toSet
+        assert(names.count(_.startsWith("amount")) == 1, names)
+        val ndvKeys = sources.LakeTable.tableNdv(spark, p).keySet
+        assert(ndvKeys.subsetOf(names), s"round $i: stale stats keys " +
+          s"${ndvKeys -- names} not in schema $names")
+      }
+    } finally pool.shutdown()
+  }
+
   test("racing lease-reclaims never silently drop a published DDL") {
     // Two writers both past the lease check can interleave the
     // delete-then-create reclaim (A deletes+creates, B deletes A's

@@ -14,9 +14,16 @@ import org.apache.spark.sql.SparkSession
   *
   *   - **Protocol**: server greeting v10 + HandshakeResponse41 +
   *     text-protocol result sets (COM_QUERY / COM_PING / COM_INIT_DB /
-  *     COM_QUIT), per the public MySQL client/server protocol — no
-  *     SSL, no DEPRECATE_EOF, classic EOF-terminated result sets, the
-  *     lowest common denominator every connector still speaks.
+  *     COM_QUIT) AND the binary protocol (COM_STMT_PREPARE / EXECUTE /
+  *     CLOSE / RESET with `?` placeholders, typed binary parameter
+  *     decoding and typed binary row encoding — what connectors and BI
+  *     tools issue via PreparedStatement), per the public MySQL
+  *     client/server protocol — no SSL, no DEPRECATE_EOF, classic
+  *     EOF-terminated result sets, the lowest common denominator every
+  *     connector still speaks. Prepared parameters bind through
+  *     Spark's own positional parameterized SQL (`sql(text, args)`),
+  *     never string splicing — the wire is injection-safe by
+  *     construction.
   *   - **Auth (C22)**: when `ConnectAuth.enable` has configured a
   *     credential query, the server AuthSwitches the client to
   *     `mysql_clear_text_password` and validates the cleartext token
@@ -167,6 +174,7 @@ object GraftMysqlServer {
     def u1(v: Int): Packet = { b.write(v & 0xFF); this }
     def u2(v: Int): Packet = { u1(v); u1(v >> 8) }
     def u4(v: Long): Packet = { u2(v.toInt); u2((v >> 16).toInt) }
+    def u8(v: Long): Packet = { u4(v); u4(v >>> 32) }
     def raw(a: Array[Byte]): Packet = { b.write(a); this }
     def str(s: String): Packet = raw(s.getBytes(UTF_8))
     def strNul(s: String): Packet = { str(s); u1(0) }
@@ -272,6 +280,7 @@ object GraftMysqlServer {
       }
       sess.conf.set("spark.graft.sql.user", user)
 
+      val stmts = new StmtRegistry
       var open = true
       while (open) {
         io.seq = 0
@@ -289,6 +298,16 @@ object GraftMysqlServer {
           case 0x03 => // COM_QUERY
             runQuery(sess, user, new String(cmd, 1, cmd.length - 1, UTF_8), io)
             io.flush()
+          case 0x16 => // COM_STMT_PREPARE
+            stmtPrepare(stmts, new String(cmd, 1, cmd.length - 1, UTF_8), io)
+            io.flush()
+          case 0x17 => // COM_STMT_EXECUTE
+            stmtExecute(sess, user, stmts, cmd, io)
+            io.flush()
+          case 0x19 => // COM_STMT_CLOSE — no response, per protocol
+            stmts.close(leU4(cmd, 1).toInt)
+          case 0x1A => // COM_STMT_RESET
+            io.write(okPacket()); io.flush()
           case other =>
             io.write(errPacket(1047, "08S01", f"unsupported command 0x$other%02x"))
             io.flush()
@@ -377,6 +396,242 @@ object GraftMysqlServer {
         io.write(errPacket(1064, "42000",
           Option(e.getMessage).getOrElse(e.toString).take(1500)))
     } finally ConnectAuth.release(user)
+  }
+
+  // ---- binary protocol: COM_STMT_PREPARE / EXECUTE -------------------
+
+  /** Per-connection prepared-statement registry. Statement ids are
+    * connection-scoped (the protocol's scoping), so no cross-tenant
+    * handle confusion is possible by construction.
+    */
+  private final class StmtRegistry {
+    private val m = new java.util.HashMap[Int, PreparedStmt]()
+    private var next = 1
+    def add(sql: String, nParams: Int): Int = {
+      val id = next; next += 1; m.put(id, new PreparedStmt(sql, nParams)); id
+    }
+    def get(id: Int): Option[PreparedStmt] = Option(m.get(id))
+    def close(id: Int): Unit = m.remove(id)
+  }
+
+  private final class PreparedStmt(val sql: String, val nParams: Int) {
+    /** Parameter types from the last new-params-bound EXECUTE — a
+      * conforming client may send new_params_bound_flag=0 on
+      * re-execute and the previous types apply.
+      */
+    var types: Array[Int] = Array.empty
+  }
+
+  /** `?` placeholders outside quoted strings / identifiers / line
+    * comments — the prepare-time parameter count.
+    */
+  private[graft] def paramCount(sql: String): Int = {
+    var n = 0; var i = 0; var q: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q != 0) {
+        if (c == q) q = 0
+        else if (c == '\\' && q != '`') i += 1 // escape inside a string
+      } else c match {
+        case '\'' | '"' | '`' => q = c
+        case '?' => n += 1
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    n
+  }
+
+  private def leU2(a: Array[Byte], at: Int): Int =
+    (a(at) & 0xFF) | ((a(at + 1) & 0xFF) << 8)
+
+  private def leU4(a: Array[Byte], at: Int): Long =
+    (a(at) & 0xFFL) | ((a(at + 1) & 0xFFL) << 8) |
+      ((a(at + 2) & 0xFFL) << 16) | ((a(at + 3) & 0xFFL) << 24)
+
+  private def leU8(a: Array[Byte], at: Int): Long =
+    (0 until 8).map(i => (a(at + i) & 0xFFL) << (8 * i)).reduce(_ | _)
+
+  private def leLenenc(a: Array[Byte], at: Int): (Long, Int) =
+    (a(at) & 0xFF) match {
+      case 0xFC => (leU2(a, at + 1).toLong, at + 3)
+      case 0xFD => (leU4(a, at + 1) & 0xFFFFFFL, at + 4)
+      case 0xFE => (leU8(a, at + 1), at + 9)
+      case v => (v.toLong, at + 1)
+    }
+
+  /** COM_STMT_PREPARE: register the text, answer STMT_PREPARE_OK with
+    * the parameter count. Column count is reported 0 here and the real
+    * result-set metadata travels in the EXECUTE response (the
+    * protocol's self-describing form) — analyzing placeholder SQL
+    * without bound values would require fabricating a schema.
+    */
+  private def stmtPrepare(stmts: StmtRegistry, sql: String, io: PacketIO): Unit = {
+    val np = paramCount(sql)
+    val id = stmts.add(sql, np)
+    io.write(new Packet().u1(0x00).u4(id.toLong).u2(0).u2(np).u1(0).u2(0).bytes)
+    if (np > 0) {
+      (1 to np).foreach { i =>
+        io.write(new Packet()
+          .lenencStr("def").lenencStr("").lenencStr("").lenencStr("")
+          .lenencStr(s"?$i").lenencStr(s"?$i")
+          .u1(0x0C).u2(33).u4(65535L).u1(0xFD).u2(0).u1(0).u2(0).bytes)
+      }
+      io.write(eofPacket())
+    }
+  }
+
+  /** One binary parameter value at `at`, per the client-supplied type
+    * code (low byte; 0x8000 = unsigned). Returns the decoded JVM value
+    * (what Spark's positional parameter binder accepts as a literal)
+    * and the next offset.
+    */
+  private def decodeBinaryValue(a: Array[Byte], at: Int, tpe: Int): (Any, Int) = {
+    val unsigned = (tpe & 0x8000) != 0
+    def packedDateTime(): (Any, Int) = {
+      val len = a(at) & 0xFF
+      if (len == 0) (java.time.LocalDateTime.of(1970, 1, 1, 0, 0), at + 1)
+      else {
+        val y = leU2(a, at + 1); val mo = a(at + 3) & 0xFF; val d = a(at + 4) & 0xFF
+        val (h, mi, s) = if (len >= 7) ((a(at + 5) & 0xFF), (a(at + 6) & 0xFF), (a(at + 7) & 0xFF)) else (0, 0, 0)
+        val us = if (len >= 11) leU4(a, at + 8) else 0L
+        (java.time.LocalDateTime.of(y, mo, d, h, mi, s, us.toInt * 1000), at + 1 + len)
+      }
+    }
+    (tpe & 0xFF) match {
+      case 0x01 => (if (unsigned) (a(at) & 0xFF) else a(at).toInt, at + 1) // TINY
+      case 0x02 | 0x0D => // SHORT / YEAR
+        val v = leU2(a, at); (if (unsigned) v else v.toShort.toInt, at + 2)
+      case 0x03 | 0x09 => // LONG / INT24
+        val v = leU4(a, at); (if (unsigned) v else v.toInt, at + 4)
+      case 0x08 => (leU8(a, at), at + 8) // LONGLONG
+      case 0x04 => (java.lang.Float.intBitsToFloat(leU4(a, at).toInt), at + 4)
+      case 0x05 => (java.lang.Double.longBitsToDouble(leU8(a, at)), at + 8)
+      case 0x0A => // DATE
+        val len = a(at) & 0xFF
+        if (len == 0) (java.time.LocalDate.of(1970, 1, 1), at + 1)
+        else (java.time.LocalDate.of(leU2(a, at + 1), a(at + 3) & 0xFF, a(at + 4) & 0xFF),
+          at + 1 + len)
+      case 0x07 | 0x0C => packedDateTime() // TIMESTAMP / DATETIME
+      case 0xF6 => // NEWDECIMAL travels as a lenenc string
+        val (n, i) = leLenenc(a, at)
+        (new java.math.BigDecimal(new String(a, i, n.toInt, UTF_8)), i + n.toInt)
+      case _ => // VARCHAR / VAR_STRING / STRING / TEXT / BLOBs
+        val (n, i) = leLenenc(a, at)
+        (new String(a, i, n.toInt, UTF_8), i + n.toInt)
+    }
+  }
+
+  /** COM_STMT_EXECUTE: decode the null bitmap + typed binary values,
+    * bind through Spark's positional parameterized SQL (never string
+    * splicing), and answer a BINARY result set — same admission /
+    * authorization / audit path as COM_QUERY.
+    */
+  private def stmtExecute(sess: SparkSession, user: String, stmts: StmtRegistry,
+      cmd: Array[Byte], io: PacketIO): Unit = {
+    val id = leU4(cmd, 1).toInt
+    stmts.get(id) match {
+      case None =>
+        io.write(errPacket(1243, "HY000", s"unknown prepared statement handler ($id)"))
+      case Some(ps) =>
+        var at = 10 // cmd: 0x17, stmt_id u4, flags u1, iteration_count u4
+        var args: Array[Any] = Array.empty
+        if (ps.nParams > 0) {
+          val nb = (ps.nParams + 7) / 8
+          val nullBitmap = java.util.Arrays.copyOfRange(cmd, at, at + nb); at += nb
+          val bound = cmd(at) & 0xFF; at += 1
+          if (bound == 1) {
+            ps.types = Array.tabulate(ps.nParams)(i => leU2(cmd, at + 2 * i))
+            at += 2 * ps.nParams
+          }
+          if (ps.types.length != ps.nParams) {
+            io.write(errPacket(1210, "HY000", "parameter types were never bound"))
+            return
+          }
+          args = Array.tabulate[Any](ps.nParams) { i =>
+            if ((nullBitmap(i / 8) & (1 << (i % 8))) != 0) null
+            else { val (v, next) = decodeBinaryValue(cmd, at, ps.types(i)); at = next; v }
+          }
+        }
+        if (!ConnectAuth.tryAcquire(user)) {
+          GraftAudit.record(user, "EXECUTE", "mysql-wire", "deny")
+          io.write(errPacket(1040, "08004",
+            "RESOURCE_EXHAUSTED: per-principal in-flight statement cap reached"))
+          return
+        }
+        try {
+          val df = if (args.isEmpty) sess.sql(ps.sql) else sess.sql(ps.sql, args)
+          val schema = df.schema
+          if (schema.isEmpty) { df.collect(); io.write(okPacket()); return }
+          writeResultHeader(io, schema.fields.map(f => (f.name, f.dataType.typeName)))
+          val it = df.toLocalIterator()
+          while (it.hasNext) io.write(binaryRow(schema, it.next()))
+          io.write(eofPacket())
+        } catch {
+          case e: GraftAuthz.AccessDenied =>
+            io.write(errPacket(1142, "42000", e.getMessage))
+          case e: Exception =>
+            io.write(errPacket(1064, "42000",
+              Option(e.getMessage).getOrElse(e.toString).take(1500)))
+        } finally ConnectAuth.release(user)
+    }
+  }
+
+  /** One binary-protocol row: 0x00 header, null bitmap (offset 2),
+    * then each non-null value in the binary encoding of the TYPE THE
+    * COLUMN DEFINITION DECLARED — the two must agree or every client
+    * misparses the row.
+    */
+  private def binaryRow(schema: org.apache.spark.sql.types.StructType,
+      row: org.apache.spark.sql.Row): Array[Byte] = {
+    val n = schema.length
+    val bitmap = new Array[Byte]((n + 7 + 2) / 8)
+    (0 until n).foreach { i =>
+      if (row.isNullAt(i)) {
+        val b = i + 2
+        bitmap(b / 8) = (bitmap(b / 8) | (1 << (b % 8))).toByte
+      }
+    }
+    val p = new Packet().u1(0x00).raw(bitmap)
+    (0 until n).foreach { i =>
+      if (!row.isNullAt(i)) binaryCell(p, row.get(i), schema(i).dataType.typeName)
+    }
+    p.bytes
+  }
+
+  private def binaryCell(p: Packet, v: Any, tpe: String): Unit = tpe match {
+    case "byte" | "boolean" =>
+      p.u1(v match { case b: Boolean => if (b) 1 else 0; case b: Byte => b.toInt; case o => String.valueOf(o).toInt })
+      ()
+    case "short" => p.u2(v.asInstanceOf[Short].toInt); ()
+    case "integer" => p.u4(v.asInstanceOf[Int].toLong & 0xFFFFFFFFL); ()
+    case "long" | "bigint" => p.u8(v.asInstanceOf[Long]); ()
+    case "float" =>
+      p.u4(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong & 0xFFFFFFFFL); ()
+    case "double" =>
+      p.u8(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])); ()
+    case "date" =>
+      val ld = v match {
+        case d: java.sql.Date => d.toLocalDate
+        case d: java.time.LocalDate => d
+        case o => java.time.LocalDate.parse(String.valueOf(o))
+      }
+      p.u1(4).u2(ld.getYear).u1(ld.getMonthValue).u1(ld.getDayOfMonth); ()
+    case t if t.startsWith("timestamp") =>
+      val ldt = v match {
+        case ts: java.sql.Timestamp => ts.toLocalDateTime
+        case ts: java.time.LocalDateTime => ts
+        case ts: java.time.Instant =>
+          java.time.LocalDateTime.ofInstant(ts, java.time.ZoneId.systemDefault())
+        case o => java.time.LocalDateTime.parse(String.valueOf(o).replace(' ', 'T'))
+      }
+      p.u1(11).u2(ldt.getYear).u1(ldt.getMonthValue).u1(ldt.getDayOfMonth)
+        .u1(ldt.getHour).u1(ldt.getMinute).u1(ldt.getSecond)
+        .u4(ldt.getNano / 1000L); ()
+    case _ => // NEWDECIMAL and every string-declared type: lenenc text
+      p.lenencStr(textOf(v)); ()
   }
 
   /** Column-count packet + one column-definition packet per field +

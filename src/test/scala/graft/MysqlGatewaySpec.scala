@@ -151,6 +151,151 @@ class MysqlGatewaySpec extends AnyFunSuite {
       try { seq = 0; writePacket(Array(1.toByte)) } catch { case _: Exception => () }
       sock.close()
     }
+
+    // ---- binary protocol (prepared statements) ----------------------
+
+    private def drainToEof(): Unit = {
+      var done = false
+      while (!done) {
+        val q = readPacket()
+        if ((q(0) & 0xFF) == 0xFE && q.length < 9) done = true
+      }
+    }
+
+    /** COM_STMT_PREPARE → Left(err) | Right((stmtId, nParams)). */
+    def prepare(sql: String): Either[String, (Int, Int)] = {
+      seq = 0
+      writePacket(0x16.toByte +: sql.getBytes(UTF_8))
+      val p = readPacket()
+      (p(0) & 0xFF) match {
+        case 0xFF => Left(errMsg(p))
+        case 0x00 =>
+          val id = (p(1) & 0xFF) | ((p(2) & 0xFF) << 8) |
+            ((p(3) & 0xFF) << 16) | ((p(4) & 0xFF) << 24)
+          val ncols = (p(5) & 0xFF) | ((p(6) & 0xFF) << 8)
+          val np = (p(7) & 0xFF) | ((p(8) & 0xFF) << 8)
+          if (np > 0) drainToEof()
+          if (ncols > 0) drainToEof()
+          Right((id, np))
+      }
+    }
+
+    def stmtClose(id: Int): Unit = {
+      seq = 0
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x19)
+      (0 until 4).foreach(i => b.write((id >> (8 * i)) & 0xFF))
+      writePacket(b.toByteArray) // no server response, per protocol
+    }
+
+    /** One column definition: (name, declared mysql type code). */
+    private def colDef(cd: Array[Byte]): (String, Int) = {
+      var at = 0
+      var name = ""
+      (0 until 6).foreach { i => // catalog, schema, table, org_table, name, org_name
+        val (s, j) = lenencStr(cd, at); at = j; if (i == 4) name = s
+      }
+      // fixed block: 0x0C filler, charset u2, length u4, then TYPE
+      (name, cd(at + 1 + 2 + 4) & 0xFF)
+    }
+
+    /** COM_STMT_EXECUTE with typed binary params
+      * (`(typeCode, value)`; value None = NULL). Decodes the BINARY
+      * result set using the types the server declared — so any
+      * type/encoding disagreement fails the parse loudly.
+      */
+    def execute(id: Int, params: Seq[(Int, Option[Array[Byte]])], bindTypes: Boolean = true)
+        : Either[String, (Seq[String], Seq[Seq[Option[Any]]])] = {
+      seq = 0
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x17)
+      (0 until 4).foreach(i => b.write((id >> (8 * i)) & 0xFF))
+      b.write(0) // flags
+      b.write(1); b.write(0); b.write(0); b.write(0) // iteration count
+      if (params.nonEmpty) {
+        val bitmap = new Array[Byte]((params.size + 7) / 8)
+        params.zipWithIndex.foreach { case ((_, v), i) =>
+          if (v.isEmpty) bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
+        }
+        b.write(bitmap)
+        b.write(if (bindTypes) 1 else 0)
+        if (bindTypes) params.foreach { case (t, _) => b.write(t & 0xFF); b.write((t >> 8) & 0xFF) }
+        params.foreach { case (_, v) => v.foreach(b.write) }
+      }
+      writePacket(b.toByteArray)
+      val first = readPacket()
+      (first(0) & 0xFF) match {
+        case 0x00 => Right((Nil, Nil))
+        case 0xFF => Left(errMsg(first))
+        case _ =>
+          val (ncols, _) = lenenc(first, 0)
+          val cols = (1 to ncols.toInt).map(_ => colDef(readPacket()))
+          val eof1 = readPacket()
+          assert((eof1(0) & 0xFF) == 0xFE && eof1.length < 9, "column EOF")
+          val rows = Seq.newBuilder[Seq[Option[Any]]]
+          var done = false
+          while (!done) {
+            val p = readPacket()
+            if ((p(0) & 0xFF) == 0xFE && p.length < 9) done = true
+            else if ((p(0) & 0xFF) == 0xFF) return Left(errMsg(p))
+            else {
+              assert((p(0) & 0xFF) == 0x00, "binary row header")
+              val nb = (ncols.toInt + 7 + 2) / 8
+              var at = 1 + nb
+              def nullAt(i: Int): Boolean =
+                (p(1 + (i + 2) / 8) & (1 << ((i + 2) % 8))) != 0
+              val vals = cols.zipWithIndex.map { case ((_, tpe), i) =>
+                if (nullAt(i)) None
+                else Some {
+                  tpe match {
+                    case 0x01 => val v = p(at).toInt; at += 1; v
+                    case 0x02 => val v = ((p(at) & 0xFF) | ((p(at + 1) & 0xFF) << 8)).toShort.toInt; at += 2; v
+                    case 0x03 => val v = (0 until 4).map(k => (p(at + k) & 0xFFL) << (8 * k)).sum.toInt; at += 4; v
+                    case 0x08 => val v = (0 until 8).map(k => (p(at + k) & 0xFFL) << (8 * k)).sum; at += 8; v
+                    case 0x04 =>
+                      val v = java.lang.Float.intBitsToFloat(
+                        (0 until 4).map(k => (p(at + k) & 0xFF) << (8 * k)).sum); at += 4; v
+                    case 0x05 =>
+                      val v = java.lang.Double.longBitsToDouble(
+                        (0 until 8).map(k => (p(at + k) & 0xFFL) << (8 * k)).sum); at += 8; v
+                    case 0x0A => // DATE: len, year u2, month, day
+                      val len = p(at) & 0xFF
+                      val d = java.time.LocalDate.of(
+                        (p(at + 1) & 0xFF) | ((p(at + 2) & 0xFF) << 8),
+                        p(at + 3) & 0xFF, p(at + 4) & 0xFF)
+                      at += 1 + len; d
+                    case 0x07 | 0x0C => // TIMESTAMP/DATETIME packed
+                      val len = p(at) & 0xFF
+                      val y = (p(at + 1) & 0xFF) | ((p(at + 2) & 0xFF) << 8)
+                      val ldt = java.time.LocalDateTime.of(y,
+                        p(at + 3) & 0xFF, p(at + 4) & 0xFF,
+                        if (len >= 7) p(at + 5) & 0xFF else 0,
+                        if (len >= 7) p(at + 6) & 0xFF else 0,
+                        if (len >= 7) p(at + 7) & 0xFF else 0)
+                      at += 1 + len; ldt
+                    case _ => // lenenc-string types (VAR_STRING, NEWDECIMAL, ...)
+                      val (s, j) = lenencStr(p, at); at = j; s
+                  }
+                }
+              }
+              rows += vals
+            }
+          }
+          Right((cols.map(_._1), rows.result()))
+      }
+    }
+  }
+
+  private def leLong(v: Long): Array[Byte] =
+    Array.tabulate(8)(i => ((v >> (8 * i)) & 0xFF).toByte)
+
+  private def leDouble(v: Double): Array[Byte] =
+    leLong(java.lang.Double.doubleToLongBits(v))
+
+  private def lenencBytes(s: String): Array[Byte] = {
+    val a = s.getBytes(UTF_8)
+    assert(a.length < 251)
+    a.length.toByte +: a
   }
 
   test("mysql wire: auth, grouped aggregate, connector probes, tenant isolation, no spoofing") {
@@ -238,5 +383,67 @@ class MysqlGatewaySpec extends AnyFunSuite {
       GraftAuthz.disable()
       ConnectAuth.disable()
     }
+  }
+
+  test("mysql binary protocol: prepare/execute with typed params and binary rows") {
+    GraftMysqlServer.start(spark, port)
+    val c = new Wire("localhost", port)
+    try {
+      assert(c.login("carol", "").isRight) // auth not enforced here
+
+      // typed result columns across the binary encodings: LONGLONG,
+      // DOUBLE, VAR_STRING, DATE, TIMESTAMP — with LONGLONG params
+      val (id, np) = c.prepare(
+        "SELECT id, CAST(id * 1.5 AS DOUBLE) AS v, 'n' || id AS s, " +
+          "DATE'2024-01-15' AS d, TIMESTAMP'2024-01-15 10:30:45' AS ts " +
+          "FROM range(10) WHERE id > ? AND id < ? ORDER BY id").toOption.get
+      assert(np == 2, s"placeholder count: $np")
+
+      val res = c.execute(id, Seq(
+        (0x08, Some(leLong(2L))), (0x08, Some(leLong(6L)))))
+      val (cols, rows) = res.toOption.get
+      assert(cols == Seq("id", "v", "s", "d", "ts"), cols)
+      assert(rows.map(_.head) == Seq(Some(3L), Some(4L), Some(5L)), rows)
+      assert(rows.map(r => r(1)) == Seq(Some(4.5), Some(6.0), Some(7.5)), rows)
+      assert(rows.map(r => r(2)) == Seq(Some("n3"), Some("n4"), Some("n5")), rows)
+      assert(rows.head(3).contains(java.time.LocalDate.of(2024, 1, 15)), rows.head)
+      assert(rows.head(4).contains(java.time.LocalDateTime.of(2024, 1, 15, 10, 30, 45)),
+        rows.head)
+
+      // re-execute with new values and new_params_bound_flag=0: the
+      // previously-bound types apply (the connector re-execute path)
+      val res2 = c.execute(id, Seq(
+        (0x08, Some(leLong(7L))), (0x08, Some(leLong(10L)))), bindTypes = false)
+      assert(res2.toOption.get._2.map(_.head) == Seq(Some(8L), Some(9L)), res2)
+
+      // param type coverage: string, double, NULL (null bitmap), and a
+      // decimal-as-string — bound through Spark's parameterized SQL
+      val (id2, np2) = c.prepare("SELECT ? AS a, ? AS b, ? AS c, upper(?) AS d")
+        .toOption.get
+      assert(np2 == 4)
+      val res3 = c.execute(id2, Seq(
+        (0xFD, Some(lenencBytes("hi"))),
+        (0x05, Some(leDouble(2.25))),
+        (0x06, None), // MYSQL_TYPE_NULL via bitmap
+        (0xFD, Some(lenencBytes("abc")))))
+      val row3 = res3.toOption.get._2.head
+      assert(row3(0).contains("hi") && row3(1).contains(2.25), row3)
+      assert(row3(2).isEmpty, s"NULL param must round-trip as NULL: $row3")
+      assert(row3(3).contains("ABC"), row3)
+
+      // NULL result cells travel in the binary null bitmap
+      val (id3, _) = c.prepare(
+        "SELECT CAST(NULL AS BIGINT) AS n, 7 AS x").toOption.get
+      assert(c.execute(id3, Nil).toOption.get._2 == Seq(Seq(None, Some(7))))
+
+      // close: the handle dies; executing it is ERR 1243
+      c.stmtClose(id)
+      assert(c.execute(id, Seq((0x08, Some(leLong(1L))), (0x08, Some(leLong(3L)))))
+        .left.exists(_.contains("1243")))
+
+      // and the text protocol still works on the same connection
+      assert(c.query("SELECT 1 AS ok").toOption.get._2 == Seq(Seq(Some("1"))))
+      c.close()
+    } finally GraftMysqlServer.stop()
   }
 }

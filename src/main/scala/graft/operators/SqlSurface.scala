@@ -199,6 +199,65 @@ object SqlSurface {
              |FROM orders WHERE o_totalprice > 150000
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // B32 oracle gate: SHOW PARTITIONS against a catalog-SQL
+    // partitioned CTAS — the partition listing must equal DuckDB's
+    // DISTINCT over the partition column, pinning both the partition
+    // management surface and the hive-style name rendering.
+    Q.staged("q_show_partitions",
+      setup = (s, d) => {
+        t(s, d, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .createOrReplaceTempView("orders_sp_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        s.sql("DROP TABLE IF EXISTS graft_cat.db.orders_sp")
+        s.sql("""CREATE TABLE graft_cat.db.orders_sp
+                |PARTITIONED BY (o_orderpriority) AS
+                |SELECT o_orderkey, o_totalprice, o_orderpriority
+                |FROM orders_sp_src""".stripMargin)
+      },
+      verb = (s, _) =>
+        s.sql("SHOW PARTITIONS graft_cat.db.orders_sp").orderBy("partition"),
+      oracle = Some("""SELECT 'o_orderpriority=' || o_orderpriority AS "partition"
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B53 oracle gate: the graft_files metadata TVF reconciled against
+    // DuckDB ground truth — two repartition(1) writes of `region`
+    // leave exactly 2 live files per partition leaf, every file's
+    // listed bytes are positive, no deletion vectors, and the
+    // partition-wise ROW counts served off those live files equal
+    // 2x the source's. A files listing that leaks dead files, misses a
+    // commit, or mislabels groups breaks the file count; a read path
+    // disagreeing with the listing breaks the row counts.
+    Q.staged("q_graft_files",
+      setup = (s, d) => {
+        val p = s"${Lakehouse.scratch}/files_check"
+        LakeTable.create(s, p, t(s, d, "region").repartition(1),
+          partitionBy = Seq("r_regionkey"))
+        LakeTable.append(s, p, t(s, d, "region").repartition(1))
+      },
+      verb = (s, _) => {
+        val p = s"${Lakehouse.scratch}/files_check"
+        val files = s.sql(s"SELECT * FROM graft_files('$p')")
+          .withColumn("r_regionkey",
+            regexp_extract(concat_ws("/", col("file_group"), col("file")),
+              "r_regionkey=(\\d+)", 1).cast("long"))
+          .groupBy("r_regionkey")
+          .agg(count(lit(1)).cast("long").as("files"),
+            (min(col("bytes")) > 0L).as("bytes_positive"),
+            (max(col("has_deletes").cast("int")) === 0).as("no_deletes"))
+        val rows = LakeTable.read(s, p).groupBy("r_regionkey")
+          .agg(count(lit(1)).cast("long").as("row_count"))
+        files.join(rows, "r_regionkey")
+          .select(col("r_regionkey").cast("long").as("r_regionkey"),
+            col("files"), col("bytes_positive"), col("no_deletes"), col("row_count"))
+          .orderBy("r_regionkey")
+      },
+      oracle = Some("""SELECT r_regionkey::BIGINT AS r_regionkey,
+             |  2::BIGINT AS files,
+             |  CAST(1 AS BOOLEAN) AS bytes_positive,
+             |  CAST(1 AS BOOLEAN) AS no_deletes,
+             |  2::BIGINT AS row_count
+             |FROM region ORDER BY r_regionkey""".stripMargin)),
+
     // B17: JDBC source federation (the platform's PostgreSQL leg,
     // reference internal/controller/postgresql.go) against embedded
     // Derby — the only RDBMS in the sandbox. Stage a dimension slice

@@ -91,6 +91,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("RocksDB changelog checkpointing: state survives a mid-stream restart") {
+    // The ops-grade restart story for BIG state: with changelog
+    // checkpointing the per-batch commit uploads only the batch's
+    // changelog (delta), not a full RocksDB snapshot — at 100 TB-scale
+    // state, full-snapshot uploads per batch are the bottleneck. The
+    // pin: stop a stateful query mid-stream, restart from the same
+    // checkpoint with changelog mode on, and the state must converge
+    // to the same cumulative answer (a lost store would restart the
+    // count); the checkpoint must actually hold .changelog files.
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(ck, "true")
+    val ckpt = s"${graft.operators.Lakehouse.scratch}/rocksdb_changelog_ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink shape production restarts actually use
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    def start() = ms.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserAgg]) => {
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          val next = evs.foldLeft(prev)((a, e) => UserAgg(uid, a.cnt + 1, a.sum_val + e.value))
+          state.update(next)
+          Iterator.single(next)
+        })
+      .toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        got.synchronized { got ++= rows }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      var q = start()
+      try {
+        ms.addData(Ev(1, ts(0), 7, "a", 2.0), Ev(2, ts(1), 7, "a", 3.0))
+        q.processAllAvailable()
+        ms.addData(Ev(3, ts(2), 7, "a", 5.0), Ev(4, ts(3), 9, "b", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // restart from the changelog checkpoint; more data arrives
+      q = start()
+      try {
+        ms.addData(Ev(5, ts(4), 7, "a", 10.0), Ev(6, ts(5), 9, "b", 4.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = got.synchronized {
+        got.groupBy(_._1).map { case (uid, rows) =>
+          uid -> rows.map(r => (r._2, r._3)).maxBy(_._1)
+        }
+      }
+      // cumulative ACROSS the restart: 3+1 events for user 7, 1+1 for 9
+      assert(last(7L) == (4L, 20.0), s"user 7 state lost on restart: $last")
+      assert(last(9L) == (2L, 5.0), s"user 9 state lost on restart: $last")
+      // and the mechanism is the one claimed: changelog files on disk
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(ckpt), true)
+      var changelogs = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".changelog")) changelogs += 1
+      }
+      assert(changelogs > 0, "no .changelog files - changelog checkpointing was not active")
+    } finally {
+      spark.conf.unset(pk)
+      spark.conf.unset(ck)
+      org.apache.spark.sql.graftglue.Glue.unloadStateStores()
+    }
+  }
+
   test("state data source reads a dedup checkpoint's exact key set") {
     val got = EventPipeline.stateReader(spark, sf)
     // The offline state read equals batch DISTINCT — the checkpoint

@@ -52,16 +52,59 @@ object DedupOps {
   def shingleTable(s: SparkSession, d: String): DataFrame =
     tokenized(s, d).select(col("doc_id"), explode(shingleHashes(col("ws"))).as("h"))
 
-  /** EXACT shingle-Jaccard near-dup pairs at `threshold`, via the
-    * inverted-index self-join: |A∩B| = count of shared shingle hashes
-    * (blocking is exact — any pair with jaccard > 0 shares a hash),
-    * |A∪B| = |A|+|B|-|A∩B| from per-doc counts. Shuffles carry ONLY
-    * (doc_id, 8B hash) rows and (pair, count) partials — no shingle
-    * arrays, no text. Hot shingles (high doc-frequency) are the skew
-    * risk at 100 TB; AQE skew-join splits them, and a df-cap prefilter
-    * is the standard extension when a corpus has stop-shingles.
+  /** EXACT shingle-Jaccard near-dup pairs at `threshold`, via PREFIX
+    * FILTERING (the PPJoin family): under one global shingle order
+    * (ascending document frequency, hash tiebreak), J(A,B) ≥ t implies
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so the (|X| − ⌈t·|X|⌉ + 1)-prefixes of
+    * A and B must share a shingle — candidates come from self-joining
+    * only each doc's ~(1−t)·|X|+1 RAREST shingles, then exact Jaccard
+    * verifies the candidates over the full shingle sets. Output is
+    * identical to the naive inverted-index self-join, but the blocking
+    * cost is driven by rare shingles instead of Σ df(h)²: the naive
+    * join goes super-linear the moment a corpus grows hot shingles
+    * (measured 18.7× wall on 10× data at sf1; prefix-filtered rejoins
+    * the ~linear pack). Shuffles still carry ONLY (doc_id, 8B hash)
+    * rows and (pair, count) partials — no shingle arrays, no text.
+    * The per-doc prefix ranking is a window PARTITIONED BY doc_id:
+    * group size is bounded by the document's own length, independent
+    * of corpus size — the safe kind of window at 100 TB.
+    *
+    * REGIME DISPATCH: prefix filtering's leverage is the (1−t) prefix
+    * fraction, so it collapses at low thresholds (t = 0.35 ⇒ 65% of
+    * every doc indexed, candidates ≈ everything, then a verification
+    * pass the direct join never needed — measured 7× SLOWER at sf1).
+    * Below t = 0.5 the direct inverted-index join (inter counted
+    * straight off the h-collisions, no re-join) is the better exact
+    * plan; at-or-above, PPJoin wins and keeps winning as hot shingles
+    * appear.
     */
-  def ngramPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+  def ngramPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
+    if (threshold < 0.5) ngramPairsDirect(s, d, threshold)
+    else ngramPairsPrefix(s, d, threshold)
+
+  /** Direct inverted-index self-join: inter = count of h-collisions
+    * per pair. Cost is Σ C(df(h), 2) — fine while no shingle is hot
+    * (the low-threshold regime's best exact plan), quadratic the
+    * moment one is; the high-threshold path and D28's df-cap are the
+    * defenses.
+    */
+  private def ngramPairsDirect(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val sh = shingleTable(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")) + lit(1e-9), 4))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private def ngramPairsPrefix(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // NOTE a size(sh)+explode(sh) double reference looks cheaper (no
     // size aggregate, no pair size joins) but re-inlines the shingle
     // tree per ROW at the reference site — measured 3.3 s → 10.2 s at
@@ -69,9 +112,42 @@ object DedupOps {
     // per scan and keeps every shuffle row scalar.
     val sh = shingleTable(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    sh.select(col("doc_id").as("doc_a"), col("h"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
-      .where(col("doc_a") < col("doc_b"))
+    // Prefix length uses t − 1e-4: the final filter rounds jaccard to
+    // 4 decimals (+1e-9 nudge), so a pair at J = t − 5e-5 can still
+    // pass it — the relaxed prefix keeps those pairs candidate-covered.
+    val tRelaxed = threshold - 1e-4
+    val dfs = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfs, "h")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
+      .join(sizes, "doc_id")
+      .where(col("rn") <= col("sz") - ceil(lit(tRelaxed) * col("sz")) + 1)
+      .select("doc_id", "h", "rn", "sz")
+    // POSITIONAL filter (PPJoin): per pair, the globally-smallest
+    // shared prefix element (min rn on both sides — prefixes are
+    // downward-closed in the global order, so the min-rn_a element IS
+    // the min-rn_b element and nothing common precedes it) bounds the
+    // overlap at 1 + min(sz_a − ia, sz_b − jb); J ≥ t needs overlap
+    // ≥ t/(1+t)·(sz_a+sz_b). Template shingles (mid-df, corpus-wide)
+    // sort LAST inside prefixes, so template-only matches bound low
+    // and die here — measured 8.7M → 0.9M candidates at sf1.
+    val a = prefix.select(col("doc_id").as("doc_a"), col("h"),
+      col("rn").as("rn_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("h"),
+      col("rn").as("rn_b"), col("sz").as("sz_b"))
+    val cand = a.join(b, "h").where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min("rn_a").as("ia"), min("rn_b").as("jb"),
+        first("sz_a").as("sz_a"), first("sz_b").as("sz_b"))
+      .where(lit(1) + least(col("sz_a") - col("ia"), col("sz_b") - col("jb"))
+        >= ceil(lit(tRelaxed / (1 + tRelaxed)) * (col("sz_a") + col("sz_b"))))
+      .select("doc_a", "doc_b")
+    // exact verification: |A∩B| over the FULL shingle sets, but only
+    // for candidate pairs — the (doc_b, h) equi-join emits exactly the
+    // intersection rows, never an A×B block per pair
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")

@@ -34,6 +34,26 @@ class PlanSpec extends AnyFunSuite {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("version-pinned scans do not claim head-snapshot CBO stats") {
+    // The sidecar/ANALYZE aggregates describe currentVersion; a
+    // VERSION AS OF scan of an older snapshot must not report them as
+    // its own row count — the CBO would plan the old snapshot with the
+    // new table's shape (plans only; results were always correct).
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.statdb")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.statdb.pin_t")
+    spark.sql("CREATE TABLE graft_cat.statdb.pin_t AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(100)")
+    spark.sql("INSERT INTO graft_cat.statdb.pin_t " +
+      "SELECT id + 100 AS k, id * 3 AS v FROM range(100)")
+    val head = spark.table("graft_cat.statdb.pin_t")
+    assert(head.queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(200)),
+      s"head scan reports exact sidecar rows: ${head.queryExecution.optimizedPlan.stats}")
+    val pinned = spark.sql("SELECT * FROM graft_cat.statdb.pin_t VERSION AS OF 0")
+    val rc = pinned.queryExecution.optimizedPlan.stats.rowCount
+    assert(!rc.contains(BigInt(200)),
+      s"pinned v0 scan must not claim the head's 200-row count: $rc")
+  }
+
   test("LakeTable partitioned read prunes partitions at the scan") {
     val lake = s"${operators.Lakehouse.scratch}/spec_part"
     LakeTable.create(spark, lake,
@@ -179,7 +199,9 @@ class PlanSpec extends AnyFunSuite {
       "q_dedup_exact" -> 2,      // hash agg + sort
       "q_skew_agg" -> 3,         // salt-phase shuffle + per-key combine + sort
       "q_knn_brute" -> 2,        // window on qid + sort (queries broadcast)
-      "q_dedup_ngram" -> 5,      // inverted-index join + pair agg + 2 size joins + sort
+      "q_dedup_ngram" -> 9,      // PPJoin: df agg + per-doc prefix window + candidate
+                                 // join/agg + verify join + pair agg + size joins + sort
+                                 // (more stages than the direct join, every one linear)
       "q_text_repetition" -> 1,  // pure map over the corpus + final sort
       "q_seq_pack" -> 2,         // one (lang,shard) exchange shared by window AND agg + sort
       "q_window_range" -> 3,     // day agg + ordered frame + sort

@@ -28,6 +28,33 @@ object EventPipeline {
     * explicit schema; events.ts is parquet TIMESTAMP(NANOS), read as
     * long (SPARK-40819) and rescaled, mirroring graft.Tables.
     */
+  /** Copy a source table into a fresh landing dir for a file stream.
+    * The source may be a single parquet FILE (driver-generated
+    * testdata) or a Spark-written DIRECTORY of part files (the sf1
+    * scale corpus, any production table). A file stream source does
+    * not recurse into subdirectories, so a directory source must be
+    * FLATTENED into the landing dir — otherwise the stream silently
+    * sees zero files and every downstream row is vacuously empty
+    * (caught by the sf1 sweep: 3 stream rows failing, the rest fast
+    * but processing nothing).
+    */
+  private def stageLanding(spark: SparkSession, src: org.apache.hadoop.fs.Path,
+      ingest: org.apache.hadoop.fs.Path): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = ingest.getFileSystem(conf)
+    if (fs.exists(ingest)) fs.delete(ingest, true)
+    fs.mkdirs(ingest)
+    if (fs.getFileStatus(src).isDirectory)
+      fs.listStatus(src).filter(_.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+            new org.apache.hadoop.fs.Path(ingest, f"part-$i%05d.parquet"), false, conf)
+        }
+    else
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(ingest, src.getName), false, conf)
+  }
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // File stream sources monitor a DIRECTORY; the test table is a
@@ -37,11 +64,7 @@ object EventPipeline {
     val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val ingest = new org.apache.hadoop.fs.Path(
       s"${graft.operators.Lakehouse.scratch}/stream_ingest/events")
-    val fs = ingest.getFileSystem(conf)
-    if (fs.exists(ingest)) fs.delete(ingest, true)
-    fs.mkdirs(ingest)
-    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-      new org.apache.hadoop.fs.Path(ingest, "events.parquet"), false, conf)
+    stageLanding(spark, src, ingest)
     val raw: StructType = spark.read.parquet(src.toString).schema
     // Event-time ops (withWatermark, window, session_window) require
     // TIMESTAMP (LTZ); the generated parquet may carry ts as NANOS-long
@@ -338,25 +361,44 @@ object EventPipeline {
     val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val ingest = new org.apache.hadoop.fs.Path(
       s"${graft.operators.Lakehouse.scratch}/stream_ingest/documents")
-    val fs = ingest.getFileSystem(conf)
-    if (fs.exists(ingest)) fs.delete(ingest, true)
-    fs.mkdirs(ingest)
-    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-      new org.apache.hadoop.fs.Path(ingest, "documents.parquet"), false, conf)
+    stageLanding(spark, src, ingest)
     val raw: StructType = spark.read.parquet(src.toString).schema
-    val batch = spark.readStream.schema(raw).parquet(ingest.toString)
-      .where(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), DedupOps.shingleHashes(col("ws")).as("sh"))
-      .select(col("doc_id").as("batch_id"),
-        size(col("sh")).cast("long").as("sz_b"), explode(col("sh")).as("h"))
     val idx = graft.sources.LakeTable.read(spark, s"${Curation.indexPath}/shingles")
       .select(col("doc_id").as("corpus_id"), col("h"))
-    val counts = batch.join(idx, "h")
-      .groupBy("batch_id", "corpus_id")
-      .agg(count(lit(1)).as("inter"), max("sz_b").as("sz_b"))
-    val pairs = runToMemory(spark, counts, "graft_stream_dedup_index",
-      OutputMode.Complete())
+    // STATELESS micro-batches: a file-stream doc lands in exactly one
+    // micro-batch, so each pair's intersection count is complete
+    // within the batch that carried its doc — the probe+count runs as
+    // a PLAIN batch aggregate inside foreachBatch and appends its
+    // pairs to the result dir. No streaming aggregation state at all.
+    // The previous Complete-mode aggregation re-emitted the ENTIRE
+    // accumulated pair state every micro-batch — quadratic in batch
+    // count, invisible on the single-file gate corpus (1 batch),
+    // measured 25× wall on 10× data at sf1 (8 landing files ⇒ 8
+    // re-emissions of growing state). This is also the production
+    // split the paragraph above describes: per-batch pairs land in
+    // the lake, the keep/drop verdict is a downstream batch read.
+    val outDir = s"${graft.operators.Lakehouse.scratch}/stream_dedup_index_out"
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    outPath.getFileSystem(conf).delete(outPath, true)
+    withStreamPartitions(spark) {
+      val q = spark.readStream.schema(raw).parquet(ingest.toString)
+        .where(col("doc_id") % 10 === 0)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("doc_id"), split(col("text"), " ").as("ws"))
+            .select(col("doc_id"), DedupOps.shingleHashes(col("ws")).as("sh"))
+            .select(col("doc_id").as("batch_id"),
+              size(col("sh")).cast("long").as("sz_b"), explode(col("sh")).as("h"))
+            .join(idx, "h")
+            .groupBy("batch_id", "corpus_id")
+            .agg(count(lit(1)).as("inter"), max("sz_b").as("sz_b"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val pairs = spark.read.parquet(outDir)
     val isz = graft.sources.LakeTable.read(spark, s"${Curation.indexPath}/sizes")
       .select(col("doc_id").as("corpus_id"), col("sz").as("sz_c"))
     pairs.join(isz, "corpus_id")

@@ -31,7 +31,15 @@ import org.apache.spark.sql.functions._
   *     near-dups (cos ≈ 0.99998) and inflate dedup outputs ~N², a
   *     data artifact rather than an operator property.
   *
-  * Usage: runMain graft.tools.ScaleGen [srcDir dstDir copies]
+  * `weaveEvery` controls the salt stride (default 4). At 4, ~40% of
+  * 3-gram shingle windows stay verbatim across copies, so every rare
+  * shingle forms a copies-sized clique — candidate universes in
+  * exact near-dup operators then grow ∝ copies² (a replication
+  * artifact, measured in SURVEY §7.7). At 2, every 3-gram window
+  * contains a salt token, no shingle crosses copies, and the same
+  * operators scale ~linearly — the controlled-experiment twin.
+  *
+  * Usage: runMain graft.tools.ScaleGen [srcDir dstDir copies weaveEvery]
   */
 object ScaleGen {
 
@@ -40,12 +48,13 @@ object ScaleGen {
     try run(spark,
       args.headOption.getOrElse("/root/testdata/sf0.1"),
       args.lift(1).getOrElse("/root/repo/target/sf1"),
-      args.lift(2).map(_.toInt).getOrElse(10))
+      args.lift(2).map(_.toInt).getOrElse(10),
+      args.lift(3).map(_.toInt).getOrElse(4))
     finally spark.stop()
   }
 
   def run(spark: org.apache.spark.sql.SparkSession, src: String, dst: String,
-      copies: Int): Unit = {
+      copies: Int, weaveEvery: Int = 4): Unit = {
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String, files: Int = 8): Unit = {
@@ -116,7 +125,8 @@ object ScaleGen {
       val base = docs0.select(
         (col("doc_id") + i * D).as("doc_id"),
         (if (i == 0) col("text")
-         else regexp_replace(col("text"), "((\\S+\\s+){4})", s"$$1zqslt$i ")).as("text"),
+         else regexp_replace(col("text"), s"((\\S+\\s+){$weaveEvery})",
+           s"$$1zqslt$i ")).as("text"),
         col("lang"), col("source"))
       base.withColumn("n_chars", length(col("text")).cast("long"))
         .select("doc_id", "text", "lang", "source", "n_chars")

@@ -306,7 +306,14 @@ object GraftMysqlServer {
             io.flush()
           case 0x19 => // COM_STMT_CLOSE — no response, per protocol
             stmts.close(leU4(cmd, 1).toInt)
-          case 0x1A => // COM_STMT_RESET
+          case 0x18 => // COM_STMT_SEND_LONG_DATA — no response, per protocol.
+            // We don't accumulate the chunks; mark the statement so the
+            // following EXECUTE answers a clean ERR instead of binding a
+            // short value. Writing anything here would desync the client
+            // (the unsolicited packet reads as the NEXT command's reply).
+            stmts.get(leU4(cmd, 1).toInt).foreach(_.longDataPending = true)
+          case 0x1A => // COM_STMT_RESET — discards accumulated long data
+            stmts.get(leU4(cmd, 1).toInt).foreach(_.longDataPending = false)
             io.write(okPacket()); io.flush()
           case other =>
             io.write(errPacket(1047, "08S01", f"unsupported command 0x$other%02x"))
@@ -407,12 +414,19 @@ object GraftMysqlServer {
   private final class StmtRegistry {
     private val m = new java.util.HashMap[Int, PreparedStmt]()
     private var next = 1
+    /** Bounded like MySQL's max_prepared_stmt_count: an authenticated
+      * client looping PREPARE must not grow driver memory without limit.
+      * Returns -1 when full (caller answers ER 1461).
+      */
     def add(sql: String, nParams: Int): Int = {
-      val id = next; next += 1; m.put(id, new PreparedStmt(sql, nParams)); id
+      if (m.size >= MaxPreparedStmts) -1
+      else { val id = next; next += 1; m.put(id, new PreparedStmt(sql, nParams)); id }
     }
     def get(id: Int): Option[PreparedStmt] = Option(m.get(id))
     def close(id: Int): Unit = m.remove(id)
   }
+
+  private[graft] val MaxPreparedStmts = 1024
 
   private final class PreparedStmt(val sql: String, val nParams: Int) {
     /** Parameter types from the last new-params-bound EXECUTE — a
@@ -420,10 +434,17 @@ object GraftMysqlServer {
       * re-execute and the previous types apply.
       */
     var types: Array[Int] = Array.empty
+    /** Set by COM_STMT_SEND_LONG_DATA (which we consume but don't
+      * accumulate); cleared by COM_STMT_RESET. EXECUTE refuses while set.
+      */
+    var longDataPending: Boolean = false
   }
 
-  /** `?` placeholders outside quoted strings / identifiers / line
-    * comments — the prepare-time parameter count.
+  /** `?` placeholders outside quoted strings / identifiers / `--` and
+    * `#` line comments / `/ * * /` block comments — the prepare-time
+    * parameter count. A `?` inside any comment must NOT count: the
+    * client binds exactly num_params values, and an inflated count
+    * desyncs the null-bitmap/type/value decode in stmtExecute.
     */
   private[graft] def paramCount(sql: String): Int = {
     var n = 0; var i = 0; var q: Char = 0
@@ -437,6 +458,13 @@ object GraftMysqlServer {
         case '?' => n += 1
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
           while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        case '#' =>
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < sql.length &&
+            !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+          i += 1 // lands on '/', loop increment steps past it
         case _ => ()
       }
       i += 1
@@ -471,6 +499,11 @@ object GraftMysqlServer {
   private def stmtPrepare(stmts: StmtRegistry, sql: String, io: PacketIO): Unit = {
     val np = paramCount(sql)
     val id = stmts.add(sql, np)
+    if (id < 0) {
+      io.write(errPacket(1461, "42000",
+        s"Can't create more than max_prepared_stmt_count statements (current value: $MaxPreparedStmts)"))
+      return
+    }
     io.write(new Packet().u1(0x00).u4(id.toLong).u2(0).u2(np).u1(0).u2(0).bytes)
     if (np > 0) {
       (1 to np).foreach { i =>
@@ -506,7 +539,12 @@ object GraftMysqlServer {
         val v = leU2(a, at); (if (unsigned) v else v.toShort.toInt, at + 2)
       case 0x03 | 0x09 => // LONG / INT24
         val v = leU4(a, at); (if (unsigned) v else v.toInt, at + 4)
-      case 0x08 => (leU8(a, at), at + 8) // LONGLONG
+      case 0x08 => // LONGLONG — unsigned values above Long.MAX must not bind negative
+        val v = leU8(a, at)
+        val decoded: Any =
+          if (unsigned && v < 0) new java.math.BigDecimal(java.lang.Long.toUnsignedString(v))
+          else v
+        (decoded, at + 8)
       case 0x04 => (java.lang.Float.intBitsToFloat(leU4(a, at).toInt), at + 4)
       case 0x05 => (java.lang.Double.longBitsToDouble(leU8(a, at)), at + 8)
       case 0x0A => // DATE
@@ -515,14 +553,39 @@ object GraftMysqlServer {
         else (java.time.LocalDate.of(leU2(a, at + 1), a(at + 3) & 0xFF, a(at + 4) & 0xFF),
           at + 1 + len)
       case 0x07 | 0x0C => packedDateTime() // TIMESTAMP / DATETIME
+      case 0x0B => // TIME: len(0|8|12), neg u1, days u4, h u1, m u1, s u1[, us u4]
+        // MySQL TIME is an elapsed time (range ±838:59:59, days allowed),
+        // and Spark's TIME type is gated off in 4.1 (UNSUPPORTED_TIME_TYPE)
+        // — bind as a day-time interval, the honest engine-side mapping.
+        val len = a(at) & 0xFF
+        if (len == 0) (java.time.Duration.ZERO, at + 1)
+        else {
+          val neg = (a(at + 1) & 0xFF) == 1
+          val days = leU4(a, at + 2)
+          val h = a(at + 6) & 0xFF; val mi = a(at + 7) & 0xFF; val s = a(at + 8) & 0xFF
+          val us = if (len >= 12) leU4(a, at + 9) else 0L
+          val d = java.time.Duration.ofDays(days).plusHours(h)
+            .plusMinutes(mi).plusSeconds(s).plusNanos(us * 1000)
+          (if (neg) d.negated() else d, at + 1 + len)
+        }
       case 0xF6 => // NEWDECIMAL travels as a lenenc string
         val (n, i) = leLenenc(a, at)
         (new java.math.BigDecimal(new String(a, i, n.toInt, UTF_8)), i + n.toInt)
-      case _ => // VARCHAR / VAR_STRING / STRING / TEXT / BLOBs
+      // the lenenc-string family, explicitly: VARCHAR / VAR_STRING /
+      // STRING / the BLOBs / JSON / BIT / ENUM / SET / GEOMETRY
+      case 0x0F | 0xFD | 0xFE | 0xFC | 0xF9 | 0xFA | 0xFB | 0xF5 | 0x10 | 0xF7 | 0xF8 | 0xFF =>
         val (n, i) = leLenenc(a, at)
         (new String(a, i, n.toInt, UTF_8), i + n.toInt)
+      case other =>
+        // an unknown code must NOT fall through to the string decoder:
+        // the misread length byte silently binds garbage while keeping
+        // offsets aligned. Refuse the whole EXECUTE instead.
+        throw new UnsupportedParamType(other)
     }
   }
+
+  private final class UnsupportedParamType(val code: Int)
+    extends Exception(f"unsupported binary parameter type 0x$code%02x")
 
   /** COM_STMT_EXECUTE: decode the null bitmap + typed binary values,
     * bind through Spark's positional parameterized SQL (never string
@@ -536,6 +599,13 @@ object GraftMysqlServer {
       case None =>
         io.write(errPacket(1243, "HY000", s"unknown prepared statement handler ($id)"))
       case Some(ps) =>
+        if (ps.longDataPending) {
+          // SEND_LONG_DATA chunks were consumed but not stored; binding
+          // a truncated value would be silent corruption. RESET clears.
+          io.write(errPacket(1210, "HY000",
+            "long data was sent for this statement but is not supported; COM_STMT_RESET to reuse"))
+          return
+        }
         var at = 10 // cmd: 0x17, stmt_id u4, flags u1, iteration_count u4
         var args: Array[Any] = Array.empty
         if (ps.nParams > 0) {
@@ -550,9 +620,14 @@ object GraftMysqlServer {
             io.write(errPacket(1210, "HY000", "parameter types were never bound"))
             return
           }
-          args = Array.tabulate[Any](ps.nParams) { i =>
-            if ((nullBitmap(i / 8) & (1 << (i % 8))) != 0) null
-            else { val (v, next) = decodeBinaryValue(cmd, at, ps.types(i)); at = next; v }
+          try {
+            args = Array.tabulate[Any](ps.nParams) { i =>
+              if ((nullBitmap(i / 8) & (1 << (i % 8))) != 0) null
+              else { val (v, next) = decodeBinaryValue(cmd, at, ps.types(i)); at = next; v }
+            }
+          } catch {
+            case e: UnsupportedParamType =>
+              io.write(errPacket(1210, "HY000", e.getMessage)); return
           }
         }
         if (!ConnectAuth.tryAcquire(user)) {

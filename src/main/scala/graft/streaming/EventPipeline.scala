@@ -398,7 +398,21 @@ object EventPipeline {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    val pairs = spark.read.parquet(outDir)
+    // zero micro-batches (or all-empty batches) leave no parquet behind;
+    // read would throw where the old Complete-mode path returned empty
+    val wroteAny = {
+      val fs = outPath.getFileSystem(conf)
+      fs.exists(outPath) && fs.listStatus(outPath)
+        .exists(_.getPath.getName.endsWith(".parquet"))
+    }
+    val pairs =
+      if (wroteAny) spark.read.parquet(outDir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("corpus_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("inter", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sz_b", org.apache.spark.sql.types.LongType))))
     val isz = graft.sources.LakeTable.read(spark, s"${Curation.indexPath}/sizes")
       .select(col("doc_id").as("corpus_id"), col("sz").as("sz_c"))
     pairs.join(isz, "corpus_id")

@@ -188,6 +188,28 @@ class MysqlGatewaySpec extends AnyFunSuite {
       writePacket(b.toByteArray) // no server response, per protocol
     }
 
+    /** COM_STMT_SEND_LONG_DATA — a NO-RESPONSE command, per protocol. */
+    def sendLongData(id: Int, paramId: Int, data: Array[Byte]): Unit = {
+      seq = 0
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x18)
+      (0 until 4).foreach(i => b.write((id >> (8 * i)) & 0xFF))
+      b.write(paramId & 0xFF); b.write((paramId >> 8) & 0xFF)
+      b.write(data)
+      writePacket(b.toByteArray)
+    }
+
+    /** COM_STMT_RESET → Left(err) | Right(()). */
+    def stmtReset(id: Int): Either[String, Unit] = {
+      seq = 0
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x1A)
+      (0 until 4).foreach(i => b.write((id >> (8 * i)) & 0xFF))
+      writePacket(b.toByteArray)
+      val p = readPacket()
+      if ((p(0) & 0xFF) == 0xFF) Left(errMsg(p)) else Right(())
+    }
+
     /** One column definition: (name, declared mysql type code). */
     private def colDef(cd: Array[Byte]): (String, Int) = {
       var at = 0
@@ -443,6 +465,84 @@ class MysqlGatewaySpec extends AnyFunSuite {
 
       // and the text protocol still works on the same connection
       assert(c.query("SELECT 1 AS ok").toOption.get._2 == Seq(Seq(Some("1"))))
+      c.close()
+    } finally GraftMysqlServer.stop()
+  }
+
+  test("placeholder scanner ignores block and # comments") {
+    assert(GraftMysqlServer.paramCount("SELECT ? /* not a param: ? */ + ?") == 2)
+    assert(GraftMysqlServer.paramCount("SELECT 1 # trailing: ?\n + ?") == 1)
+    assert(GraftMysqlServer.paramCount("SELECT '/*' || ? || '*/'") == 1) // comment openers inside strings don't comment
+    assert(GraftMysqlServer.paramCount("SELECT /* unterminated ?") == 0)
+    assert(GraftMysqlServer.paramCount("/*c1*/SELECT ?/*c2*/WHERE x > ?") == 2)
+  }
+
+  test("mysql binary protocol hardening: long data, registry cap, TIME, unknown types") {
+    GraftMysqlServer.start(spark, port)
+    val c = new Wire("localhost", port)
+    try {
+      assert(c.login("dave", "").isRight)
+
+      // a ? inside a block comment must not inflate num_params over the
+      // wire (the client binds num_params values; a phantom param
+      // desyncs the null-bitmap/type/value decode)
+      val (idc, npc) = c.prepare(
+        "SELECT id /* ? phantom */ FROM range(10) WHERE id = ?").toOption.get
+      assert(npc == 1, s"block-comment ? counted: $npc")
+      assert(c.execute(idc, Seq((0x08, Some(leLong(4L))))).toOption.get._2 ==
+        Seq(Seq(Some(4L))))
+
+      // SEND_LONG_DATA is a no-response command: the server must NOT
+      // answer it (an unsolicited packet desyncs the connection), and
+      // the following EXECUTE gets a clean ERR; RESET re-arms the handle
+      val (idl, _) = c.prepare("SELECT ? AS s").toOption.get
+      c.sendLongData(idl, 0, "chunk".getBytes(UTF_8))
+      val afterLong = c.execute(idl, Seq((0xFD, Some(lenencBytes("v")))))
+      assert(afterLong.left.exists(_.contains("long data")), afterLong)
+      assert(c.stmtReset(idl).isRight)
+      assert(c.execute(idl, Seq((0xFD, Some(lenencBytes("v")))))
+        .toOption.get._2 == Seq(Seq(Some("v"))))
+
+      // TIME (0x0B) binds as a real elapsed time, not garbage bytes
+      // (MySQL TIME is elapsed time; Spark-side it lands as an interval)
+      val (idt, _) = c.prepare("SELECT ? AS t").toOption.get
+      val timeBytes = Array[Byte](8, 0, 0, 0, 0, 0, 10, 30, 45) // len8, pos, 0 days, 10:30:45
+      val tRes = c.execute(idt, Seq((0x0B, Some(timeBytes))))
+      assert(tRes.toOption.get._2.head.head.exists(
+        v => String.valueOf(v).contains("10H30M45S")), tRes) // Duration text
+      // negative / >24h TIME keeps sign and days: -(2d 1h) = PT-49H
+      val negBytes = Array[Byte](8, 1, 2, 0, 0, 0, 1, 0, 0)
+      val nRes = c.execute(idt, Seq((0x0B, Some(negBytes))))
+      assert(nRes.toOption.get._2.head.head.exists(
+        v => String.valueOf(v).contains("-49H")), nRes)
+
+      // an unknown parameter type code is refused with an ERR, never
+      // silently misparsed as a lenenc string
+      val bad = c.execute(idt, Seq((0x33, Some(lenencBytes("junk")))))
+      assert(bad.left.exists(_.contains("0x33")), bad)
+      // ...and the connection is still usable
+      assert(c.query("SELECT 1 AS ok").toOption.get._2 == Seq(Seq(Some("1"))))
+
+      // unsigned LONGLONG above Long.MAX must not bind negative
+      val (idu, _) = c.prepare("SELECT ? AS u").toOption.get
+      val uRes = c.execute(idu, Seq((0x8008, Some(leLong(-1L))))) // 2^64-1
+      assert(uRes.toOption.get._2.head.head.exists(
+        v => String.valueOf(v).contains("18446744073709551615")), uRes)
+
+      // per-connection prepared-statement registry is bounded: the
+      // cap'th + 1 PREPARE answers ER 1461 instead of growing the heap
+      var lastErr: Option[String] = None
+      var i = 0
+      while (lastErr.isEmpty && i < GraftMysqlServer.MaxPreparedStmts + 8) {
+        c.prepare(s"SELECT $i") match {
+          case Left(e) => lastErr = Some(e)
+          case Right(_) => ()
+        }
+        i += 1
+      }
+      assert(lastErr.exists(_.contains("1461")), s"cap never hit (after $i prepares)")
+      // the connection survives the refusal
+      assert(c.query("SELECT 2 AS ok").toOption.get._2 == Seq(Seq(Some("2"))))
       c.close()
     } finally GraftMysqlServer.stop()
   }

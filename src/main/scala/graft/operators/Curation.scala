@@ -185,15 +185,43 @@ object Curation {
       .select(col("doc_id").as("corpus_id"), col("h"))
     val isz = graft.sources.LakeTable.read(s, s"$indexPath/sizes")
       .select(col("doc_id").as("corpus_id"), col("sz").as("sz_c"))
-    bsh.join(idx, "h")
-      .groupBy("batch_id", "corpus_id")
-      .agg(count(lit(1)).as("inter"), max("sz_b").as("sz_b"))
-      .join(isz, "corpus_id")
-      .withColumn("jaccard", round(
-        col("inter").cast("double") / (col("sz_b") + col("sz_c") - col("inter")) + lit(1e-9), 4))
-      .where(col("jaccard") >= 0.8)
-      .select("batch_id", "corpus_id", "jaccard")
-      .orderBy("batch_id", "corpus_id")
+    def probe(b: DataFrame, i: DataFrame, sz: DataFrame): DataFrame =
+      b.join(i, "h")
+        .groupBy("batch_id", "corpus_id")
+        .agg(count(lit(1)).as("inter"), max("sz_b").as("sz_b"))
+        .join(sz, "corpus_id")
+        .withColumn("jaccard", round(
+          col("inter").cast("double") / (col("sz_b") + col("sz_c") - col("inter")) + lit(1e-9), 4))
+        .where(col("jaccard") >= 0.8)
+        .select("batch_id", "corpus_id", "jaccard")
+        .orderBy("batch_id", "corpus_id")
+    if (DedupGuard.mode(s) == "off") return probe(bsh, idx, isz)
+    // Pre-flight (DedupGuard): the probe join's candidate stream is
+    // EXACTLY Σ_h df_batch(h)·df_index(h) over co-occurring shingles —
+    // one aggregate over the two df tables (the index side a pipeline
+    // would keep precomputed alongside the index itself).
+    val bdf = bsh.groupBy("h").agg(count(lit(1)).as("dfb"))
+    val idf = idx.groupBy("h").agg(count(lit(1)).as("dfi"))
+    val co = bdf.join(idf, "h")
+    val r = co.agg(sum(col("dfb") * col("dfi")).cast("long"),
+      sum(col("dfb") + col("dfi")).cast("long")).head()
+    val est = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val rows = if (r.isNullAt(1)) 0L else r.getLong(1)
+    if (DedupGuard.admitUncapped(s, "incrementalDedup", est, rows, None))
+      probe(bsh, idx, isz)
+    else {
+      // routed: drop hot co-occurring shingles from BOTH streams and
+      // recompute both size tables over the informative universe (the
+      // carried sz_b / stored sz_c count full shingle sets — keeping
+      // them would silently deflate jaccard under the cap)
+      val hot = co.where(col("dfb") + col("dfi") > DedupGuard.dfCap(s)).select("h")
+      val bshC = bsh.join(hot, Seq("h"), "left_anti")
+      val idxC = idx.join(hot, Seq("h"), "left_anti")
+      val bC = bshC.drop("sz_b")
+        .join(bshC.groupBy("batch_id").agg(count(lit(1)).as("sz_b")), "batch_id")
+      val iszC = idxC.groupBy("corpus_id").agg(count(lit(1)).as("sz_c"))
+      probe(bC, idxC, iszC)
+    }
   }
 
   private[graft] val incrementalOracle: String =

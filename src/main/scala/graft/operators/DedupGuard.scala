@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Runtime candidate-budget guardrail for the EXACT near-dup family
+  * (q_dedup_ngram / q_contamination / q_dedup_incremental).
+  *
+  * The failure mode it exists for: the exact verbs' blocking join is
+  * driven by shingle document frequencies — on a sane corpus the
+  * candidate stream is a small multiple of the indexed rows, but on a
+  * boilerplate-heavy profile hot shingles square (Σ C(df,2) ∝ df²) and
+  * the uncapped verb becomes a silent multi-hour mistake at 100 TB.
+  * The df table the plans already build holds the answer BEFORE the
+  * join runs: Σ df·(df−1)/2 is a one-aggregate pre-flight estimate of
+  * the candidate stream. Measured on the scale corpora (local[16]):
+  *
+  *   corpus    Σ C(df,2)   shingle rows   ratio   prefix-refined ratio
+  *   sf0.01       14.0k          27k       0.5×        0.01×
+  *   sf0.1         1.27M        275k       4.6×        0.44×
+  *   sf1         106M           2.75M     ~38×         4.0×
+  *   sf5           1.35G       13.75M     ~98×         6.5×
+  *
+  * So the budget is SCALE-FREE: `budgetFactor` × indexed shingle rows
+  * (default 16 — an order above the sane-corpus band, an order below
+  * the pathological one). The pre-flight ESCALATES: the coarse
+  * estimate over the full df table is an upper bound for the PPJoin
+  * plan (whose candidates come from prefixes only), so when coarse
+  * trips in the prefix regime a refined Σ C(df_prefix,2) over the
+  * prefix rows decides — the replication-artifact corpora (sf1/sf5)
+  * trip coarse but pass refined and correctly stay uncapped (their
+  * candidate universe is the true pair set, the cost of exactness),
+  * while template/boilerplate profiles trip both and route.
+  *
+  * Modes (`spark.graft.dedup.guardrail`):
+  *   route (default) — auto-route to the df-capped plan (the
+  *                     production stop-shingle defense, D28) and log;
+  *   fail            — refuse with the measured estimate (for callers
+  *                     that pinned uncapped semantics);
+  *   off             — no pre-flight (benchmark the raw plan).
+  */
+object DedupGuard {
+  val ModeKey = "spark.graft.dedup.guardrail"
+  val FactorKey = "spark.graft.dedup.budgetFactor"
+  val DfCapKey = "spark.graft.dedup.dfCap"
+
+  /** What the pre-flight measured and decided, per verb — the audit
+    * record a pipeline operator reads after a route/fail.
+    */
+  final case class Decision(verb: String, mode: String, coarse: Long,
+      refined: Option[Long], rows: Long, budget: Long, uncapped: Boolean)
+
+  private val decisions =
+    new java.util.concurrent.ConcurrentHashMap[String, Decision]()
+
+  def decision(verb: String): Option[Decision] = Option(decisions.get(verb))
+
+  final class CandidateBudgetExceeded(val d: Decision)
+    extends RuntimeException(
+      s"${d.verb}: estimated candidate stream ${d.refined.getOrElse(d.coarse)} pairs " +
+        s"exceeds budget ${d.budget} ($FactorKey × ${d.rows} indexed rows); " +
+        s"the corpus profile is pathological for the uncapped exact plan — " +
+        s"run the df-capped variant, raise $FactorKey, or set $ModeKey=off")
+
+  def mode(s: SparkSession): String = s.conf.get(ModeKey, "route")
+  def budgetFactor(s: SparkSession): Long = s.conf.get(FactorKey, "16").toLong
+  def dfCap(s: SparkSession): Int = s.conf.get(DfCapKey, "50").toInt
+
+  /** (Σ df·(df−1)/2, Σ df) over a df-column table — exact BIGINT. */
+  def pairEstimate(dfs: DataFrame, dfCol: String = "df"): (Long, Long) = {
+    val r = dfs.agg(
+      sum(col(dfCol) * (col(dfCol) - lit(1L))).cast("long"),
+      sum(col(dfCol)).cast("long")).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0) / 2L,
+      if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The pre-flight decision: true ⇒ proceed uncapped; false ⇒ the
+    * caller routes to its df-capped plan. `refined` is only evaluated
+    * when the coarse estimate trips (it may cost a window pass).
+    * Throws [[CandidateBudgetExceeded]] in `fail` mode.
+    */
+  def admitUncapped(s: SparkSession, verb: String, coarse: Long, rows: Long,
+      refined: => Option[Long]): Boolean = {
+    val m = mode(s)
+    val budget = budgetFactor(s) * math.max(rows, 1L)
+    if (coarse <= budget) {
+      decisions.put(verb, Decision(verb, m, coarse, None, rows, budget, uncapped = true))
+      return true
+    }
+    val r = refined
+    val d = Decision(verb, m, coarse, r, rows, budget,
+      uncapped = r.exists(_ <= budget))
+    decisions.put(verb, d)
+    if (d.uncapped) true
+    else if (m == "fail") throw new CandidateBudgetExceeded(d)
+    else {
+      System.err.println(s"[graft-dedup-guard] $verb: candidate estimate " +
+        s"${r.getOrElse(coarse)} > budget $budget (${rows} rows × ${budgetFactor(s)}) " +
+        s"— routing to the df-capped plan (dfCap=${dfCap(s)})")
+      false
+    }
+  }
+}

@@ -78,9 +78,26 @@ object DedupOps {
     * plan; at-or-above, PPJoin wins and keeps winning as hot shingles
     * appear.
     */
-  def ngramPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
-    if (threshold < 0.5) ngramPairsDirect(s, d, threshold)
-    else ngramPairsPrefix(s, d, threshold)
+  def ngramPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    def uncapped =
+      if (threshold < 0.5) ngramPairsDirect(s, d, threshold)
+      else ngramPairsPrefix(s, d, threshold)
+    if (DedupGuard.mode(s) == "off") return uncapped
+    // Pre-flight candidate budget (see DedupGuard): coarse Σ C(df,2)
+    // over the full df table; when that trips AND the prefix plan is
+    // in play, the refined estimate over prefix rows decides (the
+    // direct plan's candidate stream IS the coarse estimate).
+    val sh = shingleTable(s, d)
+    val (coarse, rows) = DedupGuard.pairEstimate(
+      sh.groupBy("h").agg(count(lit(1)).as("df")))
+    val admit = DedupGuard.admitUncapped(s, "ngramPairs", coarse, rows,
+      refined =
+        if (threshold < 0.5) None
+        else Some(DedupGuard.pairEstimate(
+          prefixRows(sh, threshold).groupBy("h").agg(count(lit(1)).as("df")))._1))
+    if (admit) uncapped
+    else ngramPairsCapped(s, d, threshold, DedupGuard.dfCap(s))
+  }
 
   /** Direct inverted-index self-join: inter = count of h-collisions
     * per pair. Cost is Σ C(df(h), 2) — fine while no shingle is hot
@@ -103,8 +120,29 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  private def ngramPairsPrefix(s: SparkSession, d: String, threshold: Double): DataFrame = {
+  /** The per-doc PPJoin prefix rows at `threshold`: each doc's
+    * (1−t)·|d|+1 RAREST shingles under the global (df, h) order, with
+    * their per-doc rank and the doc's shingle count. Shared between
+    * the plan and the guardrail's refined pre-flight estimate so the
+    * two cannot drift. Prefix length uses t − 1e-4: the final filter
+    * rounds jaccard to 4 decimals (+1e-9 nudge), so a pair at
+    * J = t − 5e-5 can still pass it — the relaxed prefix keeps those
+    * pairs candidate-covered.
+    */
+  private def prefixRows(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val tRelaxed = threshold - 1e-4
+    val dfs = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(dfs, "h")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
+      .join(sizes, "doc_id")
+      .where(col("rn") <= col("sz") - ceil(lit(tRelaxed) * col("sz")) + 1)
+      .select("doc_id", "h", "rn", "sz")
+  }
+
+  private def ngramPairsPrefix(s: SparkSession, d: String, threshold: Double): DataFrame = {
     // NOTE a size(sh)+explode(sh) double reference looks cheaper (no
     // size aggregate, no pair size joins) but re-inlines the shingle
     // tree per ROW at the reference site — measured 3.3 s → 10.2 s at
@@ -112,17 +150,8 @@ object DedupOps {
     // per scan and keeps every shuffle row scalar.
     val sh = shingleTable(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // Prefix length uses t − 1e-4: the final filter rounds jaccard to
-    // 4 decimals (+1e-9 nudge), so a pair at J = t − 5e-5 can still
-    // pass it — the relaxed prefix keeps those pairs candidate-covered.
     val tRelaxed = threshold - 1e-4
-    val dfs = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = sh.join(dfs, "h")
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
-      .join(sizes, "doc_id")
-      .where(col("rn") <= col("sz") - ceil(lit(tRelaxed) * col("sz")) + 1)
-      .select("doc_id", "h", "rn", "sz")
+    val prefix = prefixRows(sh, threshold)
     // POSITIONAL filter (PPJoin): per pair, the globally-smallest
     // shared prefix element (min rn on both sides — prefixes are
     // downward-closed in the global order, so the min-rn_a element IS
@@ -352,22 +381,42 @@ object DedupOps {
     // ship one survivor per partition).
     Q("q_contamination",
       (s, d) => {
-        val sh = shingleTable(s, d)
-        val ev = sh.where(col("doc_id") % 10 === 0)
-          .select(col("doc_id").as("eval_id"), col("h"))
-        val tr = sh.where(col("doc_id") % 10 =!= 0)
-          .select(col("doc_id").as("train_id"), col("h"))
-        val evSz = ev.groupBy("eval_id").agg(count(lit(1)).as("esz"))
-        val scored = ev.join(tr, "h")
-          .groupBy("eval_id", "train_id").agg(count(lit(1)).as("inter"))
-          .join(evSz, "eval_id")
-          .withColumn("containment",
-            round(col("inter").cast("double") / col("esz") + lit(1e-9), 4))
-          .where(col("containment") >= 0.5)
-          .select("eval_id", "train_id", "containment")
-        graft.plans.TopK.perGroup(scored, Seq("eval_id"), "containment", "train_id", 1)
-          .select("eval_id", "train_id", "containment")
-          .orderBy("eval_id")
+        val sh0 = shingleTable(s, d)
+        def run(sh: DataFrame): DataFrame = {
+          val ev = sh.where(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("eval_id"), col("h"))
+          val tr = sh.where(col("doc_id") % 10 =!= 0)
+            .select(col("doc_id").as("train_id"), col("h"))
+          val evSz = ev.groupBy("eval_id").agg(count(lit(1)).as("esz"))
+          val scored = ev.join(tr, "h")
+            .groupBy("eval_id", "train_id").agg(count(lit(1)).as("inter"))
+            .join(evSz, "eval_id")
+            .withColumn("containment",
+              round(col("inter").cast("double") / col("esz") + lit(1e-9), 4))
+            .where(col("containment") >= 0.5)
+            .select("eval_id", "train_id", "containment")
+          graft.plans.TopK.perGroup(scored, Seq("eval_id"), "containment", "train_id", 1)
+            .select("eval_id", "train_id", "containment")
+            .orderBy("eval_id")
+        }
+        if (DedupGuard.mode(s) == "off") run(sh0)
+        else {
+          // Pre-flight: the containment join's candidate stream is
+          // EXACTLY Σ_h df_eval(h)·df_train(h) — one aggregate over the
+          // split df table. No refined stage (no prefix leverage in a
+          // containment join); route drops hot shingles on BOTH sides,
+          // with esz recomputed over the informative universe.
+          val parts = sh0.groupBy("h").agg(
+            sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("dfe"),
+            sum(when(col("doc_id") % 10 === 0, 0L).otherwise(1L)).as("dft"))
+          val r = parts.agg(sum(col("dfe") * col("dft")).cast("long"),
+            sum(col("dfe") + col("dft")).cast("long")).head()
+          val est = if (r.isNullAt(0)) 0L else r.getLong(0)
+          val rows = if (r.isNullAt(1)) 0L else r.getLong(1)
+          if (DedupGuard.admitUncapped(s, "contamination", est, rows, None)) run(sh0)
+          else run(sh0.join(
+            parts.where(col("dfe") + col("dft") <= DedupGuard.dfCap(s)).select("h"), "h"))
+        }
       },
       Some(ngramPairsSql +
         """, ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 10 = 0),

@@ -657,6 +657,41 @@ final class GraftRawStore extends RawStore {
     * not overwrite exact ones; NDV/lengths are estimates on both sides
     * (the documented honesty rule), so the freshest estimate wins.
     */
+  /** The NDV-family records carried by a stats write-back, schema-cased
+    * and version-stamped. Shared by the table- and partition-level
+    * verbs: NDV (and string lengths) are taken from the wire — both
+    * sides are estimates, freshest wins — while null counts / min-max
+    * are NOT (the facade serves those footer-exact from the sidecars;
+    * a client's possibly-sampled numbers must not overwrite exact ones).
+    * Unknown columns are ignored (Hive stores them; graft has nowhere
+    * sound to hang them).
+    */
+  private def decodeStatsObjs(s: SparkSession, loc: String,
+      cs: org.apache.hadoop.hive.metastore.api.ColumnStatistics)
+      : Map[String, LakeTable.ColumnNdv] = {
+    val v = LakeTable.currentVersion(s, loc).getOrElse(0L)
+    val schema = LakeTable.tableSchema(s, loc)
+    cs.getStatsObj.asScala.flatMap { o =>
+      schema.fields.find(_.name.equalsIgnoreCase(o.getColName)).flatMap { f =>
+        val d = o.getStatsData
+        val rec: Option[LakeTable.ColumnNdv] =
+          if (d.isSetLongStats)
+            Some(LakeTable.ColumnNdv(d.getLongStats.getNumDVs, -1L, -1.0, v))
+          else if (d.isSetDoubleStats)
+            Some(LakeTable.ColumnNdv(d.getDoubleStats.getNumDVs, -1L, -1.0, v))
+          else if (d.isSetStringStats) {
+            val ss = d.getStringStats
+            Some(LakeTable.ColumnNdv(ss.getNumDVs, ss.getMaxColLen, ss.getAvgColLen, v))
+          } else if (d.isSetDecimalStats)
+            Some(LakeTable.ColumnNdv(d.getDecimalStats.getNumDVs, -1L, -1.0, v))
+          else if (d.isSetDateStats)
+            Some(LakeTable.ColumnNdv(d.getDateStats.getNumDVs, -1L, -1.0, v))
+          else None
+        rec.map(f.name -> _)
+      }
+    }.toMap
+  }
+
   override def updateTableColumnStatistics(
       cs: org.apache.hadoop.hive.metastore.api.ColumnStatistics): Boolean =
     io { (s, st) =>
@@ -664,33 +699,35 @@ final class GraftRawStore extends RawStore {
       val loc = st.tableLocation(s, desc.getDbName, desc.getTableName)
         .getOrElse(throw new NoSuchObjectException(
           s"${desc.getDbName}.${desc.getTableName}"))
-      val v = LakeTable.currentVersion(s, loc).getOrElse(0L)
-      val schema = LakeTable.tableSchema(s, loc)
-      val fresh = cs.getStatsObj.asScala.flatMap { o =>
-        // canonical schema-cased column name; unknown columns ignored
-        // (Hive stores them; graft has nowhere sound to hang them)
-        schema.fields.find(_.name.equalsIgnoreCase(o.getColName)).flatMap { f =>
-          val d = o.getStatsData
-          val rec: Option[LakeTable.ColumnNdv] =
-            if (d.isSetLongStats)
-              Some(LakeTable.ColumnNdv(d.getLongStats.getNumDVs, -1L, -1.0, v))
-            else if (d.isSetDoubleStats)
-              Some(LakeTable.ColumnNdv(d.getDoubleStats.getNumDVs, -1L, -1.0, v))
-            else if (d.isSetStringStats) {
-              val ss = d.getStringStats
-              Some(LakeTable.ColumnNdv(ss.getNumDVs, ss.getMaxColLen, ss.getAvgColLen, v))
-            } else if (d.isSetDecimalStats)
-              Some(LakeTable.ColumnNdv(d.getDecimalStats.getNumDVs, -1L, -1.0, v))
-            else if (d.isSetDateStats)
-              Some(LakeTable.ColumnNdv(d.getDateStats.getNumDVs, -1L, -1.0, v))
-            else None
-          rec.map(f.name -> _)
-        }
-      }.toMap
+      val fresh = decodeStatsObjs(s, loc, cs)
       if (fresh.nonEmpty) LakeTable.recordNdv(s, loc, fresh)
       true
     }
-  override def updatePartitionColumnStatistics(a0: org.apache.hadoop.hive.metastore.api.ColumnStatistics, a1: java.util.List[String]): Boolean = unsupported("updatePartitionColumnStatistics")
+
+  /** PARTITION-level stats write-back (an external engine's
+    * `ANALYZE TABLE ... PARTITION(...) COMPUTE STATISTICS FOR COLUMNS`
+    * lands here, one call per partition): the records go into the
+    * per-partition store [[getPartitionColumnStatistics]] serves, with
+    * the same honesty split as the table-level verb.
+    */
+  override def updatePartitionColumnStatistics(
+      cs: org.apache.hadoop.hive.metastore.api.ColumnStatistics,
+      partVals: java.util.List[String]): Boolean =
+    io { (s, st) =>
+      val desc = cs.getStatsDesc
+      val loc = st.tableLocation(s, desc.getDbName, desc.getTableName)
+        .getOrElse(throw new NoSuchObjectException(
+          s"${desc.getDbName}.${desc.getTableName}"))
+      // the canonical Hive partition name: the desc carries it when the
+      // client set one; otherwise derive it from partVals + the spec
+      val pn = Option(desc.getPartName).filter(_.nonEmpty).getOrElse {
+        val (_, pcols, _) = leaves(s, st, desc.getDbName, desc.getTableName)
+        partName(pcols, partVals.asScala.toSeq.map(Option(_)))
+      }
+      val fresh = decodeStatsObjs(s, loc, cs)
+      if (fresh.nonEmpty) LakeTable.recordPartitionNdv(s, loc, pn, fresh)
+      true
+    }
   /** Table column statistics for external optimizers, aggregated from
     * the per-group stats sidecars: exact low/high (integral bounds
     * never detour through Double — |v| > 2^53 stays exact) and EXACT
@@ -784,35 +821,53 @@ final class GraftRawStore extends RawStore {
       val (_, pcols, ls) = leaves(s, st, db, tbl)
       val byName = ls.groupBy(p => partName(pcols, p._1))
       val schema = LakeTable.tableSchema(s, loc)
+      val pndvAll = LakeTable.partitionNdv(s, loc)
       def bd(v: String) = new java.math.BigDecimal(v)
       partNames.asScala.flatMap { pn =>
         byName.get(pn).flatMap { group =>
           val (agg, nullsAgg) =
             LakeTable.leafColumnStats(s, loc, group.map(_._2.toString))
+          val ndvMap = pndvAll.getOrElse(pn, Map.empty)
           val objs = cols.asScala.flatMap { c =>
-            for {
+            val stringData = // write-back-backed string stats (lengths + NDV)
+              for {
+                f <- schema.fields.find(_.name.equalsIgnoreCase(c))
+                if f.dataType == org.apache.spark.sql.types.StringType
+                r <- ndvMap.get(f.name)
+                if r.maxLen >= 0
+                (rows, nullMap) <- nullsAgg
+                nn <- nullMap.get(f.name)
+              } yield new ColumnStatisticsObj(f.name, hiveType(f.dataType),
+                ColumnStatisticsData.stringStats(
+                  new org.apache.hadoop.hive.metastore.api.StringColumnStatsData(
+                    r.maxLen, r.avgLen, nn, r.ndv)))
+            val numericData = for {
               (kind, mn, mx) <- agg.get(c)
               f <- schema.fields.find(_.name.equalsIgnoreCase(c))
               if kind == 'n'
               (rows, nullMap) <- nullsAgg
               nn <- nullMap.get(f.name)
               nonNull = math.max(0L, rows - nn)
+              // a written-back partition record (an estimate as-of its
+              // snapshot) beats the metadata-derived sound upper bound
+              ndvOf = (bound: Long) => ndvMap.get(f.name).map(_.ndv).getOrElse(bound)
               data <- f.dataType match {
                 case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
                      org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
                   val width =
                     bd(mx).subtract(bd(mn)).add(java.math.BigDecimal.ONE)
                       .min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue()
-                  val d = new LongColumnStatsData(nn, math.min(nonNull, width))
+                  val d = new LongColumnStatsData(nn, ndvOf(math.min(nonNull, width)))
                   d.setLowValue(bd(mn).longValue()); d.setHighValue(bd(mx).longValue())
                   Some(ColumnStatisticsData.longStats(d))
                 case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
-                  val d = new DoubleColumnStatsData(nn, nonNull)
+                  val d = new DoubleColumnStatsData(nn, ndvOf(nonNull))
                   d.setLowValue(mn.toDouble); d.setHighValue(mx.toDouble)
                   Some(ColumnStatisticsData.doubleStats(d))
                 case _ => None
               }
             } yield new ColumnStatisticsObj(f.name, hiveType(f.dataType), data)
+            numericData.orElse(stringData)
           }
           if (objs.isEmpty) None
           else {
@@ -823,7 +878,14 @@ final class GraftRawStore extends RawStore {
         }
       }.toList.asJava
     }
-  override def deletePartitionColumnStatistics(a0: String, a1: String, a2: String, a3: java.util.List[String], a4: String): Boolean = unsupported("deletePartitionColumnStatistics")
+  override def deletePartitionColumnStatistics(db: String, tbl: String,
+      pn: String, partVals: java.util.List[String], colName: String): Boolean =
+    io { (s, st) =>
+      val loc = st.tableLocation(s, db, tbl)
+        .getOrElse(throw new NoSuchObjectException(s"$db.$tbl"))
+      LakeTable.dropPartitionNdv(s, loc, pn, colName)
+      true
+    }
   /** Drops the stored ANALYZE/write-back record for one column (the
     * wire passes null for "all columns" — then every record goes).
     * Sidecar-derived exact stats (nulls, bounds) are unaffected: they

@@ -1510,6 +1510,62 @@ object LakeTable {
       dvEnabled(spark, path), ndv = Some(remaining), expectVer = Some(expect))
   }
 
+  /** Stored PER-PARTITION ANALYZE/write-back records, by Hive
+    * partition name ("col=v/col2=v2") then column. Same staleness
+    * semantics as [[tableNdv]]; the partition name is base64-wrapped
+    * inside each entry so partition VALUES may contain any character.
+    */
+  def partitionNdv(spark: SparkSession, path: String)
+      : Map[String, Map[String, ColumnNdv]] =
+    tableMetaBody(spark, path).flatMap(
+      """"pndvB64"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(_)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+          .map { b64 =>
+            val s = new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
+            val a = s.split("\t")
+            val part = new String(java.util.Base64.getDecoder.decode(a(0)), StandardCharsets.UTF_8)
+            (part, a(1), ColumnNdv(a(2).toLong, a(3).toLong, a(4).toDouble, a(5).toLong))
+          }
+          .groupBy(_._1)
+          .map { case (p, g) => p -> g.map(t => t._2 -> t._3).toMap }))
+      .getOrElse(Map.empty)
+
+  /** PARTITION-level stats write-back (Hive's
+    * `update_partition_column_statistics`): merge one partition's
+    * externally-computed column records into the per-partition store
+    * the HMS facade serves reads from. Same CAS discipline as
+    * [[recordNdv]] — the token is captured before the merge read.
+    */
+  def recordPartitionNdv(spark: SparkSession, path: String, partName: String,
+      fresh: Map[String, ColumnNdv]): Unit = {
+    val expect = currentMetaVer(spark, path)
+    val cur = partitionNdv(spark, path)
+    val merged = cur + (partName -> (cur.getOrElse(partName, Map.empty) ++ fresh))
+    writeTableMeta(spark, path, tablePartitioning(spark, path),
+      metaSchema(spark, path), tableSortBy(spark, path), tableChecks(spark, path),
+      dvEnabled(spark, path), pndv = Some(merged), expectVer = Some(expect))
+  }
+
+  /** Drop one partition-column record (Hive's
+    * `delete_partition_column_statistics`). No-op when absent.
+    */
+  def dropPartitionNdv(spark: SparkSession, path: String, partName: String,
+      colName: String): Unit = {
+    val expect = currentMetaVer(spark, path)
+    val cur = partitionNdv(spark, path)
+    val pruned = cur.get(partName) match {
+      case None => return
+      case Some(cols) =>
+        val remaining = cols.filterNot(_._1.equalsIgnoreCase(colName))
+        if (remaining.size == cols.size) return
+        if (remaining.isEmpty) cur - partName else cur + (partName -> remaining)
+    }
+    writeTableMeta(spark, path, tablePartitioning(spark, path),
+      metaSchema(spark, path), tableSortBy(spark, path), tableChecks(spark, path),
+      dvEnabled(spark, path), pndv = Some(pruned), expectVer = Some(expect))
+  }
+
   /** PARTITION EVOLUTION (the Iceberg marquee): change the table's
     * partition spec WITHOUT rewriting a byte of data. Metadata-only —
     * subsequent appends and COW rewrites lay their new file groups out
@@ -1886,6 +1942,7 @@ object LakeTable {
       markMixed: Boolean = false,
       mappings: Option[Seq[MapRec]] = None,
       ndv: Option[Map[String, ColumnNdv]] = None,
+      pndv: Option[Map[String, Map[String, ColumnNdv]]] = None,
       expectVer: Option[Long] = None): Unit = {
     val expect = expectVer.getOrElse(currentMetaVer(spark, path))
     val fields = Seq.newBuilder[String]
@@ -1899,6 +1956,20 @@ object LakeTable {
             .getBytes(StandardCharsets.UTF_8)) + "\""
       }
       fields += s""""ndvB64":[${enc.mkString(",")}]"""
+    }
+    // per-partition ANALYZE/write-back records, preserved like ndv
+    val pnd = pndv.getOrElse(partitionNdv(spark, path))
+    if (pnd.nonEmpty) {
+      val enc = pnd.toSeq.sortBy(_._1).flatMap { case (part, colsMap) =>
+        val pb = java.util.Base64.getEncoder.encodeToString(
+          part.getBytes(StandardCharsets.UTF_8))
+        colsMap.toSeq.sortBy(_._1).map { case (c, r) =>
+          "\"" + java.util.Base64.getEncoder.encodeToString(
+            s"$pb\t$c\t${r.ndv}\t${r.maxLen}\t${r.avgLen}\t${r.asOf}"
+              .getBytes(StandardCharsets.UTF_8)) + "\""
+        }
+      }
+      fields += s""""pndvB64":[${enc.mkString(",")}]"""
     }
     // mapping chain: explicit new value, or preserved from the current meta
     val ren = mappings.getOrElse(tableMappings(spark, path))

@@ -222,6 +222,68 @@ class HmsFacadeSpec extends AnyFunSuite {
     } finally client.close()
   }
 
+  test("partition-level stats write-back round-trips per partition") {
+    import org.apache.hadoop.hive.metastore.api.{ColumnStatistics, ColumnStatisticsData, ColumnStatisticsDesc, ColumnStatisticsObj, LongColumnStatsData, StringColumnStatsData}
+    val url = "jdbc:derby:memory:hmsmeta;create=true"
+    val root = s"${operators.Lakehouse.scratch}/hms_wh"
+    graft.sources.GraftHmsFacade.start(spark, port, root, jdbcUrl = Some(url))
+    spark.sql("DROP TABLE IF EXISTS hms_cat.db.pwb")
+    spark.sql("CREATE TABLE hms_cat.db.pwb (k BIGINT, s STRING, p STRING) " +
+      "USING graft PARTITIONED BY (p)")
+    spark.sql("INSERT INTO hms_cat.db.pwb " +
+      "SELECT id, 'v' || (id % 4), CASE WHEN id < 50 THEN 'a' ELSE 'b' END FROM range(100)")
+    val conf = new org.apache.hadoop.hive.conf.HiveConf()
+    conf.set("hive.metastore.uris", s"thrift://localhost:$port")
+    val client = new org.apache.hadoop.hive.metastore.HiveMetaStoreClient(conf)
+    try {
+      // before: k's NDV per partition is the metadata bound (50 rows,
+      // width 50); s is unserved at partition level (no lengths)
+      val before = client.getPartitionColumnStatistics("db", "pwb",
+        Seq("p=a", "p=b").asJava, Seq("k", "s").asJava)
+      def statsOf(m: java.util.Map[String, java.util.List[ColumnStatisticsObj]],
+          pn: String) = m.get(pn).asScala.map(o => o.getColName -> o.getStatsData).toMap
+      assert(statsOf(before, "p=a")("k").getLongStats.getNumDVs == 50L)
+      assert(!statsOf(before, "p=a").contains("s"))
+
+      // an external engine ANALYZEs partition p=a only: NDV for k,
+      // NDV + lengths for s; its (wrong: 7) null count must not
+      // displace the footer-exact one
+      val kData = new LongColumnStatsData(7L, 33L)
+      kData.setLowValue(0L); kData.setHighValue(49L)
+      val sData = new StringColumnStatsData(6L, 2.0, 7L, 4L)
+      val desc = new ColumnStatisticsDesc(false, "db", "pwb")
+      desc.setPartName("p=a")
+      val cs = new ColumnStatistics(desc, Seq(
+        new ColumnStatisticsObj("k", "bigint", ColumnStatisticsData.longStats(kData)),
+        new ColumnStatisticsObj("s", "string", ColumnStatisticsData.stringStats(sData))
+      ).asJava)
+      client.updatePartitionColumnStatistics(cs)
+
+      val after = client.getPartitionColumnStatistics("db", "pwb",
+        Seq("p=a", "p=b").asJava, Seq("k", "s").asJava)
+      val ka = statsOf(after, "p=a")("k").getLongStats
+      assert(ka.getNumDVs == 33L, s"written-back partition NDV must be served: $ka")
+      assert(ka.getNumNulls == 0L, s"nulls stay footer-exact: $ka")
+      assert(ka.getLowValue == 0L && ka.getHighValue == 49L, ka)
+      val sa = statsOf(after, "p=a")("s").getStringStats
+      assert(sa.getNumDVs == 4L && sa.getMaxColLen == 6L, sa)
+      // the OTHER partition is untouched: bound NDV, s still unserved
+      assert(statsOf(after, "p=b")("k").getLongStats.getNumDVs == 50L)
+      assert(!statsOf(after, "p=b").contains("s"))
+
+      // engine-side visibility: same store, readable by path
+      val loc = client.getTable("db", "pwb").getSd.getLocation
+      assert(graft.sources.LakeTable.partitionNdv(spark, loc)("p=a")("k").ndv == 33L)
+
+      // per-partition delete: k reverts to the bound, s stays
+      client.deletePartitionColumnStatistics("db", "pwb", "p=a", "k")
+      val reverted = client.getPartitionColumnStatistics("db", "pwb",
+        Seq("p=a").asJava, Seq("k", "s").asJava)
+      assert(statsOf(reverted, "p=a")("k").getLongStats.getNumDVs == 50L)
+      assert(statsOf(reverted, "p=a")("s").getStringStats.getNumDVs == 4L)
+    } finally client.close()
+  }
+
   test("server-side partition filtering: get_partitions_by_filter prunes on the server") {
     val url = "jdbc:derby:memory:hmsmeta;create=true"
     val root = s"${operators.Lakehouse.scratch}/hms_wh"

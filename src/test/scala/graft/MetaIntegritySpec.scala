@@ -244,6 +244,50 @@ class MetaIntegritySpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("partition stats write-back vs column rename: the meta CAS arbitrates") {
+    // recordPartitionNdv (the HMS facade's
+    // update_partition_column_statistics leg) follows the same
+    // token-before-read contract as recordNdv: a rename publishing
+    // mid-verb fails the write-back rather than resurrecting
+    // pre-rename stat keys under the partition.
+    val p = freshPath("pwbrace")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L), (2L, 20L)).toDF("k", "amount"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (i <- 1 to 4) {
+        val cur = sources.LakeTable.tableSchema(spark, p).fieldNames
+          .find(_.startsWith("amount")).get
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val writeF = pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            start.await()
+            try {
+              sources.LakeTable.recordPartitionNdv(spark, p, "p=a",
+                Map(cur -> sources.LakeTable.ColumnNdv(2L + i, -1L, -1.0, 0L)))
+              true
+            } catch { case _: sources.LakeTable.ConcurrentWriteException => false }
+          }
+        })
+        val renameF = pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            start.await()
+            try { sources.LakeTable.renameColumn(spark, p, cur, s"amount${i + 1}p"); true }
+            catch { case _: sources.LakeTable.ConcurrentWriteException => false }
+          }
+        })
+        start.countDown()
+        val (wOk, rOk) = (writeF.get(), renameF.get())
+        assert(wOk || rOk, s"round $i: both losers")
+        val names = sources.LakeTable.tableSchema(spark, p).fieldNames.toSet
+        assert(names.count(_.startsWith("amount")) == 1, names)
+        val keys = sources.LakeTable.partitionNdv(spark, p)
+          .getOrElse("p=a", Map.empty).keySet
+        assert(keys.subsetOf(names), s"round $i: stale partition stats keys " +
+          s"${keys -- names} not in schema $names")
+      }
+    } finally pool.shutdown()
+  }
+
   test("racing lease-reclaims never silently drop a published DDL") {
     // Two writers both past the lease check can interleave the
     // delete-then-create reclaim (A deletes+creates, B deletes A's

@@ -249,6 +249,8 @@ object GraftRestServer {
             opMeta(ex, user, id)
           case ("GET", List("operations", id, "rowset")) => rowset(ex, user, id)
           case ("DELETE", List("operations", id)) => closeOp(ex, user, id)
+          case ("PUT", List(db, table, "_stream_load")) =>
+            streamLoad(spark, ex, user, db, table)
           case _ => err(ex, 404, s"no route: $method /api/v1$path")
         }
       }
@@ -418,6 +420,102 @@ object GraftRestServer {
         respond(ex, 200, sb.toString)
       }
     }
+
+  /** Doris-style bulk ingest (`PUT /api/v1/{db}/{table}/_stream_load`,
+    * the reference Doris deployment's everyday INGEST surface —
+    * internal/controller/doris.go; its query surface is the MySQL
+    * wire, C38): the request BODY is the data (CSV by default, `format:
+    * json` = JSONL), parsed against the table's own schema, and the
+    * mandatory `label` header is the exactly-once transaction label —
+    * the load commits through [[graft.sources.LakeTable.appendOnce]]
+    * keyed by the label, so a retried/replayed load with the same
+    * label is a no-op answered `Label Already Exists` (Doris's
+    * semantics; two concurrent twins can never both land — the claim
+    * race arbitrates). Grants (MODIFY on the table), admission permits
+    * and the audit trail are the same control plane as every other
+    * wire. `{db}` may be `catalog.namespace` or a bare namespace in
+    * the session's current catalog.
+    *
+    * Headers: `label` (required), `format` csv|json (default csv),
+    * `column_separator` (default ","). Response (Doris-shaped):
+    * `{"Status":"Success"|"Label Already Exists","Label","TxnId",
+    * "NumberLoadedRows"}`.
+    */
+  private def streamLoad(parent: SparkSession, ex: HttpExchange, user: String,
+      db: String, table: String): Unit = {
+    import graft.sources.LakeTable
+    val label = Option(ex.getRequestHeaders.getFirst("label"))
+      .map(_.trim).filter(_.nonEmpty).getOrElse {
+        err(ex, 400, "label header required (the exactly-once txn label)"); return
+      }
+    val format = Option(ex.getRequestHeaders.getFirst("format"))
+      .map(_.toLowerCase).getOrElse("csv")
+    if (format != "csv" && format != "json") {
+      err(ex, 400, s"unsupported format '$format' (csv | json)"); return
+    }
+    val sep = Option(ex.getRequestHeaders.getFirst("column_separator")).getOrElse(",")
+    val body = readBody(ex)
+    if (!ConnectAuth.tryAcquire(user)) {
+      GraftAudit.record(user, "INGEST", s"$db.$table", "deny")
+      err(ex, 429,
+        "RESOURCE_EXHAUSTED: per-principal in-flight statement cap reached")
+      return
+    }
+    try {
+      // a per-load session pins the wire identity without racing other
+      // requests on the parent's conf (same stance as openSession)
+      val sess = parent.newSession()
+      parent.conf.getAll.foreach { case (k, v) =>
+        try sess.conf.set(k, v) catch { case _: Exception => () }
+      }
+      sess.conf.set("spark.graft.sql.user", user)
+      val (catName, ns) = db.split('.') match {
+        case Array(c, n) => (c, n)
+        case _ => (sess.sessionState.catalogManager.currentCatalog.name(), db)
+      }
+      // resolve the plugin through the PARENT's manager: a fresh
+      // newSession materializes catalog plugins lazily on first SQL,
+      // while the parent has them loaded; the store both point at is
+      // the same deployment root either way
+      parent.sessionState.catalogManager.catalog(catName) match {
+        case g: graft.sources.GraftCatalog =>
+          GraftAuthz.requireModify(sess, ns, table)
+          val loc = g.catalogStore.tableLocation(sess, ns, table).getOrElse {
+            err(ex, 404, s"no table $db.$table"); return
+          }
+          val schema = LakeTable.tableSchema(sess, loc)
+          import sess.implicits._
+          val lines = sess.createDataset(
+            body.split('\n').iterator.map(_.stripSuffix("\r")).filter(_.nonEmpty).toSeq)
+          // FAILFAST: a malformed row refuses the WHOLE load — a
+          // labeled load is a transaction, not a best-effort trickle
+          val df = format match {
+            case "csv" => sess.read.schema(schema)
+              .option("sep", sep).option("mode", "FAILFAST").csv(lines)
+            case _ => sess.read.schema(schema)
+              .option("mode", "FAILFAST").json(lines)
+          }
+          val n = df.count()
+          val landed = LakeTable.appendOnce(sess, loc, df,
+            appId = s"rest-stream-load:$ns.$table:$label", appVersion = 0L)
+          GraftAudit.record(user, "INGEST", s"$ns.$table", if (landed) "ok" else "dup")
+          if (landed) {
+            val txn = LakeTable.currentVersion(sess, loc).getOrElse(-1L)
+            respond(ex, 200, s"""{"Status":"Success","Label":${jstr(label)},""" +
+              s""""TxnId":$txn,"NumberLoadedRows":$n}""")
+          } else
+            respond(ex, 200,
+              s"""{"Status":"Label Already Exists","Label":${jstr(label)}}""")
+        case other =>
+          err(ex, 400, s"catalog '${other.name()}' is not a graft catalog")
+      }
+    } catch {
+      case e: GraftAuthz.AccessDenied => err(ex, 403, e.getMessage)
+      case e: Exception =>
+        err(ex, 400, s"""stream load failed: ${
+          Option(e.getMessage).getOrElse(e.toString).take(1500)}""")
+    } finally ConnectAuth.release(user)
+  }
 
   private def closeOp(ex: HttpExchange, user: String, id: String): Unit =
     Option(ops.get(id)) match {

@@ -36,6 +36,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var store: CatalogStore = _
 
+  /** The backing store, for engine frontends that need a table's data
+    * location outside a SQL plan (the REST stream-load ingest route).
+    */
+  private[graft] def catalogStore: CatalogStore = store
+
   /** Column DEFAULT values (the Delta/Iceberg SQL-surface parity):
     * `CREATE TABLE (c INT DEFAULT 5)` and `ALTER COLUMN ... SET/DROP
     * DEFAULT` persist the default expression in the meta schema's

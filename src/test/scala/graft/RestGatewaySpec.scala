@@ -274,6 +274,91 @@ class RestGatewaySpec extends AnyFunSuite {
     } finally GraftRestServer.stop()
   }
 
+  private def put(path: String, auth: String, body: String,
+      headers: Map[String, String]): (Int, JValue) = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+      .header("Authorization", auth)
+      .PUT(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(),
+      if (resp.body().trim.isEmpty) JNull else JsonMethods.parse(resp.body()))
+  }
+
+  test("stream load: labeled bulk ingest is exactly-once, grant-gated, audited") {
+    val url = "jdbc:derby:memory:restload;create=true"
+    val conn0 = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn0.createStatement()
+      st.execute("CREATE TABLE gateway_users(user_name VARCHAR(64), token VARCHAR(64))")
+      st.execute("INSERT INTO gateway_users VALUES ('alice', 'l1'), ('bob', 'l2')")
+    } finally conn0.close()
+    ConnectAuth.enable(url,
+      "SELECT 1 FROM gateway_users WHERE user_name = ? AND token = ?",
+      maxConcurrentPerUser = 2)
+    GraftAuthz.enable(url, superusers = Set(spark.sparkContext.sparkUser))
+    GraftRestServer.start(spark, 0)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rest_a")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.rest_a.loads")
+      spark.sql("CREATE TABLE graft_cat.rest_a.loads (k BIGINT, s STRING) USING graft")
+      GraftAuthz.grant("alice", "rest_a", "ALL")
+      val alice = basic("alice", "l1")
+
+      // labeled CSV load lands
+      val (c1, j1) = put("/graft_cat.rest_a/loads/_stream_load", alice,
+        "1,one\n2,two\n", Map("label" -> "batch-001"))
+      assert(c1 == 200 && str(j1, "Status") == "Success", j1)
+      assert(spark.table("graft_cat.rest_a.loads").count() == 2L)
+
+      // the SAME label retried (even with a different body) is a no-op
+      // answered Label Already Exists — the Doris exactly-once contract
+      val (c2, j2) = put("/graft_cat.rest_a/loads/_stream_load", alice,
+        "9,nine\n", Map("label" -> "batch-001"))
+      assert(c2 == 200 && str(j2, "Status") == "Label Already Exists", j2)
+      assert(spark.table("graft_cat.rest_a.loads").count() == 2L,
+        "a replayed label must not land twice")
+
+      // a NEW label with JSONL format lands alongside
+      val (c3, j3) = put("/graft_cat.rest_a/loads/_stream_load", alice,
+        """{"k":3,"s":"three"}""" + "\n", Map("label" -> "batch-002", "format" -> "json"))
+      assert(c3 == 200 && str(j3, "Status") == "Success", j3)
+      assert(spark.table("graft_cat.rest_a.loads").count() == 3L)
+
+      // a malformed row refuses the WHOLE load (a label is a txn)
+      val (c4, _) = put("/graft_cat.rest_a/loads/_stream_load", alice,
+        "4,ok\nnot-a-bigint,bad\n", Map("label" -> "batch-003"))
+      assert(c4 == 400, s"malformed row must refuse the load, got $c4")
+      assert(spark.table("graft_cat.rest_a.loads").count() == 3L)
+
+      // missing label → 400 (no silent at-least-once ingest)
+      val (c5, _) = put("/graft_cat.rest_a/loads/_stream_load", alice,
+        "5,five\n", Map.empty)
+      assert(c5 == 400)
+
+      // bob has no MODIFY grant on rest_a → 403, nothing lands
+      val (c6, _) = put("/graft_cat.rest_a/loads/_stream_load", basic("bob", "l2"),
+        "6,six\n", Map("label" -> "bob-001"))
+      assert(c6 == 403, s"ungranted principal must be refused, got $c6")
+      assert(spark.table("graft_cat.rest_a.loads").count() == 3L)
+
+      // audit trail: the landed load, the dup, and bob's denial
+      GraftAudit.flush(5000L)
+      val trail = spark.sql("CALL graft_cat.system.show_audit(200)").collect()
+      def has(u: String, verdict: String) = trail.exists(r =>
+        r.getString(1) == u && r.getString(2) == "INGEST" &&
+          r.getString(3).contains("loads") && r.getString(4) == verdict)
+      assert(has("alice", "ok"), "landed load must be audited")
+      assert(has("alice", "dup"), "replayed label must be audited as dup")
+      assert(trail.exists(r => r.getString(1) == "bob" && r.getString(4) == "deny"),
+        "denied ingest must be audited")
+    } finally {
+      GraftRestServer.stop()
+      GraftAuthz.disable()
+      ConnectAuth.disable()
+    }
+  }
+
   test("rest wire registers in gateway discovery and resolves on failover") {
     val url = "jdbc:derby:memory:restdisc;create=true"
     import GatewayDiscovery.Endpoint

@@ -258,6 +258,62 @@ object SqlSurface {
              |  2::BIGINT AS row_count
              |FROM region ORDER BY r_regionkey""".stripMargin)),
 
+    // B29 oracle gate: DESCRIBE HISTORY over a staged create → append
+    // → append → merge → compact ladder. Version numbering, action
+    // names, and the file-group count per commit (append adds a group,
+    // merge on an all-matching key collapses to its one rewrite,
+    // compact folds to one) are all deterministic; wall-clock
+    // timestamps are projected out. A history that drops a commit,
+    // mislabels an action, or miscounts groups breaks the ladder.
+    Q.staged("q_describe_history",
+      setup = (s, d) => {
+        val p = s"${Lakehouse.scratch}/history_check"
+        def region = t(s, d, "region").repartition(1)
+        LakeTable.create(s, p, region)
+        LakeTable.append(s, p, region)
+        LakeTable.append(s, p, region)
+        LakeTable.merge(s, p, region, "r_regionkey")
+        LakeTable.compact(s, p, 1)
+      },
+      verb = (s, _) =>
+        LakeTable.history(s, s"${Lakehouse.scratch}/history_check")
+          .select(col("version"), col("action"),
+            col("n_file_groups"), col("has_change_data"))
+          .orderBy("version"),
+      oracle = Some("""SELECT version::BIGINT AS version, action,
+             |  n_file_groups::BIGINT AS n_file_groups,
+             |  CAST(0 AS BOOLEAN) AS has_change_data
+             |FROM (VALUES (0, 'create', 1), (1, 'append', 2), (2, 'append', 3),
+             |             (3, 'merge', 1), (4, 'compact', 1))
+             |  AS t(version, action, n_file_groups)
+             |ORDER BY version""".stripMargin)),
+
+    // B35 oracle gate: the graft_history TVF through catalog SQL — a
+    // CTAS (create + its data append) plus two INSERTs must serve the
+    // exact commit ladder in pure SQL, newest-first reordered by the
+    // query. Pins both the TVF injection and the db.table target
+    // resolution under the warehouse root.
+    Q.staged("q_graft_history",
+      setup = (s, d) => {
+        t(s, d, "nation").createOrReplaceTempView("nation_gh_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        s.sql("DROP TABLE IF EXISTS graft_cat.db.nation_gh")
+        s.sql("CREATE TABLE graft_cat.db.nation_gh AS " +
+          "SELECT n_nationkey, n_name FROM nation_gh_src")
+        s.sql("INSERT INTO graft_cat.db.nation_gh VALUES (100, 'atlantis')")
+        s.sql("INSERT INTO graft_cat.db.nation_gh VALUES (101, 'lemuria')")
+      },
+      verb = (s, _) =>
+        s.sql("""SELECT version, action, n_file_groups, has_change_data
+                |FROM graft_history('db.nation_gh') ORDER BY version""".stripMargin),
+      oracle = Some("""SELECT version::BIGINT AS version, action,
+             |  n_file_groups::BIGINT AS n_file_groups,
+             |  CAST(0 AS BOOLEAN) AS has_change_data
+             |FROM (VALUES (0, 'create', 1), (1, 'append', 2),
+             |             (2, 'append', 3), (3, 'append', 4))
+             |  AS t(version, action, n_file_groups)
+             |ORDER BY version""".stripMargin)),
+
     // B17: JDBC source federation (the platform's PostgreSQL leg,
     // reference internal/controller/postgresql.go) against embedded
     // Derby — the only RDBMS in the sandbox. Stage a dimension slice

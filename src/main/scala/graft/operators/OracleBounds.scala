@@ -463,8 +463,19 @@ object OracleBounds {
         val res = graft.Registry.byName("q_dedup_pipeline").run(s, d)
         val ceiling = t(s, d, "documents")
           .agg(count_distinct(col("text")).as("ceiling"))
-        val losers = DedupOps.ngramPairs(s, d, 0.35)
+        // the 0.35 pair set here is an ORACLE DEVICE mirrored exactly
+        // in DuckDB — it must stay the uncapped exact plan even when
+        // the candidate-budget guardrail (DedupGuard) would route a
+        // production call on this profile (caught by the sf1 gate:
+        // routed max_losers 42788 vs the exact mirror's 2944)
+        val modeBefore = s.conf.getOption(DedupGuard.ModeKey)
+        s.conf.set(DedupGuard.ModeKey, "off")
+        val losers = try DedupOps.ngramPairs(s, d, 0.35)
           .select("doc_b").distinct().agg(count(lit(1)).as("max_losers"))
+        finally modeBefore match {
+          case Some(v) => s.conf.set(DedupGuard.ModeKey, v)
+          case None => s.conf.unset(DedupGuard.ModeKey)
+        }
         res.crossJoin(ceiling).crossJoin(losers)
           .select(col("ceiling"), col("max_losers"),
             (col("survivors") <= col("ceiling")

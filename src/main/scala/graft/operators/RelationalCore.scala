@@ -47,37 +47,56 @@ object RelationalCore {
              |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // sum_price accumulates EXACT decimal then renders double: a
+    // double sum at ~3×10¹¹ flips the last cent with partition order
+    // (caught by the sf1 gate — Spark's 32 partial sums vs DuckDB's
+    // sequential fold disagreed by 0.01). 2-decimal money inputs sum
+    // exactly in DECIMAL(15,2), so no rounding is even needed.
     Q("q_agg_global",
       (s, d) => t(s, d, "lineitem").agg(
         count(lit(1)).as("cnt"),
-        round(sum("l_extendedprice"), 2).as("sum_price"),
+        sum(col("l_extendedprice").cast("decimal(15,2)")).cast("double").as("sum_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(min("l_extendedprice"), 2).as("min_price"),
         round(max("l_extendedprice"), 2).as("max_price")),
-      Some("""SELECT count(*) AS cnt, round(sum(l_extendedprice),2) AS sum_price,
+      Some("""SELECT count(*) AS cnt,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
              |round(avg(l_quantity),4) AS avg_qty, round(min(l_extendedprice),2) AS min_price,
              |round(max(l_extendedprice),2) AS max_price FROM lineitem""".stripMargin)),
 
     // TPC-H Q1 pricing summary.
+    // Money sums accumulate EXACT decimal then render double (the
+    // sf1-gate lesson, see q_agg_global): 2-decimal inputs make the
+    // products 4/6-decimal, all exact in DECIMAL; the one round per
+    // group happens on the exact sum, so no engine/order can flip a
+    // cent and the +1e-6 nudge becomes unnecessary on these columns.
     Q("q_agg_groupby",
-      (s, d) => t(s, d, "lineitem")
-        .where(col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
-          count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag", "l_linestatus"),
+      (s, d) => {
+        val p = col("l_extendedprice").cast("decimal(15,2)")
+        val disc = lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)")
+        val tax = lit(1).cast("decimal(15,2)") + col("l_tax").cast("decimal(15,2)")
+        t(s, d, "lineitem")
+          .where(col("l_shipdate") <= "1998-09-02")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            sum(p).cast("double").as("sum_base_price"),
+            round(sum(p * disc), 2).cast("double").as("sum_disc_price"),
+            round(sum((p * disc).cast("decimal(25,4)") * tax), 2).cast("double").as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
       Some("""SELECT l_returnflag, l_linestatus,
              |round(sum(l_quantity),2) AS sum_qty,
-             |round(sum(l_extendedprice),2) AS sum_base_price,
-             |round(sum(l_extendedprice*(1-l_discount)) + 0.000001,2) AS sum_disc_price,
-             |round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)) + 0.000001,2) AS sum_charge,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+             |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+             |  (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))),2) AS DOUBLE) AS sum_disc_price,
+             |CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) *
+             |  (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2))) AS DECIMAL(25,4)) *
+             |  (CAST(1 AS DECIMAL(15,2)) + CAST(l_tax AS DECIMAL(15,2)))),2) AS DOUBLE) AS sum_charge,
              |round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price,
              |round(avg(l_discount),6) AS avg_disc, count(*) AS cnt
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -455,11 +455,15 @@ object SqlSurface {
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
         s.sql("DROP TABLE IF EXISTS graft_cat.db.cust_mrg")
         s.sql("CREATE TABLE graft_cat.db.cust_mrg AS SELECT * FROM cust_mrg_base")
+        // the not-matched keys offset past the ACTUAL key domain — a
+        // fixed +1000000 collided with ScaleGen's remapped keys at sf1
+        // (duplicate source keys, which MERGE rightly refuses)
         s.sql("""SELECT c_custkey, c_nationkey, c_acctbal,
                 |  (c_custkey % 13 = 0) AS del, 1000.0 AS delta
                 |FROM cust_mrg_base WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0
                 |UNION ALL
-                |SELECT c_custkey + 1000000, c_nationkey, c_acctbal, false, 0.0
+                |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM cust_mrg_base),
+                |  c_nationkey, c_acctbal, false, 0.0
                 |FROM cust_mrg_base WHERE c_custkey % 11 = 0""".stripMargin)
           .createOrReplaceTempView("cust_mrg_src")
       },
@@ -481,7 +485,8 @@ object SqlSurface {
              |         THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
              |  FROM customer WHERE c_custkey % 13 <> 0
              |  UNION ALL
-             |  SELECT c_custkey + 1000000, c_nationkey, c_acctbal
+             |  SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+             |    c_nationkey, c_acctbal
              |  FROM customer WHERE c_custkey % 11 = 0)
              |SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal),2) AS bal
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),

@@ -13,7 +13,12 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver data ships single-file tables; ScaleGen (sf1/sf5) writes
+    # Spark directory tables — glob the parts in that case
+    src = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(src):
+        src = f"{src}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 results = {}

@@ -463,14 +463,19 @@ object OracleBounds {
         val res = graft.Registry.byName("q_dedup_pipeline").run(s, d)
         val ceiling = t(s, d, "documents")
           .agg(count_distinct(col("text")).as("ceiling"))
-        // the 0.35 pair set here is an ORACLE DEVICE mirrored exactly
-        // in DuckDB — it must stay the uncapped exact plan even when
-        // the candidate-budget guardrail (DedupGuard) would route a
-        // production call on this profile (caught by the sf1 gate:
-        // routed max_losers 42788 vs the exact mirror's 2944)
+        // AIRTIGHT lower bound now that the pipeline verifies its LSH
+        // candidates at exact J ≥ 0.5: every dropped doc_b is a member
+        // of the DuckDB-exact ≥0.5 pair set, so survivors ≥ ceiling −
+        // |distinct doc_b at 0.5| deterministically (the r11-era 0.35
+        // proxy for unverified-LSH false positives broke at sf1 —
+        // est ≥ 8/16 has a ~10% FP rate at the boundary, and 10× data
+        // supplies the boundary pairs). The 0.5 pair set here is an
+        // ORACLE DEVICE mirrored exactly in DuckDB — it must stay the
+        // uncapped exact plan even when the candidate-budget guardrail
+        // (DedupGuard) would route a production call on this profile.
         val modeBefore = s.conf.getOption(DedupGuard.ModeKey)
         s.conf.set(DedupGuard.ModeKey, "off")
-        val losers = try DedupOps.ngramPairs(s, d, 0.35)
+        val losers = try DedupOps.ngramPairs(s, d, 0.5)
           .select("doc_b").distinct().agg(count(lit(1)).as("max_losers"))
         finally modeBefore match {
           case Some(v) => s.conf.set(DedupGuard.ModeKey, v)
@@ -482,7 +487,7 @@ object OracleBounds {
               && col("survivors") >= col("ceiling") - col("max_losers"))
               .as("survivors_in_bounds"))
       },
-      Some(DedupOps.ngramPairsSql.replace(">= 0.8", ">= 0.35") +
+      Some(DedupOps.ngramPairsSql.replace(">= 0.8", ">= 0.5") +
         """SELECT (SELECT count(DISTINCT text) FROM documents)::BIGINT AS ceiling,
           |  (SELECT count(DISTINCT doc_b) FROM pairs)::BIGINT AS max_losers,
           |  CAST(1 AS BOOLEAN) AS survivors_in_bounds""".stripMargin)),

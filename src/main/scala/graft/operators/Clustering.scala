@@ -424,9 +424,16 @@ object Clustering {
     val sub = codebooks(0)(0).length
     val codes = graft.sources.LakeTable.read(s, s"$indexPath/codes")
     // same corpus-scaled re-rank rule as [[knnPq]], sized from the
-    // INDEX itself (the stored code count is the served corpus)
+    // INDEX itself (the stored code count is the served corpus) — off
+    // the stats sidecars (metadata-only), falling back to a count
+    // scan only when a sidecar is missing
     val shortlistEff = if (shortlist > 0) shortlist
-      else math.max(48L, codes.count() / 100L).toInt
+      else {
+        val n = graft.sources.LakeTable
+          .aggregatedColumnNulls(s, s"$indexPath/codes")
+          .map(_._1).getOrElse(codes.count())
+        math.max(48L, n / 100L).toInt
+      }
     val queries = t(s, d, "embeddings").where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val qTables = queries.as[(Long, Seq[Float])].collect().map { case (qid, qe0) =>

@@ -160,6 +160,12 @@ object Curation {
     graft.sources.LakeTable.create(s, s"$indexPath/shingles", sh)
     graft.sources.LakeTable.create(s, s"$indexPath/sizes",
       sh.groupBy("doc_id").agg(count(lit(1)).as("sz")))
+    // the index's df table, maintained WITH the index (what the
+    // guardrail pre-flight probes — rebuilding it per batch would
+    // rescan the whole index for a quantity the ingest job already
+    // knows)
+    graft.sources.LakeTable.create(s, s"$indexPath/dfs",
+      sh.groupBy("h").agg(count(lit(1)).as("dfi")))
   }
 
   /** D39 verb: dedup an incoming BATCH against the persisted index —
@@ -198,10 +204,14 @@ object Curation {
     if (DedupGuard.mode(s) == "off") return probe(bsh, idx, isz)
     // Pre-flight (DedupGuard): the probe join's candidate stream is
     // EXACTLY Σ_h df_batch(h)·df_index(h) over co-occurring shingles —
-    // one aggregate over the two df tables (the index side a pipeline
-    // would keep precomputed alongside the index itself).
+    // one aggregate over the batch df (computed fresh, ∝ batch) joined
+    // to the index's own STORED df table (maintained at stage time;
+    // recomputed only if an older index lacks it).
     val bdf = bsh.groupBy("h").agg(count(lit(1)).as("dfb"))
-    val idf = idx.groupBy("h").agg(count(lit(1)).as("dfi"))
+    val idf =
+      if (graft.sources.LakeTable.currentVersion(s, s"$indexPath/dfs").isDefined)
+        graft.sources.LakeTable.read(s, s"$indexPath/dfs")
+      else idx.groupBy("h").agg(count(lit(1)).as("dfi"))
     val co = bdf.join(idf, "h")
     val r = co.agg(sum(col("dfb") * col("dfi")).cast("long"),
       sum(col("dfb") + col("dfi")).cast("long")).head()

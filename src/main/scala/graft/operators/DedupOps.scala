@@ -289,6 +289,12 @@ object DedupOps {
             (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v) / 16.0)
           .where(col("est") >= 0.5)
           .select("doc_a", "doc_b")
+        // explode-then-count shape, NOT size+explode-with-carried-sz:
+        // carrying size(sha) beside explode(sha) re-inlines the
+        // shingle tree per row at the generator seam (measured here:
+        // 1.9 s → 4.2 s at sf0.1 — the same trap the ngramPairsPrefix
+        // note records), while the two extra size-table scans are
+        // cheap column-pruned passes.
         val sh = shingleTable(s, d)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val nearDupLosers = cand

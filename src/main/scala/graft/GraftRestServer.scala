@@ -232,6 +232,29 @@ object GraftRestServer {
     try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
 
+  /** 256 MB default stream-load body cap (`graft.rest.streamLoadMaxBytes`). */
+  private[graft] def StreamLoadMaxBytes: Long =
+    sys.props.get("graft.rest.streamLoadMaxBytes").flatMap(_.toLongOption)
+      .getOrElse(256L * 1024 * 1024)
+
+  /** Read at most `max` bytes; None when the stream exceeds it (the
+    * chunked-transfer case Content-Length never announced).
+    */
+  private def readBodyBounded(ex: HttpExchange, max: Long): Option[String] = {
+    val in = ex.getRequestBody
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) {
+        buf.write(chunk, 0, n)
+        if (buf.size() > max) return None
+        n = in.read(chunk)
+      }
+      Some(new String(buf.toByteArray, UTF_8))
+    } finally in.close()
+  }
+
   // ---- routing ------------------------------------------------------
 
   private def handle(spark: SparkSession, ex: HttpExchange): Unit =
@@ -454,7 +477,26 @@ object GraftRestServer {
       err(ex, 400, s"unsupported format '$format' (csv | json)"); return
     }
     val sep = Option(ex.getRequestHeaders.getFirst("column_separator")).getOrElse(",")
-    val body = readBody(ex)
+    // Bounded ingest: the load body lands in driver memory before it
+    // distributes, so an unbounded PUT is a driver OOM an
+    // unprivileged-but-authenticated client could trigger. Same
+    // stance as the MySQL wire's max_allowed_packet; Doris bounds
+    // stream loads the same way (streaming_load_max_mb). Oversized
+    // loads answer 413 — split into more labeled loads.
+    val maxBytes = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(_.toLongOption)
+    if (maxBytes.exists(_ > StreamLoadMaxBytes)) {
+      err(ex, 413, s"stream load body exceeds $StreamLoadMaxBytes bytes; " +
+        "split into multiple labeled loads")
+      return
+    }
+    val body = readBodyBounded(ex, StreamLoadMaxBytes) match {
+      case Some(b) => b
+      case None =>
+        err(ex, 413, s"stream load body exceeds $StreamLoadMaxBytes bytes; " +
+          "split into multiple labeled loads")
+        return
+    }
     if (!ConnectAuth.tryAcquire(user)) {
       GraftAudit.record(user, "INGEST", s"$db.$table", "deny")
       err(ex, 429,

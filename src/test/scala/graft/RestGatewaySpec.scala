@@ -342,6 +342,16 @@ class RestGatewaySpec extends AnyFunSuite {
       assert(c6 == 403, s"ungranted principal must be refused, got $c6")
       assert(spark.table("graft_cat.rest_a.loads").count() == 3L)
 
+      // an oversized body answers 413, nothing lands (driver-memory
+      // bound; pinned with a tiny cap via system property)
+      System.setProperty("graft.rest.streamLoadMaxBytes", "64")
+      try {
+        val (c7, _) = put("/graft_cat.rest_a/loads/_stream_load", alice,
+          "7," + ("x" * 100) + "\n", Map("label" -> "batch-big"))
+        assert(c7 == 413, s"oversized load must be refused, got $c7")
+        assert(spark.table("graft_cat.rest_a.loads").count() == 3L)
+      } finally System.clearProperty("graft.rest.streamLoadMaxBytes")
+
       // audit trail: the landed load, the dup, and bob's denial
       GraftAudit.flush(5000L)
       val trail = spark.sql("CALL graft_cat.system.show_audit(200)").collect()

@@ -79,24 +79,38 @@ object DedupOps {
     * appear.
     */
   def ngramPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    def uncapped =
-      if (threshold < 0.5) ngramPairsDirect(s, d, threshold)
-      else ngramPairsPrefix(s, d, threshold)
-    if (DedupGuard.mode(s) == "off") return uncapped
-    // Pre-flight candidate budget (see DedupGuard): coarse Σ C(df,2)
-    // over the full df table; when that trips AND the prefix plan is
-    // in play, the refined estimate over prefix rows decides (the
-    // direct plan's candidate stream IS the coarse estimate).
+    if (DedupGuard.mode(s) == "off")
+      // No estimates to dispatch on: classic threshold regime — the
+      // prefix filter only has leverage where (1−t) is small. Measured
+      // at sf1 (clean JVMs): t=0.5 direct 22.1 s vs prefix 86.3 s;
+      // t=0.8 direct 12.1 s vs prefix 13.9 s on the replication
+      // corpus, while template-hot corpora invert that hard — 0.7 is
+      // the conservative boundary for a profile-blind choice.
+      return if (threshold >= 0.7) ngramPairsPrefix(s, d, threshold)
+      else ngramPairsDirect(s, d, threshold)
+    // ESTIMATE-DRIVEN dispatch (see DedupGuard): the coarse Σ C(df,2)
+    // IS the direct plan's candidate stream, and the refined
+    // Σ C(df_prefix,2) is the prefix plan's — so the pre-flight the
+    // guardrail already pays doubles as the plan chooser:
+    //   coarse ≤ budget  → DIRECT (affordable by definition, and it
+    //                      skips the window pass + re-join the prefix
+    //                      plan pays — measured faster everywhere the
+    //                      stream is affordable);
+    //   coarse > budget  → refined decides: ≤ budget → PREFIX (its
+    //                      leverage is measured, not assumed — the
+    //                      template/sf1 profiles), else route/fail.
     val sh = shingleTable(s, d)
     val (coarse, rows) = DedupGuard.pairEstimate(
       sh.groupBy("h").agg(count(lit(1)).as("df")))
     val admit = DedupGuard.admitUncapped(s, "ngramPairs", coarse, rows,
       refined =
-        if (threshold < 0.5) None
+        if (threshold < 0.5) None // prefixes can't cover below 0.5 usefully
         else Some(DedupGuard.pairEstimate(
           prefixRows(sh, threshold).groupBy("h").agg(count(lit(1)).as("df")))._1))
-    if (admit) uncapped
-    else ngramPairsCapped(s, d, threshold, DedupGuard.dfCap(s))
+    if (!admit) ngramPairsCapped(s, d, threshold, DedupGuard.dfCap(s))
+    else if (DedupGuard.decision("ngramPairs").exists(dec => dec.coarse <= dec.budget))
+      ngramPairsDirect(s, d, threshold)
+    else ngramPairsPrefix(s, d, threshold)
   }
 
   /** Direct inverted-index self-join: inter = count of h-collisions

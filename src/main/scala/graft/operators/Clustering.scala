@@ -49,8 +49,13 @@ object Clustering {
     // with scale. Per-query work stays ∝ nprobe/nlist of the corpus.
     val kEff = if (k > 0) k else math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
     val nprobeEff = if (nprobe > 0) nprobe else math.max(4, kEff / 4)
-    val sampled = if (n <= trainCap) corpus
-      else corpus.sample(withReplacement = false, trainCap.toDouble / n, 42L)
+    // The sample only needs ~40 points per centroid to place centroids
+    // (the FAISS clustering guidance); Lloyd's is O(points × k), so an
+    // oversized sample is pure driver time — at sf5 (k=316) the flat
+    // 100k cap cost ~15 s of single-core k-means for no recall gain.
+    val trainN = math.min(trainCap, math.max(10000L, 40L * kEff))
+    val sampled = if (n <= trainN) corpus
+      else corpus.sample(withReplacement = false, trainN.toDouble / n, 42L)
     val pts: Array[Array[Float]] = sampled.select("embedding")
       .as[Seq[Float]].collect().map(_.toArray)
     val centroidRows: Array[Array[Float]] = lloyd(pts, kEff, iters = 10, seed = 42L)

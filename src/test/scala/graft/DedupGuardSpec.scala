@@ -75,6 +75,19 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(d.uncapped, d)
   }
 
+  test("estimate-driven dispatch picks the plan structurally") {
+    // affordable coarse stream → DIRECT join (no per-doc ranking
+    // Window anywhere in the plan)
+    val sane = DedupOps.ngramPairs(spark, sf, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!sane.contains("Window"), "sane corpus must run the direct plan")
+    // coarse trips but prefixes have measured leverage → PREFIX plan
+    // (the per-doc rank Window is its signature)
+    val hot = DedupOps.ngramPairs(spark, templateDir, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(hot.contains("Window"), "template corpus must run the prefix plan")
+  }
+
   test("hot-clique corpus: trips both estimates and routes to the df-capped plan") {
     val routed = DedupOps.ngramPairs(spark, cliqueDir, 0.8)
     val d = DedupGuard.decision("ngramPairs").get

@@ -477,26 +477,12 @@ object GraftRestServer {
       err(ex, 400, s"unsupported format '$format' (csv | json)"); return
     }
     val sep = Option(ex.getRequestHeaders.getFirst("column_separator")).getOrElse(",")
-    // Bounded ingest: the load body lands in driver memory before it
-    // distributes, so an unbounded PUT is a driver OOM an
-    // unprivileged-but-authenticated client could trigger. Same
-    // stance as the MySQL wire's max_allowed_packet; Doris bounds
-    // stream loads the same way (streaming_load_max_mb). Oversized
-    // loads answer 413 — split into more labeled loads.
-    val maxBytes = Option(ex.getRequestHeaders.getFirst("Content-Length"))
-      .flatMap(_.toLongOption)
-    if (maxBytes.exists(_ > StreamLoadMaxBytes)) {
-      err(ex, 413, s"stream load body exceeds $StreamLoadMaxBytes bytes; " +
-        "split into multiple labeled loads")
-      return
-    }
-    val body = readBodyBounded(ex, StreamLoadMaxBytes) match {
-      case Some(b) => b
-      case None =>
-        err(ex, 413, s"stream load body exceeds $StreamLoadMaxBytes bytes; " +
-          "split into multiple labeled loads")
-        return
-    }
+    // The admission permit is taken BEFORE the body is read: the body
+    // buffers in driver memory (bounded below), so buffering must be
+    // bounded by the per-principal in-flight cap too — N concurrent
+    // PUTs from one principal hold at most cap × maxBytes, and a
+    // principal the grant check will refuse never gets to buffer at
+    // all (the check runs before the read as well).
     if (!ConnectAuth.tryAcquire(user)) {
       GraftAudit.record(user, "INGEST", s"$db.$table", "deny")
       err(ex, 429,
@@ -525,29 +511,61 @@ object GraftRestServer {
           val loc = g.catalogStore.tableLocation(sess, ns, table).getOrElse {
             err(ex, 404, s"no table $db.$table"); return
           }
+          val appId = s"rest-stream-load:$ns.$table:$label"
+          // a replayed label is a no-op: answer it without even
+          // reading (let alone parsing) the body — appendOnce below
+          // still re-checks, so a twin racing this fast path is safe
+          if (LakeTable.txnVersion(sess, loc, appId).isDefined) {
+            GraftAudit.record(user, "INGEST", s"$ns.$table", "dup")
+            respond(ex, 200,
+              s"""{"Status":"Label Already Exists","Label":${jstr(label)}}""")
+            return
+          }
+          // Bounded ingest: the body lands in driver memory before it
+          // distributes, so an unbounded PUT would be a driver OOM any
+          // authenticated client could trigger — the MySQL wire's
+          // max_allowed_packet stance (Doris: streaming_load_max_mb).
+          // Oversized loads answer 413: split into more labeled loads.
+          if (Option(ex.getRequestHeaders.getFirst("Content-Length"))
+              .flatMap(_.toLongOption).exists(_ > StreamLoadMaxBytes)) {
+            err(ex, 413, s"stream load body exceeds $StreamLoadMaxBytes bytes; " +
+              "split into multiple labeled loads")
+            return
+          }
+          val body = readBodyBounded(ex, StreamLoadMaxBytes) match {
+            case Some(b) => b
+            case None =>
+              err(ex, 413, s"stream load body exceeds $StreamLoadMaxBytes bytes; " +
+                "split into multiple labeled loads")
+              return
+          }
           val schema = LakeTable.tableSchema(sess, loc)
           import sess.implicits._
           val lines = sess.createDataset(
             body.split('\n').iterator.map(_.stripSuffix("\r")).filter(_.nonEmpty).toSeq)
           // FAILFAST: a malformed row refuses the WHOLE load — a
-          // labeled load is a transaction, not a best-effort trickle
-          val df = format match {
+          // labeled load is a transaction, not a best-effort trickle.
+          // Cached so the count (which also surfaces parse errors
+          // BEFORE anything stages) and the append parse once.
+          val df = (format match {
             case "csv" => sess.read.schema(schema)
               .option("sep", sep).option("mode", "FAILFAST").csv(lines)
             case _ => sess.read.schema(schema)
               .option("mode", "FAILFAST").json(lines)
-          }
-          val n = df.count()
-          val landed = LakeTable.appendOnce(sess, loc, df,
-            appId = s"rest-stream-load:$ns.$table:$label", appVersion = 0L)
-          GraftAudit.record(user, "INGEST", s"$ns.$table", if (landed) "ok" else "dup")
-          if (landed) {
-            val txn = LakeTable.currentVersion(sess, loc).getOrElse(-1L)
-            respond(ex, 200, s"""{"Status":"Success","Label":${jstr(label)},""" +
-              s""""TxnId":$txn,"NumberLoadedRows":$n}""")
-          } else
-            respond(ex, 200,
-              s"""{"Status":"Label Already Exists","Label":${jstr(label)}}""")
+          }).cache()
+          try {
+            val n = df.count()
+            val landed = LakeTable.appendOnce(sess, loc, df,
+              appId = appId, appVersion = 0L)
+            GraftAudit.record(user, "INGEST", s"$ns.$table", if (landed) "ok" else "dup")
+            if (landed) {
+              val txn = LakeTable.currentVersion(sess, loc).getOrElse(-1L)
+              respond(ex, 200, s"""{"Status":"Success","Label":${jstr(label)},""" +
+                s""""TxnId":$txn,"NumberLoadedRows":$n}""")
+            } else
+              respond(ex, 200,
+                s"""{"Status":"Label Already Exists","Label":${jstr(label)}}""")
+          } finally df.unpersist()
         case other =>
           err(ex, 400, s"catalog '${other.name()}' is not a graft catalog")
       }

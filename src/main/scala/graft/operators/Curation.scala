@@ -213,11 +213,14 @@ object Curation {
         graft.sources.LakeTable.read(s, s"$indexPath/dfs")
       else idx.groupBy("h").agg(count(lit(1)).as("dfi"))
     val co = bdf.join(idf, "h")
-    val r = co.agg(sum(col("dfb") * col("dfi")).cast("long"),
+    // DECIMAL + clamp: same overflow soundness as DedupGuard.pairEstimate
+    val r = co.agg(
+      sum(col("dfb").cast("decimal(38,0)") * col("dfi").cast("decimal(38,0)")),
       sum(col("dfb") + col("dfi")).cast("long")).head()
-    val est = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val est = if (r.isNullAt(0)) 0L
+      else r.getDecimal(0).min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue()
     val rows = if (r.isNullAt(1)) 0L else r.getLong(1)
-    if (DedupGuard.admitUncapped(s, "incrementalDedup", est, rows, None))
+    if (DedupGuard.admitUncapped(s, "incrementalDedup", est, rows, None).uncapped)
       probe(bsh, idx, isz)
     else {
       // routed: drop hot co-occurring shingles from BOTH streams and

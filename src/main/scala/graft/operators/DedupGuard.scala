@@ -63,42 +63,69 @@ object DedupGuard {
         s"run the df-capped variant, raise $FactorKey, or set $ModeKey=off")
 
   def mode(s: SparkSession): String = s.conf.get(ModeKey, "route")
+
+  /** Run `f` with the guardrail pinned off. For ORACLE DEVICES — exact
+    * pair sets a companion row compares against an uncapped DuckDB
+    * mirror — which must stay the uncapped exact plan even on a
+    * profile the guardrail would route. (Production dedup rows keep
+    * the guardrail: on a routed corpus the capped universe IS their
+    * documented answer.)
+    */
+  def withGuardrailOff[A](s: SparkSession)(f: => A): A = {
+    val before = s.conf.getOption(ModeKey)
+    s.conf.set(ModeKey, "off")
+    try f finally before match {
+      case Some(v) => s.conf.set(ModeKey, v)
+      case None => s.conf.unset(ModeKey)
+    }
+  }
   def budgetFactor(s: SparkSession): Long = s.conf.get(FactorKey, "16").toLong
   def dfCap(s: SparkSession): Int = s.conf.get(DfCapKey, "50").toInt
 
-  /** (Σ df·(df−1)/2, Σ df) over a df-column table — exact BIGINT. */
+  /** (Σ df·(df−1)/2, Σ df) over a df-column table. The product and
+    * its sum run in DECIMAL(38,0) and clamp to Long.MaxValue: at the
+    * 100 TB profiles this guard exists for, a BIGINT Σ df² can wrap
+    * negative (ANSI off) and silently ADMIT the quadratic plan —
+    * the one failure mode the pre-flight must never have.
+    */
   def pairEstimate(dfs: DataFrame, dfCol: String = "df"): (Long, Long) = {
-    val r = dfs.agg(
-      sum(col(dfCol) * (col(dfCol) - lit(1L))).cast("long"),
-      sum(col(dfCol)).cast("long")).head()
-    (if (r.isNullAt(0)) 0L else r.getLong(0) / 2L,
-      if (r.isNullAt(1)) 0L else r.getLong(1))
+    val d = col(dfCol).cast("decimal(38,0)")
+    val r = dfs.agg(sum(d * (d - lit(1L))), sum(d)).head()
+    def clamped(i: Int): Long =
+      if (r.isNullAt(i)) 0L
+      else r.getDecimal(i).min(java.math.BigDecimal.valueOf(Long.MaxValue))
+        .longValue()
+    (clamped(0) / 2L, clamped(1))
   }
 
-  /** The pre-flight decision: true ⇒ proceed uncapped; false ⇒ the
-    * caller routes to its df-capped plan. `refined` is only evaluated
-    * when the coarse estimate trips (it may cost a window pass).
-    * Throws [[CandidateBudgetExceeded]] in `fail` mode.
+  /** The pre-flight decision (returned so the caller dispatches on
+    * ITS OWN decision — the per-verb map is an audit record, and two
+    * concurrent sessions running the same verb on different corpora
+    * must not read each other's numbers): `uncapped` ⇒ proceed;
+    * otherwise the caller routes to its df-capped plan. `refined` is
+    * only evaluated when the coarse estimate trips (it may cost a
+    * window pass). Throws [[CandidateBudgetExceeded]] in `fail` mode.
     */
   def admitUncapped(s: SparkSession, verb: String, coarse: Long, rows: Long,
-      refined: => Option[Long]): Boolean = {
+      refined: => Option[Long]): Decision = {
     val m = mode(s)
     val budget = budgetFactor(s) * math.max(rows, 1L)
     if (coarse <= budget) {
-      decisions.put(verb, Decision(verb, m, coarse, None, rows, budget, uncapped = true))
-      return true
+      val d = Decision(verb, m, coarse, None, rows, budget, uncapped = true)
+      decisions.put(verb, d)
+      return d
     }
     val r = refined
     val d = Decision(verb, m, coarse, r, rows, budget,
       uncapped = r.exists(_ <= budget))
     decisions.put(verb, d)
-    if (d.uncapped) true
+    if (d.uncapped) d
     else if (m == "fail") throw new CandidateBudgetExceeded(d)
     else {
       System.err.println(s"[graft-dedup-guard] $verb: candidate estimate " +
         s"${r.getOrElse(coarse)} > budget $budget (${rows} rows × ${budgetFactor(s)}) " +
         s"— routing to the df-capped plan (dfCap=${dfCap(s)})")
-      false
+      d
     }
   }
 }

@@ -102,14 +102,13 @@ object DedupOps {
     val sh = shingleTable(s, d)
     val (coarse, rows) = DedupGuard.pairEstimate(
       sh.groupBy("h").agg(count(lit(1)).as("df")))
-    val admit = DedupGuard.admitUncapped(s, "ngramPairs", coarse, rows,
+    val dec = DedupGuard.admitUncapped(s, "ngramPairs", coarse, rows,
       refined =
         if (threshold < 0.5) None // prefixes can't cover below 0.5 usefully
         else Some(DedupGuard.pairEstimate(
           prefixRows(sh, threshold).groupBy("h").agg(count(lit(1)).as("df")))._1))
-    if (!admit) ngramPairsCapped(s, d, threshold, DedupGuard.dfCap(s))
-    else if (DedupGuard.decision("ngramPairs").exists(dec => dec.coarse <= dec.budget))
-      ngramPairsDirect(s, d, threshold)
+    if (!dec.uncapped) ngramPairsCapped(s, d, threshold, DedupGuard.dfCap(s))
+    else if (dec.coarse <= dec.budget) ngramPairsDirect(s, d, threshold)
     else ngramPairsPrefix(s, d, threshold)
   }
 
@@ -446,11 +445,16 @@ object DedupOps {
           val parts = sh0.groupBy("h").agg(
             sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("dfe"),
             sum(when(col("doc_id") % 10 === 0, 0L).otherwise(1L)).as("dft"))
-          val r = parts.agg(sum(col("dfe") * col("dft")).cast("long"),
+          // DECIMAL + clamp for the same overflow-soundness reason as
+          // DedupGuard.pairEstimate
+          val r = parts.agg(
+            sum(col("dfe").cast("decimal(38,0)") * col("dft").cast("decimal(38,0)")),
             sum(col("dfe") + col("dft")).cast("long")).head()
-          val est = if (r.isNullAt(0)) 0L else r.getLong(0)
+          val est = if (r.isNullAt(0)) 0L
+            else r.getDecimal(0).min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue()
           val rows = if (r.isNullAt(1)) 0L else r.getLong(1)
-          if (DedupGuard.admitUncapped(s, "contamination", est, rows, None)) run(sh0)
+          if (DedupGuard.admitUncapped(s, "contamination", est, rows, None).uncapped)
+            run(sh0)
           else run(sh0.join(
             parts.where(col("dfe") + col("dft") <= DedupGuard.dfCap(s)).select("h"), "h"))
         }

@@ -1547,8 +1547,10 @@ object LakeTable {
       dvEnabled(spark, path), pndv = Some(merged), expectVer = Some(expect))
   }
 
-  /** Drop one partition-column record (Hive's
-    * `delete_partition_column_statistics`). No-op when absent.
+  /** Drop one partition-column record — or, with colName null, ALL of
+    * the partition's records (the Hive wire's
+    * `delete_partition_column_statistics` convention, mirroring the
+    * table-level verb). No-op when absent.
     */
   def dropPartitionNdv(spark: SparkSession, path: String, partName: String,
       colName: String): Unit = {
@@ -1556,6 +1558,7 @@ object LakeTable {
     val cur = partitionNdv(spark, path)
     val pruned = cur.get(partName) match {
       case None => return
+      case Some(_) if colName == null => cur - partName
       case Some(cols) =>
         val remaining = cols.filterNot(_._1.equalsIgnoreCase(colName))
         if (remaining.size == cols.size) return
@@ -1827,6 +1830,18 @@ object LakeTable {
         m.get(r.old).fold(m)(v => (m - r.old) + (r.to -> v))
       case (m, _) => m
     }
+    // ...and the PER-PARTITION records follow the same rule, per
+    // partition — preserving them verbatim would leave stale keys
+    // that a re-ADDed column would resurrect (the exact hazard the
+    // comment above forbids for table stats).
+    val pndvFollowed = partitionNdv(spark, path).map { case (pn, cols) =>
+      pn -> stamped.foldLeft(cols) {
+        case (m, r: RenameRec) if r.dropped => m - r.old
+        case (m, r: RenameRec) =>
+          m.get(r.old).fold(m)(v => (m - r.old) + (r.to -> v))
+        case (m, _) => m
+      }
+    }.filter(_._2.nonEmpty)
     writeTableMeta(spark, path, parts, schema, sortBy,
       tableChecks(spark, path), dvEnabled(spark, path),
       // pre-change groups and post-change groups must read per root —
@@ -1836,6 +1851,7 @@ object LakeTable {
       mappings = if (stamped.isEmpty) None
                  else Some(tableMappings(spark, path) ++ stamped),
       ndv = Some(ndvFollowed),
+      pndv = Some(pndvFollowed),
       expectVer = Some(expect))
   }
 

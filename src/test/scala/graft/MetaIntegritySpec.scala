@@ -244,6 +244,27 @@ class MetaIntegritySpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("partition stats follow rename/drop and null-colName drops all") {
+    val p = freshPath("pndvddl")
+    sources.LakeTable.create(spark, p, Seq((1L, 10L, 2L)).toDF("k", "amount", "extra"))
+    sources.LakeTable.recordPartitionNdv(spark, p, "p=a",
+      Map("amount" -> sources.LakeTable.ColumnNdv(7L, -1L, -1.0, 0L),
+        "extra" -> sources.LakeTable.ColumnNdv(3L, -1L, -1.0, 0L)))
+    // a SEQUENTIAL rename (no CAS conflict) must carry the record to
+    // the new name — stale keys would be resurrected by a re-ADD
+    sources.LakeTable.renameColumn(spark, p, "amount", "amount2")
+    val afterRename = sources.LakeTable.partitionNdv(spark, p)("p=a")
+    assert(afterRename.get("amount2").exists(_.ndv == 7L), afterRename)
+    assert(!afterRename.contains("amount"), afterRename)
+    // a column drop sheds its partition records
+    sources.LakeTable.dropColumn(spark, p, "amount2")
+    val afterDrop = sources.LakeTable.partitionNdv(spark, p)("p=a")
+    assert(afterDrop.keySet == Set("extra"), afterDrop)
+    // the Hive wire's null colName = drop every record for the partition
+    sources.LakeTable.dropPartitionNdv(spark, p, "p=a", null)
+    assert(!sources.LakeTable.partitionNdv(spark, p).contains("p=a"))
+  }
+
   test("partition stats write-back vs column rename: the meta CAS arbitrates") {
     // recordPartitionNdv (the HMS facade's
     // update_partition_column_statistics leg) follows the same

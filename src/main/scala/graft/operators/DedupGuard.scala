@@ -43,6 +43,7 @@ object DedupGuard {
   val ModeKey = "spark.graft.dedup.guardrail"
   val FactorKey = "spark.graft.dedup.budgetFactor"
   val DfCapKey = "spark.graft.dedup.dfCap"
+  val EstimateCacheKey = "spark.graft.dedup.estimateCache"
 
   /** What the pre-flight measured and decided, per verb — the audit
     * record a pipeline operator reads after a route/fail.
@@ -81,6 +82,55 @@ object DedupGuard {
   }
   def budgetFactor(s: SparkSession): Long = s.conf.get(FactorKey, "16").toLong
   def dfCap(s: SparkSession): Int = s.conf.get(DfCapKey, "50").toInt
+  def estimateCacheOn(s: SparkSession): Boolean =
+    s.conf.get(EstimateCacheKey, "true").toBoolean
+
+  // ---- pre-flight estimate cache ------------------------------------
+  //
+  // The estimates are CORPUS properties (Σ C(df,2) over its shingle
+  // df table), not conf properties — so a pipeline that runs several
+  // dedup verbs over the same immutable corpus in one session
+  // (pairs → clusters → survivors is the normal shape) should pay the
+  // df aggregate once, not once per verb. Cache key = the corpus
+  // file-listing fingerprint (names+sizes+mtimes — parquet writers
+  // never mutate files in place, so any rewrite changes it) plus the
+  // estimate variant; mode/budgetFactor stay OUT of the key because
+  // admitUncapped applies them live on the cached numbers.
+
+  private val estimates =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Fingerprint of a table directory (or single file): fold of every
+    * file's (path, length, mtime). One FS LIST — the same call every
+    * scan's planning already makes.
+    */
+  def fingerprint(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var acc = 1469598103934665603L // FNV-1a offset basis
+    def mix(x: Long): Unit = { acc ^= x; acc *= 1099511628211L }
+    def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
+      if (st.isDirectory) fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+        .foreach(walk)
+      else {
+        mix(st.getPath.getName.hashCode.toLong)
+        mix(st.getLen); mix(st.getModificationTime)
+      }
+    walk(fs.getFileStatus(p))
+    s"$path@${java.lang.Long.toHexString(acc)}"
+  }
+
+  /** Memoized (estimate, rows) pair under `key`; `compute` runs at
+    * most once per key while the cache holds it. Bounded: a full
+    * clear past 512 keys (corpus fingerprints are few and the
+    * aggregates are re-computable — simplicity over an LRU).
+    */
+  def cachedEstimate(s: SparkSession, key: String)(
+      compute: => (Long, Long)): (Long, Long) = {
+    if (!estimateCacheOn(s)) return compute
+    if (estimates.size > 512) estimates.clear()
+    estimates.computeIfAbsent(key, _ => compute)
+  }
 
   /** (Σ df·(df−1)/2, Σ df) over a df-column table. The product and
     * its sum run in DECIMAL(38,0) and clamp to Long.MaxValue: at the

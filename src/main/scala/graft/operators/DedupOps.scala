@@ -100,13 +100,22 @@ object DedupOps {
     //                      leverage is measured, not assumed — the
     //                      template/sf1 profiles), else route/fail.
     val sh = shingleTable(s, d)
-    val (coarse, rows) = DedupGuard.pairEstimate(
-      sh.groupBy("h").agg(count(lit(1)).as("df")))
+    // Estimates memoized per corpus fingerprint (one FS LIST): the
+    // normal pipeline shape — pairs, then clusters, then survivors
+    // over the SAME corpus in one session — pays the df aggregate
+    // once, not once per verb (the cluster row was absorbing a full
+    // repeat of the shingle scan + aggregate).
+    val fp = DedupGuard.fingerprint(s, s"$d/documents.parquet")
+    val (coarse, rows) = DedupGuard.cachedEstimate(s, s"$fp|coarse") {
+      DedupGuard.pairEstimate(sh.groupBy("h").agg(count(lit(1)).as("df")))
+    }
     val dec = DedupGuard.admitUncapped(s, "ngramPairs", coarse, rows,
       refined =
         if (threshold < 0.5) None // prefixes can't cover below 0.5 usefully
-        else Some(DedupGuard.pairEstimate(
-          prefixRows(sh, threshold).groupBy("h").agg(count(lit(1)).as("df")))._1))
+        else Some(DedupGuard.cachedEstimate(s, s"$fp|prefix|$threshold") {
+          (DedupGuard.pairEstimate(
+            prefixRows(sh, threshold).groupBy("h").agg(count(lit(1)).as("df")))._1, 0L)
+        }._1))
     if (!dec.uncapped) ngramPairsCapped(s, d, threshold, DedupGuard.dfCap(s))
     else if (dec.coarse <= dec.budget) ngramPairsDirect(s, d, threshold)
     else ngramPairsPrefix(s, d, threshold)
@@ -446,13 +455,18 @@ object DedupOps {
             sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("dfe"),
             sum(when(col("doc_id") % 10 === 0, 0L).otherwise(1L)).as("dft"))
           // DECIMAL + clamp for the same overflow-soundness reason as
-          // DedupGuard.pairEstimate
-          val r = parts.agg(
-            sum(col("dfe").cast("decimal(38,0)") * col("dft").cast("decimal(38,0)")),
-            sum(col("dfe") + col("dft")).cast("long")).head()
-          val est = if (r.isNullAt(0)) 0L
-            else r.getDecimal(0).min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue()
-          val rows = if (r.isNullAt(1)) 0L else r.getLong(1)
+          // DedupGuard.pairEstimate; memoized per corpus fingerprint
+          // (the routed path still re-evaluates `parts` for the
+          // hot-shingle drop — only the admit scalar is cached).
+          val (est, rows) = DedupGuard.cachedEstimate(s,
+            DedupGuard.fingerprint(s, s"$d/documents.parquet") + "|contam") {
+            val r = parts.agg(
+              sum(col("dfe").cast("decimal(38,0)") * col("dft").cast("decimal(38,0)")),
+              sum(col("dfe") + col("dft")).cast("long")).head()
+            (if (r.isNullAt(0)) 0L
+             else r.getDecimal(0).min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue(),
+             if (r.isNullAt(1)) 0L else r.getLong(1))
+          }
           if (DedupGuard.admitUncapped(s, "contamination", est, rows, None).uncapped)
             run(sh0)
           else run(sh0.join(

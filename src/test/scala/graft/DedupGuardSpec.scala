@@ -122,6 +122,41 @@ class DedupGuardSpec extends AnyFunSuite {
     routed.count() // completes fast on the capped universe
   }
 
+  test("estimate cache: memoizes per corpus fingerprint, invalidates on rewrite") {
+    // fingerprint is stable while the files are untouched
+    val fp1 = DedupGuard.fingerprint(spark, s"$templateDir/documents.parquet")
+    val fp2 = DedupGuard.fingerprint(spark, s"$templateDir/documents.parquet")
+    assert(fp1 == fp2)
+    // memoization: compute runs once per key
+    var computes = 0
+    def probe(): (Long, Long) =
+      DedupGuard.cachedEstimate(spark, s"$fp1|spec-probe") { computes += 1; (7L, 3L) }
+    assert(probe() == ((7L, 3L)) && probe() == ((7L, 3L)) && computes == 1)
+    // conf off → every call computes
+    spark.conf.set(DedupGuard.EstimateCacheKey, "false")
+    try { probe(); probe(); assert(computes == 3) }
+    finally spark.conf.unset(DedupGuard.EstimateCacheKey)
+    // a rewrite (new part files) changes the fingerprint, so a stale
+    // estimate can never admit a plan for a corpus that changed
+    val dir = writeDocs("cachebust", (0L until 10L).map(id => (id, s"a b c d$id")))
+    val before = DedupGuard.fingerprint(spark, s"$dir/documents.parquet")
+    Seq((99L, "x y z w")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    assert(DedupGuard.fingerprint(spark, s"$dir/documents.parquet") != before)
+  }
+
+  test("estimate cache: repeated verbs on one corpus reuse the pre-flight") {
+    // Two runs over the same corpus: identical decisions (the cached
+    // estimates feed admitUncapped live), same output — the
+    // pairs → clusters pipeline shape this cache exists for.
+    DedupOps.ngramPairs(spark, templateDir, 0.8).count()
+    val d1 = DedupGuard.decision("ngramPairs").get
+    DedupOps.ngramPairs(spark, templateDir, 0.8).count()
+    val d2 = DedupGuard.decision("ngramPairs").get
+    assert(d1.coarse == d2.coarse && d1.refined == d2.refined &&
+      d1.uncapped && d2.uncapped)
+  }
+
   test("incremental dedup: pre-flights the probe join's candidate stream") {
     // sane corpus: no trip, gate answer unchanged
     Curation.stageIncrementalIndex(spark, sf)

@@ -369,6 +369,57 @@ class RestGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("stream load: two concurrent twins on one label — exactly one lands") {
+    // The doc contract says "two concurrent twins can never both
+    // land — the claim race arbitrates". Pin it with a REAL race:
+    // both PUTs in flight at once (barrier-released), not a replay
+    // after the first committed. Doris semantics: one Success, one
+    // Label Already Exists, the payload lands exactly once.
+    val url = "jdbc:derby:memory:restrace;create=true"
+    val conn0 = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn0.createStatement()
+      st.execute("CREATE TABLE gateway_users(user_name VARCHAR(64), token VARCHAR(64))")
+      st.execute("INSERT INTO gateway_users VALUES ('alice', 'l1')")
+    } finally conn0.close()
+    ConnectAuth.enable(url,
+      "SELECT 1 FROM gateway_users WHERE user_name = ? AND token = ?",
+      maxConcurrentPerUser = 4)
+    GraftAuthz.enable(url, superusers = Set(spark.sparkContext.sparkUser))
+    GraftRestServer.start(spark, 0)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rest_race")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.rest_race.loads")
+      spark.sql("CREATE TABLE graft_cat.rest_race.loads (k BIGINT, s STRING) USING graft")
+      GraftAuthz.grant("alice", "rest_race", "ALL")
+      val alice = basic("alice", "l1")
+      import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit, Callable}
+      val barrier = new CyclicBarrier(2)
+      val pool = Executors.newFixedThreadPool(2)
+      try {
+        val futs = (0 until 2).map { _ =>
+          pool.submit(new Callable[(Int, JValue)] {
+            def call(): (Int, JValue) = {
+              barrier.await(10, TimeUnit.SECONDS)
+              put("/graft_cat.rest_race/loads/_stream_load", alice,
+                "1,one\n2,two\n", Map("label" -> "race-001"))
+            }
+          })
+        }
+        val rs = futs.map(_.get(120, TimeUnit.SECONDS))
+        rs.foreach { case (c, j) => assert(c == 200, s"$c $j") }
+        val statuses = rs.map { case (_, j) => str(j, "Status") }.sorted
+        assert(statuses == Seq("Label Already Exists", "Success"), statuses)
+        assert(spark.table("graft_cat.rest_race.loads").count() == 2L,
+          "the racing twins must land the payload exactly once")
+      } finally pool.shutdownNow()
+    } finally {
+      GraftRestServer.stop()
+      GraftAuthz.disable()
+      ConnectAuth.disable()
+    }
+  }
+
   test("rest wire registers in gateway discovery and resolves on failover") {
     val url = "jdbc:derby:memory:restdisc;create=true"
     import GatewayDiscovery.Endpoint

@@ -311,7 +311,8 @@ object Curation {
     val merges = graft.sources.LakeTable.read(s, bpePath)
       .orderBy("rank").select("left", "right")
       .as[(String, String)].collect().toSeq
-    val docs = t(s, d, "documents")
+    // fan: the native BPE-encode pass is the heavy map here
+    val docs = Tables.fan(t(s, d, "documents").select("doc_id", "text"))
       .select(col("doc_id"),
         size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_words"),
         bpeEncode(col("text"), merges).as("pieces"))
@@ -339,7 +340,7 @@ object Curation {
       .orderBy("rank").select("left", "right")
       .as[(String, String)].collect().toSeq
     val shards = TextOps.packShards
-    val docs = t(s, d, "documents")
+    val docs = Tables.fan(t(s, d, "documents").select("doc_id", "lang", "text"))
       .select(col("doc_id"), col("lang"),
         size(bpeEncode(col("text"), merges)).cast("long").as("pieces"))
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))

@@ -25,9 +25,16 @@ object DedupOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  /** documents with the token array materialized once. */
-  def tokenized(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+  /** documents with the token array materialized once. Fanned BEFORE
+    * the split (Tables.fan): the shuffle moves raw text once so the
+    * tokenize + shingle-hash work downstream runs cluster-wide instead
+    * of on the single-row-group scan task.
+    */
+  def tokenized(s: SparkSession, d: String, fan: Boolean = true): DataFrame = {
+    val base = t(s, d, "documents").select("doc_id", "text")
+    (if (fan) Tables.fan(base) else base)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+  }
 
   /** Distinct 3-gram word-shingle hashes from a MATERIALIZED token
     * array column (must be an attribute, not an expression — the
@@ -49,8 +56,8 @@ object DedupOps {
   /** Exploded (doc_id, shingle-hash) inverted index — distinct 3-gram
     * hashes per doc, one row each. Only 16 bytes/row ever shuffles.
     */
-  def shingleTable(s: SparkSession, d: String): DataFrame =
-    tokenized(s, d).select(col("doc_id"), explode(shingleHashes(col("ws"))).as("h"))
+  def shingleTable(s: SparkSession, d: String, fan: Boolean = true): DataFrame =
+    tokenized(s, d, fan).select(col("doc_id"), explode(shingleHashes(col("ws"))).as("h"))
 
   /** EXACT shingle-Jaccard near-dup pairs at `threshold`, via PREFIX
     * FILTERING (the PPJoin family): under one global shingle order
@@ -170,7 +177,12 @@ object DedupOps {
     // tree per ROW at the reference site — measured 3.3 s → 10.2 s at
     // sf0.1. The explode-then-count shape below executes the tree once
     // per scan and keeps every shuffle row scalar.
-    val sh = shingleTable(s, d)
+    // fan=false: this plan re-executes the shingle tree in FOUR
+    // branches (df ranking, sizes, both verify sides) — the fan's
+    // extra exchange multiplies with the branches and measured 1.1 s
+    // SLOWER at sf0.1 in the interleaved A/B, while the single-pass
+    // direct plan keeps the fan win.
+    val sh = shingleTable(s, d, fan = false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val tRelaxed = threshold - 1e-4
     val prefix = prefixRows(sh, threshold)
@@ -261,15 +273,15 @@ object DedupOps {
   }
 
   /** doc_id + 16-long MinHash signature per doc (native expression). */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    tokenized(s, d)
+  def minhashSignatures(s: SparkSession, d: String, fan: Boolean = true): DataFrame =
+    tokenized(s, d, fan)
       .select(col("doc_id"), Vectors.minhash(shingleHashes(col("ws")), 16).as("sig"))
 
   /** LSH candidate pairs: 4 bands × 4 rows; docs agreeing on any band
     * become a candidate pair (da < db), carrying both signatures.
     */
-  def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashSignatures(s, d)
+  def minhashCandidates(s: SparkSession, d: String, fan: Boolean = true): DataFrame = {
+    val bands = minhashSignatures(s, d, fan)
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
         xxhash64(col("band"),
@@ -306,7 +318,11 @@ object DedupOps {
             xxhash64(lit("graft-h2"), col("text")).as("h2"))
           .agg(min("doc_id").as("doc_id"))
           .select("doc_id")
-        val cand = minhashCandidates(s, d)
+        // fan=false through this pipeline: its fanned subtrees execute
+        // several times (candidates + verify + sizes) and the added
+        // exchanges measured NET-NEGATIVE in the interleaved A/B
+        // (-0.50 s at sf0.1), unlike the single-pass ngram family
+        val cand = minhashCandidates(s, d, fan = false)
           .withColumn("est", aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v) / 16.0)
           .where(col("est") >= 0.5)
@@ -317,7 +333,7 @@ object DedupOps {
         // 1.9 s → 4.2 s at sf0.1 — the same trap the ngramPairsPrefix
         // note records), while the two extra size-table scans are
         // cheap column-pruned passes.
-        val sh = shingleTable(s, d)
+        val sh = shingleTable(s, d, fan = false)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val nearDupLosers = cand
           .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")

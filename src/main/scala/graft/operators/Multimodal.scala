@@ -91,7 +91,9 @@ object Multimodal {
     */
   def syntheticMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables(s, d, "documents").select("doc_id").as[Long].map { id =>
+    // fan: synthesis AND the downstream decode both run partition-local
+    // on this frame — without it the whole media path is one scan task
+    Tables.fan(Tables(s, d, "documents").select("doc_id")).as[Long].map { id =>
       (id % 3) match {
         case 0 => MediaRow(id, "image", makePpm(id + 7))
         case 1 => MediaRow(id, "audio", makeWav(id + 7))

@@ -52,7 +52,10 @@ object OracleBounds {
         // whole signature tree per row (the shingleHashes pathology;
         // measured 2.0 s → 0.2 s for this leg) — the same shape the
         // production 4x4 banding uses.
-        val bands = DedupOps.minhashSignatures(s, d)
+        // fan=false: the bounded sub-corpus is small and this plan uses
+        // the signature/shingle trees several times — interleaved A/B
+        // measured the fanned form 0.85 s SLOWER at sf0.1
+        val bands = DedupOps.minhashSignatures(s, d, fan = false)
           .where(col("doc_id") < MinhashVerifyBound)
           .select(col("doc_id"), col("sig"),
             explode(sequence(lit(0), lit(11))).as("tbl"))
@@ -63,7 +66,7 @@ object OracleBounds {
             Seq("tbl", "mh"))
           .where(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
-        val sh = DedupOps.shingleTable(s, d)
+        val sh = DedupOps.shingleTable(s, d, fan = false)
           .where(col("doc_id") < MinhashVerifyBound)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         sh.select(col("doc_id").as("doc_a"), col("h"))
@@ -141,7 +144,9 @@ object OracleBounds {
     Q("q_dedup_embedding_recall",
       (s, d) => {
         val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val exact = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+        // fan the STREAM side of the verification cross join: the N^2
+        // cosine block otherwise runs on the single scan task
+        val exact = Tables.fan(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")))
           .crossJoin(broadcast(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))))
           .where(col("vec_a") < col("vec_b"))
           .withColumn("cos", round(
@@ -286,8 +291,8 @@ object OracleBounds {
         val sem = graft.Registry.byName("q_dedup_semantic").run(s, d)
           .agg(sum("n_total").as("n_vectors"), sum("n_dropped").as("dropped"))
         val corpus = Clustering.semCorpus(s, d)
-        val globalDropped = corpus
-          .select(col("vec_id").as("vb"), col("embedding").as("eb"))
+        val globalDropped = Tables.fan(corpus
+            .select(col("vec_id").as("vb"), col("embedding").as("eb")))
           .crossJoin(broadcast(corpus))
           .where(col("vb") < col("vec_id"))
           .withColumn("cos", round(

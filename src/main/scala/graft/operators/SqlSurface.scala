@@ -142,7 +142,7 @@ object SqlSurface {
     // the first) parsed it up to four times — measured 3.1 s vs
     // ~0.8 s at sf0.1. Oracle extracts the same path textually.
     Q("q_variant",
-      (s, d) => t(s, d, "events")
+      (s, d) => Tables.fan(t(s, d, "events").select("event_id", "props"))
         .withColumn("var", parse_json(col("props")))
         .select(col("event_id"),
           variant_get(col("var"), "$.k", "bigint").as("k"),

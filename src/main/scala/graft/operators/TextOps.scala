@@ -15,6 +15,14 @@ object TextOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** The documents table fanned across the cluster (Tables.fan): every
+    * row here pays a heavy per-row map (tokenize / hash / regex) whose
+    * aggregations are integer-exact or per-row, so the fan-out changes
+    * no result while un-serializing the single-row-group scan.
+    */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.fan(t(s, d, "documents"))
+
   /** D11's fingerprint stream (doc_id, text, fingerprint, n_grams):
     * the winnowing-style sketch is a pure function of `text`, which
     * the q_text_fingerprint_det property oracle pins cross-engine.
@@ -163,7 +171,7 @@ object TextOps {
     // count_distinct(doc_id) partial-aggregates map-side instead of a
     // distinct-then-count double shuffle.
     Q("q_text_shingles",
-      (s, d) => t(s, d, "documents")
+      (s, d) => docs(s, d)
         .withColumn("ws", split(col("text"), " "))
         .where(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(expr(

@@ -571,11 +571,24 @@ object LakeTable {
     // time). Below it, skip the extra sort stage and keep small-commit
     // latency.
     val StreamThreshold = 65536
+    // Below this many files the footer harvest runs on the driver
+    // (no Spark job); above it, distributed (executors read footers).
+    val DriverHarvestThreshold = 32
     val out = new java.io.BufferedOutputStream(
       fs.create(new Path(dirPath, StatsFile), true))
     try {
       if (fileList.isEmpty) out.write("\n".getBytes(StandardCharsets.UTF_8))
-      else {
+      else if (fileList.size <= DriverHarvestThreshold) {
+        // Small commit: read the handful of footers on the driver
+        // thread. A parallelize() job for <= 32 footers costs a full
+        // scheduler round-trip (~100 ms) to distribute microseconds of
+        // work — and per-commit latency is what streaming sinks and
+        // metadata-sized writes actually pay per micro-batch.
+        val conf = spark.sparkContext.hadoopConfiguration
+        val lines = fileList.flatMap { case (full, rel) =>
+          statsLinesOf(conf, new Path(full), rel) }.sorted
+        lines.foreach(l => out.write((l + "\n").getBytes(StandardCharsets.UTF_8)))
+      } else {
         val confB = org.apache.spark.sql.graftglue.Glue
           .broadcastHadoopConf(spark.sparkContext)
         val lineRdd = spark.sparkContext

@@ -54,6 +54,13 @@ object Vectors {
   def hyperplaneSketches(vec: Column, numTables: Int, bits: Int, dim: Int): Column =
     Glue.column(HyperplaneSketch(Glue.expression(vec), numTables, bits, dim))
 
+  /** Quantile-bucket rank: count of `bounds` entries <= the double
+    * column, via native binary search over the constant cut array
+    * (the Z-order rewrite's per-row hot loop).
+    */
+  def sortedBucket(v: Column, bounds: Array[Double]): Column =
+    Glue.column(graft.plans.SortedBucket(Glue.expression(v), bounds))
+
   /** Expose the native expressions to TEXT SQL (`cosine_sim(a,b)`,
     * `minhash_sig(hashes, k)`, `simhash64(hashes)`) — the SQL-gateway
     * user gets the same fused codegen paths as the Column API.

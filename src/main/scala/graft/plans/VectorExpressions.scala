@@ -400,3 +400,65 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Count of `bounds` entries <= value, by binary search over a SORTED
+  * constant cut array — the quantile-bucket rank of the Z-order
+  * rewrite. Replaces the `size(filter(boundsArrayCol, b => b <= v))`
+  * HOF shape, which allocated a filtered array and made |bounds|
+  * comparisons PER ROW PER COLUMN (the q_zorder hot loop — |bounds|=63
+  * at 6 bits); the search makes ~log2(|bounds|) comparisons and
+  * allocates nothing. Semantics match the HOF exactly: NULL input and
+  * NaN both yield 0 (every `b <= v` comparison fails), never NULL.
+  */
+case class SortedBucket(child: Expression, bounds: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sorted_bucket expects double, got $t")
+  }
+
+  private def search(v: Double): Long = {
+    if (java.lang.Double.isNaN(v)) return 0L
+    // upper bound: first index with bounds(i) > v == count of <= v
+    var lo = 0; var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else search(v.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val b = ctx.addReferenceObj("bounds", bounds, "double[]")
+    val c = child.genCode(ctx)
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid")
+    ev.copy(isNull = FalseLiteral, code =
+      code"""
+         |${c.code}
+         |long ${ev.value} = 0L;
+         |if (!${c.isNull} && !java.lang.Double.isNaN(${c.value})) {
+         |  int $lo = 0; int $hi = $b.length;
+         |  while ($lo < $hi) {
+         |    int $mid = ($lo + $hi) >>> 1;
+         |    if ($b[$mid] <= ${c.value}) $lo = $mid + 1; else $hi = $mid;
+         |  }
+         |  ${ev.value} = (long) $lo;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -3990,20 +3990,34 @@ object LakeTable {
   private def zOrdered(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     // Distributed rank proxy: 2^bits approx-quantile boundaries per
-    // column (one tiny aggregate, broadcast back); bucket = #
-    // boundaries ≤ value. No global sort, no single-partition window.
-    // 6 bits = 64 buckets/column — granularity well beyond any
-    // realistic file count, at ~1/20 the sketch cost of 8 bits.
+    // column (one tiny aggregate, collected — cuts are |cols|×63
+    // doubles); bucket = # boundaries ≤ value. No global sort, no
+    // single-partition window. 6 bits = 64 buckets/column —
+    // granularity well beyond any realistic file count, at ~1/20 the
+    // sketch cost of 8 bits.
     val bits = 6
     val nb = (1 << bits) - 1
     val qs = array((1 to nb).map(i => lit(i.toDouble / (nb + 1))): _*)
-    val bounds = df.select(cols.zipWithIndex.map { case (c, i) =>
+    // Collected (not crossJoined): the per-row rank then runs as a
+    // native binary search over a codegen constant instead of a
+    // 63-comparison array-filter HOF that also allocated the filtered
+    // array per row per column — the measured q_zorder hot loop. Same
+    // count-of-bounds-<=-value semantics, bit-identical ranks.
+    val boundRow = df.select(cols.zipWithIndex.map { case (c, i) =>
       percentile_approx(col(c).cast("double"), qs, lit(1000)).as(s"__b$i")
-    }: _*)
-    val ranked = cols.indices.foldLeft(df.crossJoin(broadcast(bounds))) { (acc, i) =>
+    }: _*).head()
+    val cuts: Seq[Array[Double]] = cols.indices.map { i =>
+      if (boundRow.isNullAt(i)) Array.empty[Double]
+      else boundRow.getSeq[Any](i).collect { case d: Double => d }.toArray
+    }
+    // fan: the rank pass is per-row work downstream of a possibly
+    // under-split input; the exchange it inserts is also what the
+    // range partitioner's sampling pass re-reads instead of
+    // re-executing the scan (no-op at scale, Tables.fan scaladoc).
+    val ranked = cols.indices.foldLeft(graft.Tables.fan(df)) { (acc, i) =>
       acc.withColumn(s"__r$i",
-        size(filter(col(s"__b$i"), b => b <= col(cols(i)).cast("double"))).cast("long"))
-    }.drop(cols.indices.map(i => s"__b$i"): _*)
+        graft.functions.Vectors.sortedBucket(col(cols(i)).cast("double"), cuts(i)))
+    }
     val interleaved = (0 until bits).flatMap { b =>
       cols.indices.map { i =>
         shiftleft(shiftright(col(s"__r$i"), b).bitwiseAND(lit(1L)),

@@ -220,4 +220,28 @@ class BitmapIntersectSpec extends AnyFunSuite {
       .agg(Bitmaps.bitmapCount(Bitmaps.bitmapIntersect(col("bm")))).head().getLong(0)
     assert(d === 0L)
   }
+
+  test("SortedBucket equals the size(filter(bounds, <= v)) HOF it replaced") {
+    // the Z-order rank formula: count of cut points <= value
+    val cuts = Array(-3.5, -1.0, -1.0, 0.0, 2.25, 7.5, 7.5, 100.0)
+    val vals = Seq(-10.0, -3.5, -1.0, -0.5, 0.0, 2.24999, 2.25, 7.5, 99.9,
+      100.0, 1e9, Double.NaN)
+    import spark.implicits._
+    val df = vals.toDF("v")
+    val boundsCol = array(cuts.map(lit(_)): _*)
+    val rows = df.select(col("v"),
+      Vectors.sortedBucket(col("v"), cuts).as("native"),
+      size(filter(boundsCol, b => b <= col("v"))).cast("long").as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"value ${r.get(0)}: native ${r.getLong(1)} hof ${r.getLong(2)}")
+    }
+    // NULL input: the HOF yields 0 (every comparison fails), never NULL
+    val n = df.select(Vectors.sortedBucket(lit(null).cast("double"), cuts).as("b"))
+      .head().getLong(0)
+    assert(n == 0L)
+    // empty cuts: rank 0 everywhere
+    val e = df.select(Vectors.sortedBucket(col("v"), Array.empty[Double]).as("b"))
+      .agg(max("b")).head().getLong(0)
+    assert(e == 0L)
+  }
 }

@@ -254,11 +254,64 @@ object Clustering {
       .orderBy("cluster_rep")
   }
 
+  /** Spark-side edge limit for the driver union-find fast path: below
+    * it the verified-pair graph is collected and solved in
+    * milliseconds; above it the distributed min-label loop runs.
+    * 2M edges ≈ 32 MB of driver ids — far below any sane driver heap,
+    * far above the graphs the small-SF gates and typical verified-pair
+    * outputs produce.
+    */
+  private def ccDriverEdgeLimit(s: SparkSession): Int =
+    s.conf.get("spark.graft.cc.driverEdgeLimit", "2000000").toInt
+
+  /** Driver union-find with min-id representatives: exactly the
+    * min-reachable-id labels the distributed loop converges to.
+    */
+  private def driverLabels(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN id so the root IS the component's label
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.map(id => (id, find(id)))
+  }
+
   /** Min-label propagation to fixpoint: (id, label) for every doc that
     * appears in a verified near-dup pair (label = min reachable id).
+    *
+    * REGIME DISPATCH (measured): verified-pair graphs are tiny
+    * relative to the corpus (edges = true dups — 256 pairs at sf0.1),
+    * and each distributed iteration costs a full join + aggregate +
+    * checkpoint + convergence count (~0.3 s of fixed job latency per
+    * round, ~1.2 s total at sf0.1) to move kilobytes. Below the edge
+    * limit the graph is COLLECTED (one limit-guarded job) and solved
+    * with a driver union-find — the same bounded-driver-work pattern
+    * as the IVF Lloyd's training (knnIvf scaladoc); labels are
+    * identical by construction (min reachable id). Past the limit the
+    * distributed loop runs untouched — a 100 TB boilerplate graph
+    * never lands on the driver.
     */
   private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val edges0 = DedupOps.ngramPairs(s, d, 0.8).select("doc_a", "doc_b")
+    val lim = ccDriverEdgeLimit(s)
+    if (lim > 0) {
+      // limit(n+1) bounds the collect: n+1 rows back means "too big".
+      val head = edges0.limit(lim + 1).collect()
+      if (head.length <= lim) {
+        import s.implicits._
+        return s.createDataset(driverLabels(
+          head.map(r => (r.getLong(0), r.getLong(1))))).toDF("id", "label")
+      }
+    }
     // Symmetric edge list including self-loops so isolated members keep labels.
     // localCheckpoint: materialize the (tiny) edge/label sets and cut
     // lineage — otherwise each iteration's plan nests the previous

@@ -207,7 +207,13 @@ object Curation {
     // one aggregate over the batch df (computed fresh, ∝ batch) joined
     // to the index's own STORED df table (maintained at stage time;
     // recomputed only if an older index lacks it).
-    val bdf = bsh.groupBy("h").agg(count(lit(1)).as("dfb"))
+    // The batch shingle stream is MATERIALIZED once (localCheckpoint —
+    // the dsirSelect cdb hand-off device): the pre-flight aggregate and
+    // the probe otherwise each re-tokenize and re-hash the batch text
+    // (measured: the pre-flight doubled the batch scan cost at sf0.1).
+    // Bounded by the ingest batch, not the corpus.
+    val bshM = bsh.localCheckpoint(true)
+    val bdf = bshM.groupBy("h").agg(count(lit(1)).as("dfb"))
     val idf =
       if (graft.sources.LakeTable.currentVersion(s, s"$indexPath/dfs").isDefined)
         graft.sources.LakeTable.read(s, s"$indexPath/dfs")
@@ -221,14 +227,14 @@ object Curation {
       else r.getDecimal(0).min(java.math.BigDecimal.valueOf(Long.MaxValue)).longValue()
     val rows = if (r.isNullAt(1)) 0L else r.getLong(1)
     if (DedupGuard.admitUncapped(s, "incrementalDedup", est, rows, None).uncapped)
-      probe(bsh, idx, isz)
+      probe(bshM, idx, isz)
     else {
       // routed: drop hot co-occurring shingles from BOTH streams and
       // recompute both size tables over the informative universe (the
       // carried sz_b / stored sz_c count full shingle sets — keeping
       // them would silently deflate jaccard under the cap)
       val hot = co.where(col("dfb") + col("dfi") > DedupGuard.dfCap(s)).select("h")
-      val bshC = bsh.join(hot, Seq("h"), "left_anti")
+      val bshC = bshM.join(hot, Seq("h"), "left_anti")
       val idxC = idx.join(hot, Seq("h"), "left_anti")
       val bC = bshC.drop("sz_b")
         .join(bshC.groupBy("batch_id").agg(count(lit(1)).as("sz_b")), "batch_id")

@@ -206,4 +206,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
       if (sizes.size == 3) assert(sizes.values.max - sizes.values.min <= 1, s"$lang $sizes")
     }
   }
+
+  test("clusterLabels: driver union-find fast path equals the distributed loop") {
+    val fast = operators.Clustering.clusterLabels(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.cc.driverEdgeLimit", "0") // force the loop
+    try {
+      val loop = operators.Clustering.clusterLabels(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == loop, s"fast ${fast.size} labels vs loop ${loop.size}")
+      assert(fast.nonEmpty)
+    } finally spark.conf.unset("spark.graft.cc.driverEdgeLimit")
+  }
 }

@@ -543,4 +543,19 @@ class PlanSpec extends AnyFunSuite {
     assert(compacted.count() == 320)
     assert(compacted.columns.toSeq.sorted == Seq("g", "id2"))
   }
+
+  test("Tables.fan: repartitions an under-split scan, identity once parallelism suffices") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    // the single-file gate table scans as one partition -> fanned out
+    val fanned = Tables.fan(docs)
+    assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // an input already at cluster parallelism is returned UNCHANGED
+    // (the 100 TB case: no extra exchange of the payload)
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert(Tables.fan(wide) eq wide)
+    // kill switch pins the raw layout
+    spark.conf.set("spark.graft.fan.enabled", "false")
+    try assert(Tables.fan(docs) eq docs)
+    finally spark.conf.unset("spark.graft.fan.enabled")
+  }
 }

@@ -407,8 +407,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * HOF shape, which allocated a filtered array and made |bounds|
   * comparisons PER ROW PER COLUMN (the q_zorder hot loop — |bounds|=63
   * at 6 bits); the search makes ~log2(|bounds|) comparisons and
-  * allocates nothing. Semantics match the HOF exactly: NULL input and
-  * NaN both yield 0 (every `b <= v` comparison fails), never NULL.
+  * allocates nothing. Semantics match the HOF exactly: NULL input
+  * yields 0 (every `b <= v` comparison fails, never NULL) and NaN
+  * yields |bounds| — Spark's comparison total order sorts NaN above
+  * every double, so every bound passes.
   */
 case class SortedBucket(child: Expression, bounds: Array[Double])
     extends UnaryExpression {
@@ -422,7 +424,10 @@ case class SortedBucket(child: Expression, bounds: Array[Double])
   }
 
   private def search(v: Double): Long = {
-    if (java.lang.Double.isNaN(v)) return 0L
+    // Spark's comparison total order puts NaN ABOVE every double
+    // (b <= NaN is TRUE for all b) — match it, unlike java's
+    // NaN-poisoned primitive compare.
+    if (java.lang.Double.isNaN(v)) return bounds.length.toLong
     // upper bound: first index with bounds(i) > v == count of <= v
     var lo = 0; var hi = bounds.length
     while (lo < hi) {
@@ -449,13 +454,17 @@ case class SortedBucket(child: Expression, bounds: Array[Double])
       code"""
          |${c.code}
          |long ${ev.value} = 0L;
-         |if (!${c.isNull} && !java.lang.Double.isNaN(${c.value})) {
-         |  int $lo = 0; int $hi = $b.length;
-         |  while ($lo < $hi) {
-         |    int $mid = ($lo + $hi) >>> 1;
-         |    if ($b[$mid] <= ${c.value}) $lo = $mid + 1; else $hi = $mid;
+         |if (!${c.isNull}) {
+         |  if (java.lang.Double.isNaN(${c.value})) {
+         |    ${ev.value} = (long) $b.length; // NaN sorts above all (Spark total order)
+         |  } else {
+         |    int $lo = 0; int $hi = $b.length;
+         |    while ($lo < $hi) {
+         |      int $mid = ($lo + $hi) >>> 1;
+         |      if ($b[$mid] <= ${c.value}) $lo = $mid + 1; else $hi = $mid;
+         |    }
+         |    ${ev.value} = (long) $lo;
          |  }
-         |  ${ev.value} = (long) $lo;
          |}
        """.stripMargin)
   }

@@ -132,14 +132,21 @@ class CurationSpec extends AnyFunSuite {
     operators.Curation.stageIncrementalIndex(spark, sf)
     val p = operators.Curation.incrementalDedup(spark, sf)
       .queryExecution.executedPlan.toString
-    // exactly one parquet scan of the documents table (the batch side);
-    // the corpus side must resolve from the persisted LakeTable index
-    val docScans = "documents".r.findAllIn(p).length
-    assert(docScans >= 1 && p.contains("lake"),
-      s"expected one batch-side documents scan plus index scans:\n${p.take(3000)}")
+    // The batch shingle stream is MATERIALIZED once (localCheckpoint,
+    // round-12 optimization) before the guardrail pre-flight, so the
+    // served plan reads the checkpoint — the documents table must not
+    // appear AT ALL in the probe plan, and the corpus side must
+    // resolve from the persisted LakeTable index.
+    assert(p.contains("lake"),
+      s"expected index scans from the persisted LakeTable:\n${p.take(3000)}")
     val scanLines = p.linesIterator.filter(l =>
       l.contains("FileScan") || l.contains("BatchScan")).toSeq
-    assert(scanLines.count(_.contains("documents")) == 1,
+    assert(scanLines.count(_.contains("documents")) == 0,
       s"corpus text must never be re-read on the incremental path:\n${scanLines.mkString("\n")}")
+    // the one batch-side documents scan happens inside the checkpoint
+    // materialization — prove the batch text is still read exactly
+    // once per verb by the checkpointed RDD being present
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected the checkpointed batch shingle stream in the plan:\n${p.take(3000)}")
   }
 }

@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The perf driver parses a one-line JSON from the tail of `sbt "runMain
+// graft.Bench"` stdout. Two sbt behaviors defeat that parse: LoggedOutput
+// re-emits the forked program's stdout with an "[info] " prefix (the line
+// no longer starts with '{'), and the trailing "[success] Total time"
+// line means the JSON is never the LAST line. Pass program output through
+// raw and drop the success banner so the bench's JSON line is the final,
+// prefix-free line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

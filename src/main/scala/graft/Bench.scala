@@ -82,23 +82,31 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
 
-    // Stdout line: slowest-first, capped to a budget that keeps the
-    // whole line inside the driver's capture window.
-    val budget = 1500
+    // Stdout line: slowest-first queries, capped so the WHOLE line stays
+    // well inside the driver's ~2000-char stdout capture window even if a
+    // stray log line lands after it. The driver has never parsed a line
+    // that (a) carried an sbt "[info] " prefix or (b) was followed by
+    // sbt's "[success]" banner — build.sbt now fixes both (StdoutOutput +
+    // showSuccess := false) and this line is printed AFTER spark.stop()
+    // so nothing the engine logs can trail it.
+    val lineBudget = 1000
+    val head = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":${results.size},""" +
+      s""""failed":${failed.size},"full":"$fullPath","queries":{"""
+    val tailTemplate = s"""},"omitted":OMIT,"sf":"$sfDir"}"""
+    val queryBudget = lineBudget - head.length - tailTemplate.length - 4
     val slowestFirst = good.toSeq.sortBy(-_._2)
     val sb = new StringBuilder
     var taken = 0
     slowestFirst.foreach { kv =>
       val e = entry(kv)
-      if (sb.length + e.length + 1 <= budget) {
+      if (sb.length + e.length + 1 <= queryBudget) {
         if (sb.nonEmpty) sb.append(',')
         sb.append(e); taken += 1
       }
     }
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":${results.size},""" +
-      s""""failed":${failed.size},"omitted":${results.size - failed.size - taken},""" +
-      s""""full":"$fullPath","queries":{${sb.toString}},"sf":"$sfDir"}"""
-    println(line)
+    val line = head + sb.toString +
+      s"""},"omitted":${results.size - failed.size - taken},"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
   }
 }

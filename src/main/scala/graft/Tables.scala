@@ -46,8 +46,20 @@ object Tables {
     // Kill switch (default on): lets a deployment pin the raw scan
     // layout, and lets the A/B bench time both variants in one JVM.
     if (df.sparkSession.conf.get("spark.graft.fan.enabled", "true") != "true") return df
+    // SCAN-SHAPED INPUTS ONLY: under AQE, .rdd on a plan containing an
+    // Exchange materializes every upstream query stage just to count
+    // partitions, and the repartition then re-executes them. AQE wraps
+    // a plan in AdaptiveSparkPlanExec exactly when it carries an
+    // exchange or subquery, so that wrapper IS the "not a plain scan
+    // subtree" signal — bail out and leave the input untouched (every
+    // legitimate fan site is a scan/project/filter/union-of-scans,
+    // which stays a plain plan).
+    if (df.queryExecution.executedPlan
+        .isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec])
+      return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val cur = try df.rdd.getNumPartitions catch { case _: Throwable => target }
+    val cur = try df.rdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => target }
     if (cur >= target) df else df.repartition(target)
   }
 

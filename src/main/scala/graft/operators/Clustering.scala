@@ -301,7 +301,15 @@ object Clustering {
     * never lands on the driver.
     */
   private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    // Materialize the pair pipeline ONCE before the regime probe: the
+    // limit-guarded collect below executes most of the prefix-filter
+    // join pipeline anyway (limit barely short-circuits a shuffle), and
+    // without this the distributed fallback would re-run that most
+    // expensive stage from scratch — exactly the large-graph regime the
+    // dispatch protects. The distributed branch checkpoints its edge
+    // union regardless, so this adds no materialization it didn't pay.
     val edges0 = DedupOps.ngramPairs(s, d, 0.8).select("doc_a", "doc_b")
+      .localCheckpoint(true)
     val lim = ccDriverEdgeLimit(s)
     if (lim > 0) {
       // limit(n+1) bounds the collect: n+1 rows back means "too big".

@@ -4002,7 +4002,11 @@ object LakeTable {
     // native binary search over a codegen constant instead of a
     // 63-comparison array-filter HOF that also allocated the filtered
     // array per row per column — the measured q_zorder hot loop. Same
-    // count-of-bounds-<=-value semantics, bit-identical ranks.
+    // count-of-bounds-<=-value semantics, identical ranks — except the
+    // degenerate all-NULL/empty column, where percentile_approx yields
+    // NULL, the cut array is empty and every rank is 0 (the old HOF
+    // produced the constant -1 via legacy sizeOfNull). Both are
+    // per-column constants, so file clustering is unaffected.
     val boundRow = df.select(cols.zipWithIndex.map { case (c, i) =>
       percentile_approx(col(c).cast("double"), qs, lit(1000)).as(s"__b$i")
     }: _*).head()

@@ -30,6 +30,10 @@ object AbBench {
         System.err.println(s"[ab] ${q.name} failed: ${e.toString.take(300)}"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Restore the key's PRE-RUN value afterwards: for a conf whose
+    // production default is "false" (or unset), pinning it back to
+    // "true" would leave the session in a non-default state.
+    val preRun = spark.conf.getOption(confKey)
     val on = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val off = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     // Alternate which variant runs FIRST each iteration: the first
@@ -42,14 +46,19 @@ object AbBench {
       val t = once(q)
       if (t >= 0) { if (mode == "true") on(q.name) ::= t else off(q.name) ::= t }
     }
-    spark.conf.set(confKey, "true")
+    preRun match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
     def med(xs: List[Double]) = { val s = xs.sorted; if (s.isEmpty) -1.0 else s(s.size / 2) }
-    println(f"${"query"}%-32s ${"ON"}%8s ${"OFF"}%8s ${"delta"}%8s")
+    // Per-mode sample counts printed next to the medians: a failed run
+    // in only one mode would otherwise silently skew the comparison.
+    println(f"${"query"}%-32s ${"ON"}%8s ${"OFF"}%8s ${"delta"}%8s ${"nON/nOFF"}%9s")
     var tOn = 0.0; var tOff = 0.0
     selected.foreach { q =>
       val a = med(on(q.name)); val b = med(off(q.name))
       if (a >= 0 && b >= 0) { tOn += a; tOff += b }
-      println(f"${q.name}%-32s $a%8.3f $b%8.3f ${b - a}%+8.3f")
+      println(f"${q.name}%-32s $a%8.3f $b%8.3f ${b - a}%+8.3f ${s"${on(q.name).size}/${off(q.name).size}"}%9s")
     }
     println(f"TOTAL on=$tOn%.2f off=$tOff%.2f delta=${tOff - tOn}%+.2f (positive = ON wins)")
     spark.stop()

@@ -148,5 +148,16 @@ class CurationSpec extends AnyFunSuite {
     // once per verb by the checkpointed RDD being present
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
       s"expected the checkpointed batch shingle stream in the plan:\n${p.take(3000)}")
+    // ... and by there being exactly ONE checkpointed batch-shingle
+    // RDD: a regression that re-tokenizes the batch upstream of the
+    // checkpoint (two checkpoints, each paying its own documents read)
+    // would surface as two distinct localCheckpoint RDD ids here while
+    // still passing the scan-line assertions above.
+    val pf = operators.Curation.incrementalDedup(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val ckptIds = """MapPartitionsRDD\[(\d+)\] at localCheckpoint""".r
+      .findAllMatchIn(pf).map(_.group(1)).toSet
+    assert(ckptIds.size == 1,
+      s"expected exactly one checkpointed batch-shingle RDD, got ids=$ckptIds")
   }
 }

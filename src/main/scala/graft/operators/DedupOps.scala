@@ -85,6 +85,44 @@ object DedupOps {
     * plan; at-or-above, PPJoin wins and keeps winning as hot shingles
     * appear.
     */
+  /** Decide whether a multi-branch pair plan should MATERIALIZE the
+    * shingle table once (localCheckpoint) instead of re-executing the
+    * tokenize + shingle-hash tree per branch (direct plan: 3 branches;
+    * prefix plan: 5). Recompute wins while the corpus is small (the
+    * checkpoint write costs more than two cheap re-scans — measured at
+    * sf0.1 in round 12); materialization wins once the per-branch
+    * tokenize pass dominates. Interleaved A/B (round 13): at sf0.1
+    * (0.6 MB of documents) recompute ahead by ~0.5 s over the 4 pair
+    * rows; at sf1 (6.7 MB) materialization ahead by +15.7 s
+    * (q_dedup_ngram +6.8, q_dedup_pipeline_bounds +6.0,
+    * q_dedup_clusters +3.1). `spark.graft.dedup.shingleCheckpoint`
+    * = true | false | auto (default), where auto switches on above
+    * `spark.graft.dedup.shingleCheckpointMinBytes` of documents
+    * source — 2 MB, the geometric midpoint of the measured inversion.
+    * The checkpointed rows are (doc_id, 8B hash) — MEMORY_AND_DISK,
+    * spilling to executor disk, never the driver.
+    */
+  private def sharedShingles(s: SparkSession, d: String): Option[DataFrame] = {
+    val share = s.conf.get("spark.graft.dedup.shingleCheckpoint", "auto") match {
+      case "true" => true
+      case "false" => false
+      case _ =>
+        val min = s.conf.get(
+          "spark.graft.dedup.shingleCheckpointMinBytes", (2L << 20).toString).toLong
+        (try {
+          val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.getFileStatus(p).isDirectory) fs.getContentSummary(p).getLength
+          else fs.getFileStatus(p).getLen
+        } catch { case scala.util.control.NonFatal(_) => 0L }) >= min
+    }
+    // fan=true: the single materialization pass is exactly the heavy
+    // single-pass map the fan exists for; branches then read the
+    // checkpointed RDD, so the round-12 "fan multiplies with prefix
+    // branches" objection no longer applies.
+    if (share) Some(shingleTable(s, d).localCheckpoint(true)) else None
+  }
+
   def ngramPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
     if (DedupGuard.mode(s) == "off")
       // No estimates to dispatch on: classic threshold regime — the
@@ -93,8 +131,8 @@ object DedupOps {
       // t=0.8 direct 12.1 s vs prefix 13.9 s on the replication
       // corpus, while template-hot corpora invert that hard — 0.7 is
       // the conservative boundary for a profile-blind choice.
-      return if (threshold >= 0.7) ngramPairsPrefix(s, d, threshold)
-      else ngramPairsDirect(s, d, threshold)
+      return if (threshold >= 0.7) ngramPairsPrefix(s, d, threshold, sharedShingles(s, d))
+      else ngramPairsDirect(s, d, threshold, sharedShingles(s, d))
     // ESTIMATE-DRIVEN dispatch (see DedupGuard): the coarse Σ C(df,2)
     // IS the direct plan's candidate stream, and the refined
     // Σ C(df_prefix,2) is the prefix plan's — so the pre-flight the
@@ -106,7 +144,8 @@ object DedupOps {
     //   coarse > budget  → refined decides: ≤ budget → PREFIX (its
     //                      leverage is measured, not assumed — the
     //                      template/sf1 profiles), else route/fail.
-    val sh = shingleTable(s, d)
+    val shShared = sharedShingles(s, d)
+    val sh = shShared.getOrElse(shingleTable(s, d))
     // Estimates memoized per corpus fingerprint (one FS LIST): the
     // normal pipeline shape — pairs, then clusters, then survivors
     // over the SAME corpus in one session — pays the df aggregate
@@ -123,9 +162,9 @@ object DedupOps {
           (DedupGuard.pairEstimate(
             prefixRows(sh, threshold).groupBy("h").agg(count(lit(1)).as("df")))._1, 0L)
         }._1))
-    if (!dec.uncapped) ngramPairsCapped(s, d, threshold, DedupGuard.dfCap(s))
-    else if (dec.coarse <= dec.budget) ngramPairsDirect(s, d, threshold)
-    else ngramPairsPrefix(s, d, threshold)
+    if (!dec.uncapped) ngramPairsCapped(s, d, threshold, DedupGuard.dfCap(s), shShared)
+    else if (dec.coarse <= dec.budget) ngramPairsDirect(s, d, threshold, shShared)
+    else ngramPairsPrefix(s, d, threshold, shShared)
   }
 
   /** Direct inverted-index self-join: inter = count of h-collisions
@@ -134,8 +173,9 @@ object DedupOps {
     * moment one is; the high-threshold path and D28's df-cap are the
     * defenses.
     */
-  private def ngramPairsDirect(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val sh = shingleTable(s, d)
+  private def ngramPairsDirect(s: SparkSession, d: String, threshold: Double,
+      sh0: Option[DataFrame] = None): DataFrame = {
+    val sh = sh0.getOrElse(shingleTable(s, d))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     sh.select(col("doc_id").as("doc_a"), col("h"))
       .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
@@ -171,7 +211,8 @@ object DedupOps {
       .select("doc_id", "h", "rn", "sz")
   }
 
-  private def ngramPairsPrefix(s: SparkSession, d: String, threshold: Double): DataFrame = {
+  private def ngramPairsPrefix(s: SparkSession, d: String, threshold: Double,
+      sh0: Option[DataFrame] = None): DataFrame = {
     // NOTE a size(sh)+explode(sh) double reference looks cheaper (no
     // size aggregate, no pair size joins) but re-inlines the shingle
     // tree per ROW at the reference site — measured 3.3 s → 10.2 s at
@@ -182,7 +223,7 @@ object DedupOps {
     // extra exchange multiplies with the branches and measured 1.1 s
     // SLOWER at sf0.1 in the interleaved A/B, while the single-pass
     // direct plan keeps the fan win.
-    val sh = shingleTable(s, d, fan = false)
+    val sh = sh0.getOrElse(shingleTable(s, d, fan = false))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val tRelaxed = threshold - 1e-4
     val prefix = prefixRows(sh, threshold)
@@ -254,8 +295,9 @@ object DedupOps {
     * informative collisions; Jaccard is then exact over the capped
     * (informative) shingle universe — mirrored in the oracle.
     */
-  def ngramPairsCapped(s: SparkSession, d: String, threshold: Double, dfCap: Int): DataFrame = {
-    val sh0 = shingleTable(s, d)
+  def ngramPairsCapped(s: SparkSession, d: String, threshold: Double, dfCap: Int,
+      shSrc: Option[DataFrame] = None): DataFrame = {
+    val sh0 = shSrc.getOrElse(shingleTable(s, d))
     val informative = sh0.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("h")
     val sh = sh0.join(informative, "h")
